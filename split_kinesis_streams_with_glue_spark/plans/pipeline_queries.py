@@ -1,0 +1,127 @@
+"""Driver-facing queries for the core split/CDC pipeline (SURVEY.md §2.1-2.4).
+
+Each query synthesizes DMS envelopes from the driver parquet tables
+(deterministically — every phase keyed off ``pk % k``), pushes them through
+the real wire round-trip (to_json → from_json) and the engine's split /
+compact operators, and is checked against a DuckDB oracle that reproduces the
+same final state in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.envelope import generate_cdc_envelopes, wrap
+from split_kinesis_streams_with_glue_spark.operators.compact import compact, event_time
+from split_kinesis_streams_with_glue_spark.operators.split import (
+    split_one,
+    split_stats,
+)
+from split_kinesis_streams_with_glue_spark.plans.registry import load, query
+from split_kinesis_streams_with_glue_spark.sources.memory import json_roundtrip
+
+
+@query(
+    "split_roundtrip_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def split_roundtrip_customer(spark, sf_dir):
+    """Full-load envelopes → JSON wire round-trip → filter+flatten (the
+    reference's P1+P2, README.md:259-279) recovers the source table."""
+    env = json_roundtrip(wrap(load(spark, sf_dir, "customer"), "customer"))
+    return split_one(env, "customer", keep_timestamp=False)
+
+
+@query(
+    "split_flatten_orders_ts",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def split_flatten_orders_ts(spark, sf_dir):
+    """Timestamp columns survive the JSON wire as ISO strings (reference
+    image/image5.png) and re-parse losslessly (source is ms-precision; the
+    wire format carries ms)."""
+    env = json_roundtrip(wrap(load(spark, sf_dir, "orders"), "orders"))
+    return split_one(env, "orders", keep_timestamp=False)
+
+
+@query(
+    "cdc_compact_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                            WHEN c_custkey % 5 = 0 THEN 100.0
+                            ELSE 0.0 END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_compact_customer(spark, sf_dir):
+    """Full-load + CDC stream → split → latest-per-PK compaction with delete
+    handling (T7) reproduces the exact final table state."""
+    env = json_roundtrip(
+        generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    )
+    cust = split_one(env, "customer", keep_operation=True)
+    return compact(event_time(cust), ["c_custkey"])
+
+
+@query(
+    "split_stats_customer",
+    oracle="""
+    SELECT 'dms_sample' AS schema_name, 'customer' AS table_name,
+           'load' AS operation, count(*) AS n_records FROM customer
+    UNION ALL
+    SELECT 'dms_sample', 'customer', 'update',
+           (SELECT count(*) FROM customer WHERE c_custkey % 5 = 0)
+         + (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+    UNION ALL
+    SELECT 'dms_sample', 'customer', 'delete', count(*)
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def split_stats_customer(spark, sf_dir):
+    """Per-(schema, table, operation) record counts — the DMS console view
+    (image/image3.png) as a query."""
+    env = json_roundtrip(
+        generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    )
+    return split_stats(env)
+
+
+@query(
+    "choice_resolution_totalprice",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def choice_resolution_totalprice(spark, sf_dir):
+    """Glue ``choice{double,int}`` semantics (image/image2.png): a field
+    serialized as JSON integer on some records and double on others resolves
+    to double (widen policy, SURVEY.md §4.3)."""
+    from split_kinesis_streams_with_glue_spark.schema.choices import resolve_choices
+    from split_kinesis_streams_with_glue_spark.sources.memory import parse_envelope_lines
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    as_int = src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.floor("o_totalprice").cast("long")
+    )
+    as_dbl = src.filter(F.col("o_orderkey") % 3 != 0)
+    # two incompatible payload schemas → serialize separately, merge as lines
+    lines = to_json_lines(wrap(as_int, "orders")).unionByName(
+        to_json_lines(wrap(as_dbl, "orders"))
+    )
+    env = parse_envelope_lines(lines, wrap(as_dbl, "orders").schema)
+    flat = split_one(env, "orders", keep_timestamp=False)
+    return resolve_choices(flat, {"o_totalprice": "double"})

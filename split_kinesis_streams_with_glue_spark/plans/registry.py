@@ -1,0 +1,60 @@
+"""Query registry — one named entry per implemented operator (SURVEY.md §2).
+
+Each entry pairs a PySpark query builder ``(spark, sf_dir) -> DataFrame``
+with (where SQL-expressible) an equivalent ANSI-SQL oracle string for DuckDB.
+The driver hash-compares both at sf0.01 (order-insensitive, columns sorted by
+name) — so every computed column is aliased identically on both sides.
+
+Determinism rules used throughout:
+- Aggregates over doubles are either cast to DECIMAL before summing (exact,
+  engine-independent) or rounded after aggregation.
+- Ties in top-k orderings are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a driver-facing query. ``oracle=None`` marks a genuinely
+    non-SQL-expressible operator (weaker rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a driver fixture table, normalizing physical quirks.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
+    truncate to microseconds — byte-identical to what DuckDB's Parquet reader
+    yields for the same column, keeping oracles comparable.
+    """
+    if table == "events":
+        # runtime-settable; required even on sessions the engine didn't build
+        # (the driver harness hands us its own SparkSession)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint" and table == "events":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local test profile mirrors what we'd set fleet-wide on a real cluster:
+
+- AQE on (runtime coalesce of shuffle partitions, skew-join splitting) —
+  at 100 TB the static ``spark.sql.shuffle.partitions`` is always wrong for
+  some stage; AQE re-plans from actual map output sizes.
+- Arrow on for the (rare) pandas-UDF paths.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+
+On a real cluster you would additionally size ``spark.sql.shuffle.partitions``
+to ~2-3x total cores and rely on AQE coalescing, and set
+``spark.sql.files.maxPartitionBytes`` (default 128 MB) so a 100 TB scan yields
+~800k input splits — fine for a 1000-executor fleet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "split_kinesis_streams_with_glue_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
+    tests; on a cluster you pass the real master URL / rely on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver fixtures' events.parquet stores TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects; read as long and convert
+        # (truncate to micros — matching what DuckDB's reader does).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

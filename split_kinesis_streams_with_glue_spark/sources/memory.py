@@ -1,0 +1,41 @@
+"""In-memory envelope JSON round-trip — exercise the real serialize/parse
+path without file I/O (used by the driver-facing queries, which must be
+self-contained given only (spark, sf_dir)).
+
+``from_json`` is a Catalyst expression: the parse stays JVM-side inside
+whole-stage codegen, identical economics to the file-based JSON scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from split_kinesis_streams_with_glue_spark.sources.json_envelope import CORRUPT_COL
+
+
+def parse_envelope_lines(lines_df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Parse single-column ('value') JSON lines into envelopes with PERMISSIVE
+    corrupt-record routing (same contract as ``read_envelopes``)."""
+    if not any(f.name == CORRUPT_COL for f in schema.fields):
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    parsed = lines_df.select(
+        F.from_json(
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("env")
+    )
+    return parsed.select("env.*")
+
+
+def json_roundtrip(env_df: DataFrame) -> DataFrame:
+    """Serialize envelopes to JSON lines and parse them back — the wire
+    round-trip (Firehose write → Glue read) as one narrow, shuffle-free
+    transformation chain."""
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+
+    return parse_envelope_lines(to_json_lines(env_df), env_df.schema)
