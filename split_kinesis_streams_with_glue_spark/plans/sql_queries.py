@@ -1,0 +1,787 @@
+"""Ad-hoc SQL query surface (SURVEY.md §2.5) — the Athena-equivalent layer.
+
+The reference's declared query capability is full ANSI SQL over the split
+tables (reference README.md:36, 312-314; demo query image/image7.png). Spark
+SQL provides it natively; these queries pin down the surface operator by
+operator, each with a DuckDB oracle.
+
+Written DataFrame-first (Catalyst plans: scans with pushed filters/pruned
+columns, broadcast hash joins for dims, partial aggregation) with a few
+``spark.sql`` entries to exercise the SQL front end itself.
+
+Determinism: double aggregates are ROUND()ed (both engines agree far below
+the rounding grain); top-k orderings carry a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module scope: pandas-UDF type hints must resolve here
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.plans.registry import load, query
+
+
+# ---------------------------------------------------------------- scan/limit
+
+@query(
+    "scan_limit",
+    oracle="""
+    SELECT * FROM customer ORDER BY c_custkey LIMIT 10
+    """,
+)
+def scan_limit(spark, sf_dir):
+    """The reference's demonstrated Athena query (image/image7.png), made
+    deterministic with an ORDER BY. Catalyst: TakeOrderedAndProject — no
+    global sort, each partition keeps 10, driver merges."""
+    return load(spark, sf_dir, "customer").orderBy("c_custkey").limit(10)
+
+
+# -------------------------------------------------------------- aggregations
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-side filter pushdown + two-phase hash aggregate
+    (map-side partial combine — the key to agg at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark, sf_dir):
+    """HLL sketch — approximate by construction, so rows-only check (the
+    exact twin is agg_count_distinct). At scale this replaces the expensive
+    distinct shuffle with a mergeable fixed-size sketch."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_stats(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- joins
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star-schema join: explicitly broadcast the small dims so the fact
+    scan never shuffles — the 100 TB-safe plan (BroadcastHashJoin)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_left_with_empty",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_with_empty(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS nationkey,
+           COALESCE(a.n_cust, 0) AS n_cust, COALESCE(b.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    a = load(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    b = load(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        a.join(b, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@query(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_small(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_range_events",
+    oracle="""
+    SELECT a.event_id AS a_id, COUNT(*) AS n_followers
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.event_id
+    """,
+)
+def join_range_events(spark, sf_dir):
+    """Equi + range (theta) join: per-user self-join bounded to a 1-hour
+    window. The equi key keeps it a hash/sort-merge join (the range is a
+    post-join predicate), so it scales — no nested-loop over the full fact."""
+    e = load(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.event_id").alias("a_id"))
+        .agg(F.count(F.lit(1)).alias("n_followers"))
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS drnk
+      FROM customer) t
+    WHERE rn <= 5
+    """,
+)
+def window_rank_topn(spark, sf_dir):
+    """Per-group top-N — the canonical window pattern; one shuffle on the
+    partition key, sort within partitions."""
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark, sf_dir):
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# ------------------------------------------------------------- sorts / top-k
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """Global top-k without global sort (TakeOrderedAndProject)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------------ set ops
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT k FROM (SELECT c_nationkey AS k FROM customer
+                   UNION ALL SELECT s_nationkey FROM supplier) t
+    """,
+)
+def set_union_all(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS k FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_except(spark, sf_dir):
+    """Set EXCEPT (distinct) — ``subtract``, not ``exceptAll`` (the latter is
+    multiset difference)."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return o.subtract(c)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
+
+
+# ------------------------------------------------------------- scalar funcs
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           c_name LIKE '%1%' AS has_one,
+           TRIM(CONCAT('  ', c_name, '  ')) AS trimmed
+    FROM customer
+    """,
+)
+def string_funcs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dy,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                * (1 + CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE) AS charged,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+)
+def math_funcs(spark, sf_dir):
+    """Money math is decimal-exact on both engines: rounding a double product
+    of 2-decimal inputs lands on half-way boundaries where Spark (HALF_UP)
+    and DuckDB disagree — decimal arithmetic sidesteps the boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    charged = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+    ).cast("double")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        charged.alias("charged"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "decimal_money_math",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def decimal_money_math(spark, sf_dir):
+    """Decimal-safe money math (the reference's ticket_price concern,
+    README.md:210): cast to DECIMAL before summing → exact, order-independent
+    aggregation on both engines."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("exact_total")
+        )
+    )
+
+
+# --------------------------------------------------------- array / map / json
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """The events.props JSON column (SURVEY.md §1.2) via get_json_object —
+    Jackson partial parse, JVM-side."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@query(
+    "from_json_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def from_json_struct(spark, sf_dir):
+    """from_json into a typed struct — the same machinery that parses the
+    CDC envelope."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", F.from_json("props", "k BIGINT").alias("p"))
+        .select("event_id", F.col("p.k").alias("k"))
+    )
+
+
+@query(
+    "explode_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def explode_words(spark, sf_dir):
+    """explode(split(...)) — row-generating lateral view; word-count over
+    documents."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "array_hof_embedding_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 4)
+             AS sq_norm
+    FROM embeddings
+    """,
+)
+def array_hof_embedding_norm(spark, sf_dir):
+    """Array higher-order functions (transform + aggregate) over the
+    embedding column — JVM-side, no UDF."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "array_contains_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE list_contains(string_split_regex(text, '\\s+'), 'spark')
+    """,
+)
+def array_contains_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.array_contains(F.split("text", r"\s+"), "spark")).select(
+        "doc_id", "n_chars"
+    )
+
+
+# --------------------------------------------------------------- subqueries
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def subquery_in(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def subquery_correlated_exists(spark, sf_dir):
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        """
+    )
+
+
+# ------------------------------------------------------------- UDF surface
+
+@query(
+    "pandas_udf_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def pandas_udf_revenue(spark, sf_dir):
+    """The UDF escape hatch, done the fast way: an Arrow-vectorized pandas
+    UDF (batch columnar transfer, ~10-100x over row-at-a-time Python UDFs).
+    Exists to pin the surface — the engine prefers the built-in expression
+    (see q1_pricing_summary) whenever one exists."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("net", net_price("l_extendedprice", "l_discount"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("net").cast("decimal(18,4)")).cast("double").alias("revenue")
+        )
+    )

@@ -62,11 +62,11 @@ def compare(spark_df, con, sql: str, name: str = "?") -> None:
     )
 
     s_multiset = sorted(
-        tuple(_norm(r[c]) for c in spark_cols) for r in spark_rows
+        (tuple(_norm(r[c]) for c in spark_cols) for r in spark_rows), key=repr
     )
     idx = {c: i for i, c in enumerate(duck_cols_raw)}
     d_multiset = sorted(
-        tuple(_norm(row[idx[c]]) for c in duck_cols) for row in duck_rows
+        (tuple(_norm(row[idx[c]]) for c in duck_cols) for row in duck_rows), key=repr
     )
     if s_multiset != d_multiset:
         diffs = [
