@@ -1,0 +1,256 @@
+"""Deduplication family (SURVEY.md X1/X2) — training-data-pipeline staples.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard dedup over a document
+corpus, all expressed as DataFrame plans:
+
+- **exact**: fingerprint → groupBy → keep canonical row. One shuffle on the
+  16-byte fingerprint; at 100 TB this is the cheapest possible dedup.
+- **n-gram Jaccard**: shingle-explode → self-join on shingle → count
+  intersections. Exact but quadratic in the worst case; kept as the oracle
+  ground truth and for small/filtered candidate sets.
+- **MinHash LSH**: shingles → k minhashes → band buckets → join on bucket →
+  exact-verify candidates. The scale path: the join key space is (band,
+  hash) buckets, so the shuffle is linear in corpus size; only candidate
+  pairs (a vanishing fraction) reach the exact verification.
+- **SimHash**: 64-bit signature via per-token hash bit voting; near-dups =
+  signatures within small Hamming distance, bucketed by 16-bit chunks
+  (pigeonhole: hamming ≤ 3 ⇒ some chunk matches exactly).
+
+All hashing is ``xxhash64``/``md5`` — deterministic, seed-stable, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.functions.textfns import (
+    fingerprint,
+    whitespace_tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical row (min id) per normalized-text fingerprint.
+
+    Deterministic by construction — unlike ``dropDuplicates``, whose survivor
+    is partition-order dependent; a correctness gate needs the min-id policy.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct shingle sets + per-doc set sizes."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(whitespace_tokens(F.lower(F.col(text_col))), n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (d1 < d2, jac >= threshold) from an
+    (id, shingle) frame.
+
+    With ``candidates`` (a (d1, d2) frame), only those pairs are scored —
+    the LSH verification path. Without, scores all co-shingled pairs — the
+    exact (quadratic-worst-case) path used as ground truth.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.id"))
+        .join(sb, F.col("d2") == F.col("sb.id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("ix") / (F.col("sa.n") + F.col("sb.n") - F.col("ix"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 128
+) -> DataFrame:
+    """(id, sig array<long>) — sig[i] = min over shingles of xxhash64(i, s).
+
+    One groupBy on id; the k hash lanes are array HOFs inside the aggregate
+    (min_by per lane via array-wise min), all codegen'd.
+    """
+    lanes = F.array(*[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)])
+    return (
+        shingles.withColumn("__h", lanes)
+        .groupBy("id")
+        .agg(
+            F.array(
+                *[F.min(F.col("__h")[i]) for i in range(num_hashes)]
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (r rows/band), bucket-join on (band, band-hash).
+
+    Pair probability 1-(1-j^r)^b: r=2, b=64 catches j >= 0.5 with miss
+    probability < 1e-8. The self-join key is the band bucket — collision
+    groups are tiny, so the join output stays near-linear.
+    """
+    n = signatures.select(F.size("sig")).first()[0]
+    bands = n // rows_per_band
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs, exact-verified: LSH proposes candidates,
+    exact Jaccard on the candidate set filters false positives — output is
+    identical to the brute-force ground truth up to the (negligible at these
+    parameters) LSH miss probability."""
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    sh.persist()
+    try:
+        sigs = minhash_signatures(sh, num_hashes)
+        cands = lsh_candidate_pairs(sigs)
+        return jaccard_pairs(sh, threshold, candidates=cands)
+    finally:
+        sh.unpersist()
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash long): per-token xxhash64, each bit votes ±1, sign of the
+    vote sum forms the signature bit. Explode+groupBy formulation — one
+    shuffle on id, 64 conditional sums (all codegen'd)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("__h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(2 ** 63))
+        ).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with simhash Hamming distance <= max_hamming.
+
+    Bucketing: split the 64-bit signature into 4 × 16-bit chunks; hamming<=3
+    implies at least one chunk matches exactly (pigeonhole), so candidates
+    come from 4 equi-joins on a chunk value — never a full cross join.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("d1"),
+            F.col("b.id").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (SURVEY.md X2).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the query set against
+  the corpus, per-query window top-k. The correctness baseline; linear scan,
+  embarrassingly parallel, no shuffle beyond the final tiny top-k.
+- ``ivf_topk``: IVF-style approximate search — deterministic coarse
+  centroids, corpus bucketed by nearest centroid, queries probe only
+  ``nprobe`` buckets. The 100 TB path: the probe join touches
+  nprobe/#centroids of the corpus instead of all of it, and the centroid
+  assignment is itself a broadcast join (centroid count is small by design).
+- ``cosine_pairs_topk``: top-k most-similar *pairs* in the corpus
+  (all-pairs form used by embedding near-dup dedup).
+
+Embeddings here are unit-normalized (fixture property), so cosine == dot;
+``cosine=True`` recomputes full cosine when inputs aren't normalized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.functions.vectors import cosine, dot
+
+
+def _sim(a, b, normalized: bool):
+    return dot(a, b) if normalized else cosine(a, b)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, sim, rank).
+
+    The query set is broadcast (it is small by contract); the corpus scan is
+    a single pass; per-query ranking is a window over query_id partitions.
+    Self-matches are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sim(F.col("qvec"), F.col("cvec"), normalized).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def choose_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: the ``n`` corpus vectors with the
+    smallest ids (a seeded-sample stand-in for k-means — at scale you'd run
+    ``pyspark.ml`` KMeans once and persist the codebook)."""
+    return (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + per-vector argmax
+    window. Output: corpus columns + ``bucket``."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        _sim(F.col(vec_col), F.col("centroid_vec"), normalized).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` buckets nearest each
+    query. Recall is tunable via nprobe; exactness is traded for touching
+    nprobe/n_centroids of the corpus."""
+    cents = choose_centroids(corpus, n_centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, cents, id_col, vec_col, normalized)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qvec", "centroid_id",
+        _sim(F.col("qvec"), F.col("centroid_vec"), normalized).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    probes = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("bucket"))
+    )
+
+    scored = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _sim(F.col("qvec"), F.col(vec_col), normalized).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_pairs_topk(
+    corpus: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Top-k most-similar distinct pairs (d1 < d2) in the corpus — the
+    embedding-cosine near-dup detector in top-k form. All-pairs at test
+    scale; at 100 TB you run it per-LSH/IVF bucket instead (compose with
+    ``assign_buckets``)."""
+    a = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", _sim(F.col("v1"), F.col("v2"), normalized).alias("sim"))
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("d1"), F.col("d2"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,78 @@
+"""Text analysis operators (SURVEY.md X3): language-ID, quality scoring,
+token counting, fingerprinting — all built-in-function compositions over the
+``documents`` table, zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.functions.textfns import (
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    fingerprint,
+    whitespace_tokens,
+)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(whitespace_tokens(F.col(text_col))),
+            "n_bpe_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+            ),
+            "n_chars_computed": F.length(F.col(text_col)),
+        }
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, mean word length — the standard cheap pre-filters a training-data
+    pipeline runs before anything expensive."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    n_chars = F.length(F.col(text_col))
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+            "stopword_ratio": F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6),
+            "mean_word_len": F.round(
+                (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 6
+            ),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: per-language evidence = count of marker
+    tokens; prediction = argmax with deterministic (alphabetical) tiebreak.
+
+    The operator shape (N evidence scores → argmax) is what matters; swap
+    the lexicons for real n-gram tables without touching the plan.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    out = df
+    for lang, words in sorted(LANG_MARKERS.items()):
+        markers = F.array([F.lit(w) for w in words])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda w: F.array_contains(markers, w))),
+        )
+    # argmax with alphabetical tiebreak: compare (score, reversed-name) pairs
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        cand = F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l"))
+        best = cand if best is None else F.when(F.col(f"score_{lang}") > best["s"], cand).otherwise(best)
+    return out.withColumn("pred_lang", best["l"])
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", fingerprint(F.col(text_col)))

@@ -1,0 +1,295 @@
+"""Driver-facing queries for the Tier D extensions (SURVEY.md §2.6):
+dedup family, similarity search, text analysis, multimodal plumbing.
+
+Oracle notes:
+- DuckDB's ``list_dot_product`` accumulates in float32; oracles therefore
+  spell out double accumulation (``list_transform(range(...))``) to match
+  the engine's double-fold ``aggregate``.
+- Similarity outputs are ROUND()ed to 6 decimals on both sides; measured
+  inter-pair gaps (>= 2.6e-5 in the top region) keep rankings stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dups,
+    shingle_sets,
+    simhash_near_dups,
+)
+from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+    attach_fake_images,
+    decode_meta,
+)
+from split_kinesis_streams_with_glue_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs_topk,
+    ivf_topk,
+)
+from split_kinesis_streams_with_glue_spark.operators.text import (
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from split_kinesis_streams_with_glue_spark.functions.textfns import fingerprint
+from split_kinesis_streams_with_glue_spark.plans.registry import load, query
+
+# exact SQL ground truth for 3-word-shingle Jaccard pairs (DuckDB 1.0 has no
+# lateral column args to generate_series, hence the bounded join).
+_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(ix * 1.0 / (sa.n + sb.n - ix), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+@query(
+    "dedup_exact_doubled",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def dedup_exact_doubled(spark, sf_dir):
+    """Duplicate the corpus (shifted ids), exact-dedup by normalized-text
+    fingerprint keeping min id — recovers exactly the original corpus."""
+    d = load(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return exact_dedup(doubled)
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs at >= 0.5."""
+    sh = shingle_sets(load(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(sh, 0.5)
+    return pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128) + LSH(64 bands × 2 rows) candidates, exact-verified —
+    must reproduce the brute-force ground truth (miss prob < 1e-8 at
+    j >= 0.5), which is exactly what the oracle computes."""
+    pairs = minhash_near_dups(load(spark, sf_dir, "documents"), threshold=0.5)
+    return pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3 of 64 bits). No SQL oracle:
+    DuckDB lacks xxhash64, so the signature can't be reproduced engine-side;
+    correctness is covered by the planted-duplicate unit test."""
+    return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# -------------------------------------------------------------- similarity
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}.embedding) + 1),"
+    " i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_pairs_topk",
+    oracle=f"""
+    SELECT d1, d2, sim, rank FROM (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             ROUND({_DOT.format(a='a', b='b')}, 6) AS sim,
+             ROW_NUMBER() OVER (ORDER BY {_DOT.format(a='a', b='b')} DESC,
+                                a.vec_id, b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+    WHERE rank <= 20
+    """,
+)
+def sim_pairs_topk(spark, sf_dir):
+    """Embedding-cosine near-dup in top-k form: 20 most similar pairs.
+    (Embeddings are unit-normalized, so cosine == dot.)"""
+    pairs = cosine_pairs_topk(load(spark, sf_dir, "embeddings"), k=20)
+    return pairs.select("d1", "d2", F.round("sim", 6).alias("sim"), "rank")
+
+
+@query(
+    "sim_ann_brute_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_DOT.format(a='q', b='c')}, 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_DOT.format(a='q', b='c')} DESC,
+                                         c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5) t
+    WHERE rank <= 10
+    """,
+)
+def sim_ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-10 neighbors for 5 query vectors — the ANN
+    correctness baseline (broadcast queries, single corpus scan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+@query("sim_ann_ivf_topk", oracle=None)
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10 (16 centroids, nprobe=4) — approximate by
+    design, so rows-only; recall vs the brute-force baseline is asserted in
+    the unit tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return token_counts(d).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_computed"
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+           ROUND(len(list_filter(toks,
+                     w -> list_contains(['the','and','of','to','is','a'], w)))
+                 * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio,
+           ROUND((n_chars - len(toks) + 1) * 1.0 / greatest(len(toks), 1), 6)
+             AS mean_word_len
+    FROM t
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return quality_scores(d).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len"
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, w -> list_contains(['der','die','und','ist','das','ein'], w))) AS score_de,
+        len(list_filter(toks, w -> list_contains(['the','and','of','to','is','a'], w))) AS score_en,
+        len(list_filter(toks, w -> list_contains(['el','la','y','es','los','una'], w))) AS score_es,
+        len(list_filter(toks, w -> list_contains(['le','la','et','est','les','une'], w))) AS score_fr,
+        len(list_filter(toks, w -> list_contains(['的','是','了','在','和','有'], w))) AS score_zh
+      FROM t
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+           CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+                WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+                WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+                WHEN score_fr >= score_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def text_language_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return language_id(d).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "score_zh", "pred_lang"
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# -------------------------------------------------------------- multimodal
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 384 + 16 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(9 + 7 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Binary multimodal plumbing end-to-end: synthesize SGIM blobs as a
+    binary column (JVM-side), then parse headers back out through the
+    Arrow-batched ``mapInPandas`` decode path. The oracle recomputes the
+    expected metadata arithmetically."""
+    d = attach_fake_images(load(spark, sf_dir, "documents"))
+    return decode_meta(d)
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark, sf_dir):
+    """Deterministic 1-in-N frame sampling by key hash (xxhash64 — not
+    reproducible in DuckDB, hence rows-only; determinism is unit-tested)."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import frame_sample
+
+    d = attach_fake_images(load(spark, sf_dir, "documents"))
+    return frame_sample(d, every_n=10).select("doc_id", "claimed_width", "claimed_height")
