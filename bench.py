@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Engine benchmark — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, no write cost,
+no driver-side collect of large results). The headline set exercises every
+engine subsystem: envelope wire + split + compaction, heavy aggregation,
+broadcast star join, window functions, MinHash LSH dedup, embedding
+similarity, streaming end-to-end, sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+HEADLINE = [
+    "cdc_compact_customer",      # envelope wire round-trip + split + compact
+    "q1_pricing_summary",        # scan-heavy aggregation over lineitem
+    "join_broadcast_dims",       # broadcast star join
+    "window_running_sum",        # window over orders
+    "pandas_udf_revenue",        # Arrow UDF path
+    "dedup_minhash_lsh",         # shingle -> minhash -> LSH -> verify
+    "sim_pairs_topk",            # all-pairs embedding cosine
+    "events_sessionize",         # gaps-and-islands sessionization
+    "stream_split_customer",     # Structured Streaming end-to-end
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from split_kinesis_streams_with_glue_spark import get_spark
+    from split_kinesis_streams_with_glue_spark.plans import all_queries
+
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # warm the JVM/codegen once on a trivial action so the first measured
+    # query doesn't pay session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -97,17 +97,41 @@ def jaccard_pairs(
     )
 
 
+def _hash_family(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients (seed 42): lane i maps the
+    32-bit-reduced base hash h as a_i*h + b_i. Coefficients stay < 2^30 so
+    a_i * h + b_i < 2^62 — no long overflow under ANSI mode (Spark 4
+    default throws on wraparound)."""
+    import random
+
+    rnd = random.Random(42)
+    a = [(rnd.randrange(1, 2**30) | 1) for _ in range(num_hashes)]
+    b = [rnd.randrange(0, 2**30) for _ in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 128
 ) -> DataFrame:
-    """(id, sig array<long>) — sig[i] = min over shingles of xxhash64(i, s).
+    """(id, sig array<long>) — sig[i] = min over shingles of lane-i hash.
 
-    One groupBy on id; the k hash lanes are array HOFs inside the aggregate
-    (min_by per lane via array-wise min), all codegen'd.
-    """
-    lanes = F.array(*[F.xxhash64(F.lit(i), F.col("shingle")) for i in range(num_hashes)])
+    One xxhash64 per shingle; the k lanes are a linear hash family applied
+    via a single ``zip_with`` over literal coefficient arrays (one
+    expression, not k hash calls — k× cheaper codegen and runtime). One
+    groupBy on id with k min aggregates (map-side partial combine)."""
+    a, b = _hash_family(num_hashes)
+    a_arr = F.array(*[F.lit(x) for x in a])
+    b_arr = F.array(*[F.lit(x) for x in b])
+    # (a*h + b) mod p — the modulus is what de-correlates lanes (without it
+    # the map is monotone in h and every lane would pick the same shingle)
+    p = F.lit((1 << 31) - 1)
+    lanes = F.zip_with(a_arr, b_arr, lambda ai, bi: F.pmod(ai * F.col("__h0") + bi, p))
     return (
-        shingles.withColumn("__h", lanes)
+        shingles.withColumn(
+            "__h0", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+        .withColumn("__h", lanes)
+        .drop("__h0")
         .groupBy("id")
         .agg(
             F.array(

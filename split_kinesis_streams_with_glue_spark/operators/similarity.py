@@ -153,15 +153,58 @@ def cosine_pairs_topk(
     normalized: bool = True,
 ) -> DataFrame:
     """Top-k most-similar distinct pairs (d1 < d2) in the corpus — the
-    embedding-cosine near-dup detector in top-k form. All-pairs at test
-    scale; at 100 TB you run it per-LSH/IVF bucket instead (compose with
-    ``assign_buckets``)."""
-    a = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
-    b = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", _sim(F.col("v1"), F.col("v2"), normalized).alias("sim"))
+    embedding-cosine near-dup detector in top-k form.
+
+    Executed as a blocked matrix multiply: the corpus matrix is broadcast
+    (same size contract as a broadcast join side), each ``mapInPandas``
+    Arrow batch computes its rows' similarities against the full matrix with
+    one numpy matmul and emits only its local top-k; a final window picks
+    the global top-k from #batches × k candidates — exact, since a global
+    top-k pair is top-k within its own batch. This is the one place Python
+    beats codegen: BLAS matmul vs 2M interpreted higher-order-function
+    folds (~10× at bench scale).
+
+    At 100 TB the corpus no longer broadcasts — run this per IVF/LSH bucket
+    (compose with ``assign_buckets``) so each bucket's matrix fits.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if not normalized:
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def local_topk(batches):
+        import pandas as pd
+
+        ids_all, m_all = bc.value
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if not normalized:
+                b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = b_mat @ m_all.T  # (batch, corpus)
+            mask = ids_all[None, :] > b_ids[:, None]  # d1 < d2 only
+            sims_masked = np.where(mask, sims, -np.inf)
+            flat = sims_masked.ravel()
+            n_keep = min(k, int(np.isfinite(flat).sum()))
+            if n_keep == 0:
+                yield pd.DataFrame({"d1": [], "d2": [], "sim": []}).astype(
+                    {"d1": "int64", "d2": "int64", "sim": "float64"}
+                )
+                continue
+            top = np.argpartition(-flat, n_keep - 1)[:n_keep]
+            r, c = np.unravel_index(top, sims_masked.shape)
+            yield pd.DataFrame(
+                {"d1": b_ids[r], "d2": ids_all[c], "sim": sims[r, c]}
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "d1 bigint, d2 bigint, sim double"
     )
     w = Window.orderBy(F.col("sim").desc(), F.col("d1"), F.col("d2"))
-    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import split_kinesis_streams_with_glue_spark.plans.pipeline_queries  # noqa: F401
 import split_kinesis_streams_with_glue_spark.plans.sql_queries  # noqa: F401
 import split_kinesis_streams_with_glue_spark.plans.extension_queries  # noqa: F401
+import split_kinesis_streams_with_glue_spark.plans.event_queries  # noqa: F401
 
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 

@@ -1,0 +1,99 @@
+"""Event-time queries over the ``events`` stream table (SURVEY.md T6):
+tumbling windows, sessionization — batch forms of the streaming operators,
+oracle-checked; plus the native ``session_window`` operator (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.plans.registry import load, query
+from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
+    windowed_event_counts,
+)
+
+
+@query(
+    "events_tumbling_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour event-time windows — identical code runs on the
+    stream with a watermark (see streaming.split_stream tests)."""
+    return windowed_event_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, value,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+             LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+      FROM events
+    ), y AS (
+      SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 900 THEN 1 ELSE 0 END AS new_s
+      FROM x
+    ), z AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM y
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(es) AS session_start_es,
+           MAX(es) AS session_end_es,
+           ROUND(SUM(value), 4) AS session_value
+    FROM z GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (15-min inactivity gap) as gaps-and-islands window
+    SQL — the batch twin of stateful streaming sessions. One shuffle on
+    user_id shared by both window functions and the final aggregation."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "es", F.unix_timestamp("ts")
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = (
+        ev.withColumn("prev_es", F.lag("es").over(wo))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 900), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(wrun))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("session_start_es"),
+        F.max("es").alias("session_end_es"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query("events_session_window", oracle=None)
+def events_session_window(spark, sf_dir):
+    """Native ``session_window`` operator (merge-on-gap semantics differ
+    subtly from the gaps-and-islands formulation at exact-gap boundaries,
+    so rows-only here; the oracle-checked twin is events_sessionize)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "15 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

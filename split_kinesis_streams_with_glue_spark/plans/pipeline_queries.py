@@ -97,6 +97,53 @@ def split_stats_customer(spark, sf_dir):
 
 
 @query(
+    "stream_split_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def stream_split_customer(spark, sf_dir):
+    """The full streaming path, end to end: envelope JSON files (with
+    corrupt lines) → Structured Streaming file source → foreachBatch fan-out
+    → parquet sink → read back. availableNow trigger drains the backlog;
+    corrupt lines go to the DLQ, not the table."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.envelope import (
+        control_records,
+        to_json_lines,
+    )
+    from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+        infer_envelope_schema,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
+        run_split_stream_to_completion,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_stream_")
+    src = f"{base}/src"
+    lines = to_json_lines(wrap(load(spark, sf_dir, "customer"), "customer"))
+    lines = lines.unionByName(to_json_lines(control_records(spark, ["customer"])))
+    lines = lines.unionByName(
+        spark.createDataFrame([("{not json",), ('{"data": bad',)], "value string")
+    )
+    lines.repartition(3).write.mode("overwrite").text(src)
+    run_split_stream_to_completion(
+        spark,
+        source_dir=src,
+        schema=infer_envelope_schema(spark, src),
+        out_dir=f"{base}/target",
+        checkpoint_dir=f"{base}/ckpt",
+        dlq_dir=f"{base}/dlq",
+        tables=["customer"],
+        keep_timestamp=False,
+        max_files_per_trigger=None,  # drain in one batch (bench profile)
+    )
+    return spark.read.parquet(f"{base}/target/dms_sample/customer")
+
+
+@query(
     "choice_resolution_totalprice",
     oracle="""
     SELECT o_orderkey,

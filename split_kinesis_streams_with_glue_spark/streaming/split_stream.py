@@ -1,0 +1,139 @@
+"""Streaming stream-split (SURVEY.md M4/T5): the reference pipeline's
+Kinesis → Firehose → Glue ETL chain as one Structured Streaming job.
+
+Design (SURVEY.md §3.2 engine equivalents):
+
+- **Source**: file-source micro-batches over envelope JSON (the local,
+  testable stand-in for the Kinesis connector — see ``sources.kinesis``);
+  explicit schema; PERMISSIVE corrupt-record capture.
+- **foreachBatch fan-out**: one pass per micro-batch; within the batch the
+  envelope frame is persisted once and every table's filter+flatten+append
+  runs against it, plus the DLQ append — the multi-sink idiom Structured
+  Streaming supports with exactly-once *per sink directory* via the
+  checkpointed batch id.
+- **Idempotence**: file sinks are append-only; the streaming engine
+  guarantees a batch is re-run only after failure before commit, and file
+  commits are atomic per batch — restart with the same checkpoint never
+  duplicates completed batches (verified by the restart test).
+- **Triggers**: ``availableNow`` drains the backlog then stops (test mode);
+  ``processingTime`` mirrors Firehose's 600 s buffering (reference
+  README.md:78-81).
+
+Scale: per-batch work is the batch splitter (single pass, broadcastable
+filters); checkpoint state is file-source offsets only — no unbounded state.
+Stateful operators (dedup) bound their state with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from split_kinesis_streams_with_glue_spark.envelope import SCHEMA_NAME
+from split_kinesis_streams_with_glue_spark.operators.split import split_one, table_filter
+from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+    CORRUPT_COL,
+    corrupt_records,
+    read_envelope_stream,
+)
+
+
+def start_split_stream(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    tables: list[str],
+    schema_name: str = SCHEMA_NAME,
+    dlq_dir: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    keep_timestamp: bool = True,
+) -> StreamingQuery:
+    """Launch the streaming splitter; returns the StreamingQuery.
+
+    ``tables`` must be explicit in streaming mode (per-batch discovery would
+    make output schemas batch-dependent); run ``discover_tables`` on a batch
+    sample first if you need the wildcard.
+    """
+    env = read_envelope_stream(
+        spark, source_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for t in tables:
+                (
+                    split_one(
+                        batch_df,
+                        t,
+                        schema_name,
+                        keep_timestamp=keep_timestamp,
+                        prune=False,  # streaming: schema fixed by contract,
+                        # not re-derived per batch (prune scans the batch)
+                    )
+                    .write.mode("append")
+                    .parquet(f"{out_dir}/{schema_name}/{t}")
+                )
+            if dlq_dir is not None:
+                corrupt_records(batch_df).withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").json(dlq_dir)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        env.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_split_stream_to_completion(spark, **kwargs) -> None:
+    """availableNow run: drain the current backlog, then stop."""
+    q = start_split_stream(spark, available_now=True, **kwargs)
+    q.awaitTermination()
+
+
+def stream_dedup(
+    env_stream: DataFrame,
+    pk_cols: list[str],
+    ts_col: str = "event_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on primary key within a watermark horizon —
+    the streaming form of CDC compaction's first stage (T7). State is
+    bounded: keys older than the watermark are evicted."""
+    return env_stream.withWatermark(ts_col, watermark).dropDuplicates(pk_cols)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data tolerance (T6) —
+    works identically on a batch frame (window without watermark) and a
+    stream."""
+    base = (
+        events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    )
+    return (
+        base.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,145 @@
+"""M4: Structured Streaming splitter — micro-batch fan-out, checkpoint
+restart idempotence, DLQ routing, watermarked dedup, windowed counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.envelope import (
+    DEFAULT_FIXTURE_TABLES,
+    write_envelope_fixture,
+)
+from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+    infer_envelope_schema,
+)
+from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
+    run_split_stream_to_completion,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_dirs(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    write_envelope_fixture(spark, sf_dir, src, n_files=4)
+    return {
+        "source_dir": src,
+        "out_dir": str(tmp_path / "target"),
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+        "dlq_dir": str(tmp_path / "dlq"),
+        "schema": infer_envelope_schema(spark, src),
+    }
+
+
+def test_stream_split_end_to_end(spark, sf_dir, stream_dirs):
+    tables = sorted(DEFAULT_FIXTURE_TABLES)
+    run_split_stream_to_completion(
+        spark, tables=tables, keep_timestamp=False, **stream_dirs
+    )
+    # every table materialized with full-load + cdc rows
+    for t in tables:
+        out = spark.read.parquet(f"{stream_dirs['out_dir']}/dms_sample/{t}")
+        src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        assert out.count() >= src.count(), t
+    # load-phase rows of nation match the source exactly
+    # (nation has no CDC phase in the fixture: load + control only)
+    nation = spark.read.parquet(f"{stream_dirs['out_dir']}/dms_sample/nation")
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    got = {tuple(r) for r in nation.select(*sorted(src.columns)).collect()}
+    want = {tuple(r) for r in src.select(*sorted(src.columns)).collect()}
+    assert got == want
+    # corrupt lines routed to DLQ with batch ids
+    dlq = spark.read.json(stream_dirs["dlq_dir"])
+    assert dlq.count() == 2
+    assert "batch_id" in dlq.columns
+
+
+def test_stream_restart_is_idempotent(spark, sf_dir, stream_dirs):
+    """Re-running with the same checkpoint must not duplicate rows; new
+    files appearing after the first drain are picked up exactly once."""
+    tables = ["nation"]
+    args = dict(stream_dirs)
+    run_split_stream_to_completion(spark, tables=tables, keep_timestamp=False, **args)
+    n1 = spark.read.parquet(f"{args['out_dir']}/dms_sample/nation").count()
+
+    # restart with no new input: nothing reprocessed
+    run_split_stream_to_completion(spark, tables=tables, keep_timestamp=False, **args)
+    n2 = spark.read.parquet(f"{args['out_dir']}/dms_sample/nation").count()
+    assert n2 == n1
+
+    # add a new envelope file, restart: only the delta lands
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines, wrap
+
+    extra = spark.read.parquet(f"{sf_dir}/nation.parquet").limit(5)
+    to_json_lines(wrap(extra, "nation", "insert")).coalesce(1).write.mode(
+        "append"
+    ).text(args["source_dir"])
+    run_split_stream_to_completion(spark, tables=tables, keep_timestamp=False, **args)
+    n3 = spark.read.parquet(f"{args['out_dir']}/dms_sample/nation").count()
+    assert n3 == n1 + 5
+
+
+def test_stream_dedup_with_watermark(spark, sf_dir, tmp_path):
+    """Watermarked dropDuplicates on a real stream: duplicated keys across
+    micro-batches within the horizon collapse to one."""
+    src = str(tmp_path / "dups_src")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts is ns → bigint
+    ev = ev.withColumn("event_ts", F.timestamp_micros(F.expr("ts DIV 1000"))).drop("ts")
+    doubled = ev.unionByName(ev)  # every event twice
+    doubled.coalesce(2).write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema(spark.read.json(src).schema).option(
+        "maxFilesPerTrigger", "1"
+    ).json(src)
+    deduped = stream_dedup(
+        stream.withColumn("event_ts", F.col("event_ts").cast("timestamp")),
+        ["event_id"],
+        ts_col="event_ts",
+        watermark="1 day",
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_windowed_event_counts_batch_stream_parity(spark, sf_dir, tmp_path):
+    """The same windowed-agg code runs in batch and streaming and agrees."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    batch_out = windowed_event_counts(ev).collect()
+
+    src = str(tmp_path / "win_src")
+    ev.coalesce(2).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema(spark.read.json(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = str(tmp_path / "win_out")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_out = spark.read.parquet(out).collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    b = {key(r): r["n_events"] for r in batch_out}
+    s = {key(r): r["n_events"] for r in stream_out}
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match the batch result exactly
+    assert s and all(b[k] == v for k, v in s.items())
