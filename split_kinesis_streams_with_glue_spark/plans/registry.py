@@ -19,6 +19,15 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from split_kinesis_streams_with_glue_spark.partitioning import rebalance
+
+#: tables whose queries run interpreted per-row expressions (regex
+#: tokenization, HOF lambdas, hash lanes, vector math) — a one-task scan
+#: serializes those, so the rebalance shuffle pays for itself many times
+#: over. Pure-codegen tables (lineitem etc.) aggregate faster unshuffled at
+#: fixture scale; tiny dims stay unshuffled for broadcast joins.
+_REBALANCE_TABLES = {"documents", "embeddings"}
+
 
 @dataclass
 class QuerySpec:
@@ -57,4 +66,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint" and table == "events":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if table in _REBALANCE_TABLES:
+        # driver fixtures are single-row-group parquet → a 1-task scan would
+        # serialize all downstream CPU (SURVEY.md §4.2); no-op on real
+        # many-split inputs
+        df = rebalance(df)
     return df
