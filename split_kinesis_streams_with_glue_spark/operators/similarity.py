@@ -208,3 +208,73 @@ def cosine_pairs_topk(
     return candidates.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _hyperplanes(n_tables: int, n_planes: int, dim: int):
+    """Deterministic (seed 42) random hyperplanes, one band per table."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def rp_lsh_signatures(
+    df: DataFrame,
+    n_tables: int = 16,
+    n_planes: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, table, bucket): sign-of-projection LSH. bucket = the
+    n_planes sign bits of one table's hyperplane projections packed into an
+    int. Projections are ``dot`` HOFs over literal plane arrays — JVM-side,
+    linear scan, no shuffle; collision probability per table is
+    (1 - theta/pi)^n_planes, boosted by OR-ing n_tables tables."""
+    planes = _hyperplanes(n_tables, n_planes, dim)
+    tables = []
+    for t in range(n_tables):
+        bits = None
+        for p in range(n_planes):
+            lit = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+            bit = (dot(F.col(vec_col), lit) > 0).cast("long") * F.lit(1 << p)
+            bits = bit if bits is None else bits + bit
+        tables.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*tables)).alias("tb")
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    any (table, bucket) with the query; exact cosine re-rank of candidates.
+
+    The 100 TB shape: the join key space is (table, bucket) — the shuffle
+    is linear in corpus × n_tables, and only same-bucket pairs are scored,
+    a vanishing fraction of the cross product. Tune recall with
+    n_tables (OR) × n_planes (AND)."""
+    c = rp_lsh_signatures(corpus, n_tables, n_planes, dim, id_col, vec_col)
+    q = rp_lsh_signatures(queries, n_tables, n_planes, dim, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "table", "bucket"
+    )
+    cands = (
+        c.join(q, ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "qvec", F.col(vec_col).alias("cvec"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", _sim(F.col("qvec"), F.col("cvec"), normalized).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

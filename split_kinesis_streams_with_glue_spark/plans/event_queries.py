@@ -30,9 +30,9 @@ def events_tumbling_counts(spark, sf_dir):
     return windowed_event_counts(load(spark, sf_dir, "events"))
 
 
-@query(
-    "events_sessionize",
-    oracle="""
+#: gaps-and-islands sessionization — shared by the batch query AND the
+#: stateful-streaming query, which must produce identical rows.
+_SESSIONIZE_SQL = """
     WITH x AS (
       SELECT user_id, event_id, value,
              CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
@@ -53,8 +53,10 @@ def events_tumbling_counts(spark, sf_dir):
            MAX(es) AS session_end_es,
            ROUND(SUM(value), 4) AS session_value
     FROM z GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("events_sessionize", oracle=_SESSIONIZE_SQL)
 def events_sessionize(spark, sf_dir):
     """Sessionization (15-min inactivity gap) as gaps-and-islands window
     SQL — the batch twin of stateful streaming sessions. One shuffle on
@@ -97,3 +99,120 @@ def events_session_window(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@query("events_sessionize_stateful", oracle=_SESSIONIZE_SQL)
+def events_sessionize_stateful(spark, sf_dir):
+    """The custom stateful streaming operator (applyInPandasWithState,
+    event-time timeouts, bounded per-user state) run over the events table
+    as a 3-micro-batch time-ordered stream with a final flush sentinel —
+    and verified against the SAME SQL oracle as the batch sessionization:
+    streaming and batch must agree row-for-row."""
+    import os
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.stateful import (
+        FLUSH_EVENT,
+        sessionize_stream,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="sgs_sess_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    # three time-ordered chunks → three micro-batches with real state
+    # carry-over (sessions spanning batch boundaries)
+    b1, b2 = ev.selectExpr(
+        "percentile(cast(ts as double), 0.33)", "percentile(cast(ts as double), 0.66)"
+    ).first()
+    chunks = [
+        ev.filter(F.unix_timestamp("ts").cast("double") <= b1),
+        ev.filter(
+            (F.unix_timestamp("ts").cast("double") > b1)
+            & (F.unix_timestamp("ts").cast("double") <= b2)
+        ),
+        ev.filter(F.unix_timestamp("ts").cast("double") > b2),
+    ]
+    stamped: set[str] = set()
+
+    def stamp(t: int) -> None:
+        # force strictly increasing mtimes so the file source replays
+        # chunks in time order (it batches oldest-modified first)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in stamped:
+                os.utime(p, (t, t))
+                stamped.add(p)
+
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("append").json(src)
+        stamp(1_600_000_000 + i)
+    flush = ev.groupBy("user_id").agg(
+        (F.max(F.unix_timestamp("ts")) + F.lit(90 * 24 * 3600)).alias("fes")
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.to_timestamp(F.from_unixtime("fes")).alias("ts"),
+        "user_id",
+        F.lit(FLUSH_EVENT).alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    flush.coalesce(1).write.mode("append").json(src)
+    stamp(1_600_000_003)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=900)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
+@query(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the events table doubled, streamed,
+    deduped back to exactly the original rows."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.stateful import (
+        dedup_stream_within_watermark,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="sgs_sdedup_")
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").json(f"{base}/src")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(f"{base}/src")
+    deduped = dedup_stream_within_watermark(stream, ["event_id"]).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")

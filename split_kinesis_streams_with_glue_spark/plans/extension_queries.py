@@ -169,6 +169,20 @@ def sim_ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query("sim_ann_lsh_topk", oracle=None)
+def sim_ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-10 (16 tables × 5 planes,
+    exact re-rank of bucket candidates) — approximate by design, so
+    rows-only; recall vs brute force is asserted in the unit tests."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import rp_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    res = rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @query(

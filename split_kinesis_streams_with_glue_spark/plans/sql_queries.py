@@ -785,3 +785,190 @@ def pandas_udf_revenue(spark, sf_dir):
             F.sum(F.col("net").cast("decimal(18,4)")).cast("double").alias("revenue")
         )
     )
+
+
+# ------------------------------------------------------------ reshaping
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS f_total,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS o_total,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """groupBy().pivot() — long→wide reshaping. Pivot values are declared
+    up front so the plan is a single aggregate (no extra distinct-values
+    job, which at 100 TB would be a full scan)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.round(F.coalesce("F", F.lit(0.0)), 2).alias("f_total"),
+            F.round(F.coalesce("O", F.lit(0.0)), 2).alias("o_total"),
+            F.round(F.coalesce("P", F.lit(0.0)), 2).alias("p_total"),
+        )
+    )
+
+
+@query(
+    "unpivot_lineitem_amounts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS amount_kind,
+           ROUND(l_extendedprice, 2) AS amount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def unpivot_lineitem_amounts(spark, sf_dir):
+    """unpivot/melt — wide→long. One pass, no join: each input row emits
+    three (kind, amount) rows via the native UNPIVOT operator."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "amount_kind",
+        "amount",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(
+            F.create_map(
+                F.lit("l_extendedprice"), F.lit("price"),
+                F.lit("l_discount"), F.lit("discount"),
+                F.lit("l_tax"), F.lit("tax"),
+            ),
+            F.col("amount_kind"),
+        ).alias("amount_kind"),
+        F.round("amount", 2).alias("amount"),
+    )
+
+
+@query(
+    "window_sliding_avg",
+    oracle="""
+    WITH w AS (
+      -- a 1h/30min sliding window: every event belongs to exactly the two
+      -- windows starting at its 30-min grid floor and 30 min before it
+      SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - s.n * INTERVAL 30 MINUTE
+                  AS TIMESTAMP) AS window_start,
+             value
+      FROM events, (SELECT 0 AS n UNION ALL SELECT 1) s
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+    FROM w GROUP BY window_start
+    """,
+)
+def window_sliding_avg(spark, sf_dir):
+    """Sliding event-time windows (1 h length, 30 min slide) — each event
+    lands in 2 overlapping windows; same operator watermarks cleanly on a
+    stream."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# ------------------------------------------------------------ percentiles
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+    group. For 100 TB use approx_percentile (sketch, mergeable, one pass)
+    — kept as the no-oracle twin below."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@query("percentiles_approx", oracle=None)
+def percentiles_approx(spark, sf_dir):
+    """approx_percentile — the scale path: a mergeable KLL-style sketch,
+    single pass, bounded memory; rank error <= 1/accuracy. Rows-only check
+    (sketch output is engine-specific by design; the exact twin above is
+    oracle-checked)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        )
+    )
+
+
+# ------------------------------------------------------------ maps / lateral
+
+
+@query(
+    "map_from_entries_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.tag') AS tag
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def map_from_entries_props(spark, sf_dir):
+    """JSON → MapType → map_keys/values/element_at — the props column as a
+    real map, not a struct (schema-free key access)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("bigint").alias("k"),
+        F.element_at(m, "tag").alias("tag"),
+    )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS l
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+      SELECT doc_id, UNNEST(range(len(l))) AS pos, UNNEST(l) AS tok FROM t
+    ) u WHERE tok <> ''
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """posexplode — ordinal-preserving lateral view (token position is the
+    payload for sequence models)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    )

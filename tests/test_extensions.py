@@ -57,6 +57,19 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall} too low for nprobe=4/8 buckets"
 
 
+def test_rp_lsh_recall_vs_brute_force(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.similarity import rp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = rp_lsh_topk(emb, queries, k=10, n_tables=16, n_planes=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"RP-LSH recall {recall} too low for 16x5 config"
+
+
 def test_frame_sample_deterministic(spark, sf_dir):
     d = attach_fake_images(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     s1 = sorted(r["doc_id"] for r in frame_sample(d, 10).select("doc_id").collect())
