@@ -172,3 +172,59 @@ def choice_resolution_totalprice(spark, sf_dir):
     env = parse_envelope_lines(lines, wrap(as_dbl, "orders").schema)
     flat = split_one(env, "orders", keep_timestamp=False)
     return resolve_choices(flat, {"o_totalprice": "double"})
+
+
+@query(
+    "catalog_sql_over_split",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def catalog_sql_over_split(spark, sf_dir):
+    """S7 end-to-end: split output written to parquet, registered in the
+    catalog, queried BY NAME with spark.sql — the Athena workflow
+    (image/image7.png) as engine code."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.sources.catalog import register_parquet
+
+    base = tempfile.mkdtemp(prefix="sgs_cat_")
+    env = wrap(load(spark, sf_dir, "customer"), "customer")
+    split_one(env, "customer", keep_timestamp=False).write.mode("overwrite").parquet(
+        f"{base}/customer"
+    )
+    register_parquet(spark, "target_customer_q", f"{base}/customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM target_customer_q GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "schema_drift_merge",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           CASE WHEN c_custkey % 2 = 1 THEN 'tier_' || CAST(c_custkey % 3 AS VARCHAR) END AS loyalty_tier
+    FROM customer
+    """,
+)
+def schema_drift_merge(spark, sf_dir):
+    """M2 schema drift: a later batch adds a column the early batch lacks
+    (the source table gained a field mid-stream). mergeSchema unions the
+    parquet footers; early rows surface NULL for the new column — the
+    crawler-re-inference behavior as one declarative read."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sgs_drift_")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    v1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    v2 = cust.filter(F.col("c_custkey") % 2 == 1).withColumn(
+        "loyalty_tier",
+        F.concat(F.lit("tier_"), (F.col("c_custkey") % 3).cast("string")),
+    )
+    v1.write.mode("append").parquet(f"{base}/t")
+    v2.write.mode("append").parquet(f"{base}/t")
+    return spark.read.option("mergeSchema", "true").parquet(f"{base}/t")
