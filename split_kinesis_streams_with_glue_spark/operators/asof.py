@@ -1,0 +1,77 @@
+"""As-of (temporal nearest) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with the same key and
+``right_ts <= left_ts``. The classic CDC/analytics primitive: "state of X
+as of the time of Y" (e.g. the last event before each order).
+
+Formulation (scale-first): tag and UNION the two inputs, then one window
+pass per key ordered by time carrying the latest right row forward
+(``last(payload_struct, ignorenulls=True)``). The payload travels as ONE
+struct so all its columns always come from the same right row (per-column
+carry would mix rows when a payload column is legitimately NULL). Exactly
+one shuffle (by key) and one sort — the same cost envelope as a sort-merge
+join, with none of the range-join blowup of the naive
+``left.ts >= right.ts`` theta join, whose candidate set is quadratic per
+key.
+
+DuckDB expresses this natively as ``ASOF JOIN``; that is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join. Right payload columns arrive suffixed; left rows
+    with no qualifying right row keep NULLs (left-outer semantics).
+
+    Ties: a right row with ``right_ts == left_ts`` qualifies (<=). When
+    several right rows share one timestamp, the last within the window
+    order wins — make the order total upstream if that matters.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload_type = right.select(payload.alias("p")).schema["p"].dataType
+
+    l_tagged = left.select(
+        "*",
+        F.col(left_ts).cast("double").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).cast("double").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+    )
+    for c in left.columns:
+        if c != on:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # right rows sort BEFORE left rows at equal time so <= ties qualify
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__p", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__p.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

@@ -216,3 +216,38 @@ def events_stream_dedup(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(f"{base}/out")
+
+
+@query(
+    "join_asof_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, ROUND(p.value, 4) AS purchase_value,
+           v.event_id AS view_event_id, ROUND(v.value, 4) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_attribution(spark, sf_dir):
+    """As-of join (attribution): each purchase event picks up the most
+    recent prior view by the same user. Custom operator (Spark has no
+    native ASOF) — union-tag + one keyed window pass, a single shuffle;
+    DuckDB's native ASOF JOIN is the oracle."""
+    from split_kinesis_streams_with_glue_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("v_event_id"), F.col("value").alias("v_value")
+    )
+    res = asof_join(purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["v_event_id", "v_value"], suffix="")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("v_event_id").alias("view_event_id"),
+        F.round("v_value", 4).alias("view_value"),
+    )

@@ -972,3 +972,29 @@ def posexplode_tokens(spark, sf_dir):
         .filter(F.col("tok") != "")
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE o_custkey END AS k
+          FROM orders) o
+    JOIN customer c ON c.c_custkey = o.k
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-salted join: 80% of orders forced onto one hot key, joined via
+    salt-scatter + replicated small side — result must equal the plain
+    join exactly (salting changes distribution, never semantics)."""
+    from split_kinesis_streams_with_glue_spark.operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 != 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    cust = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
+    return salted_join(orders, cust, on="k").select("o_orderkey", "c_name")

@@ -102,3 +102,67 @@ def test_wholestage_codegen_spans_agg(spark, sf_dir):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the join key → the
+    sort-merge join runs with NO shuffle (the 100 TB fact-fact join
+    strategy)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("b_cust")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_cust"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change the result set (only its distribution)."""
+    from split_kinesis_streams_with_glue_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # manufacture skew: dump 80% of rows onto one key
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 != 0, F.lit(1)).otherwise(F.col("o_custkey")),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = skewed.join(cust, skewed.o_custkey == cust.c_custkey).select("o_orderkey", "c_name")
+    salted = salted_join(
+        skewed.withColumnRenamed("o_custkey", "k"),
+        cust.withColumnRenamed("c_custkey", "k"),
+        on="k",
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"]): (r["n"], round(r["qty"], 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"]): (r["n"], round(r["qty"], 4))
+        for r in salted_agg(
+            li, "l_returnflag", {"n": "count", "qty": "sum:l_quantity"}
+        ).collect()
+    }
+    assert plain == salted
