@@ -998,3 +998,56 @@ def join_salted_skew(spark, sf_dir):
     )
     cust = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "k")
     return salted_join(orders, cust, on="k").select("o_orderkey", "c_name")
+
+
+@query(
+    "udf_python_rowwise",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM customer
+    """,
+)
+def udf_python_rowwise(spark, sf_dir):
+    """Row-at-a-time Python UDF — pinned ONLY to complete the UDF surface
+    (SURVEY.md §2.5). This is the slow path: every row crosses the
+    JVM↔Python boundary pickled, exactly what the engine core forbids
+    (tests/test_plans.py asserts no BatchEvalPython in core operators; the
+    built-in CASE twin is what production code uses)."""
+    @F.udf("string")
+    def tier(bal):
+        return "debt" if bal < 0 else ("mid" if bal < 5000 else "high")
+
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", tier("c_acctbal").alias("tier")
+    )
+
+
+@query(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_weighted_avg(spark, sf_dir):
+    """Pandas GROUPED_AGG UDAF (Arrow-batched user aggregate): per-group
+    quantity-weighted mean price. The UDAF form matters at scale because
+    Spark still shuffles only (flag, price, qty) columns and the numpy body
+    runs vectorized per group partition."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
+    )

@@ -52,6 +52,7 @@ def start_split_stream(
     processing_time: str | None = None,
     max_files_per_trigger: int | None = 1,
     keep_timestamp: bool = True,
+    partition_by_ingest_date: bool = False,
 ) -> StreamingQuery:
     """Launch the streaming splitter; returns the StreamingQuery.
 
@@ -67,18 +68,27 @@ def start_split_stream(
         batch_df = batch_df.persist()
         try:
             for t in tables:
-                (
-                    split_one(
-                        batch_df,
-                        t,
-                        schema_name,
-                        keep_timestamp=keep_timestamp,
-                        prune=False,  # streaming: schema fixed by contract,
-                        # not re-derived per batch (prune scans the batch)
-                    )
-                    .write.mode("append")
-                    .parquet(f"{out_dir}/{schema_name}/{t}")
+                split = split_one(
+                    batch_df,
+                    t,
+                    schema_name,
+                    # date layout needs the event timestamp
+                    keep_timestamp=keep_timestamp or partition_by_ingest_date,
+                    prune=False,  # streaming: schema fixed by contract,
+                    # not re-derived per batch (prune scans the batch)
                 )
+                writer = split.write.mode("append")
+                if partition_by_ingest_date:
+                    # the Firehose !{timestamp:yyyy-MM-dd} prefix layout
+                    # (reference README.md:76) as Hive partitioning —
+                    # enables partition pruning on date-ranged queries
+                    split = split.withColumn(
+                        "ingest_date", F.to_date(F.to_timestamp("timestamp"))
+                    )
+                    if not keep_timestamp:
+                        split = split.drop("timestamp")
+                    writer = split.write.mode("append").partitionBy("ingest_date")
+                writer.parquet(f"{out_dir}/{schema_name}/{t}")
             if dlq_dir is not None:
                 corrupt_records(batch_df).withColumn(
                     "batch_id", F.lit(batch_id)

@@ -143,3 +143,30 @@ def test_windowed_event_counts_batch_stream_parity(spark, sf_dir, tmp_path):
     # append mode emits only windows closed by the watermark; every emitted
     # window must match the batch result exactly
     assert s and all(b[k] == v for k, v in s.items())
+
+
+def test_stream_split_date_partitioned_layout(spark, sf_dir, stream_dirs):
+    """Firehose-style date layout: output lands under ingest_date=YYYY-MM-DD
+    partitions and a date filter prunes to those directories."""
+    import os
+
+    run_split_stream_to_completion(
+        spark,
+        tables=["customer"],
+        keep_timestamp=False,
+        partition_by_ingest_date=True,
+        **stream_dirs,
+    )
+    table_dir = os.path.join(stream_dirs["out_dir"], "dms_sample", "customer")
+    parts = [d for d in os.listdir(table_dir) if d.startswith("ingest_date=")]
+    assert parts, f"no date partitions in {os.listdir(table_dir)}"
+    back = spark.read.parquet(table_dir)
+    assert "ingest_date" in back.columns
+    one_date = parts[0].split("=", 1)[1]
+    import contextlib, io
+
+    df = back.filter(F.col("ingest_date") == one_date)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
