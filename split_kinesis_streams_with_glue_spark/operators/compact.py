@@ -59,3 +59,25 @@ def event_time(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     return df.withColumn(
         ts_col, F.to_timestamp(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    pk_cols: list[str],
+    ts_col: str = "timestamp",
+    op_col: str = "operation",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a CDC change stream:
+    every non-delete version becomes a row with ``valid_from`` /
+    ``valid_to`` (next change's event time, NULL while current) and
+    ``is_current``. A delete closes the last version's validity without
+    emitting a row. Same single pk-shuffle + sort cost envelope as
+    ``compact`` — history is the window BEFORE picking the winner."""
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(ts_col))
+    return (
+        df.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .filter(F.col(op_col) != "delete")
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(ts_col, "valid_from")
+        .drop(op_col)
+    )

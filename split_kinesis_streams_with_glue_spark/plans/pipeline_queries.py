@@ -9,6 +9,7 @@ same final state in pure SQL.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from split_kinesis_streams_with_glue_spark.envelope import generate_cdc_envelopes, wrap
@@ -228,3 +229,134 @@ def schema_drift_merge(spark, sf_dir):
     v1.write.mode("append").parquet(f"{base}/t")
     v2.write.mode("append").parquet(f"{base}/t")
     return spark.read.option("mergeSchema", "true").parquet(f"{base}/t")
+
+
+@query(
+    "cdc_scd2_customer",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, c_acctbal AS bal, 0 AS seq, FALSE AS is_del FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100, 1, FALSE FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 200, 2, FALSE FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 3, TRUE FROM customer WHERE c_custkey % 7 = 0
+    ), h AS (
+      SELECT *, LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS next_seq
+      FROM v
+    )
+    SELECT c_custkey, ROUND(bal, 2) AS c_acctbal,
+           seq AS valid_from_seq, next_seq AS valid_to_seq,
+           next_seq IS NULL AS is_current
+    FROM h WHERE NOT is_del
+    """,
+)
+def cdc_scd2_customer(spark, sf_dir):
+    """SCD2 history materialization from the CDC stream: every surviving
+    version of every customer row with its validity interval; deletes close
+    intervals without emitting rows. Seq = seconds since the fixture epoch
+    (wrap() encodes CDC phase order as +seq seconds)."""
+    from split_kinesis_streams_with_glue_spark.envelope import BASE_TS
+    from split_kinesis_streams_with_glue_spark.operators.compact import scd2_history
+
+    env = json_roundtrip(
+        generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    )
+    cust = event_time(split_one(env, "customer", keep_operation=True))
+    hist = scd2_history(cust, ["c_custkey"])
+    base = F.unix_timestamp(F.to_timestamp(F.lit(BASE_TS)))
+    return hist.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        (F.unix_timestamp("valid_from") - base).alias("valid_from_seq"),
+        (F.unix_timestamp("valid_to") - base).alias("valid_to_seq"),
+        "is_current",
+    )
+
+
+@query(
+    "split_multi_table",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_mktsegment) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'nation', COUNT(*), COUNT(DISTINCT n_regionkey) FROM nation
+    """,
+)
+def split_multi_table(spark, sf_dir):
+    """T5 at full width: a MIXED three-table envelope stream demultiplexed
+    in one pass (wildcard table discovery, single persisted scan), each
+    output verified by shape. The reference re-scans the source per table;
+    this is the single-pass form."""
+    from split_kinesis_streams_with_glue_spark.operators.split import split_tables
+
+    env = None
+    for t in ["customer", "orders", "nation"]:
+        e = wrap(load(spark, sf_dir, t), t)
+        env = e if env is None else env.unionByName(e, allowMissingColumns=True)
+    env = json_roundtrip(env)
+    frames = split_tables(env, "%", keep_timestamp=False)
+    stats = {
+        "customer": ("c_mktsegment",),
+        "orders": ("o_orderstatus",),
+        "nation": ("n_regionkey",),
+    }
+    out = None
+    for t, df in sorted(frames.items()):
+        s = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(stats[t][0]).alias("n_distinct"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "n_distinct")
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+@query(
+    "pipeline_training_data_prep",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, lang, n_chars, text,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tokens,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), keep AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM ws WHERE n_tokens >= 10 AND lang IN ('en', 'de', 'fr')
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM keep WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def pipeline_training_data_prep(spark, sf_dir):
+    """The composite LLM-training-data pipeline as ONE plan: token-count
+    quality gate → language filter → exact dedup (min-id per fingerprint)
+    → per-language corpus stats. Single scan, two shuffles (dedup window +
+    final agg) — the shape that matters at 100 TB."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        fingerprint,
+        whitespace_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    gated = enriched.filter(
+        (F.col("n_tokens") >= 10) & F.col("lang").isin("en", "de", "fr")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = gated.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
