@@ -212,15 +212,18 @@ def minhash_near_dups(
     """MinHash LSH near-dup pairs, exact-verified: LSH proposes candidates,
     exact Jaccard on the candidate set filters false positives — output is
     identical to the brute-force ground truth up to the (negligible at these
-    parameters) LSH miss probability."""
-    sh = shingle_sets(df, text_col, id_col, shingle_n)
-    sh.persist()
-    try:
-        sigs = minhash_signatures(sh, num_hashes)
-        cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes)
-        return jaccard_pairs(sh, threshold, candidates=cands)
-    finally:
-        sh.unpersist()
+    parameters) LSH miss probability.
+
+    The shingle frame feeds three plan branches (signatures + both sides of
+    the verification join); an eager ``localCheckpoint`` materializes it
+    once and truncates lineage, so the tokenize/shingle/explode work runs
+    exactly once. (A ``persist()`` + ``unpersist()`` in a ``finally`` here
+    would be a bug: the unpersist fires at plan-build time, before the
+    caller ever executes the returned frame.)"""
+    sh = shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes)
+    return jaccard_pairs(sh, threshold, candidates=cands)
 
 
 def simhash_signatures(
