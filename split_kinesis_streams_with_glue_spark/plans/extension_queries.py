@@ -307,3 +307,45 @@ def multimodal_frame_sample(spark, sf_dir):
 
     d = attach_fake_images(load(spark, sf_dir, "documents"))
     return frame_sample(d, every_n=10).select("doc_id", "claimed_width", "claimed_height")
+
+
+@query(
+    "text_winnow_chunks",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(w[i:i+7], ' ')) AS chunk_hash
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 7
+    )
+    SELECT chunk_hash, COUNT(*) AS n_docs
+    FROM (SELECT DISTINCT doc_id, chunk_hash FROM ch) d
+    GROUP BY chunk_hash HAVING COUNT(*) > 1
+    """,
+)
+def text_winnow_chunks(spark, sf_dir):
+    """Content-defined chunk fingerprinting (winnowing basis): md5 over
+    each 8-token sliding window; chunks shared by >1 document reveal
+    copied passages. md5 (not xxhash) so DuckDB can reproduce it — the
+    oracle-checkable twin of the rolling_hashes helper."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        whitespace_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8))),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
