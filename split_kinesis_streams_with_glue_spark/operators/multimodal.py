@@ -117,3 +117,90 @@ def frame_sample(
     for video tables (select every Nth frame) without an order-dependent
     ``sample()``. Pure filter: pushes down, no shuffle."""
     return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every_n)) == 0)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, image binary"
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    id_col: str = "doc_id",
+    bin_col: str = "image",
+) -> DataFrame:
+    """Aspect-preserving resize over the binary column (``mapInPandas``).
+
+    Real codecs are absent here, so the TRANSFORM is a deterministic fake:
+    the SGIM header is rewritten to the target dimensions and the payload is
+    tagged — which keeps every piece of Spark plumbing (Arrow batch shape,
+    binary-in/binary-out schema, bounded memory) real and testable. The
+    deployment swaps ``_resize_blob`` for a codec call; nothing else
+    changes.
+    """
+
+    def _resize_blob(raw: bytes) -> tuple[int, int, bytes] | None:
+        if len(raw) < HEADER_LEN or raw[:4] != _MAGIC:
+            return None
+        _, w, h, c = struct.unpack(_HEADER, raw[:HEADER_LEN])
+        if w == 0 or h == 0:
+            return None
+        nw = target_width
+        # explicit half-up (Python round() is half-to-even, which a SQL
+        # oracle can't reproduce)
+        nh = max(1, int(h * nw / w + 0.5))
+        header = struct.pack(_HEADER, _MAGIC, nw, nh, c)
+        return nw, nh, header + b"resized:" + raw[HEADER_LEN:]
+
+    id_name, bin_name = id_col, bin_col
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i, blob in zip(pdf[id_name], pdf[bin_name]):
+                r = _resize_blob(bytes(blob) if blob is not None else b"")
+                out.append(
+                    (int(i), r[0], r[1], r[2]) if r else (int(i), None, None, None)
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "image"])
+
+    return df.select(id_col, bin_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    bin_col: str = "image",
+) -> DataFrame:
+    """Feature extraction over binary media (``mapInPandas`` → fixed-size
+    ``array<float>``), the embed-everything stage of a multimodal pipeline.
+
+    Deterministic stand-in featurizer: a seeded byte-histogram projection of
+    the payload (stable across runs/workers). The output column composes
+    with the engine's similarity operators (cosine/IVF/LSH) unchanged —
+    that composition is the point; swap in a real model server call at
+    deployment."""
+    id_name, bin_name = id_col, bin_col
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, feats = [], []
+            for i, blob in zip(pdf[id_name], pdf[bin_name]):
+                raw = bytes(blob) if blob is not None else b""
+                hist = np.bincount(
+                    np.frombuffer(raw, dtype=np.uint8) % dim, minlength=dim
+                ).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype(np.float32).tolist())
+                ids.append(int(i))
+            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(run, FEATURE_SCHEMA)

@@ -349,3 +349,49 @@ def text_winnow_chunks(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 64 AS width,
+           GREATEST(1, CAST(FLOOR((doc_id % 384 + 16) * 64.0
+                                  / (doc_id % 512 + 16) + 0.5) AS INT)) AS height
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Binary-column resize via mapInPandas (header-rewrite stand-in for the
+    codec; Arrow batch plumbing is real): aspect-preserving to width 64,
+    dimensions oracle-checked from the deterministic fixture geometry."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    d = attach_fake_images(load(spark, sf_dir, "documents"))
+    return resize_images(d, target_width=64).select("doc_id", "width", "height")
+
+
+@query("multimodal_feature_ann", oracle=None)
+def multimodal_feature_ann(spark, sf_dir):
+    """Featurize binary blobs (byte-histogram stand-in featurizer) then
+    brute-force cosine top-5 over the features — the multimodal
+    embed-then-search composition. Rows-only (the featurizer is
+    engine-internal by design; determinism is unit-tested)."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        extract_features,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = attach_fake_images(load(spark, sf_dir, "documents"))
+    feats = (
+        extract_features(d)
+        .withColumnRenamed("doc_id", "vec_id")
+        .withColumnRenamed("feature", "embedding")
+    )
+    return brute_force_topk(feats, feats.filter(F.col("vec_id") < 3), k=5).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )

@@ -121,3 +121,46 @@ def test_exact_dedup_keeps_min_id(spark, sf_dir):
     out = exact_dedup(tripled)
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == sorted(r["doc_id"] for r in d.select("doc_id").collect())
+
+
+def test_resize_rewrites_header_and_preserves_aspect(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        decode_meta,
+        resize_images,
+    )
+
+    d = attach_fake_images(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    resized = resize_images(d, target_width=64)
+    meta = decode_meta(resized)
+    rows = meta.join(
+        d.select("doc_id", "claimed_width", "claimed_height"), "doc_id"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == 64
+        expect_h = max(1, int(r["claimed_height"] * 64 / r["claimed_width"] + 0.5))
+        assert r["height"] == expect_h
+
+
+def test_extract_features_compose_with_similarity(spark, sf_dir):
+    """Featurize binary blobs then run the engine's brute-force ANN over the
+    features — multimodal + similarity composing end to end."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        extract_features,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = attach_fake_images(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50))
+    feats = extract_features(d).withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+        "feature", "embedding"
+    )
+    # features are unit-normalized by construction
+    res = brute_force_topk(feats, feats.limit(3), k=5)
+    assert res.count() == 15
+    # determinism across runs
+    a = sorted(map(tuple, res.select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, brute_force_topk(feats, feats.limit(3), k=5)
+                   .select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b
