@@ -210,6 +210,71 @@ def cosine_pairs_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """All distinct pairs (d1 < d2) with cosine >= threshold — the
+    embedding-cosine near-dup detector in threshold form.
+
+    Same blocked-matmul shape as ``cosine_pairs_topk`` but each Arrow batch
+    emits *every* pair above the threshold instead of a local top-k, so no
+    final window is needed: the output is embarrassingly parallel and its
+    size is bounded by the true near-dup count, not a k knob.
+
+    At 100 TB the broadcast side no longer fits — compose with
+    ``assign_buckets`` / ``rp_lsh_signatures`` to run the exact
+    threshold check per bucket (near-dups above a high threshold collide in
+    some bucket with probability -> 1 as tables are OR-ed)."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if not normalized:
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def above_threshold(batches):
+        import pandas as pd
+
+        ids_all, m_all = bc.value
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if not normalized:
+                b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = b_mat @ m_all.T
+            r, c = np.nonzero((sims >= threshold) & (ids_all[None, :] > b_ids[:, None]))
+            yield pd.DataFrame(
+                {"d1": b_ids[r], "d2": ids_all[c], "sim": sims[r, c]}
+            ).astype({"d1": "int64", "d2": "int64", "sim": "float64"})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        above_threshold, "d1 bigint, d2 bigint, sim double"
+    )
+
+
+def embedding_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Drop every vector that has a near-dup (cosine >= threshold) with a
+    smaller id — the min-id-survivor rule the text dedup family uses,
+    applied to embeddings. One anti-join against the pair list; the
+    survivor set is deterministic and order-independent."""
+    doomed = embedding_near_dup_pairs(
+        corpus, threshold, id_col, vec_col, normalized
+    ).select(F.col("d2").alias(id_col)).distinct()
+    return corpus.join(doomed, id_col, "left_anti")
+
+
 def _hyperplanes(n_tables: int, n_planes: int, dim: int):
     """Deterministic (seed 42) random hyperplanes, one band per table."""
     import numpy as np

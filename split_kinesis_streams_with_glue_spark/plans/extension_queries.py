@@ -27,6 +27,8 @@ from split_kinesis_streams_with_glue_spark.operators.multimodal import (
 from split_kinesis_streams_with_glue_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs_topk,
+    embedding_dedup,
+    embedding_near_dup_pairs,
     ivf_topk,
 )
 from split_kinesis_streams_with_glue_spark.operators.text import (
@@ -131,6 +133,45 @@ def sim_pairs_topk(spark, sf_dir):
     (Embeddings are unit-normalized, so cosine == dot.)"""
     pairs = cosine_pairs_topk(load(spark, sf_dir, "embeddings"), k=20)
     return pairs.select("d1", "d2", F.round("sim", 6).alias("sim"), "rank")
+
+
+# threshold chosen off the fixture's cosine distribution: 34 pairs at
+# sf0.01, nearest pair 1.7e-3 from the boundary, so float32-vs-double
+# accumulation can't flip membership
+_NEAR_DUP_T = 0.42
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND({_DOT.format(a='a', b='b')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a', b='b')} >= {_NEAR_DUP_T}
+    """,
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs above a threshold (exact, blocked
+    matmul; compose with IVF/LSH buckets at scale)."""
+    pairs = embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), _NEAR_DUP_T)
+    return pairs.select("d1", "d2", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a', b='b')} >= {_NEAR_DUP_T} AND b.vec_id = e.vec_id)
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP: survivors after dropping every
+    vector with a near-dup of smaller id (min-id-survivor rule, one
+    anti-join against the pair list)."""
+    kept = embedding_dedup(load(spark, sf_dir, "embeddings"), _NEAR_DUP_T)
+    return kept.select("vec_id", "label")
 
 
 @query(

@@ -164,3 +164,30 @@ def test_extract_features_compose_with_similarity(spark, sf_dir):
     b = sorted(map(tuple, brute_force_topk(feats, feats.limit(3), k=5)
                    .select("query_id", "neighbor_id", "rank").collect()))
     assert a == b
+
+
+def test_embedding_dedup_pairs_symmetric_with_survivors(spark, sf_dir):
+    """Every dropped vector appears as d2 in some pair; survivors plus
+    dropped partition the corpus; pair list is exact vs a numpy oracle."""
+    import numpy as np
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        embedding_dedup,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = 0.42
+    pairs = embedding_near_dup_pairs(emb, t).collect()
+    kept = {r["vec_id"] for r in embedding_dedup(emb, t).select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = {p["d2"] for p in pairs}
+    assert kept == all_ids - dropped
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(*iu) if sims[i, j] >= t}
+    assert {(p["d1"], p["d2"]) for p in pairs} == want
