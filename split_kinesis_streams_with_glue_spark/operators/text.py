@@ -76,3 +76,43 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf * (ln((1+N)/(1+df)) + 1)``), built-ins only.
+
+    Distributed shape: one explode scan feeds both the per-(doc, term) TF agg
+    and the per-term DF agg (map-side partial aggs on both); the corpus size
+    N joins in as a broadcast 1-row aggregate; the final per-doc top-k is a
+    bounded window. Ranking uses the ROUNDed score with a term tiebreak so
+    the order is reproducible across libm implementations."""
+    from pyspark.sql import Window
+
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    words = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        words.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -34,6 +34,7 @@ from split_kinesis_streams_with_glue_spark.operators.similarity import (
 from split_kinesis_streams_with_glue_spark.operators.text import (
     language_id,
     quality_scores,
+    tfidf_top_terms,
     token_counts,
 )
 from split_kinesis_streams_with_glue_spark.functions.textfns import fingerprint
@@ -243,6 +244,40 @@ def text_token_counts(spark, sf_dir):
     return token_counts(d).select(
         "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_computed"
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), w -> w <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1),
+                   6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored) t
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Smoothed TF-IDF top-3 terms per document — the HashingTF/IDF
+    capability of X3 in oracle-checkable form (one explode scan feeding
+    both aggs, broadcast corpus-size join, bounded per-doc window)."""
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
 
 
 @query(

@@ -191,3 +191,28 @@ def test_embedding_dedup_pairs_symmetric_with_survivors(spark, sf_dir):
     iu = np.triu_indices(len(ids), k=1)
     want = {(int(ids[i]), int(ids[j])) for i, j in zip(*iu) if sims[i, j] >= t}
     assert {(p["d1"], p["d2"]) for p in pairs} == want
+
+
+def test_tfidf_rare_terms_outrank_common(spark, sf_dir):
+    """A term appearing in fewer documents must carry a higher idf: verify
+    tfidf ordering against an independently computed score for one doc."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    top = tfidf_top_terms(d, k=3).filter("doc_id = 0").collect()
+    assert len(top) == 3
+    words = [
+        w for w in (d.filter("doc_id = 0").collect()[0]["text"].lower().split()) if w
+    ]
+    docs = [set(r["text"].lower().split()) for r in d.collect()]
+    def score(t):
+        tf = words.count(t)
+        df_ = sum(1 for s in docs if t in s)
+        return round(tf * (math.log((n + 1) / (df_ + 1)) + 1), 6)
+    for r in top:
+        assert r["tfidf"] == score(r["term"])
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    assert top[0]["tfidf"] >= top[1]["tfidf"] >= top[2]["tfidf"]
