@@ -84,22 +84,25 @@ def tfidf_top_terms(
     """Top-k terms per document by smoothed TF-IDF
     (``tf * (ln((1+N)/(1+df)) + 1)``), built-ins only.
 
-    Distributed shape: one explode scan feeds both the per-(doc, term) TF agg
-    and the per-term DF agg (map-side partial aggs on both); the corpus size
-    N joins in as a broadcast 1-row aggregate; the final per-doc top-k is a
-    bounded window. Ranking uses the ROUNDed score with a term tiebreak so
-    the order is reproducible across libm implementations."""
+    Distributed shape: ONE explode scan → per-(doc, term) TF agg (map-side
+    partial); doc-frequency is then a count window over ``term`` on the TF
+    output itself (one row per (doc, term) already), so no second corpus
+    scan, no distinct, no join; corpus size N arrives as a broadcast 1-row
+    aggregate; the final per-doc top-k is a bounded window. Ranking uses the
+    ROUNDed score with a term tiebreak so the order is reproducible across
+    libm implementations."""
     from pyspark.sql import Window
 
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     words = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        words.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
+    # doc_freq is derivable FROM the tf aggregate (one row per (doc, term)
+    # => rows per term == docs containing the term), so a count window over
+    # term replaces a second explode scan + distinct + join of the corpus
+    wt = Window.partitionBy("term")
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
