@@ -251,3 +251,46 @@ def join_asof_attribution(spark, sf_dir):
         F.col("v_event_id").alias("view_event_id"),
         F.round("v_value", 4).alias("view_value"),
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS event_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.event_week) / 7 AS INT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-event week, counted
+    in each later week they were active. Shape at scale: per-user min agg
+    and per-(user, week) distinct both partial-aggregate map-side; the join
+    re-uses the user_id hash distribution; final agg keys are tiny."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("event_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("event_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )

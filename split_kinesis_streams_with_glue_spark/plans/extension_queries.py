@@ -31,6 +31,10 @@ from split_kinesis_streams_with_glue_spark.operators.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
 )
+from split_kinesis_streams_with_glue_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
 from split_kinesis_streams_with_glue_spark.operators.text import (
     language_id,
     quality_scores,
@@ -278,6 +282,44 @@ def text_tfidf_topterms(spark, sf_dir):
     capability of X3 in oracle-checkable form (one explode scan feeding
     both aggs, broadcast corpus-size join, bounded per-doc window)."""
     return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+# ------------------------------------------------- deterministic sampling
+
+@query(
+    "sample_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 4) < 'cccd' THEN 'train'
+                WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_train_val_split(spark, sf_dir):
+    """Content-hash train/val/test assignment (80/10/10): equal text ⇒ equal
+    split, so duplicates can't leak across splits; survives re-ingestion and
+    repartitioning. Pure projection — no shuffle at any scale."""
+    d = hash_split(load(spark, sf_dir, "documents"), train=0.8, val=0.1)
+    return d.select("doc_id", "split")
+
+
+@query(
+    "sample_stratified_lang",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND substr(md5(text), 1, 4) < '4000')
+       OR (lang = 'zh' AND substr(md5(text), 1, 4) < 'c000')
+    """,
+)
+def sample_stratified_lang(spark, sf_dir):
+    """Deterministic per-class downsampling (cap 'en' at 25%, keep 75% of
+    'zh', drop the rest) — the language-rebalancing shape of a training
+    mix. Pure filter, content-hash keyed, pushes down."""
+    d = stratified_sample(
+        load(spark, sf_dir, "documents"), {"en": 0.25, "zh": 0.75}
+    )
+    return d.select("doc_id", "lang")
 
 
 @query(

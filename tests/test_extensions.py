@@ -216,3 +216,35 @@ def test_tfidf_rare_terms_outrank_common(spark, sf_dir):
         assert r["tfidf"] == score(r["term"])
     assert [r["rank"] for r in top] == [1, 2, 3]
     assert top[0]["tfidf"] >= top[1]["tfidf"] >= top[2]["tfidf"]
+
+
+def test_hash_split_is_deterministic_and_leak_proof(spark, sf_dir):
+    """Equal text must land in the same split (dup-leakage guard); fractions
+    are within tolerance; re-run gives identical assignment."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    s = hash_split(dup)
+    per_text = s.groupBy("text").agg(F.count_distinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_text)
+    fracs = {r["split"]: r["n"] for r in
+             s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(fracs.values())
+    assert 0.7 < fracs["train"] / total < 0.9
+    a = sorted(map(tuple, s.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, hash_split(dup).select("doc_id", "split").collect()))
+    assert a == b
+
+
+def test_stratified_sample_drops_unlisted_classes(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(d, {"en": 0.5})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = d.filter("lang = 'en'").count()
+    assert 0.3 * n_en < out.count() < 0.7 * n_en
