@@ -294,3 +294,64 @@ def events_cohort_retention(spark, sf_dir):
         )
         .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
     )
+
+
+@query(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+           CAST(datediff('second', v.ts, p.ts) AS BIGINT) AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+)
+def events_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (purchases x views within a
+    2-hour lookback, per user). The interval predicate + watermarks bound
+    the join state, so it runs on unbounded streams; replayed here through
+    the file source with availableNow, checked against the batch range-join
+    oracle."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.stateful import (
+        stream_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="sgs_ssj_")
+    ev.filter(F.col("event_type") == "purchase").coalesce(2).write.mode(
+        "overwrite"
+    ).json(f"{base}/purchases")
+    ev.filter(F.col("event_type") == "view").coalesce(2).write.mode(
+        "overwrite"
+    ).json(f"{base}/views")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    p = spark.readStream.schema(schema).json(f"{base}/purchases")
+    v = (
+        spark.readStream.schema(schema)
+        .json(f"{base}/views")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+        )
+    )
+    joined = stream_interval_join(p, v, on="user_id", lookback="2 hours", watermark="2 hours").select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts")).alias("lag_sec"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")

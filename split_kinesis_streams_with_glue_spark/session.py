@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level pruning for shuffle joins: build a bloom filter
+        # on the small side's join keys and push it into the big side's
+        # scan. At 100 TB this is the difference between shuffling a full
+        # fact table and shuffling only rows that can actually join.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # The driver fixtures' events.parquet stores TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects; read as long and convert
         # (truncate to micros — matching what DuckDB's reader does).

@@ -194,3 +194,35 @@ def dedup_stream_within_watermark(
     suppressed within the lateness horizon and state never grows without
     bound — the only safe contract on an infinite CDC stream."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_interval_join(
+    left,
+    right,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback: str = "10 minutes",
+    watermark: str = "10 minutes",
+):
+    """Watermarked stream-stream inner join: each left event pairs with the
+    right-stream events of the same key within ``lookback`` before it.
+
+    The time-bound predicate is what makes an unbounded stream-stream join
+    feasible: it tells Spark exactly when buffered right-side state can
+    never match again, so (with both watermarks) state is evicted instead
+    of growing forever — per-key state is O(events within lookback +
+    watermark). The shuffle key is the join key; skew rules from the batch
+    side apply unchanged."""
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        F.expr(
+            f"{on} = r_{on} AND {right_ts} BETWEEN {left_ts} - interval {lookback}"
+            f" AND {left_ts}"
+        ),
+        "inner",
+    )
