@@ -51,8 +51,9 @@ def get_spark(
         # on the small side's join keys and push it into the big side's
         # scan. At 100 TB this is the difference between shuffling a full
         # fact table and shuffling only rows that can actually join.
+        # (runtimeFilter.semiJoinReduction looks tempting too, but enabling
+        # it hangs the very first job on this Spark build — optimizer loop)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # The driver fixtures' events.parquet stores TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects; read as long and convert
         # (truncate to micros — matching what DuckDB's reader does).

@@ -166,3 +166,35 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
         ).collect()
     }
     assert plain == salted
+
+
+def test_sampling_ops_are_narrow_and_push_down(spark, sf_dir):
+    """hash_split adds no Exchange (pure projection); stratified_sample's
+    class predicate reaches the parquet reader as a pushed filter."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_plan = plan_of(hash_split(d))
+    assert "Exchange" not in split_plan
+    assert "BatchEvalPython" not in split_plan
+    strat_plan = plan_of(stratified_sample(d, {"en": 0.5}))
+    assert "Exchange" not in strat_plan
+    assert "PushedFilters" in strat_plan and "lang" in strat_plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_tfidf_scans_corpus_text_once(spark, sf_dir):
+    """The TF-IDF plan must contain exactly one scan that reads the text
+    column (doc-frequency is derived from the TF agg, not a second explode
+    scan); the corpus-count scan reads no data columns and joins broadcast."""
+    from split_kinesis_streams_with_glue_spark.operators.text import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(tfidf_top_terms(d))
+    text_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "text" in ln
+    ]
+    assert len(text_scans) == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
