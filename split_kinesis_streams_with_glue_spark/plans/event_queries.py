@@ -18,7 +18,7 @@ from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
     "events_tumbling_counts",
     oracle="""
     SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
-           CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
            event_type, COUNT(*) AS n_events
     FROM events
     GROUP BY 1, 2, 3
@@ -355,3 +355,40 @@ def events_stream_stream_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(f"{base}/out")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+       AND e.ts <= s1.t + INTERVAL 1 DAY
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+       AND e.ts <= s2.t + INTERVAL 1 DAY
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS event_type,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (view -> click -> purchase, first-touch, 1-day
+    conversion window per step): one filtered scan, then a co-partitioned
+    min-agg/join chain on user_id."""
+    from split_kinesis_streams_with_glue_spark.operators.funnel import funnel
+
+    return funnel(load(spark, sf_dir, "events"), ["view", "click", "purchase"],
+                  within="1 day")

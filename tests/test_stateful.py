@@ -133,3 +133,24 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10
     assert got.select("event_id").distinct().count() == 10
+
+
+def test_funnel_order_matters(spark, sf_dir):
+    """A user who clicks BEFORE their first view must not count as a
+    view->click conversion; in-order users must."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view then click (converts)
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(minutes=5), 1, "click"),
+        # user 2: click then view (step-2 non-converter)
+        (3, t0, 2, "click"), (4, t0 + dt.timedelta(minutes=5), 2, "view"),
+        # user 3: view only
+        (5, t0, 3, "view"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r["event_type"]: r["n_users"] for r in funnel(ev, ["view", "click"]).collect()}
+    assert out == {"view": 3, "click": 1}
