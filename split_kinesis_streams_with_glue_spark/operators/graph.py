@@ -1,0 +1,93 @@
+"""Connected components over a pair/edge DataFrame — the clustering step of
+near-dup deduplication (pairs → duplicate CLUSTERS → one canonical doc per
+cluster).
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+itself; each round, every node takes the min of its own label and its
+neighbors' labels; converged when no label changes. Rounds = graph diameter,
+which for near-dup clusters is tiny (dups of the same source text form
+near-cliques). Each round is one shuffle keyed on node id.
+
+Scale notes:
+- Lineage is truncated per round with ``localCheckpoint(eager=True)`` —
+  without it the plan doubles every iteration and the job dies on plan
+  explosion long before data size matters (and ``persist`` alone would be a
+  plan-time no-op here, see ``minhash`` history).
+- For adversarial graphs with long chains (diameter ~ n), swap the
+  propagation body for the alternating large-star/small-star rounds of
+  Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14)
+  — O(log^2 n) rounds with identical per-round shape. Near-dup workloads
+  don't need it; the operator caps at ``max_iter`` and reports
+  non-convergence rather than looping forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component): component = min node id reachable from ``node``.
+
+    Only nodes that appear in ``edges`` are returned; callers left-join and
+    coalesce to make isolated rows their own singleton component."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym["a"] == labels["n"])
+            .groupBy(F.col("b").alias("n2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = labels.join(msgs, labels["n"] == msgs["n2"], "left").select(
+            "n",
+            "lbl",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                "new_lbl"
+            ),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = stepped.select("n", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            return labels.select(F.col("n"), F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter too large — use large-star/small-star"
+    )
+
+
+def cluster_labels(
+    rows: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Attach a ``cluster_id`` to every row: min id of its duplicate
+    cluster (rows without any near-dup edge are their own cluster). The
+    canonical survivor of each cluster is the row with
+    ``cluster_id == id``."""
+    cc = connected_components(edges, src, dst)
+    return rows.join(
+        cc, rows[id_col] == cc["n"], "left"
+    ).select(
+        *[rows[c] for c in rows.columns],
+        F.coalesce(F.col("component"), rows[id_col]).alias("cluster_id"),
+    )

@@ -105,6 +105,54 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
+_CLUSTER_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+cc(n, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a WHERE cc.lbl < e.b
+),
+lab AS (SELECT n, min(lbl) AS lbl FROM cc GROUP BY n)
+SELECT d.doc_id, COALESCE(lab.lbl, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.n
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTER_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS via connected components
+    (min-label propagation, lineage-checkpointed per round); every document
+    gets the min doc_id of its cluster (singletons label themselves). The
+    recursive-CTE oracle computes the same transitive closure."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    return cluster_labels(d.select("doc_id"), pairs).select("doc_id", "cluster_id")
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3 of 64 bits). No SQL oracle:

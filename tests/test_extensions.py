@@ -248,3 +248,22 @@ def test_stratified_sample_drops_unlisted_classes(spark, sf_dir):
     assert langs == {"en"}
     n_en = d.filter("lang = 'en'").count()
     assert 0.3 * n_en < out.count() < 0.7 * n_en
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain must collapse to one component (transitivity across
+    rounds), disjoint pairs stay separate, isolated rows label themselves."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        cluster_labels,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    cc = {r["n"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    rows = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    lab = {r["doc_id"]: r["cluster_id"] for r in cluster_labels(rows, edges).collect()}
+    assert lab[99] == 99 and lab[4] == 1 and lab[11] == 10
