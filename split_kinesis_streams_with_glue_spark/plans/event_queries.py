@@ -18,7 +18,7 @@ from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
     "events_tumbling_counts",
     oracle="""
     SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
-           CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+           CAST(DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
            event_type, COUNT(*) AS n_events
     FROM events
     GROUP BY 1, 2, 3
@@ -392,3 +392,40 @@ def events_funnel(spark, sf_dir):
 
     return funnel(load(spark, sf_dir, "events"), ["view", "click", "purchase"],
                   within="1 day")
+
+
+@query(
+    "events_continuous_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS bucket, event_type,
+           count(*) AS n, ROUND(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_continuous_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the events stream is replayed
+    in many small micro-batches (maxFilesPerTrigger=1 over 8 files), each
+    merging into a date-partitioned rollup where only the touched date
+    partitions are rewritten (dynamic partition overwrite). The end state
+    must equal the one-shot batch GROUP BY."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.rollup import (
+        continuous_rollup,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="sgs_rollup_")
+    ev.repartition(8).write.mode("overwrite").json(f"{base}/src")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{base}/src")
+    )
+    q = continuous_rollup(stream, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out").select(
+        "bucket", "event_type", "n", F.round("total", 4).alias("total")
+    )
