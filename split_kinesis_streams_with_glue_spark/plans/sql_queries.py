@@ -1051,3 +1051,95 @@ def pandas_udaf_weighted_avg(spark, sf_dir):
             "weighted_avg_price"
         )
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           list_sort(list(n_name)) AS nation_arr
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_ordered(spark, sf_dir):
+    """Ordered string/array aggregation (LISTAGG / array_agg): collect_list
+    is unordered by contract, so determinism comes from sorting the
+    collected array before joining — the only portable semantics."""
+    n = load(spark, sf_dir, "nation")
+    arr = F.array_sort(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(arr, ",").alias("nations"),
+        arr.alias("nation_arr"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT a.o_orderkey, b.o_orderkey AS matched_key
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_orderkey % 100 END AS k
+          FROM orders WHERE o_orderkey <= 500) a
+    JOIN (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_orderkey % 100 END AS k
+          FROM orders WHERE o_orderkey <= 500) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — still hash-joinable (NULL is
+    one partition key), unlike a general theta join."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    k = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 100
+    )
+    a = o.select(F.col("o_orderkey"), k.alias("k"))
+    b = o.select(F.col("o_orderkey").alias("matched_key"), k.alias("k2"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k2"]) & (a["o_orderkey"] < b["matched_key"]))
+        .select("o_orderkey", "matched_key")
+    )
+
+
+@query(
+    "events_timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT d.day, COALESCE(a.n, 0) AS n_purchases
+    FROM days d LEFT JOIN actual a USING (day)
+    """,
+)
+def events_timeseries_gapfill(spark, sf_dir):
+    """Dense daily series with zero-filled gaps: generate the full day
+    spine with sequence() (no driver-side loop — the spine is computed from
+    a 1-row min/max agg and exploded), then left-join the actual counts."""
+    ev = load(spark, sf_dir, "events")
+    spine = (
+        ev.agg(
+            F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(actual, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases")
+    )
