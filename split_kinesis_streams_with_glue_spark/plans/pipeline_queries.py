@@ -360,3 +360,44 @@ def pipeline_training_data_prep(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "formats_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def formats_csv_roundtrip(spark, sf_dir):
+    """CSV ingestion path (crawler format claim, SURVEY S5): the customer
+    table written as headered CSV and read back with an explicit schema is
+    byte-identical. CSV is the interchange format; schema comes from the
+    catalog, never re-inferred per read."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sgs_csv_")
+    c = load(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(base)
+    return spark.read.schema(c.schema).option("header", True).csv(base)
+
+
+@query(
+    "formats_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def formats_orc_roundtrip(spark, sf_dir):
+    """ORC ingestion path (timestamps included): orders written as ORC and
+    read back — the columnar alternative the reference's crawler claims to
+    handle; Spark's vectorized ORC reader gives the same pushdown/pruning
+    economics as parquet."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sgs_orc_")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(base)
+    return spark.read.orc(base)
