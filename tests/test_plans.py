@@ -198,3 +198,37 @@ def test_tfidf_scans_corpus_text_once(spark, sf_dir):
     ]
     assert len(text_scans) == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lint_flags_python_udf_and_cartesian(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    from split_kinesis_streams_with_glue_spark.plans.lint import (
+        assert_scales,
+        lint_plan,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bad_udf = F.udf(lambda x: x + 1, LongType())
+    finds = lint_plan(c.select(bad_udf("c_custkey")))
+    assert any("python-row-udf" in f for f in finds)
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    finds = lint_plan(c.crossJoin(n))
+    assert any("cartesian-product" in f for f in finds)
+
+    finds = lint_plan(c.orderBy("c_acctbal"))
+    assert any("global-sort" in f for f in finds)
+
+    with pytest.raises(AssertionError):
+        assert_scales(c.crossJoin(n))
+
+
+def test_lint_passes_core_queries(spark, sf_dir):
+    """The engine's own flagship plans must lint clean."""
+    from split_kinesis_streams_with_glue_spark.plans.lint import lint_plan
+
+    for name in ["q1_pricing_summary", "q3_shipping_priority",
+                 "join_broadcast_dims", "topk_orders"]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert lint_plan(df) == [], name
