@@ -9,28 +9,46 @@ cost per trigger is O(batch + dirty-bucket rows), independent of the total
 history size — the property that makes a rollup usable on an unbounded
 stream. Counts and sums merge associatively, so partial agg + merge is
 exact regardless of how rows split across micro-batches.
+
+Replay safety: foreachBatch is at-least-once — after a failure the same
+epoch is re-delivered, and naively re-merging it would double-count. The
+merger records the last applied epoch in ``_last_epoch`` under the output
+path (underscore-prefixed, so readers ignore it) and skips epochs it has
+already applied. The marker write follows the data write, so a crash
+between the two re-merges at most the one epoch whose write already
+succeeded — the standard best-effort contract of a non-transactional sink.
+The (path, checkpoint) pair must be kept together: a fresh checkpoint over
+an existing output restarts epoch numbering and the guard would skip real
+batches.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def continuous_rollup(
-    stream: DataFrame,
+def make_merger(
     path: str,
-    checkpoint: str,
     bucket_expr=None,
     keys: list[str] | None = None,
     value_col: str = "value",
 ):
-    """Maintain (bucket, *keys) -> (n, total) under ``path``; returns the
-    started StreamingQuery. ``bucket_expr`` defaults to the event date."""
+    """Build the idempotent (batch, epoch_id) -> None merge function used by
+    ``continuous_rollup`` (exposed for direct testing of replay behavior)."""
     bucket = bucket_expr if bucket_expr is not None else F.to_date("ts")
     keys = keys or ["event_type"]
+    epoch_marker = os.path.join(path, "_last_epoch")
 
-    def merge(batch: DataFrame, _epoch: int) -> None:
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        try:
+            with open(epoch_marker) as fh:
+                if epoch_id <= int(fh.read().strip()):
+                    return  # replayed epoch — already applied
+        except FileNotFoundError:
+            pass
         spark = batch.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         delta = batch.groupBy(bucket.alias("bucket"), *keys).agg(
@@ -50,7 +68,23 @@ def continuous_rollup(
         except Exception:
             merged = delta
         merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        with open(epoch_marker, "w") as fh:
+            fh.write(str(epoch_id))
 
+    return merge
+
+
+def continuous_rollup(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    bucket_expr=None,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+):
+    """Maintain (bucket, *keys) -> (n, total) under ``path``; returns the
+    started StreamingQuery. ``bucket_expr`` defaults to the event date."""
+    merge = make_merger(path, bucket_expr, keys, value_col)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)

@@ -170,3 +170,28 @@ def test_stream_split_date_partitioned_layout(spark, sf_dir, stream_dirs):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_rollup_merge_is_idempotent_on_epoch_replay(spark, sf_dir, tmp_path):
+    """Re-delivering the same epoch (at-least-once foreachBatch) must not
+    double-count; a NEW epoch with the same rows must."""
+    from split_kinesis_streams_with_glue_spark.plans.registry import load
+    from split_kinesis_streams_with_glue_spark.streaming.rollup import make_merger
+
+    ev = load(spark, sf_dir, "events").limit(200).select("ts", "event_type", "value")
+    out = str(tmp_path / "rollup")
+    merge = make_merger(out)
+
+    merge(ev, 0)
+    first = {(r["bucket"], r["event_type"]): (r["n"], r["total"])
+             for r in spark.read.parquet(out).collect()}
+    merge(ev, 0)  # replay of epoch 0 — must be a no-op
+    replay = {(r["bucket"], r["event_type"]): (r["n"], r["total"])
+              for r in spark.read.parquet(out).collect()}
+    assert replay == first
+
+    merge(ev, 1)  # genuinely new epoch — counts double
+    doubled = {k: v[0] for k, v in
+               {(r["bucket"], r["event_type"]): (r["n"], r["total"])
+                for r in spark.read.parquet(out).collect()}.items()}
+    assert doubled == {k: 2 * v[0] for k, v in first.items()}
