@@ -204,3 +204,57 @@ def extract_features(
             yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
     return df.select(id_col, bin_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def attach_fake_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ``audio`` binary column: 8 kHz mono 8-bit PCM stand-in
+    whose payload length is a fast-varying function of the id
+    (1000..9999 bytes, i.e. 125..1250 ms). Content is synthetic; every structural property the
+    chunker relies on (length, sample rate) is real."""
+    n_bytes = ((F.col(id_col) * 37) % 9000 + 1000).cast("int")
+    return df.withColumn(
+        "audio", F.repeat(F.lit("a"), n_bytes).cast("binary")
+    )
+
+
+def audio_chunks(
+    df: DataFrame,
+    chunk_ms: int = 250,
+    sample_rate: int = 8000,
+    bytes_per_sample: int = 1,
+    id_col: str = "doc_id",
+    bin_col: str = "audio",
+) -> DataFrame:
+    """Split audio binaries into fixed-duration chunks — entirely JVM-side
+    (sequence + posexplode + binary substring), no Python in the plan: the
+    frame-segmentation pattern for feature extraction over long recordings.
+
+    Output: (id, chunk_idx, chunk, chunk_bytes, start_ms, end_ms); the last
+    chunk is short. One narrow pass: rows explode to ceil(len/chunk) chunks
+    with no shuffle, so the operator is linear and partition-local at any
+    scale."""
+    bps_ms = sample_rate * bytes_per_sample / 1000.0
+    sz = int(chunk_ms * bps_ms)
+    n = F.ceil(F.length(F.col(bin_col)) / F.lit(sz)).cast("int")
+    ms_per_byte = 1000.0 / (sample_rate * bytes_per_sample)
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(bin_col),
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx", "_i"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(F.col(bin_col), F.col("chunk_idx") * sz + 1, sz).alias("chunk"),
+        )
+        .withColumn("chunk_bytes", F.length("chunk"))
+        .withColumn("start_ms", (F.col("chunk_idx") * sz * ms_per_byte).cast("double"))
+        .withColumn(
+            "end_ms",
+            ((F.col("chunk_idx") * sz + F.col("chunk_bytes")) * ms_per_byte).cast(
+                "double"
+            ),
+        )
+    )
+    return out

@@ -561,3 +561,42 @@ def multimodal_feature_ann(spark, sf_dir):
     return brute_force_topk(feats, feats.filter(F.col("vec_id") < 3), k=5).select(
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
     )
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, (doc_id * 37) % 9000 + 1000 AS n_bytes FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             LEAST(2000, n_bytes - i * 2000) AS chunk_bytes
+      FROM docs
+      JOIN generate_series(0, 100) t(i)
+        ON i <= CAST(ceil(n_bytes / 2000.0) AS INT) - 1
+    )
+    SELECT doc_id, chunk_idx, chunk_bytes,
+           ROUND(chunk_idx * 2000 / 8.0, 6) AS start_ms,
+           ROUND((chunk_idx * 2000 + chunk_bytes) / 8.0, 6) AS end_ms
+    FROM chunks
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Fixed-duration audio segmentation (250 ms @ 8 kHz mono 8-bit):
+    sequence + posexplode + binary substring, all JVM-side, zero shuffle —
+    the frame-segmentation stage of an audio feature pipeline. The oracle
+    reproduces the chunk geometry (binary content is engine-internal)."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_chunks,
+    )
+
+    d = attach_fake_audio(load(spark, sf_dir, "documents").select("doc_id"))
+    return audio_chunks(d).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_bytes",
+        F.round("start_ms", 6).alias("start_ms"),
+        F.round("end_ms", 6).alias("end_ms"),
+    )

@@ -267,3 +267,21 @@ def test_connected_components_chain_and_clique(spark):
     rows = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
     lab = {r["doc_id"]: r["cluster_id"] for r in cluster_labels(rows, edges).collect()}
     assert lab[99] == 99 and lab[4] == 1 and lab[11] == 10
+
+
+def test_audio_chunks_cover_payload_exactly(spark):
+    """Chunks tile the payload: sum of chunk bytes == payload bytes, last
+    chunk short, timeline contiguous."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_chunks,
+    )
+
+    d = attach_fake_audio(spark.range(50).withColumnRenamed("id", "doc_id"))
+    ch = audio_chunks(d).collect()
+    total = {}
+    for r in ch:
+        total[r["doc_id"]] = total.get(r["doc_id"], 0) + r["chunk_bytes"]
+        assert r["end_ms"] > r["start_ms"]
+    exp = {r["doc_id"]: len(r["audio"]) for r in d.collect()}
+    assert total == exp
