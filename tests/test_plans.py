@@ -232,3 +232,13 @@ def test_lint_passes_core_queries(spark, sf_dir):
                  "join_broadcast_dims", "topk_orders"]:
         df = REGISTRY[name].fn(spark, sf_dir)
         assert lint_plan(df) == [], name
+
+
+def test_sort_within_partitions_adds_no_exchange(spark, sf_dir):
+    """Clustering files for min/max pruning uses a partition-local sort:
+    sortWithinPartitions must plan a Sort with global=false and no shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.sortWithinPartitions("l_shipdate")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in plan
+    assert "Sort [l_shipdate" in plan and "], false, 0" in plan
