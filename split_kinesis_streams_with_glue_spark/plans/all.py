@@ -1,4 +1,22 @@
-"""Registry assembly — importing this module registers every query family."""
+"""Registry assembly — importing this module registers every query family.
+
+Verification-order policy (explicit, per round-1 verdict): the driver
+hash-verifies the FIRST 50 registry entries per round, so ordering is part
+of the evidence plan, not an import accident. ``_VERIFY_PRIORITY`` lists, in
+order, the queries that most need a driver CORRECTNESS row THIS round:
+
+- round 1 verified registration slots 1-50 (pipeline + core SQL families);
+- round 2 therefore front-loads everything round 1 could not see — the whole
+  extension (dedup/similarity/text/sampling/multimodal) and event/streaming
+  surface plus the SQL tail — with oracle-backed queries before rows-only
+  ones, so any overflow past slot 50 costs only a weaker rows-only check;
+- ``pipeline_training_data_prep`` re-enters the window to prove the oracle
+  HUGEINT cast fix.
+
+Queries not named in the priority list (all driver-green in round 1) follow
+in family registration order. Future rounds rotate this list so every query
+is driver-verified across consecutive rounds.
+"""
 
 from __future__ import annotations
 
@@ -9,6 +27,80 @@ import split_kinesis_streams_with_glue_spark.plans.extension_queries  # noqa: F4
 import split_kinesis_streams_with_glue_spark.plans.event_queries  # noqa: F401
 
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
+
+_VERIFY_PRIORITY: list[str] = [
+    # --- SQL tail, oracle-backed (unseen by driver in round 1) ---
+    "pivot_status_by_priority",
+    "unpivot_lineitem_amounts",
+    "window_sliding_avg",
+    "percentiles_exact",
+    "map_from_entries_props",
+    "posexplode_tokens",
+    "join_salted_skew",
+    "udf_python_rowwise",
+    "pandas_udaf_weighted_avg",
+    "agg_listagg_ordered",
+    "join_null_safe",
+    "events_timeseries_gapfill",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_first_last",
+    "window_range_frame",
+    # --- extension surface (SURVEY §2.6), oracle-backed ---
+    "dedup_exact_doubled",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "sim_pairs_topk",
+    "dedup_embedding_pairs",
+    "dedup_embedding_cosine",
+    "sim_ann_brute_topk",
+    "text_token_counts",
+    "text_tfidf_topterms",
+    "sample_train_val_split",
+    "sample_stratified_lang",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprint",
+    "multimodal_decode_meta",
+    "text_winnow_chunks",
+    "multimodal_resize",
+    "multimodal_audio_chunks",
+    # --- event/streaming surface (SURVEY T6/T7), oracle-backed ---
+    "events_tumbling_counts",
+    "events_sessionize",
+    "events_sessionize_stateful",
+    "events_stream_dedup",
+    "join_asof_attribution",
+    "events_cohort_retention",
+    "events_stream_stream_join",
+    "events_funnel",
+    "events_continuous_rollup",
+    # --- round-1 hash-fail, oracle fixed this round ---
+    "pipeline_training_data_prep",
+    # --- rows-only (weakest check → absorb any window overflow) ---
+    "events_session_window",
+    "dedup_simhash",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "percentiles_approx",
+    "multimodal_frame_sample",
+    "multimodal_feature_ann",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _VERIFY_PRIORITY if n not in REGISTRY]
+    if missing:  # a typo here would silently drop driver coverage
+        raise RuntimeError(f"_VERIFY_PRIORITY names unknown queries: {missing}")
+    ordered: dict[str, QuerySpec] = {n: REGISTRY[n] for n in _VERIFY_PRIORITY}
+    for name, spec in REGISTRY.items():
+        ordered.setdefault(name, spec)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder()
 
 
 def all_queries() -> dict[str, QuerySpec]:

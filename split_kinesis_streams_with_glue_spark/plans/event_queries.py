@@ -43,8 +43,10 @@ _SESSIONIZE_SQL = """
       SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 900 THEN 1 ELSE 0 END AS new_s
       FROM x
     ), z AS (
-      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      -- CAST: DuckDB SUM(int) yields HUGEINT, whose hash differs from
+      -- Spark's bigint in the driver's type-sensitive compare
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM y
     )
     SELECT user_id, session_id,

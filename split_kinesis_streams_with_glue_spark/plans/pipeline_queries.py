@@ -326,7 +326,8 @@ def split_multi_table(spark, sf_dir):
       SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       FROM ws WHERE n_tokens >= 10 AND lang IN ('en', 'de', 'fr')
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_chars), 4) AS avg_chars
     FROM keep WHERE rn = 1
     GROUP BY lang
