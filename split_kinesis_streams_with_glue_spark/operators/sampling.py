@@ -26,8 +26,15 @@ def _hex_bucket(col: Column) -> Column:
 
 
 def _hex_threshold(frac: float) -> str:
-    """The 4-hex-digit string h such that P(bucket < h) == round(frac*65536)/65536."""
-    return format(max(0, min(65536, round(frac * 65536))), "04x")
+    """The threshold string h such that P(bucket < h) == round(frac*65536)/65536.
+
+    Boundary care: ``frac >= 1.0`` must admit EVERY bucket, but
+    ``format(65536, "04x")`` is the 5-char "10000", which compares lexically
+    BELOW any bucket not starting with '0' — silently dropping ~94% of rows.
+    "g" sorts after every hex digit, so ``bucket < "g"`` is a tautology (and
+    is equally expressible in the ANSI-SQL oracle)."""
+    n = max(0, min(65536, round(frac * 65536)))
+    return "g" if n >= 65536 else format(n, "04x")
 
 
 def hash_split(

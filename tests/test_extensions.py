@@ -237,6 +237,32 @@ def test_hash_split_is_deterministic_and_leak_proof(spark, sf_dir):
     assert a == b
 
 
+def test_hash_split_boundary_fractions(spark, sf_dir):
+    """train+val == 1.0 must leave test empty, and rate 1.0 must keep every
+    row: format(65536,'04x') is the 5-char '10000', which lexicographically
+    undershoots all buckets not starting '0' — the bug class this guards."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        _hex_threshold,
+        hash_split,
+        stratified_sample,
+    )
+
+    assert _hex_threshold(0.0) == "0000"
+    assert _hex_threshold(1.0) == "g"  # sorts after every hex bucket
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    s = hash_split(d, train=0.9, val=0.1)
+    fr = {r["split"]: r["n"] for r in
+          s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert fr.get("test", 0) == 0
+    assert 0.8 * n < fr["train"] < 0.97 * n  # val really gets ~10%, not ~0.6%
+
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    assert stratified_sample(d, {l: 1.0 for l in langs}).count() == n
+    assert stratified_sample(d, {langs[0]: 0.0}).count() == 0
+
+
 def test_stratified_sample_drops_unlisted_classes(spark, sf_dir):
     from split_kinesis_streams_with_glue_spark.operators.sampling import (
         stratified_sample,
