@@ -158,7 +158,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 2, num_hashes: int | None = None
+    signatures: DataFrame, num_hashes: int, rows_per_band: int = 2
 ) -> DataFrame:
     """Band the signature (r rows/band), bucket-join on (band, band-hash).
 
@@ -166,11 +166,11 @@ def lsh_candidate_pairs(
     probability < 1e-8. The self-join key is the band bucket — collision
     groups are tiny, so the join output stays near-linear.
 
-    Pass ``num_hashes`` when known — the fallback ``first()`` probe costs a
-    full evaluation of the signature aggregate just to read the array size.
+    ``num_hashes`` is required: deriving it with a ``first()`` probe on the
+    signature frame would re-execute the whole signature aggregate just to
+    read an array length.
     """
-    n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
-    bands = n // rows_per_band
+    bands = num_hashes // rows_per_band
     banded = signatures.select(
         "id",
         F.explode(

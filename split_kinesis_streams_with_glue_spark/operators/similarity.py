@@ -70,14 +70,18 @@ def choose_centroids(
 ) -> DataFrame:
     """Deterministic coarse centroids: the ``n`` corpus vectors with the
     smallest ids (a seeded-sample stand-in for k-means — at scale you'd run
-    ``pyspark.ml`` KMeans once and persist the codebook)."""
+    ``pyspark.ml`` KMeans once and persist the codebook).
+
+    Ids come from ``row_number`` over the explicit id ordering — stable
+    under any partitioning (``monotonically_increasing_id`` is only stable
+    when the limit collapses to one partition, an accident not a contract)."""
+    w = Window.orderBy(F.col(id_col))  # bounded: n_centroids rows post-limit
     return (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
-        )
+        .select(F.col(id_col), F.col(vec_col).alias("centroid_vec"))
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", "centroid_vec")
     )
 
 
@@ -145,64 +149,126 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _block_pair_groups(
+    corpus: DataFrame, n_blocks: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Replicate each vector into every block-pair group that needs it.
+
+    Exact all-pairs decomposition: hash each id into one of ``n_blocks``
+    blocks; the unordered pair (u, v) with blocks (i, j) is *owned* by
+    exactly the group (min(i,j), max(i,j)). A vector in block b therefore
+    joins the n_blocks groups {(min(b,j), max(b,j))}. Replication factor is
+    n_blocks; per-group row count is ~2N/n_blocks — the knob that bounds
+    executor memory independent of corpus size. Total pairwise work stays
+    the exact-minimum N²/2 dot products because each group multiplies only
+    its cross-block (or within-block triangular) matrices."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    groups = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(j)).alias("g1"),
+                F.greatest(F.col("_blk"), F.lit(j)).alias("g2"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+        .select(id_col, vec_col, "_blk", F.explode(groups).alias("_g"))
+        .select(id_col, vec_col, "_blk", F.col("_g.g1").alias("_g1"), F.col("_g.g2").alias("_g2"))
+    )
+
+
+def _make_group_pair_fn(id_col, vec_col, normalized, k=None, threshold=None):
+    """Build the per-group pandas function (local top-k when ``k`` is set,
+    threshold filter when ``threshold`` is set).
+
+    Everything the function touches is nested or a parameter — a
+    module-level helper would be cloudpickled BY REFERENCE and the Python
+    workers of a session that didn't add this repo to every executor's
+    ``sys.path`` (e.g. the external driver harness) would die with
+    ModuleNotFoundError importing it."""
+    import numpy as np
+    import pandas as pd
+
+    def group_pair_sims(pdf):
+        """numpy (d1s, d2s, sims) for the pairs OWNED by this group: cross
+        matmul between the two blocks, or strict upper triangle within one."""
+        g1, g2 = int(pdf["_g1"].iloc[0]), int(pdf["_g2"].iloc[0])
+
+        def side(rows):
+            ids = rows[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(rows[vec_col].tolist(), dtype=np.float64)
+            if not normalized and len(ids):
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        if g1 == g2:
+            ids, mat = side(pdf)
+            if len(ids) < 2:
+                return None
+            sims = mat @ mat.T
+            mask = ids[None, :] > ids[:, None]  # strict: d1 < d2 once
+            r, c = np.nonzero(mask)
+            return ids[r], ids[c], sims[r, c]
+        a_ids, a_mat = side(pdf[pdf["_blk"] == g1])
+        b_ids, b_mat = side(pdf[pdf["_blk"] == g2])
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return None
+        sims = a_mat @ b_mat.T  # only cross pairs — no duplicated work
+        r, c = np.nonzero(np.ones_like(sims, dtype=bool))
+        d1 = np.minimum(a_ids[r], b_ids[c])
+        d2 = np.maximum(a_ids[r], b_ids[c])
+        return d1, d2, sims[r, c]
+
+    empty = pd.DataFrame({"d1": [], "d2": [], "sim": []}).astype(
+        {"d1": "int64", "d2": "int64", "sim": "float64"}
+    )
+
+    def fn(pdf):
+        out = group_pair_sims(pdf)
+        if out is None:
+            return empty
+        d1, d2, sims = out
+        if threshold is not None:
+            keep = sims >= threshold
+            return pd.DataFrame({"d1": d1[keep], "d2": d2[keep], "sim": sims[keep]})
+        n_keep = min(k, len(sims))
+        if n_keep == 0:
+            return empty
+        top = np.argpartition(-sims, n_keep - 1)[:n_keep]
+        return pd.DataFrame({"d1": d1[top], "d2": d2[top], "sim": sims[top]})
+
+    return fn
+
+
 def cosine_pairs_topk(
     corpus: DataFrame,
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalized: bool = True,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Top-k most-similar distinct pairs (d1 < d2) in the corpus — the
-    embedding-cosine near-dup detector in top-k form.
+    embedding-cosine near-dup detector in top-k form. EXACT.
 
-    Executed as a blocked matrix multiply: the corpus matrix is broadcast
-    (same size contract as a broadcast join side), each ``mapInPandas``
-    Arrow batch computes its rows' similarities against the full matrix with
-    one numpy matmul and emits only its local top-k; a final window picks
-    the global top-k from #batches × k candidates — exact, since a global
-    top-k pair is top-k within its own batch. This is the one place Python
-    beats codegen: BLAS matmul vs 2M interpreted higher-order-function
-    folds (~10× at bench scale).
-
-    At 100 TB the corpus no longer broadcasts — run this per IVF/LSH bucket
-    (compose with ``assign_buckets``) so each bucket's matrix fits.
-    """
-    import numpy as np
-
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    if not normalized:
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
-
-    def local_topk(batches):
-        import pandas as pd
-
-        ids_all, m_all = bc.value
-        for pdf in batches:
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            b_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            if not normalized:
-                b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = b_mat @ m_all.T  # (batch, corpus)
-            mask = ids_all[None, :] > b_ids[:, None]  # d1 < d2 only
-            sims_masked = np.where(mask, sims, -np.inf)
-            flat = sims_masked.ravel()
-            n_keep = min(k, int(np.isfinite(flat).sum()))
-            if n_keep == 0:
-                yield pd.DataFrame({"d1": [], "d2": [], "sim": []}).astype(
-                    {"d1": "int64", "d2": "int64", "sim": "float64"}
-                )
-                continue
-            top = np.argpartition(-flat, n_keep - 1)[:n_keep]
-            r, c = np.unravel_index(top, sims_masked.shape)
-            yield pd.DataFrame(
-                {"d1": b_ids[r], "d2": ids_all[c], "sim": sims[r, c]}
-            )
-
-    candidates = corpus.select(id_col, vec_col).mapInPandas(
-        local_topk, "d1 bigint, d2 bigint, sim double"
+    Fully distributed block-pair matmul (no driver collect, no broadcast of
+    the corpus): vectors are hashed into ``n_blocks`` blocks, every
+    unordered block pair becomes one ``applyInPandas`` group whose task
+    multiplies just its two block matrices with BLAS and emits its local
+    top-k; a final window picks the global top-k from the bounded
+    #groups × k candidate set — exact, since a global top-k pair is top-k
+    within its owner group. numpy matmul here beats codegen HOF folds ~10×,
+    and per-task memory is (2N/n_blocks)·dim — size ``n_blocks`` ∝ √N to
+    hold task memory constant at any corpus size."""
+    candidates = (
+        _block_pair_groups(corpus, n_blocks, id_col, vec_col)
+        .groupBy("_g1", "_g2")
+        .applyInPandas(
+            _make_group_pair_fn(id_col, vec_col, normalized, k=k),
+            "d1 bigint, d2 bigint, sim double",
+        )
     )
     w = Window.orderBy(F.col("sim").desc(), F.col("d1"), F.col("d2"))
     return candidates.withColumn("rank", F.row_number().over(w)).filter(
@@ -216,45 +282,26 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalized: bool = True,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All distinct pairs (d1 < d2) with cosine >= threshold — the
-    embedding-cosine near-dup detector in threshold form.
+    embedding-cosine near-dup detector in threshold form. EXACT.
 
-    Same blocked-matmul shape as ``cosine_pairs_topk`` but each Arrow batch
-    emits *every* pair above the threshold instead of a local top-k, so no
-    final window is needed: the output is embarrassingly parallel and its
-    size is bounded by the true near-dup count, not a k knob.
-
-    At 100 TB the broadcast side no longer fits — compose with
-    ``assign_buckets`` / ``rp_lsh_signatures`` to run the exact
-    threshold check per bucket (near-dups above a high threshold collide in
-    some bucket with probability -> 1 as tables are OR-ed)."""
-    import numpy as np
-
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    if not normalized:
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
-
-    def above_threshold(batches):
-        import pandas as pd
-
-        ids_all, m_all = bc.value
-        for pdf in batches:
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            b_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            if not normalized:
-                b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = b_mat @ m_all.T
-            r, c = np.nonzero((sims >= threshold) & (ids_all[None, :] > b_ids[:, None]))
-            yield pd.DataFrame(
-                {"d1": b_ids[r], "d2": ids_all[c], "sim": sims[r, c]}
-            ).astype({"d1": "int64", "d2": "int64", "sim": "float64"})
-
-    return corpus.select(id_col, vec_col).mapInPandas(
-        above_threshold, "d1 bigint, d2 bigint, sim double"
+    Same distributed block-pair decomposition as ``cosine_pairs_topk`` (no
+    driver collect, no corpus broadcast); each group emits *every* owned
+    pair above the threshold, so no final window is needed: the output is
+    embarrassingly parallel and its size is bounded by the true near-dup
+    count, not a k knob. For billion-vector corpora where even N²/2 dot
+    products are too many, the approximate pre-filter is
+    ``rp_lsh_signatures`` → same-bucket candidates → this exact check on
+    the survivors."""
+    return (
+        _block_pair_groups(corpus, n_blocks, id_col, vec_col)
+        .groupBy("_g1", "_g2")
+        .applyInPandas(
+            _make_group_pair_fn(id_col, vec_col, normalized, threshold=threshold),
+            "d1 bigint, d2 bigint, sim double",
+        )
     )
 
 

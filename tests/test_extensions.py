@@ -193,6 +193,41 @@ def test_embedding_dedup_pairs_symmetric_with_survivors(spark, sf_dir):
     assert {(p["d1"], p["d2"]) for p in pairs} == want
 
 
+def test_block_pair_decomposition_is_exact(spark, sf_dir):
+    """The distributed block-pair path must emit each qualifying pair exactly
+    once for ANY n_blocks — including more blocks than rows (empty blocks)
+    and a single block (pure triangular) — and the top-k variant must agree
+    with the broadcast-free brute set."""
+    import numpy as np
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        cosine_pairs_topk,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    t = 0.3
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(*iu) if sims[i, j] >= t}
+
+    for nb in (1, 3, 8, 100):
+        got = embedding_near_dup_pairs(emb, t, n_blocks=nb).collect()
+        assert len(got) == len(want), f"n_blocks={nb}: duplicate/missing pairs"
+        assert {(p["d1"], p["d2"]) for p in got} == want, f"n_blocks={nb}"
+
+    flat = [(float(sims[i, j]), int(ids[i]), int(ids[j])) for i, j in zip(*iu)]
+    top5 = sorted(flat, key=lambda x: (-x[0], x[1], x[2]))[:5]
+    got5 = [
+        (r["d1"], r["d2"])
+        for r in cosine_pairs_topk(emb, k=5, n_blocks=3).orderBy("rank").collect()
+    ]
+    assert got5 == [(d1, d2) for _, d1, d2 in top5]
+
+
 def test_tfidf_rare_terms_outrank_common(spark, sf_dir):
     """A term appearing in fewer documents must carry a higher idf: verify
     tfidf ordering against an independently computed score for one doc."""
