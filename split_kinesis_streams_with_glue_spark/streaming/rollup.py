@@ -24,10 +24,14 @@ batches.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.streaming.markers import (
+    read_marker,
+    write_marker,
+)
 
 
 def make_merger(
@@ -40,16 +44,13 @@ def make_merger(
     ``continuous_rollup`` (exposed for direct testing of replay behavior)."""
     bucket = bucket_expr if bucket_expr is not None else F.to_date("ts")
     keys = keys or ["event_type"]
-    epoch_marker = os.path.join(path, "_last_epoch")
+    epoch_marker = f"{path}/_last_epoch"
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        try:
-            with open(epoch_marker) as fh:
-                if epoch_id <= int(fh.read().strip()):
-                    return  # replayed epoch — already applied
-        except FileNotFoundError:
-            pass
         spark = batch.sparkSession
+        last = read_marker(spark, epoch_marker)
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch — already applied
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         delta = batch.groupBy(bucket.alias("bucket"), *keys).agg(
             F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("total")
@@ -65,11 +66,15 @@ def make_merger(
                 .groupBy("bucket", *keys)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
             )
-        except Exception:
+        except AnalysisException:
+            # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA: genuinely the first
+            # batch. Anything else (transient IO, corrupt file) must FAIL
+            # the batch so the stream retries — falling back to delta-only
+            # here would dynamic-overwrite touched buckets with the delta
+            # alone, silently discarding their accumulated history.
             merged = delta
         merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-        with open(epoch_marker, "w") as fh:
-            fh.write(str(epoch_id))
+        write_marker(spark, epoch_marker, epoch_id)
 
     return merge
 

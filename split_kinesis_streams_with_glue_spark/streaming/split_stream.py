@@ -9,12 +9,18 @@ Design (SURVEY.md §3.2 engine equivalents):
 - **foreachBatch fan-out**: one pass per micro-batch; within the batch the
   envelope frame is persisted once and every table's filter+flatten+append
   runs against it, plus the DLQ append — the multi-sink idiom Structured
-  Streaming supports with exactly-once *per sink directory* via the
-  checkpointed batch id.
-- **Idempotence**: file sinks are append-only; the streaming engine
-  guarantees a batch is re-run only after failure before commit, and file
-  commits are atomic per batch — restart with the same checkpoint never
-  duplicates completed batches (verified by the restart test).
+  Streaming supports.
+- **Idempotence**: foreachBatch is at-least-once — after a crash the same
+  batch id is re-delivered, and manual appends carry none of the built-in
+  file sink's commit-log protection. Each output directory therefore keeps
+  a ``_last_batch`` marker (``streaming.markers``, Hadoop-FS-backed so it
+  works on HDFS/S3A too) written after its append; a replayed batch skips
+  every output whose marker already covers it. The remaining exposure is a
+  crash between ONE output's append and its marker write — that single
+  table can duplicate one batch on replay. Closing that last window needs
+  an ACID table format (Iceberg/Delta) or batch-keyed subdirectories;
+  append-only parquet cannot do better (verified by the restart and replay
+  tests).
 - **Triggers**: ``availableNow`` drains the backlog then stops (test mode);
   ``processingTime`` mirrors Firehose's 600 s buffering (reference
   README.md:78-81).
@@ -37,6 +43,68 @@ from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
     corrupt_records,
     read_envelope_stream,
 )
+from split_kinesis_streams_with_glue_spark.streaming.markers import (
+    read_marker,
+    write_marker,
+)
+
+
+def make_batch_processor(
+    out_dir: str,
+    tables: list[str],
+    schema_name: str = SCHEMA_NAME,
+    dlq_dir: str | None = None,
+    keep_timestamp: bool = True,
+    partition_by_ingest_date: bool = False,
+):
+    """The (batch_df, batch_id) -> None fan-out used by
+    ``start_split_stream`` — exposed so replay idempotence is directly
+    testable without driving a full stream restart."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            for t in tables:
+                table_dir = f"{out_dir}/{schema_name}/{t}"
+                marker = f"{table_dir}/_last_batch"
+                last = read_marker(spark, marker)
+                if last is not None and batch_id <= last:
+                    continue  # replayed batch: this output already has it
+                split = split_one(
+                    batch_df,
+                    t,
+                    schema_name,
+                    # date layout needs the event timestamp
+                    keep_timestamp=keep_timestamp or partition_by_ingest_date,
+                    prune=False,  # streaming: schema fixed by contract,
+                    # not re-derived per batch (prune scans the batch)
+                )
+                writer = split.write.mode("append")
+                if partition_by_ingest_date:
+                    # the Firehose !{timestamp:yyyy-MM-dd} prefix layout
+                    # (reference README.md:76) as Hive partitioning —
+                    # enables partition pruning on date-ranged queries
+                    split = split.withColumn(
+                        "ingest_date", F.to_date(F.to_timestamp("timestamp"))
+                    )
+                    if not keep_timestamp:
+                        split = split.drop("timestamp")
+                    writer = split.write.mode("append").partitionBy("ingest_date")
+                writer.parquet(table_dir)
+                write_marker(spark, marker, batch_id)
+            if dlq_dir is not None:
+                marker = f"{dlq_dir}/_last_batch"
+                last = read_marker(spark, marker)
+                if last is None or batch_id > last:
+                    corrupt_records(batch_df).withColumn(
+                        "batch_id", F.lit(batch_id)
+                    ).write.mode("append").json(dlq_dir)
+                    write_marker(spark, marker, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return process_batch
 
 
 def start_split_stream(
@@ -63,39 +131,14 @@ def start_split_stream(
     env = read_envelope_stream(
         spark, source_dir, schema, max_files_per_trigger=max_files_per_trigger
     )
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            for t in tables:
-                split = split_one(
-                    batch_df,
-                    t,
-                    schema_name,
-                    # date layout needs the event timestamp
-                    keep_timestamp=keep_timestamp or partition_by_ingest_date,
-                    prune=False,  # streaming: schema fixed by contract,
-                    # not re-derived per batch (prune scans the batch)
-                )
-                writer = split.write.mode("append")
-                if partition_by_ingest_date:
-                    # the Firehose !{timestamp:yyyy-MM-dd} prefix layout
-                    # (reference README.md:76) as Hive partitioning —
-                    # enables partition pruning on date-ranged queries
-                    split = split.withColumn(
-                        "ingest_date", F.to_date(F.to_timestamp("timestamp"))
-                    )
-                    if not keep_timestamp:
-                        split = split.drop("timestamp")
-                    writer = split.write.mode("append").partitionBy("ingest_date")
-                writer.parquet(f"{out_dir}/{schema_name}/{t}")
-            if dlq_dir is not None:
-                corrupt_records(batch_df).withColumn(
-                    "batch_id", F.lit(batch_id)
-                ).write.mode("append").json(dlq_dir)
-        finally:
-            batch_df.unpersist()
-
+    process_batch = make_batch_processor(
+        out_dir,
+        tables,
+        schema_name=schema_name,
+        dlq_dir=dlq_dir,
+        keep_timestamp=keep_timestamp,
+        partition_by_ingest_date=partition_by_ingest_date,
+    )
     writer = (
         env.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -81,6 +81,31 @@ def test_stream_restart_is_idempotent(spark, sf_dir, stream_dirs):
     assert n3 == n1 + 5
 
 
+def test_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: delivering the SAME batch id twice
+    (crash-before-checkpoint-commit replay) must not duplicate rows in any
+    table output or the DLQ, while a NEW batch id must append."""
+    from split_kinesis_streams_with_glue_spark.envelope import generate_cdc_envelopes
+    from split_kinesis_streams_with_glue_spark.sources.memory import json_roundtrip
+    from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
+        make_batch_processor,
+    )
+
+    batch = json_roundtrip(
+        generate_cdc_envelopes(spark, sf_dir, "nation", "n_nationkey", "n_regionkey")
+    )
+    out = str(tmp_path / "replay_out")
+    dlq = str(tmp_path / "replay_dlq")
+    process = make_batch_processor(out, ["nation"], dlq_dir=dlq, keep_timestamp=False)
+
+    process(batch, 0)
+    n1 = spark.read.parquet(f"{out}/dms_sample/nation").count()
+    process(batch, 0)  # replay: same id again
+    assert spark.read.parquet(f"{out}/dms_sample/nation").count() == n1
+    process(batch, 1)  # genuinely new batch appends
+    assert spark.read.parquet(f"{out}/dms_sample/nation").count() == 2 * n1
+
+
 def test_stream_dedup_with_watermark(spark, sf_dir, tmp_path):
     """Watermarked dropDuplicates on a real stream: duplicated keys across
     micro-batches within the horizon collapse to one."""
