@@ -78,6 +78,9 @@ _VERIFY_PRIORITY: list[str] = [
     "events_continuous_rollup",
     # --- round-1 hash-fail, oracle fixed this round ---
     "pipeline_training_data_prep",
+    # --- new this round ---
+    "choice_make_struct",
+    "agg_approx_distinct_error",
     # --- rows-only (weakest check → absorb any window overflow) ---
     "events_session_window",
     "dedup_simhash",

@@ -176,6 +176,49 @@ def choice_resolution_totalprice(spark, sf_dir):
 
 
 @query(
+    "choice_make_struct",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(FLOOR(o_totalprice) AS BIGINT) END AS price_int,
+           CASE WHEN o_orderkey % 3 <> 0
+                THEN o_totalprice END AS price_double
+    FROM orders
+    """,
+)
+def choice_make_struct(spark, sf_dir):
+    """Glue ``resolveChoice`` ``make_struct`` policy (image/image2.png): the
+    conflicted field — serialized as JSON integer on some records, double on
+    others — becomes a struct with exactly one non-null branch per record,
+    preserving which serialized form each record had (the lossless
+    resolution ``widen`` destroys). The field is parsed as STRING so the raw
+    form survives the wire; output flattens the branches for the oracle."""
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+    from split_kinesis_streams_with_glue_spark.schema.choices import resolve_choices
+    from split_kinesis_streams_with_glue_spark.sources.memory import parse_envelope_lines
+
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    as_int = src.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.floor("o_totalprice").cast("long")
+    )
+    as_dbl = src.filter(F.col("o_orderkey") % 3 != 0)
+    lines = to_json_lines(wrap(as_int, "orders")).unionByName(
+        to_json_lines(wrap(as_dbl, "orders"))
+    )
+    raw_schema = wrap(
+        src.withColumn("o_totalprice", F.col("o_totalprice").cast("string")), "orders"
+    ).schema
+    env = parse_envelope_lines(lines, raw_schema)
+    flat = split_one(env, "orders", keep_timestamp=False)
+    resolved = resolve_choices(flat, {"o_totalprice": "make_struct"})
+    return resolved.select(
+        "o_orderkey",
+        F.col("o_totalprice.int").alias("price_int"),
+        F.col("o_totalprice.double").alias("price_double"),
+    )
+
+
+@query(
     "catalog_sql_over_split",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal

@@ -105,6 +105,33 @@ def agg_approx_count_distinct(spark, sf_dir):
 
 
 @query(
+    "agg_approx_distinct_error",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM lineitem
+    """,
+)
+def agg_approx_distinct_error(spark, sf_dir):
+    """Checkable contract for the HLL sketch: the sketch itself is
+    approximate by construction (rows-only check), but its error bound IS
+    oracle-able — assert |approx - exact| / exact <= 5% (the sketch runs at
+    rsd 0.01, so 5% is a comfortable margin, not a tautology)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.01)
+                - F.countDistinct("l_orderkey")
+            )
+            / F.countDistinct("l_orderkey")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -136,3 +136,45 @@ def test_split_tables_wildcard(spark, envelope_fixture_dir):
     assert set(frames) == set(DEFAULT_FIXTURE_TABLES)
     for t, df in frames.items():
         assert df.count() > 0
+
+
+def test_make_struct_and_project_choice_policies(spark):
+    """make_struct: exactly one non-null branch per record, decided by the
+    serialized form ('7' vs '7.5' vs '7.0'); project keeps one branch and
+    nulls the rest; unparseable text nulls both branches."""
+    from split_kinesis_streams_with_glue_spark.schema.choices import resolve_choices
+
+    df = spark.createDataFrame(
+        [("7",), ("-3",), ("7.5",), ("7.0",), ("2e3",), ("junk",), (None,)],
+        "price string",
+    )
+    got = {
+        r["orig"]: (r["s"]["int"], r["s"]["double"])
+        for r in df.withColumn("orig", F.col("price"))
+        .transform(lambda d: resolve_choices(d, {"price": "make_struct"}))
+        .withColumnRenamed("price", "s")
+        .collect()
+    }
+    assert got["7"] == (7, None)
+    assert got["-3"] == (-3, None)
+    assert got["7.5"] == (None, 7.5)
+    assert got["7.0"] == (None, 7.0)  # serialized form decides, not value
+    assert got["2e3"] == (None, 2000.0)
+    assert got["junk"] == (None, None)
+    assert got[None] == (None, None)
+
+    proj = {
+        r["orig"]: r["price"]
+        for r in df.withColumn("orig", F.col("price"))
+        .transform(lambda d: resolve_choices(d, {"price": "project:long"}))
+        .collect()
+    }
+    assert proj["7"] == 7 and proj["7.5"] is None and proj["junk"] is None
+
+    projd = {
+        r["orig"]: r["price"]
+        for r in df.withColumn("orig", F.col("price"))
+        .transform(lambda d: resolve_choices(d, {"price": "project:double"}))
+        .collect()
+    }
+    assert projd["7.5"] == 7.5 and projd["7"] is None
