@@ -48,6 +48,48 @@ def exact_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    delim: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the Dolma/CCNet-style
+    pass that strips boilerplate repeated ACROSS documents (headers,
+    navigation, license blocks) while keeping each document's unique prose.
+
+    Shape: split on ``delim`` → posexplode (paragraph grain) → one shuffle
+    on the paragraph fingerprint keeping the globally-first occurrence
+    (min (doc, position)) → reassemble in original order with an ordered
+    collect per document. Documents whose every paragraph was seen earlier
+    come back EMPTY rather than vanishing — the caller decides whether to
+    drop or count them. Linear in corpus size; the only wide ops are the
+    fingerprint window and the per-document regroup."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias(
+            "__pidx", "__para"
+        ),
+    )
+    w = Window.partitionBy(fingerprint(F.col("__para"))).orderBy(
+        F.col(id_col), F.col("__pidx")
+    )
+    kept = paras.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pidx"), F.col("__para")))
+                ),
+                lambda x: x["__para"],
+            ),
+            delim,
+        ).alias(text_col)
+    )
+    # left join back: docs fully deduplicated away reappear with empty text
+    return df.drop(text_col).join(rebuilt, id_col, "left").fillna({text_col: ""})
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

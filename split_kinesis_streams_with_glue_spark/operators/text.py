@@ -78,6 +78,49 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", fingerprint(F.col(text_col)))
 
 
+#: PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+#: (DuckDB oracle): no backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()./ -]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed tokens —
+    the scrub pass a training corpus gets before anything is retained.
+    Chained ``regexp_replace`` Column expressions: JVM-side, codegen'd,
+    linear, pushdown-transparent. Order matters (emails first: their local
+    part may contain digits a later pattern would mangle)."""
+    out = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(text_col, out)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` documents per group (source/domain/language) — the
+    per-domain cap that stops over-represented sources from dominating a
+    training mix. Selection priority is the content hash (stable across
+    runs and engines, uncorrelated with ingest order), tie-broken by id.
+    One shuffle on the group key; bounded window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(text_col)), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

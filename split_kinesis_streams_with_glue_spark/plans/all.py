@@ -81,8 +81,13 @@ _VERIFY_PRIORITY: list[str] = [
     # --- new this round ---
     "choice_make_struct",
     "agg_approx_distinct_error",
+    "sim_ann_recall_contract",
+    "percentiles_approx_contract",
+    "events_session_window",  # oracle-backed as of round 2
+    "sample_cap_per_source",
+    "text_redact_pii",
+    "dedup_paragraphs",
     # --- rows-only (weakest check → absorb any window overflow) ---
-    "events_session_window",
     "dedup_simhash",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",

@@ -88,11 +88,35 @@ def events_sessionize(spark, sf_dir):
     )
 
 
-@query("events_session_window", oracle=None)
+@query(
+    "events_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), y AS (
+      -- session_window's interval is [start, last+gap) EXCLUSIVE: an event
+      -- at exactly last+gap opens a NEW session, hence >= not >
+      SELECT *, CASE WHEN prev_ts IS NULL
+                      OR EPOCH(ts) - EPOCH(prev_ts) >= 900 THEN 1 ELSE 0 END AS new_s
+      FROM x
+    ), z AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM y
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM z GROUP BY user_id, sid
+    """,
+)
 def events_session_window(spark, sf_dir):
-    """Native ``session_window`` operator (merge-on-gap semantics differ
-    subtly from the gaps-and-islands formulation at exact-gap boundaries,
-    so rows-only here; the oracle-checked twin is events_sessionize)."""
+    """Native ``session_window`` operator, oracle-checked: the merge-on-gap
+    semantics ARE expressible as gaps-and-islands once the boundary rule is
+    stated precisely — a session's interval is [first, last+gap) exclusive,
+    so an event landing exactly ``gap`` after its predecessor starts a new
+    session (``>=`` in the oracle, vs ``>`` in the second-truncated
+    events_sessionize formulation)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(

@@ -277,6 +277,36 @@ def sim_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ann_recall_contract",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           TRUE AS ivf_recall_ok, TRUE AS lsh_recall_ok
+    """,
+)
+def sim_ann_recall_contract(spark, sf_dir):
+    """Driver-checkable contract for the approximate ANN family: recall@10
+    vs the exact brute-force baseline must clear a floor (IVF >= 0.6,
+    LSH >= 0.5 — measured 0.88-1.0 and 0.74-0.9 across sf0.001/0.01/0.1,
+    so the floors test the bucketing logic, not fixture luck). The sketch
+    outputs themselves stay rows-only; this query makes their QUALITY an
+    oracle-checkable fact instead of a unit-test-only claim."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import rp_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    ivf = ivf_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    lsh = rp_lsh_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    n_brute = brute.count()
+    ivf_hits = brute.intersect(ivf).count()
+    lsh_hits = brute.intersect(lsh).count()
+    return spark.createDataFrame(
+        [(queries.count(), ivf_hits / n_brute >= 0.6, lsh_hits / n_brute >= 0.5)],
+        "n_queries bigint, ivf_recall_ok boolean, lsh_recall_ok boolean",
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @query(
@@ -368,6 +398,119 @@ def sample_stratified_lang(spark, sf_dir):
         load(spark, sf_dir, "documents"), {"en": 0.25, "zh": 0.75}
     )
     return d.select("doc_id", "lang")
+
+
+@query(
+    "sample_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY md5(text), doc_id) <= 10
+    """,
+)
+def sample_cap_per_source(spark, sf_dir):
+    """Per-source document cap (<= 10 per source): stops over-represented
+    domains from dominating the training mix. Content-hash selection order
+    — stable across runs, engines, and ingest order; one shuffle on the
+    group key, bounded window."""
+    from split_kinesis_streams_with_glue_spark.operators.text import cap_per_group
+
+    d = cap_per_group(load(spark, sf_dir, "documents"), "source", 10)
+    return d.select("doc_id", "source")
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com node 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.' || CAST(doc_id % 250 AS VARCHAR)
+                      || ' call +1 555-0199 end',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d()./ -]{6,}\d', '<PHONE>', 'g') AS text
+    FROM documents
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails / IPv4s / phone runs → typed tokens) — the
+    redaction pass before a corpus is retained. The fixture corpus carries
+    no PII, so each document gets a deterministic synthetic contact line
+    appended first; the oracle applies the identical patterns (chosen to
+    parse identically under Java regex and RE2). Chained regexp_replace:
+    JVM-side, codegen, linear."""
+    from split_kinesis_streams_with_glue_spark.operators.text import redact_pii
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com node 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 555-0199 end"),
+        ).alias("text"),
+    )
+    return redact_pii(d)
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=r"""
+    WITH composed AS (
+      SELECT doc_id // 4 AS gid,
+             'subscribe to our newsletter for updates' || e'\n\n'
+               || STRING_AGG(text, e'\n\n' ORDER BY doc_id) AS text
+      FROM documents GROUP BY 1
+    ), parts AS (
+      SELECT gid, string_split(text, e'\n\n') AS ps FROM composed
+    ), paras AS (
+      SELECT gid, CAST(i - 1 AS BIGINT) AS pidx, ps[i] AS para
+      FROM parts, LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) t
+    ), kept AS (
+      SELECT * FROM paras
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g'))
+        ORDER BY gid, pidx) = 1
+    )
+    SELECT c.gid, COALESCE(k.text, '') AS text
+    FROM composed c LEFT JOIN (
+      SELECT gid, STRING_AGG(para, e'\n\n' ORDER BY pidx) AS text
+      FROM kept GROUP BY gid
+    ) k USING (gid)
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (boilerplate stripping): documents are
+    composed of 4 fixture texts plus a newsletter-subscribe header shared by
+    EVERY document; the dedup keeps the globally-first occurrence of each
+    paragraph, so the boilerplate survives in exactly one document and each
+    document keeps its unique prose in original order."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import paragraph_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    composed = docs.groupBy(
+        (F.col("doc_id") / 4).cast("long").alias("gid")
+    ).agg(
+        F.concat(
+            F.lit("subscribe to our newsletter for updates\n\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n\n",
+            ),
+        ).alias("text")
+    )
+    return paragraph_dedup(composed, "\n\n", text_col="text", id_col="gid")
 
 
 @query(

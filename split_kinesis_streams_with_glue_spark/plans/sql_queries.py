@@ -943,13 +943,45 @@ def percentiles_approx(spark, sf_dir):
     """approx_percentile — the scale path: a mergeable KLL-style sketch,
     single pass, bounded memory; rank error <= 1/accuracy. Rows-only check
     (sketch output is engine-specific by design; the exact twin above is
-    oracle-checked)."""
+    oracle-checked, and percentiles_approx_contract bounds this one's rank
+    error in oracle-checkable form)."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
             F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        )
+    )
+
+
+@query(
+    "percentiles_approx_contract",
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_in_band, TRUE AS p95_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_approx_contract(spark, sf_dir):
+    """Checkable contract for the percentile sketch: at accuracy 10000 the
+    rank error is <= 0.01%, so the approximate p50/p95 must land between
+    the EXACT quantiles one whole percentile either side — a generous band
+    that still catches a broken sketch, merge bug, or accuracy regression."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+            F.percentile("l_extendedprice", 0.49).alias("e49"),
+            F.percentile("l_extendedprice", 0.51).alias("e51"),
+            F.percentile("l_extendedprice", 0.94).alias("e94"),
+            F.percentile("l_extendedprice", 0.96).alias("e96"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("a50").between(F.col("e49"), F.col("e51")).alias("p50_in_band"),
+            F.col("a95").between(F.col("e94"), F.col("e96")).alias("p95_in_band"),
         )
     )
 

@@ -346,3 +346,25 @@ def test_audio_chunks_cover_payload_exactly(spark):
         assert r["end_ms"] > r["start_ms"]
     exp = {r["doc_id"]: len(r["audio"]) for r in d.collect()}
     assert total == exp
+
+
+def test_paragraph_dedup_keeps_first_occurrence_in_order(spark):
+    """The shared paragraph survives only in the earliest (doc, position);
+    unique paragraphs keep their original order; a fully-duplicated doc
+    comes back empty rather than vanishing."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "BOILER\n\nalpha one\n\nbeta two"),
+            (2, "BOILER\n\ngamma three"),
+            (3, "BOILER"),
+            (4, "delta four\n\nBOILER\n\nepsilon five"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert got[1] == "BOILER\n\nalpha one\n\nbeta two"
+    assert got[2] == "gamma three"
+    assert got[3] == ""
+    assert got[4] == "delta four\n\nepsilon five"
