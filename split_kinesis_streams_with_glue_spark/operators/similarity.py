@@ -85,6 +85,53 @@ def choose_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for the IVF codebook (replaces the min-id
+    seeding stand-in as the quality path; ``choose_centroids`` remains the
+    deterministic init).
+
+    Per iteration: nearest-centroid assignment (broadcast join + per-vector
+    argmax — the same plan IVF probing uses) then the new centroid as the
+    element-wise mean via ``posexplode`` → (bucket, pos) average → ordered
+    array rebuild — all JVM-side aggregation, no Python, no driver-side
+    data. Spherical variant: means are re-normalized so cosine == dot keeps
+    holding. Buckets that lose every member drop out (k may shrink);
+    centroid ids are re-numbered 0..k-1 by bucket for stability. Cost per
+    iteration is one corpus×k broadcast scan plus a corpus×dim shuffle of
+    3-column rows — run once offline at scale, then persist the codebook."""
+    cents = choose_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = assign_buckets(corpus, cents, id_col, vec_col, normalized)
+        means = (
+            assigned.select("bucket", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("raw")
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate("raw", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        cents = means.select(
+            F.col("bucket").alias("centroid_id"),
+            F.transform("raw", lambda x: x / norm).alias("centroid_vec"),
+        )
+    w = Window.orderBy("centroid_id")  # bounded: k rows
+    return cents.withColumn("centroid_id", F.row_number().over(w) - 1)
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -117,11 +164,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalized: bool = True,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` buckets nearest each
     query. Recall is tunable via nprobe; exactness is traded for touching
-    nprobe/n_centroids of the corpus."""
-    cents = choose_centroids(corpus, n_centroids, id_col, vec_col)
+    nprobe/n_centroids of the corpus. ``kmeans_iters > 0`` refines the
+    deterministic seed codebook with that many Lloyd iterations (better
+    recall at the same nprobe; at scale you train the codebook once and
+    persist it rather than re-deriving it per query)."""
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(
+            corpus, n_centroids, kmeans_iters, id_col, vec_col, normalized
+        )
+    else:
+        cents = choose_centroids(corpus, n_centroids, id_col, vec_col)
     bucketed = assign_buckets(corpus, cents, id_col, vec_col, normalized)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))

@@ -368,3 +368,49 @@ def test_paragraph_dedup_keeps_first_occurrence_in_order(spark):
     assert got[2] == "gamma three"
     assert got[3] == ""
     assert got[4] == "delta four\n\nepsilon five"
+
+
+def test_kmeans_centroids_recover_planted_clusters(spark):
+    """Two well-separated planted clusters: Lloyd iterations must move the
+    (deliberately bad: both seeds in cluster A) initial centroids onto the
+    true cluster directions; output is unit-norm with ids renumbered 0..k-1."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_centroids,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = []
+    for i in range(40):  # ids 0..39: cluster A (seeds land here)
+        rows.append((i, unit([1.0, 0.02 * (i % 5), 0.01, 0.0])))
+    for i in range(40, 80):
+        rows.append((i, unit([0.02 * (i % 5), 1.0, 0.0, 0.01])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, 2, n_iters=4).collect()
+    assert [r["centroid_id"] for r in sorted(cents, key=lambda r: r["centroid_id"])] == [0, 1]
+    for r in cents:
+        assert abs(sum(x * x for x in r["centroid_vec"]) - 1.0) < 1e-9
+    # each true cluster direction is captured by some centroid
+    for target in (a, b):
+        best = max(
+            sum(x * y for x, y in zip(r["centroid_vec"], target)) for r in cents
+        )
+        assert best > 0.98, f"no centroid near {target}: {best}"
+    # and the induced assignment separates the clusters perfectly
+    cdf = spark.createDataFrame(
+        [(r["centroid_id"], r["centroid_vec"]) for r in cents],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    assigned = assign_buckets(emb, cdf).collect()
+    buckets = {r["vec_id"]: r["bucket"] for r in assigned}
+    assert len({buckets[i] for i in range(40)}) == 1
+    assert len({buckets[i] for i in range(40, 80)}) == 1
+    assert buckets[0] != buckets[79]
