@@ -242,3 +242,56 @@ def test_sort_within_partitions_adds_no_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "Exchange" not in plan
     assert "Sort [l_shipdate" in plan and "], false, 0" in plan
+
+
+#: Every lint finding a registry query is ALLOWED to carry, with the reason.
+#: Anything not listed here failing lint is a scale regression. One-way
+#: subset check: an allowance that stops firing is fine (plan improved).
+_LINT_ALLOWANCES: dict[str, set[str]] = {
+    # deliberate surface-completion query; the anti-pattern IS its subject
+    "udf_python_rowwise": {"python-row-udf"},
+    # deliberate 5x5 cross join of two tiny dims
+    "join_cross_small": {"cartesian-product"},
+    # salt replication: crossJoin of a broadcast `salt`-row spine is the
+    # mechanism; join key is a computed CASE so no scan pushdown exists
+    "join_salted_skew": {"cartesian-product", "unpushed-scan-filter"},
+    # crossJoin(broadcast(<1-row corpus-size agg>)) — bounded by design
+    "text_tfidf_topterms": {"cartesian-product"},
+    # crossJoin(broadcast(<k centroid rows>)) — bounded by design
+    "sim_ann_ivf_topk": {"cartesian-product"},
+    "sim_ann_recall_contract": {"cartesian-product"},
+    # content-hash (md5) filters are functions of a column — semantically
+    # un-pushable; the scan itself is still column-pruned
+    "sample_stratified_lang": {"unpushed-scan-filter"},
+    "multimodal_frame_sample": {"unpushed-scan-filter"},
+    "multimodal_feature_ann": {"unpushed-scan-filter"},
+    # envelope queries filter on fields parsed out of the JSON wire value —
+    # nothing exists at the scan to push into
+    "split_roundtrip_customer": {"unpushed-scan-filter"},
+    "split_flatten_orders_ts": {"unpushed-scan-filter"},
+    "cdc_compact_customer": {"unpushed-scan-filter"},
+    "split_stats_customer": {"unpushed-scan-filter"},
+    "cdc_scd2_customer": {"unpushed-scan-filter"},
+    "split_multi_table": {"unpushed-scan-filter"},
+    "choice_make_struct": {"unpushed-scan-filter"},
+    # filter applies to generator/set-op output, not a scan column
+    "set_except_all": {"unpushed-scan-filter"},
+    "explode_words": {"unpushed-scan-filter"},
+    "subquery_scalar": {"unpushed-scan-filter"},
+}
+
+
+def test_every_registry_plan_passes_lint(spark, sf_dir):
+    """Registry-wide scale gate: every query's physical plan must be free of
+    the linter's anti-patterns except its explicitly-justified allowances.
+    This is what keeps 'works at sf0.01' aligned with 'works at 100 TB'."""
+    from split_kinesis_streams_with_glue_spark.plans.lint import lint_plan
+
+    bad: list[str] = []
+    for name, spec in sorted(REGISTRY.items()):
+        findings = lint_plan(spec.fn(spark, sf_dir))
+        cats = {f.split(":", 1)[0] for f in findings}
+        extra = cats - _LINT_ALLOWANCES.get(name, set())
+        if extra:
+            bad.append(f"{name}: {sorted(extra)}")
+    assert not bad, "unexpected lint findings:\n" + "\n".join(bad)
