@@ -78,6 +78,54 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", fingerprint(F.col(text_col)))
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics: type-token ratio (distinct/total
+    tokens) and the fraction of bigram slots occupied by the single most
+    frequent bigram — the cheap detectors for boilerplate loops, keyword
+    stuffing, and degenerate generations.
+
+    Shape: token array stays an in-row expression; bigrams explode once,
+    aggregate per (doc, bigram) with map-side combine, and a bounded
+    per-doc max picks the winner. One shuffle on doc_id; linear."""
+    from pyspark.sql import Window
+
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "type_token_ratio",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.concat_ws(" ", F.col("__toks")[i], F.col("__toks")[i + 1]),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "n_tokens", "type_token_ratio", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("doc_id", "n_tokens", "type_token_ratio")
+        .agg(F.max("c").alias("__mc"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "type_token_ratio",
+            F.round(
+                F.col("__mc") / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 #: PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
 #: (DuckDB oracle): no backreferences, no lookaround.
 PII_PATTERNS: list[tuple[str, str]] = [

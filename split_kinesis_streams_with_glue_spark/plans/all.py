@@ -87,6 +87,7 @@ _VERIFY_PRIORITY: list[str] = [
     "sample_cap_per_source",
     "text_redact_pii",
     "dedup_paragraphs",
+    "text_repetition_scores",
     # --- rows-only (weakest check → absorb any window overflow) ---
     "dedup_simhash",
     "sim_ann_ivf_topk",

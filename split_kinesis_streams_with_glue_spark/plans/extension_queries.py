@@ -401,6 +401,40 @@ def sample_stratified_lang(spark, sf_dir):
 
 
 @query(
+    "text_repetition_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             ROUND(len(list_distinct(toks)) / GREATEST(len(toks), 1), 6)
+               AS type_token_ratio,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t
+    ), c AS (
+      SELECT doc_id, n_tokens, type_token_ratio, bg, COUNT(*) AS c
+      FROM b GROUP BY ALL
+    )
+    SELECT doc_id, n_tokens, type_token_ratio,
+           ROUND(MAX(c) / GREATEST(n_tokens - 1, 1), 6) AS top_bigram_frac
+    FROM c GROUP BY doc_id, n_tokens, type_token_ratio
+    """,
+)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition metrics (type-token ratio, top-bigram
+    fraction) — the boilerplate/keyword-stuffing/degenerate-generation
+    detectors that complement the length/punct/stopword gates. One bigram
+    explode + per-doc agg; linear, map-side combined."""
+    from split_kinesis_streams_with_glue_spark.operators.text import repetition_scores
+
+    return repetition_scores(load(spark, sf_dir, "documents"))
+
+
+@query(
     "sample_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM documents
