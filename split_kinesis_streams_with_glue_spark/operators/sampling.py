@@ -72,3 +72,45 @@ def stratified_sample(
         this = (F.col(label_col) == label) & (b < F.lit(_hex_threshold(rate)))
         cond = this if cond is None else cond | this
     return df.filter(cond)
+
+
+def _u32_frac(col: Column) -> Column:
+    """First 8 md5 hex chars as a uniform double in [0, 1) — finer-grained
+    than the 4-char bucket, and expressible identically in ANSI SQL
+    (``CAST('0x'||substr(md5(x),1,8) AS BIGINT) / 2^32``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual mixing rule
+    (sampling ∝ p^alpha, as in multilingual pretraining corpora): with
+    group shares p_g, the per-row keep rate is (c_min / c_g)^(1-alpha), so
+    the rarest group keeps everything and common groups are downsampled
+    toward a flatter distribution; alpha=1 keeps the natural mix, alpha=0
+    equalizes expected counts.
+
+    Rates are DATA-DEPENDENT but the plan stays two tiny aggregates (group
+    counts, their min) broadcast back onto a content-hash filter — one
+    linear scan of the corpus, no shuffle of data rows, deterministic
+    across runs/engines/partitionings. Rates are rounded to 6 decimals so
+    the same rule is bit-identical in the ANSI-SQL oracle."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("__cmin") / F.col("__c"), F.lit(1.0 - alpha)), 6
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_u32_frac(F.col(text_col)) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -446,3 +446,46 @@ def rp_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.9,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space, then WITHIN each cluster drop
+    every vector that has a lower-id neighbor at cosine >= threshold.
+    Quadratic work is confined to clusters — the knob is n_centroids
+    (∝ corpus size at scale, so per-cluster cost stays bounded); pairs
+    split across clusters are deliberately exempt, which is the accuracy/
+    cost trade the method makes vs the exact ``embedding_dedup``.
+
+    Plan: Lloyd codebook (JVM-side) → broadcast nearest-centroid assign →
+    per-cluster BLAS matmul via the same ``applyInPandas`` pair kernel the
+    exact block decomposition uses (a cluster is a within-block group) →
+    one anti-join. No driver-side data, no corpus broadcast."""
+    cents = kmeans_centroids(
+        corpus, n_centroids, kmeans_iters, id_col, vec_col, normalized
+    )
+    bucketed = assign_buckets(corpus, cents, id_col, vec_col, normalized)
+    pairs = (
+        bucketed.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("bucket").alias("_blk"),
+            F.col("bucket").alias("_g1"),
+            F.col("bucket").alias("_g2"),
+        )
+        .groupBy("_g1", "_g2")
+        .applyInPandas(
+            _make_group_pair_fn(id_col, vec_col, normalized, threshold=threshold),
+            "d1 bigint, d2 bigint, sim double",
+        )
+    )
+    doomed = pairs.select(F.col("d2").alias(id_col)).distinct()
+    return corpus.join(doomed, id_col, "left_anti")

@@ -13,6 +13,7 @@ from split_kinesis_streams_with_glue_spark.functions.textfns import (
     TOKEN_PATTERN,
     fingerprint,
     whitespace_tokens,
+    word_shingles,
 )
 
 
@@ -166,6 +167,86 @@ def cap_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap: count, per corpus
+    document, how many of its distinct ``n``-word shingles also occur in
+    the held-out ``benchmark`` set, and flag docs at ``min_hits`` or more —
+    the standard pre-training scrub that keeps eval data out of the
+    training mix.
+
+    Distributed shape: the benchmark's distinct shingle set is tiny
+    relative to the corpus (eval suites are MBs against TBs), so it
+    broadcasts — the corpus side is ONE explode scan + broadcast-hash
+    semi-match + per-doc count, no shuffle of corpus text. Docs too short
+    to form a shingle score 0 via the left join."""
+    def shingles(col):
+        t = whitespace_tokens(F.lower(col))
+        # guard: word_shingles' index sequence is malformed below n tokens
+        return F.when(F.size(t) >= n, word_shingles(t, n)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    # word_shingles de-dups within doc => count(*) == distinct matching shingles
+    hits = (
+        doc_sh.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= min_hits)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram language-model score: per document, the mean
+    ``ln P(token)`` under the corpus's own unigram distribution — the
+    cheap KenLM-perplexity stand-in used to rank documents by "typicality"
+    (gibberish and boilerplate both land in the tails).
+
+    One explode scan feeds both the vocabulary count and the scoring join;
+    the vocabulary aggregate is Zipf-small relative to the corpus (AQE
+    broadcasts it when it fits, else a shuffle join on ``term`` — either
+    way linear); corpus size arrives as a broadcast 1-row aggregate."""
+    words = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("__tc"))
+    total = words.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        words.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("__tc") / F.col("__t"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
     )
 
 

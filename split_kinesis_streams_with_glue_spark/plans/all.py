@@ -29,23 +29,16 @@ import split_kinesis_streams_with_glue_spark.plans.event_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- SQL tail, oracle-backed (unseen by driver in round 1) ---
+    # --- SQL tail, oracle-backed (unseen by driver in round 1; the most
+    # distinctive forms — siblings whose CATEGORY already has a round-1
+    # driver-green row are demoted below the window for round-3 rotation) ---
     "pivot_status_by_priority",
     "unpivot_lineitem_amounts",
-    "window_sliding_avg",
-    "percentiles_exact",
-    "map_from_entries_props",
-    "posexplode_tokens",
     "join_salted_skew",
-    "udf_python_rowwise",
     "pandas_udaf_weighted_avg",
-    "agg_listagg_ordered",
-    "join_null_safe",
     "events_timeseries_gapfill",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "window_first_last",
-    "window_range_frame",
     # --- extension surface (SURVEY §2.6), oracle-backed ---
     "dedup_exact_doubled",
     "dedup_ngram_jaccard",
@@ -88,7 +81,25 @@ _VERIFY_PRIORITY: list[str] = [
     "text_redact_pii",
     "dedup_paragraphs",
     "text_repetition_scores",
+    # --- round-2b training-pipeline ops, oracle-backed ---
+    "pipeline_pack_sequences",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "sample_temperature_mix",
+    "events_anomaly_zscore",
+    # --- demoted SQL-tail siblings (categories driver-green in round 1;
+    # round-3 rotation re-prioritizes these) ---
+    "window_sliding_avg",
+    "percentiles_exact",
+    "map_from_entries_props",
+    "posexplode_tokens",
+    "udf_python_rowwise",
+    "agg_listagg_ordered",
+    "join_null_safe",
+    "window_first_last",
+    "window_range_frame",
     # --- rows-only (weakest check → absorb any window overflow) ---
+    "dedup_semantic",
     "dedup_simhash",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",

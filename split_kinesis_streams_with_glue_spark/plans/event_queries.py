@@ -455,3 +455,47 @@ def events_continuous_rollup(spark, sf_dir):
     return spark.read.parquet(f"{base}/out").select(
         "bucket", "event_type", "n", F.round("total", 4).alias("total")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT *, AVG(n_events) OVER (PARTITION BY event_type) AS mu,
+             STDDEV_SAMP(n_events) OVER (PARTITION BY event_type) AS sd
+      FROM h
+    )
+    SELECT event_type, bucket, CAST(n_events AS BIGINT) AS n_events,
+           ROUND((n_events - mu) / sd, 6) AS zscore
+    FROM s
+    WHERE sd > 0 AND ABS((n_events - mu) / sd) >= 2
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own distribution, keeping |z| >= 2 — the monitoring
+    query a streaming pipeline runs over its own throughput. Aggregate
+    first (corpus → #types×#hours rows), THEN window over the small
+    aggregate: the expensive shuffle is the groupBy; the stats window rides
+    on rows already reduced by orders of magnitude."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wt = W.partitionBy("event_type")
+    scored = hourly.withColumns(
+        {
+            "mu": F.avg("n_events").over(wt),
+            "sd": F.stddev_samp("n_events").over(wt),
+        }
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("sd") > 0) & (F.abs(z) >= 2))
+        .select("event_type", "bucket", "n_events", F.round(z, 6).alias("zscore"))
+    )

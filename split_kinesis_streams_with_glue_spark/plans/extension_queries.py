@@ -777,3 +777,152 @@ def multimodal_audio_chunks(spark, sf_dir):
         F.round("start_ms", 6).alias("start_ms"),
         F.round("end_ms", 6).alias("end_ms"),
     )
+
+
+# ------------------------------------- training-pipeline ops (round 2b)
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 2048 AS seq_id,
+           (start_offset + GREATEST(n_tokens, 1) - 1) // 2048
+             - start_offset // 2048 + 1 AS n_seqs
+    FROM o
+    """,
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (2048-token sequences): each doc's
+    offset in the deterministic corpus concatenation and the training
+    sequence(s) it lands in. The corpus-wide running total is a DISTRIBUTED
+    two-phase prefix sum (range partition → per-partition window → tiny
+    base-offset broadcast) — never the single-task global window the naive
+    ``SUM() OVER (ORDER BY id)`` plan degenerates to."""
+    from split_kinesis_streams_with_glue_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), seq_len=2048)
+
+
+@query(
+    "text_decontaminate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 4
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    hits AS (
+      SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.source <> 'src0'
+      GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document count of distinct 5-word
+    shingles shared with a held-out benchmark set (here: the ``src0``
+    slice), flagging any overlap — the eval-leakage scrub every
+    pretraining corpus needs. Benchmark shingles broadcast (eval suites
+    are MBs against a TB corpus); one corpus explode scan, no text
+    shuffle."""
+    from split_kinesis_streams_with_glue_spark.operators.text import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=5,
+        min_hits=1,
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    v AS (SELECT term, count(*) AS tc FROM w GROUP BY 1),
+    t AS (SELECT count(*) AS tt FROM w)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(tc * 1.0 / tt)), 6) AS avg_logprob
+    FROM w JOIN v USING (term) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM score (mean ln P(token) per doc) — the cheap
+    perplexity stand-in for typicality ranking; gibberish and boilerplate
+    land in the tails. One explode scan feeds vocabulary and scoring."""
+    from split_kinesis_streams_with_glue_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+    m AS (SELECT min(c) AS cmin FROM c),
+    r AS (SELECT lang, ROUND(POWER(cmin * 1.0 / c, 0.5), 6) AS rate
+          FROM c CROSS JOIN m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST('0x' || substr(md5(d.text), 1, 8) AS BIGINT)
+          / 4294967296.0 < r.rate
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-based language rebalancing (keep-rate (c_min/c_g)^0.5,
+    i.e. sampling ∝ p^0.5): rarest language kept whole, common ones
+    downsampled toward a flatter mix. Two tiny aggregates broadcast onto a
+    content-hash filter; rows never shuffle."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    d = temperature_sample(load(spark, sf_dir, "documents"), "lang", alpha=0.5)
+    return d.select("doc_id", "lang")
+
+
+@query("dedup_semantic", oracle=None)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters (2 Lloyd iters),
+    min-id-survivor within-cluster at the same 0.42 threshold the exact
+    embedding dedup uses. Approximate BY DESIGN (cross-cluster pairs are
+    exempt) and k-means is iterative, hence rows-only; the containment
+    property vs the exact variant is asserted in unit tests."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(emb, n_centroids=8, threshold=_NEAR_DUP_T, kmeans_iters=2)
+    return kept.select("vec_id", "label")

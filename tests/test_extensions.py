@@ -414,3 +414,105 @@ def test_kmeans_centroids_recover_planted_clusters(spark):
     assert len({buckets[i] for i in range(40)}) == 1
     assert len({buckets[i] for i in range(40, 80)}) == 1
     assert buckets[0] != buckets[79]
+
+
+# ---------------------------------------------- round-2b pipeline operators
+
+def test_prefix_sums_match_local_cumsum_any_partitioning(spark, sf_dir):
+    """Distributed two-phase prefix sum == single-threaded cumsum, under
+    different input partitionings (the base-offset logic must not depend on
+    how rows arrive)."""
+    from split_kinesis_streams_with_glue_spark.operators.packing import prefix_sums
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    rows = sorted((r["doc_id"], r["n"]) for r in d.collect())
+    expected, acc = {}, 0
+    for doc_id, n in rows:
+        expected[doc_id] = acc
+        acc += n
+    for parts in (1, 7):
+        out = prefix_sums(d.repartition(parts), "n", "doc_id")
+        got = {r["doc_id"]: r["start_offset"] for r in out.collect()}
+        assert got == expected, f"prefix sums diverge at {parts} partitions"
+
+
+def test_pack_sequences_contiguous_and_span_consistent(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.packing import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(d, seq_len=512).orderBy("doc_id").collect()
+    offset = 0
+    for r in out:
+        assert r["start_offset"] == offset, "packing left a gap"
+        assert r["seq_id"] == r["start_offset"] // 512
+        last = r["start_offset"] + max(r["n_tokens"], 1) - 1
+        assert r["n_seqs"] == last // 512 - r["seq_id"] + 1
+        offset += r["n_tokens"]
+
+
+def test_decontaminate_flags_planted_benchmark_overlap(spark, sf_dir):
+    """Docs copied into the benchmark set share all their shingles with it
+    and must be flagged; the output keeps every scored doc (zero-fill)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    bench = docs.filter(F.col("doc_id") < 5)
+    scored = decontaminate(docs, bench, n=5, min_hits=1)
+    assert scored.count() == 40
+    flagged = {r["doc_id"] for r in scored.filter("contaminated").collect()}
+    assert set(range(5)) <= flagged, "planted benchmark copies not flagged"
+
+
+def test_temperature_sample_keeps_rarest_group_whole(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {r["lang"]: r["c"] for r in
+              d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    cmin = min(counts.values())
+    kept = temperature_sample(d, "lang", alpha=0.5)
+    kept_counts = {r["lang"]: r["c"] for r in
+                   kept.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for lang, c in counts.items():
+        if c == cmin:
+            assert kept_counts.get(lang, 0) == c, "rarest group must be kept whole"
+        else:
+            assert kept_counts.get(lang, 0) <= c
+    assert sum(kept_counts.values()) < sum(counts.values())
+
+
+def test_semantic_dedup_drops_subset_of_exact_drops(spark, sf_dir):
+    """Within-cluster pairs are a subset of all pairs, so SemDeDup's drop
+    set must be contained in the exact dedup's drop set (same threshold)."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        embedding_dedup,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    exact_kept = {r["vec_id"]
+                  for r in embedding_dedup(emb, 0.42).select("vec_id").collect()}
+    sem_kept = {r["vec_id"]
+                for r in semantic_dedup(emb, n_centroids=4, threshold=0.42,
+                                        kmeans_iters=1).select("vec_id").collect()}
+    assert exact_kept <= sem_kept
+    assert min(all_ids) in sem_kept  # min id can never have a lower-id neighbor
+
+
+def test_unigram_logprob_prefers_common_tokens(spark):
+    from split_kinesis_streams_with_glue_spark.operators.text import unigram_logprob
+
+    d = spark.createDataFrame(
+        [(0, "the the the the"), (1, "the qzx"), (2, "the the qwv")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(d).collect()}
+    assert got[0]["n_tokens"] == 4 and got[1]["n_tokens"] == 2
+    # doc of only the most common token scores highest; rare-token docs lower
+    assert got[0]["avg_logprob"] > got[2]["avg_logprob"] > got[1]["avg_logprob"]
+    assert all(got[i]["avg_logprob"] < 0 for i in got)

@@ -260,6 +260,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin(broadcast(<k centroid rows>)) — bounded by design
     "sim_ann_ivf_topk": {"cartesian-product"},
     "sim_ann_recall_contract": {"cartesian-product"},
+    "dedup_semantic": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row corpus-size agg>)) — bounded by design
+    "text_unigram_logprob": {"cartesian-product"},
     # content-hash (md5) filters are functions of a column — semantically
     # un-pushable; the scan itself is still column-pruned
     "sample_stratified_lang": {"unpushed-scan-filter"},
