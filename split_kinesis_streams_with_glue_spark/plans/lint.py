@@ -73,18 +73,49 @@ def lint_plan(df: DataFrame) -> list[str]:
                 )
                 break
 
-    # Filter immediately above a scan whose PushedFilters is empty
+    # Filter above a scan whose PushedFilters is empty. The flag only fires
+    # when the Filter is an ANCESTOR of the scan with nothing but projections
+    # in between — an intervening aggregate/join/window means the Filter is
+    # over DERIVED rows (e.g. a HAVING over an aggregate), which is not a
+    # pushable scan predicate. Ancestry is recovered from the plan text by
+    # indentation: a node's parent is the nearest line above with a strictly
+    # shallower tree marker.
+    blockers = re.compile(
+        r"HashAggregate|SortAggregate|ObjectHashAggregate|Join\b|Exchange"
+        r"|Window|Generate|Expand|Union|AggregateInPandas|FlatMapGroupsInPandas"
+    )
+
+    def _depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1  # -1: root (no marker)
+
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
-        if "PushedFilters: []" in ln:
-            above = "\n".join(lines[max(0, i - 6) : i])
-            if re.search(r"\bFilter \(", above) or re.search(r"\+- Filter ", above):
-                findings.append(
-                    "unpushed-scan-filter: a Filter sits on a scan with "
-                    "PushedFilters: [] — the predicate never reached the "
-                    "reader (UDF or unsupported expression in the way)"
-                )
+        if "PushedFilters: []" not in ln:
+            continue
+        depth = _depth(ln)
+        flagged = False
+        for j in range(i - 1, -1, -1):
+            d = _depth(lines[j])
+            if d >= depth:  # sibling subtree line, not an ancestor
+                continue
+            depth = d  # next ancestor must be shallower still
+            if blockers.search(lines[j]):
                 break
+            if re.search(r"\bFilter \(", lines[j]) or re.search(
+                r"[+:]- Filter ", lines[j]
+            ):
+                flagged = True
+                break
+            if d <= 0:
+                break
+        if flagged:
+            findings.append(
+                "unpushed-scan-filter: a Filter sits on a scan with "
+                "PushedFilters: [] — the predicate never reached the "
+                "reader (UDF or unsupported expression in the way)"
+            )
+            break
 
     return findings
 

@@ -220,6 +220,17 @@ def test_lint_flags_python_udf_and_cartesian(spark, sf_dir):
     finds = lint_plan(c.orderBy("c_acctbal"))
     assert any("global-sort" in f for f in finds)
 
+    # a Python-UDF predicate keeps the filter off the reader -> flagged
+    finds = lint_plan(c.filter(bad_udf("c_custkey") > 0))
+    assert any("unpushed-scan-filter" in f for f in finds)
+
+    # ...but a HAVING over an aggregate is a filter on DERIVED rows — it
+    # can never reach the scan, so the ancestor walk must NOT flag it
+    having = (
+        c.groupBy("c_nationkey").agg(F.sum("c_acctbal").alias("s")).filter("s > 0")
+    )
+    assert not any("unpushed-scan-filter" in f for f in lint_plan(having))
+
     with pytest.raises(AssertionError):
         assert_scales(c.crossJoin(n))
 
