@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from split_kinesis_streams_with_glue_spark.plans.registry import load, query
 from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
+    hopping_event_counts,
     windowed_event_counts,
 )
 
@@ -28,6 +29,31 @@ def events_tumbling_counts(spark, sf_dir):
     """Tumbling 1-hour event-time windows — identical code runs on the
     stream with a watermark (see streaming.split_stream tests)."""
     return windowed_event_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "events_hopping_counts",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) - (k * INTERVAL 30 MINUTE) AS TIMESTAMP)
+             + CASE WHEN ts - DATE_TRUNC('hour', ts) >= INTERVAL 30 MINUTE
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+             AS window_start,
+           CAST(DATE_TRUNC('hour', ts) - (k * INTERVAL 30 MINUTE) AS TIMESTAMP)
+             + CASE WHEN ts - DATE_TRUNC('hour', ts) >= INTERVAL 30 MINUTE
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+             + INTERVAL 1 HOUR
+             AS window_end,
+           event_type, COUNT(*) AS n_events
+    FROM events, UNNEST([0, 1]) AS t(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hopping_counts(spark, sf_dir):
+    """Sliding (hopping) windows: 1-hour width, 30-minute hop — every event
+    counts in exactly two overlapping windows. The oracle reconstructs the
+    window pair arithmetically: the newest containing window starts at the
+    event's 30-minute bucket, the other one hop earlier."""
+    return hopping_event_counts(load(spark, sf_dir, "events"))
 
 
 #: gaps-and-islands sessionization — shared by the batch query AND the

@@ -170,6 +170,25 @@ def test_windowed_event_counts_batch_stream_parity(spark, sf_dir, tmp_path):
     assert s and all(b[k] == v for k, v in s.items())
 
 
+def test_hopping_event_counts_overlap_invariant(spark, sf_dir):
+    """Hopping windows (1h width, 30m hop) assign every event to exactly
+    two windows: total hopping counts are exactly 2x the tumbling total,
+    and each tumbling hour is covered by the two hops that span it."""
+    from split_kinesis_streams_with_glue_spark.streaming.split_stream import (
+        hopping_event_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    n_events = ev.count()
+    hop = hopping_event_counts(ev).collect()
+    assert sum(r["n_events"] for r in hop) == 2 * n_events
+    for r in hop:  # every window is width 1h and starts on a 30m boundary
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+        assert r["window_start"].minute in (0, 30)
+        assert r["window_start"].second == 0
+
+
 def test_stream_split_date_partitioned_layout(spark, sf_dir, stream_dirs):
     """Firehose-style date layout: output lands under ingest_date=YYYY-MM-DD
     partitions and a date filter prunes to those directories."""
