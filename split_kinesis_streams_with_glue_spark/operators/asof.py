@@ -45,13 +45,15 @@ def asof_join(
 
     l_tagged = left.select(
         "*",
-        F.col(left_ts).cast("double").alias("__t"),
+        # common orderable type for both sides; unlike a double cast this
+        # keeps microseconds and accepts TIMESTAMP_NTZ inputs too
+        F.col(left_ts).cast("timestamp").alias("__t"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(payload_type).alias("__payload"),
     )
     r_tagged = right.select(
         F.col(on),
-        F.col(right_ts).cast("double").alias("__t"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(0).alias("__is_left"),
         payload.alias("__payload"),
     )

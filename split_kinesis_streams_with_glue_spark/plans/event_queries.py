@@ -176,8 +176,10 @@ def events_sessionize_stateful(spark, sf_dir):
     os.makedirs(src)
     # three time-ordered chunks → three micro-batches with real state
     # carry-over (sessions spanning batch boundaries)
+    # ts reads as TIMESTAMP_NTZ from parquet (no UTC adjustment), which has
+    # no direct numeric cast — go through unix_timestamp like the filters do
     b1, b2 = ev.selectExpr(
-        "percentile(cast(ts as double), 0.33)", "percentile(cast(ts as double), 0.66)"
+        "percentile(unix_timestamp(ts), 0.33)", "percentile(unix_timestamp(ts), 0.66)"
     ).first()
     chunks = [
         ev.filter(F.unix_timestamp("ts").cast("double") <= b1),

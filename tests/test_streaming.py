@@ -110,8 +110,10 @@ def test_stream_dedup_with_watermark(spark, sf_dir, tmp_path):
     """Watermarked dropDuplicates on a real stream: duplicated keys across
     micro-batches within the horizon collapse to one."""
     src = str(tmp_path / "dups_src")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts is ns → bigint
-    ev = ev.withColumn("event_ts", F.timestamp_micros(F.expr("ts DIV 1000"))).drop("ts")
+    from split_kinesis_streams_with_glue_spark.plans.registry import load
+
+    # registry load normalizes ts across fixture vintages (ns-as-bigint vs us)
+    ev = load(spark, sf_dir, "events").withColumnRenamed("ts", "event_ts")
     doubled = ev.unionByName(ev)  # every event twice
     doubled.coalesce(2).write.mode("overwrite").json(src)
 
@@ -138,8 +140,9 @@ def test_stream_dedup_with_watermark(spark, sf_dir, tmp_path):
 
 def test_windowed_event_counts_batch_stream_parity(spark, sf_dir, tmp_path):
     """The same windowed-agg code runs in batch and streaming and agrees."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from split_kinesis_streams_with_glue_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
     batch_out = windowed_event_counts(ev).collect()
 
     src = str(tmp_path / "win_src")
@@ -178,8 +181,9 @@ def test_hopping_event_counts_overlap_invariant(spark, sf_dir):
         hopping_event_counts,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from split_kinesis_streams_with_glue_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
     n_events = ev.count()
     hop = hopping_event_counts(ev).collect()
     assert sum(r["n_events"] for r in hop) == 2 * n_events
