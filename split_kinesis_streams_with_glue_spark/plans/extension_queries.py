@@ -926,3 +926,48 @@ def dedup_semantic(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     kept = semantic_dedup(emb, n_centroids=8, threshold=_NEAR_DUP_T, kmeans_iters=2)
     return kept.select("vec_id", "label")
+
+
+@query(
+    "sim_quantize_contract",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           TRUE AS reconstruction_ok, TRUE AS recall_ok
+    """,
+)
+def sim_quantize_contract(spark, sf_dir):
+    """Int8 scalar quantization contract (operators/quantize.py): (1) every
+    reconstructed component sits within the scheme's scale/2 error bound,
+    and (2) top-10 search on the int8 codes keeps recall >= 0.9 vs the
+    exact float baseline (measured 0.98-1.0 across SFs — the floor tests
+    the quantizer, not fixture luck). Makes the 4x-smaller representation's
+    QUALITY a driver-checkable fact; the codes themselves are covered by
+    the reconstruction bound."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        dequantize,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    err_ok = q.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    dequantize(F.col("qvec"), F.col("qscale")),
+                    F.col("embedding"),
+                    lambda a, b: F.abs(a - b) - F.col("qscale") * 0.5000001,
+                )
+            )
+        ).alias("worst")
+    ).first()["worst"] <= 0.0
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    quant = quantized_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    n_brute = brute.count()
+    hits = brute.intersect(quant).count()
+    return spark.createDataFrame(
+        [(queries.count(), bool(err_ok), hits / n_brute >= 0.9)],
+        "n_queries bigint, reconstruction_ok boolean, recall_ok boolean",
+    )

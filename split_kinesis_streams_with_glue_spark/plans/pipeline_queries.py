@@ -75,6 +75,78 @@ def cdc_compact_customer(spark, sf_dir):
 
 
 @query(
+    "cdc_merge_apply",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                            WHEN c_custkey % 5 = 0 THEN 100.0
+                            ELSE 0.0 END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_merge_apply(spark, sf_dir):
+    """Incremental CDC apply (streaming/cdc_merge.py): the envelope phases
+    arrive as THREE ordered micro-batches (load / updates / deletes) and
+    the materialized table is merged incrementally — per batch, only the
+    touched key-hash buckets are rewritten (dynamic partition overwrite),
+    never the whole table. Must equal the one-shot full-history compaction
+    (cdc_compact_customer's oracle) row for row."""
+    import os
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+    from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+        infer_envelope_schema,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        cdc_merge_stream,
+        read_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_merge_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    phases = [
+        env.filter(op == "load"),
+        env.filter(op == "update"),  # both update passes, one batch: ts tie-break
+        env.filter(op == "delete"),
+    ]
+    stamped: set[str] = set()
+
+    def stamp(t: int) -> None:
+        # strictly increasing mtimes → the file source batches phases in
+        # CDC order (oldest-modified first)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in stamped:
+                os.utime(p, (t, t))
+                stamped.add(p)
+
+    for i, ph in enumerate(phases):
+        to_json_lines(ph).coalesce(1).write.mode("append").text(src)
+        stamp(1_600_000_000 + i)
+    stream = (
+        spark.readStream.schema(infer_envelope_schema(spark, src))
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = cdc_merge_stream(
+        stream,
+        f"{base}/tbl",
+        f"{base}/ckpt",
+        "customer",
+        ["c_custkey"],
+        num_buckets=16,
+    )
+    q.awaitTermination()
+    return read_table(spark, f"{base}/tbl")
+
+
+@query(
     "split_stats_customer",
     oracle="""
     SELECT 'dms_sample' AS schema_name, 'customer' AS table_name,

@@ -1,0 +1,94 @@
+"""Incremental CDC merge-apply (streaming/cdc_merge.py).
+
+Covers the three contract points: (1) incremental apply equals one-shot
+full-history compaction, (2) replaying an epoch is a no-op (at-least-once
+foreachBatch), (3) a batch rewrites only the key-hash buckets it touches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.envelope import generate_cdc_envelopes
+from split_kinesis_streams_with_glue_spark.operators.compact import compact, event_time
+from split_kinesis_streams_with_glue_spark.operators.split import split_one
+from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+    make_cdc_merger,
+    read_table,
+)
+
+
+def _phases(spark, sf_dir):
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    return env, [
+        env.filter(op == "load"),
+        env.filter(op == "update"),
+        env.filter(op == "delete"),
+    ]
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_incremental_apply_equals_full_compaction(spark, sf_dir, tmp_path):
+    env, phases = _phases(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=8)
+    for epoch, ph in enumerate(phases):
+        merge(ph, epoch)
+    got = read_table(spark, path)
+    want = compact(
+        event_time(split_one(env, "customer", keep_operation=True, prune=False)),
+        ["c_custkey"],
+    )
+    assert _sorted_rows(got) == _sorted_rows(want.select(*got.columns))
+
+
+def test_epoch_replay_is_noop(spark, sf_dir, tmp_path):
+    _, phases = _phases(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=8)
+    merge(phases[0], 0)
+    merge(phases[1], 1)
+    before = _sorted_rows(read_table(spark, path))
+    merge(phases[1], 1)  # at-least-once redelivery
+    merge(phases[0], 0)  # stale epoch
+    assert _sorted_rows(read_table(spark, path)) == before
+
+
+def test_only_dirty_buckets_rewritten(spark, sf_dir, tmp_path):
+    _, phases = _phases(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=8)
+    merge(phases[0], 0)
+    # one single-key batch → exactly one dirty bucket
+    one_key = phases[1].filter(F.col("data.c_custkey") == 5)  # %5 only, not %10
+    assert one_key.count() == 1
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    merge(one_key, 1)
+    rewritten = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+        and os.path.getmtime(os.path.join(path, d)) != mtimes_before.get(d)
+    ]
+    assert len(rewritten) == 1, f"expected 1 dirty bucket, rewrote {rewritten}"
+    # and the merged value is the updated one
+    row = (
+        read_table(spark, path).filter(F.col("c_custkey") == 5).collect()[0]
+    )
+    orig = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") == 5)
+        .collect()[0]
+    )
+    assert abs(row["c_acctbal"] - (orig["c_acctbal"] + 100.0)) < 1e-9
