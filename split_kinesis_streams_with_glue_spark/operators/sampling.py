@@ -114,3 +114,68 @@ def temperature_sample(
         .filter(_u32_frac(F.col(text_col)) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scores: how much more likely a document is
+    under the TARGET distribution than under the raw corpus, estimated
+    with hashed-unigram bag-of-words models (the hashed n-gram importance
+    weighting of Xie et al. 2023, unigram variant; bigrams drop in by
+    hashing token pairs into the same buckets).
+
+    ``target`` is a boolean Column over ``df`` (e.g. ``lang == 'en'`` or a
+    quality-gate predicate) defining the in-domain subset. Per bucket b:
+    ``llr[b] = ln p_target(b) - ln p_raw(b)`` with add-one smoothing; a
+    document's score is the mean llr of its tokens — positive means
+    "more target-like than the corpus average". Selection = filter on the
+    score (deterministic) or compare against a content-hash uniform for
+    stochastic-but-reproducible resampling (``_u32_frac``).
+
+    Scale shape: one explode scan produces the (doc, bucket) frame; both
+    frequency models are <= ``n_buckets``-row aggregates that BROADCAST
+    back onto it (the model never shuffles the corpus); scoring is one
+    grouped mean keyed by doc id. The md5-derived bucketing is engine-
+    portable, so the whole pipeline is expressible in the ANSI-SQL oracle."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__w"),
+    ).filter(F.col("__w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__w")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    feat = words.select(id_col, bucket.alias("__b"))
+    tgt_ids = df.filter(target).select(id_col)
+    raw = feat.groupBy("__b").agg(F.count(F.lit(1)).alias("__rc"))
+    tgt = (
+        feat.join(tgt_ids, id_col, "left_semi")
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    rtot = raw.agg(F.sum("__rc").alias("__rtot"))
+    ttot = tgt.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__ttot"))
+    llr = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__tc"), F.lit(0)) + 1.0)
+                    / (F.col("__ttot") + n_buckets)
+                )
+                - F.log((F.col("__rc") + 1.0) / (F.col("__rtot") + n_buckets))
+            ).alias("__llr"),
+        )
+    )
+    return feat.join(F.broadcast(llr), "__b").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("__llr"), 6).alias("dsir_score"),
+    )

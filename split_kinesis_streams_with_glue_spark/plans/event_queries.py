@@ -527,3 +527,45 @@ def events_anomaly_zscore(spark, sf_dir):
         scored.filter((F.col("sd") > 0) & (F.abs(z) >= 2))
         .select("event_type", "bucket", "n_events", F.round(z, 6).alias("zscore"))
     )
+
+
+@query(
+    "events_stream_enrich",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment, ROUND(value, 6) AS value
+    FROM events JOIN customer ON c_custkey = user_id
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join: a streaming fact (purchase events)
+    picks up dimension attributes from a static broadcast table per
+    micro-batch — the standard streaming star-join shape. No watermark or
+    state needed (the static side is re-broadcast each batch, so it can
+    even be swapped under the stream); the dimension filter and join stay
+    fully inside codegen."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = tempfile.mkdtemp(prefix="sgs_enrich_")
+    ev.coalesce(2).write.mode("overwrite").json(f"{base}/src")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(f"{base}/src")
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", F.round("value", 6).alias("value"))
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")

@@ -971,3 +971,41 @@ def sim_quantize_contract(spark, sf_dir):
         [(queries.count(), bool(err_ok), hits / n_brute >= 0.9)],
         "n_queries bigint, reconstruction_ok boolean, recall_ok boolean",
     )
+
+
+@query(
+    "sample_dsir_scores",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    f AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024 AS b
+          FROM w),
+    rc AS (SELECT b, count(*) AS rc FROM f GROUP BY 1),
+    tc AS (SELECT b, count(*) AS tc FROM f JOIN documents USING (doc_id)
+           WHERE lang = 'en' GROUP BY 1),
+    rt AS (SELECT sum(rc) AS rtot FROM rc),
+    tt AS (SELECT COALESCE(sum(tc), 0) AS ttot FROM tc),
+    llr AS (SELECT rc.b,
+                   ln((COALESCE(tc, 0) + 1.0) / (ttot + 1024))
+                     - ln((rc + 1.0) / (rtot + 1024)) AS llr
+            FROM rc LEFT JOIN tc USING (b) CROSS JOIN rt CROSS JOIN tt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(llr), 6) AS dsir_score
+    FROM f JOIN llr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def sample_dsir_scores(spark, sf_dir):
+    """DSIR-style importance scores (hashed-unigram log-likelihood ratio
+    vs the 'en' subset as the target domain): the data-selection primitive
+    for steering a pretraining mix toward a target distribution. The
+    frequency models are <= 1024-row broadcast aggregates — the corpus
+    itself never shuffles for the model, only for the per-doc mean."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import dsir_scores
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_scores(d, F.col("lang") == "en")

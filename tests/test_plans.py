@@ -274,6 +274,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "dedup_semantic": {"cartesian-product"},
     # crossJoin(broadcast(<1-row corpus-size agg>)) — bounded by design
     "text_unigram_logprob": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row raw/target total aggs>)) — bounded by design
+    "sample_dsir_scores": {"cartesian-product"},
     # content-hash (md5) filters are functions of a column — semantically
     # un-pushable; the scan itself is still column-pruned
     "sample_stratified_lang": {"unpushed-scan-filter"},
