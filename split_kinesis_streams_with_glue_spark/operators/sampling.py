@@ -179,3 +179,40 @@ def dsir_scores(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.round(F.avg("__llr"), 6).alias("dsir_score"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select a deterministic sub-corpus of ~``budget`` tokens: documents
+    are ordered by content hash (stable across runs/engines, uncorrelated
+    with ingest order — the same de-biasing trick as ``hash_split``) and
+    kept while their EXCLUSIVE running token total is below the budget, so
+    overshoot is at most one document. The shape every "train on exactly
+    N tokens" ablation needs.
+
+    The running total reuses ``packing.prefix_sums`` — the distributed
+    two-phase prefix sum — so there is no single-task global window at any
+    corpus size; output carries ``n_tokens`` and ``start_offset`` for
+    downstream packing."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import TOKEN_PATTERN
+    from split_kinesis_streams_with_glue_spark.operators.packing import prefix_sums
+
+    withtok = df.withColumn(
+        "n_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)).cast(
+            "long"
+        ),
+    ).withColumn(
+        # unique order key: content hash, id tie-break (duplicate texts)
+        "__ord",
+        F.concat(F.md5(F.col(text_col)), F.lit("-"), F.col(id_col).cast("string")),
+    )
+    return (
+        prefix_sums(withtok, "n_tokens", "__ord")
+        .filter(F.col("start_offset") < budget)
+        .drop("__ord")
+    )

@@ -291,3 +291,42 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style rule-based document cleaning (the line-level heuristics of
+    the C4 corpus build): keep only lines that end in terminal punctuation,
+    have at least ``min_words`` words, and trip none of the boilerplate
+    blocklist ('lorem ipsum', 'javascript', curly braces); then drop
+    documents left with fewer than ``min_lines`` lines. Adds ``n_lines``
+    (kept-line count) and rewrites ``text_col`` to the kept lines.
+
+    All array HOFs over a single split — JVM-side, codegen, linear, no
+    shuffle; the rules are plain string predicates so the identical policy
+    is expressible in the ANSI-SQL oracle."""
+
+    def _keep(line):
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, " +"), lambda w: w != F.lit("")))
+        low = F.lower(t)
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= min_words)
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+            & ~t.contains("{")
+        )
+
+    kept = F.filter(F.split(F.col(text_col), "\n"), _keep)
+    return (
+        df.withColumn("__kept", kept)
+        .filter(F.size("__kept") >= min_lines)
+        .withColumn(text_col, F.array_join(F.col("__kept"), "\n"))
+        .withColumn("n_lines", F.size("__kept").cast("int"))
+        .drop("__kept")
+    )

@@ -1009,3 +1009,88 @@ def sample_dsir_scores(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return dsir_scores(d, F.col("lang") == "en")
+
+
+@query(
+    "text_c4_clean",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id, lang,
+             regexp_replace(text, ' (the|value|table) ', '.' || chr(10), 'g')
+               || '.' || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+               || chr(10) || 'please enable javascript to view this page.'
+               || chr(10) || 'short line.' AS text
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, chr(10)), l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                   w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'lorem ipsum')
+               AND NOT contains(lower(l), 'javascript')
+               AND NOT contains(l, '{')) AS kept
+      FROM synth
+    )
+    SELECT doc_id, lang, array_to_string(kept, chr(10)) AS text,
+           CAST(len(kept) AS INTEGER) AS n_lines
+    FROM k
+    WHERE len(kept) >= 3
+    """,
+)
+def text_c4_clean(spark, sf_dir):
+    """C4-style line/document cleaning rules. The fixture corpus is a flat
+    token stream, so the query first synthesizes line structure
+    deterministically (sentence breaks at stop-word boundaries, a
+    terminal '.', plus planted lorem-ipsum / javascript / too-short
+    boilerplate lines) — then the engine's rule set must keep exactly the
+    real sentences and drop every planted line, reproduced verbatim by
+    the oracle."""
+    from split_kinesis_streams_with_glue_spark.operators.text import c4_clean
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.regexp_replace(F.col("text"), " (the|value|table) ", ".\n"),
+            F.lit(".\nlorem ipsum dolor sit amet consectetur."),
+            F.lit("\nplease enable javascript to view this page."),
+            F.lit("\nshort line."),
+        ).alias("text"),
+    )
+    return c4_clean(d)
+
+
+@query(
+    "sample_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_tokens,
+             md5(text) || '-' || CAST(doc_id AS VARCHAR) AS ord
+      FROM documents),
+    o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+          FROM t)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(so AS BIGINT) AS start_offset
+    FROM o WHERE so < 20000
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget corpus selection ("train on exactly N tokens"):
+    content-hash-ordered documents kept while the exclusive running token
+    total is under budget. The oracle's single global window is the naive
+    formulation the engine deliberately avoids — the engine computes the
+    same offsets with the distributed two-phase prefix sum (range
+    partition -> per-partition window -> broadcast base offsets)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return token_budget_sample(d, budget=20000).select(
+        "doc_id", "lang", "n_tokens", "start_offset"
+    )
