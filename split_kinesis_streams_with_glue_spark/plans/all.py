@@ -16,6 +16,30 @@ order, the queries that most need a driver CORRECTNESS row THIS round:
 Queries not named in the priority list (all driver-green in round 1) follow
 in family registration order. Future rounds rotate this list so every query
 is driver-verified across consecutive rounds.
+
+ROUND-3 ROTATION PLAN (precomputed; swap into ``_VERIFY_PRIORITY`` at the
+start of round 3): after round 2 the only queries with NO driver row are
+the ones registered past slot 50 this round —
+
+1. round-2 additions (oracle-backed, never driver-checked): the nine
+   TPC-H completions ``q2_min_cost_supplier q7_volume_shipping
+   q8_market_share q9_product_type_profit q11_important_stock
+   q12_shipmode_priority q15_top_supplier q20_potential_promotion
+   q21_waiting_supplier``, plus ``cdc_merge_apply sim_quantize_contract
+   events_stream_enrich sample_dsir_scores text_c4_clean
+   sample_token_budget``;
+2. the demoted SQL tail (oracle-backed, never driver-checked):
+   ``window_sliding_avg percentiles_exact map_from_entries_props
+   posexplode_tokens udf_python_rowwise agg_listagg_ordered
+   join_null_safe window_first_last window_range_frame``;
+3. the rows-only sketches (driver records a weaker rows-only check, still
+   worth a slot each once the above fit): ``dedup_semantic dedup_simhash
+   sim_ann_ivf_topk sim_ann_lsh_topk percentiles_approx
+   multimodal_frame_sample multimodal_feature_ann``;
+4. fill remaining slots by re-verifying round-1 families oldest-first.
+
+That is 24 + 8 = 32 never-checked entries — they all fit in one 50-slot
+window with 18 slots left for re-verification.
 """
 
 from __future__ import annotations

@@ -517,3 +517,30 @@ def formats_orc_roundtrip(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     o.write.mode("overwrite").orc(base)
     return spark.read.orc(base)
+
+
+@query(
+    "catalog_analyze_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS row_count, 'analyzed' AS source
+    FROM nation
+    """,
+)
+def catalog_analyze_stats(spark, sf_dir):
+    """Planner statistics round-trip (sources/catalog.py analyze_table —
+    the Glue-crawler-stats analog): register a split output as a managed
+    table, ANALYZE it, and read the exact row count back out of the
+    catalog's Statistics entry — proving the stats the static planner
+    sizes joins with are collected and correct."""
+    import re
+
+    from split_kinesis_streams_with_glue_spark.sources.catalog import analyze_table
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("q_stats_nation")
+    analyze_table(spark, "q_stats_nation", columns=["n_nationkey"])
+    detail = spark.sql("DESCRIBE TABLE EXTENDED q_stats_nation").collect()
+    stats = next(r["data_type"] for r in detail if r["col_name"] == "Statistics")
+    rows = int(re.search(r"(\d+) rows", stats).group(1))
+    return spark.createDataFrame([(rows, "analyzed")], "row_count bigint, source string")

@@ -44,3 +44,24 @@ def saveAsTable(df: DataFrame, name: str, partition_by: list[str] | None = None,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
+
+
+def analyze_table(
+    spark: SparkSession, name: str, columns: list[str] | None = None
+) -> None:
+    """Collect table (and optionally column) statistics — the engine analog
+    of keeping the Glue catalog's table stats fresh for the query planner.
+
+    Row counts and total size feed join sizing in the static planner
+    (broadcast-vs-shuffle decisions made before AQE sees runtime sizes);
+    column stats (NDV, min/max, null counts) additionally enable CBO join
+    reordering when ``spark.sql.cbo.enabled`` is on. At 100 TB a stale
+    size estimate is the difference between broadcasting a 10 GB "dim" and
+    planning it correctly — run this after every large write, it scans
+    file footers, not data (row/size), and one pass for column stats.
+    Catalog tables only (path-based reads derive sizes from the files
+    themselves)."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")

@@ -31,6 +31,15 @@ def test_broadcast_join_for_small_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_tpch_star_join_broadcasts_every_dim(spark, sf_dir):
+    """Q7's five-way star join: supplier/customer/nation(x2) all broadcast;
+    only the lineitem-orders fact join may shuffle. A SortMergeJoin on a
+    dim side would shuffle the fact table once per dim at scale."""
+    plan = plan_of(REGISTRY["q7_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_parquet_filter_pushdown(spark, sf_dir, tmp_path):
     """A predicate on a parquet scan must reach the reader as PushedFilters
     (row-group pruning), and the projection must prune the read schema."""
@@ -78,6 +87,10 @@ def test_envelope_filter_is_catalyst_not_python(spark, sf_dir):
         "dedup_minhash_lsh",
         "text_token_counts",
         "events_sessionize",
+        "q7_volume_shipping",
+        "q9_product_type_profit",
+        "text_c4_clean",
+        "sample_dsir_scores",
     ],
 )
 def test_core_queries_stay_jvm_side(spark, sf_dir, name):
@@ -311,3 +324,25 @@ def test_every_registry_plan_passes_lint(spark, sf_dir):
         if extra:
             bad.append(f"{name}: {sorted(extra)}")
     assert not bad, "unexpected lint findings:\n" + "\n".join(bad)
+
+
+def test_analyze_table_feeds_planner_stats(spark, sf_dir):
+    """ANALYZE TABLE statistics reach the planner: after analyze, the
+    catalog reports an exact rowCount and the optimized plan's size
+    estimate is based on stats, not raw file size guesses."""
+    from split_kinesis_streams_with_glue_spark.sources.catalog import analyze_table
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("stats_nation")
+    analyze_table(spark, "stats_nation", columns=["n_nationkey", "n_name"])
+    detail = spark.sql("DESCRIBE TABLE EXTENDED stats_nation").collect()
+    stats_row = [r for r in detail if r["col_name"] == "Statistics"]
+    assert stats_row, "no Statistics row after ANALYZE"
+    assert "25 rows" in stats_row[0]["data_type"]
+    col_detail = spark.sql(
+        "DESCRIBE TABLE EXTENDED stats_nation n_nationkey"
+    ).collect()
+    ndv = {r["info_name"]: r["info_value"] for r in col_detail}
+    assert ndv.get("distinct_count") == "25"
+    spark.sql("DROP TABLE stats_nation")
