@@ -569,3 +569,45 @@ def events_stream_enrich(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(f"{base}/out")
+
+
+@query(
+    "events_hll_rollup_contract",
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS error_ok
+    FROM events
+    """,
+)
+def events_hll_rollup_contract(spark, sf_dir):
+    """Mergeable-sketch rollup contract (operators/sketches.py): per-day
+    HLL sketches of user_id, merged to answer a 30-day-range distinct
+    count WITHOUT rescanning events, must land within 5% of the exact
+    COUNT(DISTINCT) over the same range (HLL++ lgConfigK=12 standard
+    error is ~1.6%, so the floor tests the merge path, not luck). The
+    sketch bytes are engine-specific, hence a contract query rather than
+    a value oracle."""
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        bucket_sketches,
+        range_distinct,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = bucket_sketches(ev, F.to_date("ts"), "user_id")
+    lo, hi = ev.select(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.date_add(F.min(F.to_date("ts")), 29).alias("hi"),
+    ).first()
+    approx = range_distinct(
+        daily, (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi))
+    ).first()["approx_distinct"]
+    exact = (
+        ev.filter((F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(hi)))
+        .agg(F.count_distinct("user_id"))
+        .first()[0]
+    )
+    n_days = ev.select(F.count_distinct(F.to_date("ts"))).first()[0]
+    err_ok = abs(approx - exact) <= 0.05 * max(exact, 1)
+    return spark.createDataFrame(
+        [(n_days, bool(err_ok))], "n_days bigint, error_ok boolean"
+    )

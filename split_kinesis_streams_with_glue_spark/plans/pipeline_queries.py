@@ -533,14 +533,79 @@ def catalog_analyze_stats(spark, sf_dir):
     catalog's Statistics entry — proving the stats the static planner
     sizes joins with are collected and correct."""
     import re
+    import tempfile
 
-    from split_kinesis_streams_with_glue_spark.sources.catalog import analyze_table
+    from split_kinesis_streams_with_glue_spark.sources.catalog import (
+        analyze_table,
+        register_parquet,
+    )
 
-    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
-        "overwrite"
-    ).saveAsTable("q_stats_nation")
+    # external table at a fresh location: robust to stale warehouse dirs
+    # from earlier sessions (a managed CREATE fails on a leftover path)
+    path = tempfile.mkdtemp(prefix="sgs_stats_") + "/nation"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(path)
+    spark.sql("DROP TABLE IF EXISTS q_stats_nation")
+    register_parquet(spark, "q_stats_nation", path, temp=False)
     analyze_table(spark, "q_stats_nation", columns=["n_nationkey"])
     detail = spark.sql("DESCRIBE TABLE EXTENDED q_stats_nation").collect()
     stats = next(r["data_type"] for r in detail if r["col_name"] == "Statistics")
     rows = int(re.search(r"(\d+) rows", stats).group(1))
     return spark.createDataFrame([(rows, "analyzed")], "row_count bigint, source string")
+
+
+@query(
+    "pipeline_data_quality",
+    oracle="""
+    SELECT 'completeness(o_custkey)' AS check,
+           ROUND(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS observed,
+           count(o_custkey) = count(*) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness(o_orderkey)',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS DOUBLE),
+           count(o_orderkey) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'bounds(o_totalprice)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 1000000)) AS DOUBLE),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < 0 OR o_totalprice > 1000000)) = 0
+    UNION ALL
+    SELECT 'referential(l_orderkey)',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IS NOT NULL
+                   AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS DOUBLE),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+    """,
+)
+def pipeline_data_quality(spark, sf_dir):
+    """Declarative constraint gate (operators/quality_checks.py): PK
+    completeness + uniqueness and a value-bounds check fuse into ONE
+    aggregation pass over orders; lineitem->orders referential integrity
+    is one broadcast anti-join. The publish-blocking check a production
+    split pipeline runs on every output table."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        bounds,
+        check_table,
+        completeness,
+        referential,
+        uniqueness,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    out = check_table(
+        orders,
+        [
+            completeness("o_custkey"),
+            uniqueness("o_orderkey"),
+            bounds("o_totalprice", 0.0, 1_000_000.0),
+        ],
+    )
+    ref = check_table(li, [referential("l_orderkey", orders, "o_orderkey")])
+    return out.unionByName(ref)

@@ -516,3 +516,37 @@ def test_unigram_logprob_prefers_common_tokens(spark):
     # doc of only the most common token scores highest; rare-token docs lower
     assert got[0]["avg_logprob"] > got[2]["avg_logprob"] > got[1]["avg_logprob"]
     assert all(got[i]["avg_logprob"] < 0 for i in got)
+
+
+def test_quality_checks_fire_on_dirty_data(spark):
+    """Every constraint kind must FIRE on planted violations — a gate that
+    always passes proves nothing."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        bounds,
+        check_table,
+        completeness,
+        referential,
+        uniqueness,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (None, -5.0), (4, 99.0)],
+        "id int, v double",
+    )
+    ref = spark.createDataFrame([(1,), (4,)], "id int")
+    out = {
+        r["check"]: (r["observed"], r["passed"])
+        for r in check_table(
+            dirty,
+            [
+                completeness("id"),          # 3/4 non-null -> fail
+                uniqueness("id"),            # id=1 twice -> 1 violation
+                bounds("v", 0.0, 50.0),      # -5 and 99 out -> 2 violations
+                referential("id", ref, "id"),  # all non-null ids exist -> pass
+            ],
+        ).collect()
+    }
+    assert out["completeness(id)"] == (0.75, False)
+    assert out["uniqueness(id)"] == (1.0, False)
+    assert out["bounds(v)"] == (2.0, False)
+    assert out["referential(id)"] == (0.0, True)

@@ -326,15 +326,21 @@ def test_every_registry_plan_passes_lint(spark, sf_dir):
     assert not bad, "unexpected lint findings:\n" + "\n".join(bad)
 
 
-def test_analyze_table_feeds_planner_stats(spark, sf_dir):
+def test_analyze_table_feeds_planner_stats(spark, sf_dir, tmp_path):
     """ANALYZE TABLE statistics reach the planner: after analyze, the
     catalog reports an exact rowCount and the optimized plan's size
     estimate is based on stats, not raw file size guesses."""
-    from split_kinesis_streams_with_glue_spark.sources.catalog import analyze_table
+    from split_kinesis_streams_with_glue_spark.sources.catalog import (
+        analyze_table,
+        register_parquet,
+    )
 
-    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
-        "overwrite"
-    ).saveAsTable("stats_nation")
+    # external table in tmp_path: immune to stale spark-warehouse dirs
+    # left by interrupted runs (managed CREATE fails on leftover paths)
+    path = str(tmp_path / "stats_nation")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(path)
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    register_parquet(spark, "stats_nation", path, temp=False)
     analyze_table(spark, "stats_nation", columns=["n_nationkey", "n_name"])
     detail = spark.sql("DESCRIBE TABLE EXTENDED stats_nation").collect()
     stats_row = [r for r in detail if r["col_name"] == "Statistics"]
