@@ -2190,3 +2190,42 @@ def q21_waiting_supplier(spark, sf_dir):
         LIMIT 100
         """
     )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH incidents AS (
+      SELECT event_id AS incident_id, ts AS w_start,
+             ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT incident_id, COUNT(*) AS n_events
+    FROM incidents JOIN events e
+      ON e.ts >= w_start AND e.ts < w_end
+    GROUP BY incident_id
+    """,
+)
+def join_interval_bucketed(spark, sf_dir):
+    """KEYLESS interval containment join (operators/rangejoin.py): events
+    falling inside incident windows that share no equi key with them.
+    Spark's planner alone can only nested-loop this shape; the operator
+    discretizes time into 30-min buckets, replicates each interval onto
+    the <= 2 buckets it overlaps, and equi-joins on the bucket — plan
+    contains a hash/sort-merge join, never BroadcastNestedLoop (asserted
+    in tests/test_plans.py)."""
+    from split_kinesis_streams_with_glue_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("w_end"),
+    )
+    joined = interval_point_join(
+        ev.select(F.col("ts")), incidents, "ts", "w_start", "w_end",
+        bucket_width_seconds=1800,
+    )
+    return joined.groupBy("incident_id").agg(F.count(F.lit(1)).alias("n_events"))

@@ -40,6 +40,15 @@ def test_tpch_star_join_broadcasts_every_dim(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The keyless interval join must plan as an equi-join on the time
+    bucket — BroadcastNestedLoopJoin here is O(points x intervals) and the
+    exact failure mode the bucketing exists to prevent."""
+    plan = plan_of(REGISTRY["join_interval_bucketed"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_parquet_filter_pushdown(spark, sf_dir, tmp_path):
     """A predicate on a parquet scan must reach the reader as PushedFilters
     (row-group pruning), and the projection must prune the read schema."""
