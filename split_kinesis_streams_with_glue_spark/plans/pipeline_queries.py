@@ -609,3 +609,44 @@ def pipeline_data_quality(spark, sf_dir):
     )
     ref = check_table(li, [referential("l_orderkey", orders, "o_orderkey")])
     return out.unionByName(ref)
+
+
+@query(
+    "cdc_table_diff",
+    oracle="""
+    SELECT 'delete' AS operation, c_custkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT 'update', c_custkey,
+           c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0 ELSE 100.0 END,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+    UNION ALL
+    SELECT 'insert', c_custkey + 1000000, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey < 10
+    """,
+)
+def cdc_table_diff(spark, sf_dir):
+    """Snapshot diff -> change feed (operators/diff.py): old = the raw
+    customer table, new = the post-CDC final state plus a few brand-new
+    keys. The diff must emit exactly the deletes (%7 keys), the updates
+    (%5 keys with bumped balances), and the inserts — and nothing for the
+    untouched majority. One full-outer pk join, |changes|-sized output."""
+    from split_kinesis_streams_with_glue_spark.operators.diff import table_diff
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    bumped = F.col("c_acctbal") + F.when(
+        F.col("c_custkey") % 10 == 0, 200.0
+    ).when(F.col("c_custkey") % 5 == 0, 100.0).otherwise(0.0)
+    new = (
+        cust.filter(F.col("c_custkey") % 7 != 0)
+        .withColumn("c_acctbal", bumped)
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 10).withColumn(
+                "c_custkey", F.col("c_custkey") + 1_000_000
+            )
+        )
+    )
+    return table_diff(cust, new, ["c_custkey"])

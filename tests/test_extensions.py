@@ -550,3 +550,37 @@ def test_quality_checks_fire_on_dirty_data(spark):
     assert out["uniqueness(id)"] == (1.0, False)
     assert out["bounds(v)"] == (2.0, False)
     assert out["referential(id)"] == (0.0, True)
+
+
+def test_table_diff_apply_roundtrip(spark, sf_dir):
+    """Applying the emitted change feed to the old snapshot must reproduce
+    the new snapshot exactly — the property that makes the diff a usable
+    CDC bootstrap."""
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.operators.diff import table_diff
+
+    old = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = (
+        old.filter(F.col("c_custkey") % 3 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 4 == 0, F.col("c_acctbal") + 7.5).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") < 5).withColumn(
+                "c_custkey", F.col("c_custkey") + 500_000
+            )
+        )
+    )
+    diff = table_diff(old, new, ["c_custkey"])
+    touched = diff.select("c_custkey").distinct()
+    applied = old.join(touched, "c_custkey", "left_anti").unionByName(
+        diff.filter(F.col("operation") != "delete").drop("operation")
+    )
+    key = lambda df: sorted(map(tuple, df.select("c_custkey", "c_acctbal", "c_mktsegment").collect()))  # noqa: E731
+    assert key(applied) == key(new)
