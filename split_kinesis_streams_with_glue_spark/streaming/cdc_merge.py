@@ -77,12 +77,16 @@ def make_cdc_merger(
             "__bucket", F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(num_buckets))
         )
         try:
-            stored = spark.read.parquet(path)
+            # mergeSchema: buckets written before a schema drift keep their
+            # old file schema; the union below must still see every column
+            stored = spark.read.option("mergeSchema", "true").parquet(path)
             # only buckets this batch touches participate; untouched
             # partitions stay on disk as-is (dynamic overwrite)
             dirty = delta.select("__bucket").distinct()
+            # allowMissingColumns: a column added (or dropped) mid-stream
+            # null-fills on the side that lacks it instead of being dropped
             pool = stored.join(F.broadcast(dirty), "__bucket").unionByName(
-                delta.select(*stored.columns)
+                delta, allowMissingColumns=True
             )
         except AnalysisException:
             # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA: genuinely the first
@@ -117,6 +121,7 @@ def cdc_merge_stream(
 
 def read_table(spark, path: str) -> DataFrame:
     """The user-facing materialized table (merge bookkeeping columns
-    dropped)."""
-    df = spark.read.parquet(path)
+    dropped). mergeSchema tolerates buckets last rewritten before a
+    schema drift — their files lack the newer columns."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     return df.drop(*[c for c in META_COLS if c in df.columns])

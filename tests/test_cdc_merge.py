@@ -92,3 +92,29 @@ def test_only_dirty_buckets_rewritten(spark, sf_dir, tmp_path):
         .collect()[0]
     )
     assert abs(row["c_acctbal"] - (orig["c_acctbal"] + 100.0)) < 1e-9
+
+
+def test_schema_drift_mid_stream(spark, sf_dir, tmp_path):
+    """A column appearing mid-stream must survive the merge: earlier rows
+    null-fill, later rows carry it, and buckets not rewritten since the
+    drift still read correctly (mergeSchema)."""
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    batch0 = wrap(cust, "customer", "load", seq=F.lit(0))
+    evolved = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_tier", F.lit("gold")
+    )
+    batch1 = wrap(evolved, "customer", "update", seq=F.lit(1))
+    path = str(tmp_path / "tbl")
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=4)
+    merge(batch0, 0)
+    merge(batch1, 1)
+    out = read_table(spark, path)
+    assert "c_tier" in out.columns
+    rows = {r["c_custkey"]: r["c_tier"] for r in out.collect()}
+    assert all(v == "gold" for k, v in rows.items() if k % 2 == 0)
+    assert all(v is None for k, v in rows.items() if k % 2 == 1)
+    assert len(rows) == cust.count()
