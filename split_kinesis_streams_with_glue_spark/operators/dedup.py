@@ -342,3 +342,48 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Edit-distance <= 1 pairs via symmetric-deletion blocking (the
+    SymSpell trick): two strings within one edit share at least one
+    single-deletion variant, so generating len+1 variants per string and
+    equi-joining on the variant finds every candidate WITHOUT the
+    quadratic all-pairs comparison; an exact ``levenshtein`` post-filter
+    removes the (rare) same-variant-different-edit false positives.
+
+    The fuzzy entity-match / near-dup-name primitive. Scale shape: the
+    variant explode is a linear map (len+1 rows per string), the join
+    keys on the variant (groups = strings sharing a variant — small by
+    construction), and only candidates pay the levenshtein. For
+    ``max_distance`` k > 1 the same scheme needs C(len, k) deletion
+    variants — bound it by hashing variants of a fixed-length prefix
+    (not implemented; distance 1 covers typo-grade matching).
+    """
+    if max_distance != 1:
+        raise NotImplementedError("symmetric-deletion blocking wired for k=1")
+    v = (
+        f"array_union(array({col}), "
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substring({col}, 1, i-1), "
+        f"substring({col}, i+1, length({col})))))"
+    )
+    sides = df.select(
+        F.col(id_col).alias("id"), F.col(col).alias("s"), F.explode(F.expr(v)).alias("v")
+    )
+    a = sides.select(F.col("id").alias("d1"), F.col("s").alias("s1"), "v")
+    b = sides.select(F.col("id").alias("d2"), F.col("s").alias("s2"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("s1", "s2") <= max_distance).select(
+        "d1", "d2", F.levenshtein("s1", "s2").alias("dist")
+    )

@@ -1094,3 +1094,23 @@ def sample_token_budget(spark, sf_dir):
     return token_budget_sample(d, budget=20000).select(
         "doc_id", "lang", "n_tokens", "start_offset"
     )
+
+
+@query(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark, sf_dir):
+    """Fuzzy entity matching (operators/dedup.py fuzzy_pairs): all name
+    pairs within one edit, found by symmetric-deletion blocking — the
+    oracle is the O(n^2) levenshtein join the operator exists to avoid;
+    both must produce identical pairs."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import fuzzy_pairs
+
+    c = load(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_name", id_col="c_custkey")
