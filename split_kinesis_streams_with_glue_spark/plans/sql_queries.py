@@ -1761,18 +1761,26 @@ def q2_min_cost_supplier(spark, sf_dir):
     equality join on cost is bit-identical across engines). Catalyst
     decorrelates the scalar MIN into an aggregate joined back on
     ps_partkey; region/nation/supplier all broadcast."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    # the derived partsupp is referenced twice (outer join chain + the
+    # decorrelated MIN); Catalyst inlines CTEs, which would aggregate
+    # lineitem twice — materialize it once (it is ~|part|x|supp| rows,
+    # far smaller than lineitem; in TPC-H proper it IS a stored table)
+    li = load(spark, sf_dir, "lineitem")
+    partsupp = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+        .localCheckpoint(eager=True)
+    )
+    partsupp.createOrReplaceTempView("partsupp")
     return spark.sql(
         """
-        WITH partsupp AS (
-          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                 MIN(l_extendedprice / l_quantity) AS ps_supplycost
-          FROM lineitem GROUP BY l_partkey, l_suppkey
-        )
         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
                ROUND(ps_supplycost, 4) AS cost
         FROM part
@@ -1974,18 +1982,20 @@ def q11_important_stock(spark, sf_dir):
     a global-total scalar subquery. Value sums in DECIMAL so the
     threshold comparison (value * 1000 > total) is exact in both engines —
     a double sum could flip borderline parts on accumulation order. The
-    scalar total reuses the same aggregate (Catalyst plans it as a
-    broadcast of one row, not a recompute per row)."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    scalar total reuses the same aggregate — the ps frame is materialized
+    once (localCheckpoint) because Catalyst inlines CTEs, which would run
+    the lineitem aggregate twice for its two references."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(3, 8, 13))
+    ps = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    ps.createOrReplaceTempView("ps")
     return spark.sql(
         """
-        WITH ps AS (
-          SELECT l_partkey AS ps_partkey,
-                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
-          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-          WHERE s_nationkey IN (3, 8, 13)
-          GROUP BY l_partkey)
         SELECT ps_partkey, CAST(value AS DOUBLE) AS value
         FROM ps
         WHERE value * 1000 > (SELECT SUM(value) FROM ps)
@@ -2060,20 +2070,29 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: the supplier(s) hitting the quarter's max revenue.
     Revenue accumulates in DECIMAL so the equality against MAX is exact
     (a double sum would make 'the max row' engine-dependent). The revenue
-    CTE is tiny (one row per supplier) — the MAX scalar and the equality
-    filter are both driver-cheap broadcasts."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    CTE (one row per supplier) is referenced twice — materialized once
+    (localCheckpoint) since CTE inlining would scan-aggregate the
+    quarter's lineitem twice."""
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=True)
+    )
+    revenue.createOrReplaceTempView("revenue")
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(
         """
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                   AS total_revenue
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-          GROUP BY l_suppkey)
         SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
