@@ -1,0 +1,80 @@
+"""Write-audit-publish: gated, atomic table publication.
+
+The production discipline for any pipeline output (split tables, training
+corpus snapshots): never let readers observe a half-written or
+constraint-violating dataset. Writes land in a VERSIONED directory
+(``path/v=N``), the audit (quality_checks) runs against the staged files
+exactly as readers would see them, and only a passing audit moves the
+``_CURRENT`` pointer — a one-file atomic marker write (temp+rename via the
+Hadoop FS API, streaming/markers.py), safe on HDFS and local FS and
+no-torn-file on S3A. Readers resolve the pointer and read that version;
+a failed audit leaves the pointer (and therefore every reader) on the
+last good version; the rejected files stay in their version slot for
+debugging until the next publish attempt overwrites that slot.
+
+This is the table-format-free analog of Iceberg's WAP / Delta's
+constraint-checked commit: versions instead of snapshots, a marker
+instead of a transaction log. Cost: the audit's one aggregation pass
+(+ one anti-join per referential check) before each publish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from split_kinesis_streams_with_glue_spark.operators.quality_checks import check_table
+from split_kinesis_streams_with_glue_spark.streaming.markers import (
+    read_marker,
+    write_marker,
+)
+
+
+class PublishBlocked(Exception):
+    """Raised when the audit fails; carries the audit frame's rows."""
+
+    def __init__(self, failures):
+        self.failures = failures
+        super().__init__(
+            "publish blocked by failed checks: "
+            + ", ".join(f"{c} (observed {v})" for c, v, _ in failures)
+        )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    checks: list,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Stage ``df`` as the next version under ``path``, audit the staged
+    files, and atomically move the ``_CURRENT`` pointer on success.
+    Returns the published version number; raises ``PublishBlocked`` (and
+    leaves the pointer untouched) on audit failure."""
+    spark = df.sparkSession
+    marker = f"{path}/_CURRENT"
+    current = read_marker(spark, marker)
+    version = (current or 0) + 1
+    staged = f"{path}/v={version}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    # audit what readers would actually read: the staged files
+    audit = check_table(spark.read.parquet(staged), checks)
+    failures = [
+        (r["check"], r["observed"], r["passed"])
+        for r in audit.collect()  # metadata-sized: one row per check
+        if not r["passed"]
+    ]
+    if failures:
+        raise PublishBlocked(failures)
+    write_marker(spark, marker, version)
+    return version
+
+
+def read_published(spark: SparkSession, path: str) -> DataFrame:
+    """Read the currently published version (raises if nothing published)."""
+    current = read_marker(spark, f"{path}/_CURRENT")
+    if current is None:
+        raise FileNotFoundError(f"nothing published under {path}")
+    return spark.read.parquet(f"{path}/v={current}")

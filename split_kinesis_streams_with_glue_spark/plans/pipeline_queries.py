@@ -650,3 +650,41 @@ def cdc_table_diff(spark, sf_dir):
         )
     )
     return table_diff(cust, new, ["c_custkey"])
+
+
+@query(
+    "pipeline_publish_gated",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def pipeline_publish_gated(spark, sf_dir):
+    """Write-audit-publish (operators/publish.py): the snapshot stages
+    into a versioned directory, the quality gate audits the staged files,
+    and only then does the atomic _CURRENT pointer advance — readers (this
+    query's read_published) must see exactly the audited snapshot. A
+    deliberately corrupted second publish (duplicated keys) is blocked and
+    must leave readers on the good version."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.operators.publish import (
+        PublishBlocked,
+        read_published,
+        write_audit_publish,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        completeness,
+        uniqueness,
+    )
+
+    path = tempfile.mkdtemp(prefix="sgs_pub_") + "/customer"
+    cust = load(spark, sf_dir, "customer")
+    checks = [completeness("c_custkey"), uniqueness("c_custkey")]
+    write_audit_publish(cust, path, checks)
+    try:  # corrupt publish attempt must be blocked
+        write_audit_publish(cust.unionByName(cust.limit(5)), path, checks)
+        raise AssertionError("corrupt publish was not blocked")
+    except PublishBlocked:
+        pass
+    return read_published(spark, path)

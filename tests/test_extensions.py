@@ -584,3 +584,42 @@ def test_table_diff_apply_roundtrip(spark, sf_dir):
     )
     key = lambda df: sorted(map(tuple, df.select("c_custkey", "c_acctbal", "c_mktsegment").collect()))  # noqa: E731
     assert key(applied) == key(new)
+
+
+def test_write_audit_publish_gates_and_versions(spark, sf_dir, tmp_path):
+    """A failing audit must leave readers on the last good version; a
+    passing one must advance the pointer atomically."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.operators.publish import (
+        PublishBlocked,
+        read_published,
+        write_audit_publish,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        completeness,
+        uniqueness,
+    )
+
+    path = str(tmp_path / "pub")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    checks = [completeness("c_custkey"), uniqueness("c_custkey")]
+
+    v1 = write_audit_publish(cust, path, checks)
+    assert v1 == 1
+    assert read_published(spark, path).count() == cust.count()
+
+    # dirty snapshot: duplicated keys -> uniqueness fails -> blocked
+    with pytest.raises(PublishBlocked):
+        write_audit_publish(cust.unionByName(cust.limit(5)), path, checks)
+    assert read_published(spark, path).count() == cust.count()  # still v1
+
+    v2 = write_audit_publish(
+        cust.withColumn("c_acctbal", F.col("c_acctbal") + 1.0), path, checks
+    )
+    assert v2 == 2  # the blocked attempt's slot is reused (never pointed at)
+    assert abs(
+        read_published(spark, path).agg(F.sum("c_acctbal")).first()[0]
+        - (cust.agg(F.sum("c_acctbal")).first()[0] + cust.count())
+    ) < 1e-6
