@@ -2248,3 +2248,37 @@ def join_interval_bucketed(spark, sf_dir):
         bucket_width_seconds=1800,
     )
     return joined.groupBy("incident_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket (PostgreSQL semantics in both
+    engines: values below range -> 0, above -> n+1): the one-pass
+    distribution profile for any numeric column. Partial aggregation
+    map-side, 14 output rows max regardless of input size."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
