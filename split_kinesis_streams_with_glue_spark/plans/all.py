@@ -27,7 +27,9 @@ the ones registered past slot 50 this round —
    q12_shipmode_priority q15_top_supplier q20_potential_promotion
    q21_waiting_supplier``, plus ``cdc_merge_apply sim_quantize_contract
    events_stream_enrich sample_dsir_scores text_c4_clean
-   sample_token_budget``;
+   sample_token_budget catalog_analyze_stats events_hll_rollup_contract
+   pipeline_data_quality join_interval_bucketed cdc_table_diff
+   dedup_fuzzy_names pipeline_publish_gated agg_histogram``;
 2. the demoted SQL tail (oracle-backed, never driver-checked):
    ``window_sliding_avg percentiles_exact map_from_entries_props
    posexplode_tokens udf_python_rowwise agg_listagg_ordered
@@ -38,8 +40,8 @@ the ones registered past slot 50 this round —
    multimodal_frame_sample multimodal_feature_ann``;
 4. fill remaining slots by re-verifying round-1 families oldest-first.
 
-That is 24 + 8 = 32 never-checked entries — they all fit in one 50-slot
-window with 18 slots left for re-verification.
+That is 23 + 9 + 8 = 40 never-checked entries — they all fit in one
+50-slot window with 10 slots left for re-verification.
 """
 
 from __future__ import annotations
