@@ -137,11 +137,14 @@ def dsir_scores(
     score (deterministic) or compare against a content-hash uniform for
     stochastic-but-reproducible resampling (``_u32_frac``).
 
-    Scale shape: one explode scan produces the (doc, bucket) frame; both
-    frequency models are <= ``n_buckets``-row aggregates that BROADCAST
-    back onto it (the model never shuffles the corpus); scoring is one
-    grouped mean keyed by doc id. The md5-derived bucketing is engine-
-    portable, so the whole pipeline is expressible in the ANSI-SQL oracle."""
+    Scale shape: the (doc, bucket) explode feeds three consumers (raw
+    counts, target counts, scoring) — three LINEAR tokenize+hash passes,
+    since caching a corpus-token-sized frame is worse than recomputing it;
+    both frequency models are <= ``n_buckets``-row aggregates that
+    BROADCAST back onto it (the model never shuffles the corpus); scoring
+    is one grouped mean keyed by doc id. The md5-derived bucketing is
+    engine-portable, so the whole pipeline is expressible in the ANSI-SQL
+    oracle."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__w"),
