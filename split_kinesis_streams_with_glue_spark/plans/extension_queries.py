@@ -1114,3 +1114,55 @@ def dedup_fuzzy_names(spark, sf_dir):
 
     c = load(spark, sf_dir, "customer")
     return fuzzy_pairs(c, "c_name", id_col="c_custkey")
+
+
+_CLUSTER_BEST_SQL = _CLUSTER_SQL.replace(
+    "SELECT d.doc_id, COALESCE(lab.lbl, d.doc_id) AS cluster_id\n"
+    "FROM documents d LEFT JOIN lab ON d.doc_id = lab.n",
+    r""", cl AS (
+  SELECT d.doc_id, COALESCE(lab.lbl, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.n
+),
+nt AS (
+  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
+                                 w -> w <> '')) AS n_tokens
+  FROM documents
+)
+SELECT cluster_id, doc_id AS best_doc_id, CAST(n_tokens AS INTEGER) AS n_tokens
+FROM (SELECT cl.cluster_id, cl.doc_id, nt.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY nt.n_tokens DESC, cl.doc_id) AS rn
+      FROM cl JOIN nt USING (doc_id)) t
+WHERE rn = 1""",
+)
+
+
+@query("dedup_cluster_best", oracle=_CLUSTER_BEST_SQL)
+def dedup_cluster_best(spark, sf_dir):
+    """Representative selection per duplicate cluster: instead of the
+    min-id survivor, keep each cluster's BEST document (longest by token
+    count, id tie-break) — the policy real corpus dedup wants, composed
+    from the connected-components labels and the quality metrics. One
+    extra bounded window over the labeled frame."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    labels = cluster_labels(d.select("doc_id"), pairs)
+    ntok = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("n_tokens"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(ntok, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("best_doc_id"), "n_tokens")
+    )
