@@ -361,3 +361,19 @@ def test_analyze_table_feeds_planner_stats(spark, sf_dir, tmp_path):
     ndv = {r["info_name"]: r["info_value"] for r in col_detail}
     assert ndv.get("distinct_count") == "25"
     spark.sql("DROP TABLE stats_nation")
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE must collapse the 32 static shuffle partitions of a tiny
+    aggregate into a few runtime partitions (AQEShuffleRead coalesced) —
+    the mechanism that makes a fixed spark.sql.shuffle.partitions safe to
+    oversize at any scale."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan
