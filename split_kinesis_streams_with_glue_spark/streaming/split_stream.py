@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from split_kinesis_streams_with_glue_spark.envelope import SCHEMA_NAME
-from split_kinesis_streams_with_glue_spark.operators.split import split_one, table_filter
+from split_kinesis_streams_with_glue_spark.operators.split import (
+    split_one,
+    split_stats,
+    table_filter,
+)
 from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
     CORRUPT_COL,
     corrupt_records,
@@ -56,6 +60,7 @@ def make_batch_processor(
     dlq_dir: str | None = None,
     keep_timestamp: bool = True,
     partition_by_ingest_date: bool = False,
+    metrics_dir: str | None = None,
 ):
     """The (batch_df, batch_id) -> None fan-out used by
     ``start_split_stream`` — exposed so replay idempotence is directly
@@ -101,6 +106,28 @@ def make_batch_processor(
                         "batch_id", F.lit(batch_id)
                     ).write.mode("append").json(dlq_dir)
                     write_marker(spark, marker, batch_id)
+            if metrics_dir is not None:
+                # live DMS-console view (image/image3.png): per-batch
+                # (schema, table, operation) counts plus a corrupt-row
+                # count — one tiny aggregate over the already-persisted
+                # batch, appended with the same replay guard as the data
+                marker = f"{metrics_dir}/_last_batch"
+                last = read_marker(spark, marker)
+                if last is None or batch_id > last:
+                    m = split_stats(batch_df).unionByName(
+                        corrupt_records(batch_df)
+                        .agg(F.count(F.lit(1)).alias("n_records"))
+                        .select(
+                            F.lit(schema_name).alias("schema_name"),
+                            F.lit("_corrupt").alias("table_name"),
+                            F.lit("error").alias("operation"),
+                            "n_records",
+                        )
+                    )
+                    m.withColumn("batch_id", F.lit(batch_id)).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(metrics_dir)
+                    write_marker(spark, marker, batch_id)
         finally:
             batch_df.unpersist()
 
@@ -121,6 +148,7 @@ def start_split_stream(
     max_files_per_trigger: int | None = 1,
     keep_timestamp: bool = True,
     partition_by_ingest_date: bool = False,
+    metrics_dir: str | None = None,
 ) -> StreamingQuery:
     """Launch the streaming splitter; returns the StreamingQuery.
 
@@ -138,6 +166,7 @@ def start_split_stream(
         dlq_dir=dlq_dir,
         keep_timestamp=keep_timestamp,
         partition_by_ingest_date=partition_by_ingest_date,
+        metrics_dir=metrics_dir,
     )
     writer = (
         env.writeStream.foreachBatch(process_batch)

@@ -243,3 +243,44 @@ def test_rollup_merge_is_idempotent_on_epoch_replay(spark, sf_dir, tmp_path):
                {(r["bucket"], r["event_type"]): (r["n"], r["total"])
                 for r in spark.read.parquet(out).collect()}.items()}
     assert doubled == {k: 2 * v[0] for k, v in first.items()}
+
+
+def test_stream_metrics_side_channel(spark, sf_dir, stream_dirs, tmp_path):
+    """Per-batch split metrics (the live DMS-console view): per-batch
+    (schema, table, operation) counts plus corrupt rows, summing exactly
+    to the source envelope stream's composition."""
+    from split_kinesis_streams_with_glue_spark.operators.split import split_stats
+
+    tables = sorted(DEFAULT_FIXTURE_TABLES)
+    metrics_dir = str(tmp_path / "metrics")
+    run_split_stream_to_completion(
+        spark,
+        tables=tables,
+        keep_timestamp=False,
+        metrics_dir=metrics_dir,
+        **stream_dirs,
+    )
+    m = spark.read.parquet(metrics_dir)
+    assert {"schema_name", "table_name", "operation", "n_records", "batch_id"} <= set(
+        m.columns
+    )
+    assert m.select("batch_id").distinct().count() >= 2  # multiple micro-batches
+    # totals across batches == one-shot batch stats over the full stream
+    env = spark.read.schema(stream_dirs["schema"]).json(stream_dirs["source_dir"])
+    want = {
+        (r["schema_name"], r["table_name"], r["operation"]): r["n_records"]
+        for r in split_stats(env).collect()
+    }
+    got_rows = (
+        m.filter(F.col("table_name") != "_corrupt")
+        .groupBy("schema_name", "table_name", "operation")
+        .agg(F.sum("n_records").alias("n"))
+        .collect()
+    )
+    got = {(r["schema_name"], r["table_name"], r["operation"]): r["n"] for r in got_rows}
+    assert got == want
+    # the two corrupt fixture lines are visible in the metrics too
+    corrupt_total = (
+        m.filter(F.col("table_name") == "_corrupt").agg(F.sum("n_records")).first()[0]
+    )
+    assert corrupt_total == 2
