@@ -611,3 +611,67 @@ def events_hll_rollup_contract(spark, sf_dir):
     return spark.createDataFrame(
         [(n_days, bool(err_ok))], "n_days bigint, error_ok boolean"
     )
+
+
+@query(
+    "events_wma_trend",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    filled AS (
+      SELECT d.day, COALESCE(a.n, 0) AS n
+      FROM days d LEFT JOIN actual a USING (day)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_purchases,
+           ROUND((7.0 * n
+                  + 6.0 * LAG(n, 1) OVER w + 5.0 * LAG(n, 2) OVER w
+                  + 4.0 * LAG(n, 3) OVER w + 3.0 * LAG(n, 4) OVER w
+                  + 2.0 * LAG(n, 5) OVER w + 1.0 * LAG(n, 6) OVER w) / 28.0,
+                 4) AS wma7
+    FROM filled
+    WINDOW w AS (ORDER BY day)
+    """,
+)
+def events_wma_trend(spark, sf_dir):
+    """Trailing 7-day linearly-weighted moving average over the DENSE daily
+    purchase series (gap-fill spine first — a WMA over a sparse series
+    silently skips calendar days). NULL until 7 days exist, identically in
+    both engines. The global window is over the day-grain aggregate
+    (|days| rows), not the events — bounded at any event volume."""
+    ev = load(spark, sf_dir, "events")
+    spine = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    actual = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    filled = spine.join(actual, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    n = F.col("n")
+    wma = (
+        7.0 * n
+        + 6.0 * F.lag("n", 1).over(w) + 5.0 * F.lag("n", 2).over(w)
+        + 4.0 * F.lag("n", 3).over(w) + 3.0 * F.lag("n", 4).over(w)
+        + 2.0 * F.lag("n", 5).over(w) + 1.0 * F.lag("n", 6).over(w)
+    ) / 28.0
+    return filled.select(
+        "day",
+        n.cast("bigint").alias("n_purchases"),
+        F.round(wma, 4).alias("wma7"),
+    )
