@@ -32,11 +32,14 @@ def interval_point_join(
     start_col: str,
     end_col: str,
     bucket_width_seconds: int = 1800,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join each point to every interval containing it
+    """INNER-join each point to every interval containing it
     (``start <= ts < end``), as a bucketed equi-join. Column names must be
-    disjoint between the two inputs (alias upstream if needed)."""
+    disjoint between the two inputs (alias upstream if needed). Only the
+    inner form exists: an outer variant would need its null-extension
+    AFTER the containment post-filter, which a joined-then-filtered plan
+    cannot express — left-outer semantics = inner result left-joined back
+    onto the points by the caller."""
     w = bucket_width_seconds
 
     def bucket_of(c: Column) -> Column:
@@ -50,7 +53,7 @@ def interval_point_join(
     )
     pb = points.withColumn("__b", bucket_of(F.col(point_ts)))
     return (
-        pb.join(ib, "__b", how)
+        pb.join(ib, "__b")
         .filter(
             (F.col(point_ts) >= F.col(start_col))
             & (F.col(point_ts) < F.col(end_col))
