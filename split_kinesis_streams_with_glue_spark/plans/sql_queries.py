@@ -2282,3 +2282,33 @@ def agg_histogram(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "subquery_lateral_topn",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def subquery_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each customer's
+    two most expensive orders, the per-row-subquery formulation of
+    grouped top-N. Catalyst decorrelates it into a window ranking over
+    one pk-shuffle — never a per-customer subquery execution — so the
+    declarative LATERAL form costs the same as the hand-written
+    row_number() <= 2 plan."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
