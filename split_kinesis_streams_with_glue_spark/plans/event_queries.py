@@ -675,3 +675,99 @@ def events_wma_trend(spark, sf_dir):
         n.cast("bigint").alias("n_purchases"),
         F.round(wma, 4).alias("wma7"),
     )
+
+
+@query(
+    "events_stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id,
+           CAST(datediff('second', v.ts, p.ts) AS BIGINT) AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+)
+def events_stream_stream_left_join(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER interval join: purchases with
+    no view in the 2-hour lookback emit null-extended — which the engine
+    may only declare once the watermark passes the purchase's match
+    window. A far-future sentinel event pushed through BOTH streams in a
+    final micro-batch advances the watermark so every pending outer row
+    flushes before the drain ends (then the sentinel is filtered out);
+    result must equal the batch LEFT JOIN exactly."""
+    import os
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.stateful import (
+        stream_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="sgs_sslj_")
+    sentinel = ev.agg(
+        F.max(F.unix_timestamp("ts")).alias("m")
+    ).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.to_timestamp(F.from_unixtime(F.col("m") + 30 * 24 * 3600)).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+    )
+    stamped: set[str] = set()
+
+    def write_side(name: str, flt):
+        side = f"{base}/{name}"
+        ev.filter(flt).coalesce(1).write.mode("append").json(side)
+        for f in os.listdir(side):
+            p = os.path.join(side, f)
+            if p not in stamped:
+                os.utime(p, (1_600_000_000, 1_600_000_000))
+                stamped.add(p)
+        sentinel.coalesce(1).write.mode("append").json(side)
+        for f in os.listdir(side):
+            p = os.path.join(side, f)
+            if p not in stamped:
+                os.utime(p, (1_600_000_100, 1_600_000_100))
+                stamped.add(p)
+        return side
+
+    pdir = write_side("purchases", F.col("event_type") == "purchase")
+    vdir = write_side("views", F.col("event_type") == "view")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    p = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(pdir)
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(vdir)
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+        )
+    )
+    joined = stream_interval_join(
+        p, v, on="user_id", lookback="2 hours", watermark="2 hours",
+        how="left_outer",
+    ).select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts")).alias("lag_sec"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # drop the sentinel purchase row (its null-extended self) and any
+    # sentinel-vs-sentinel pairing
+    return spark.read.parquet(f"{base}/out").filter(F.col("event_id") != -1)

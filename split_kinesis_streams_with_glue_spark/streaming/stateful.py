@@ -204,8 +204,9 @@ def stream_interval_join(
     right_ts: str = "r_ts",
     lookback: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ):
-    """Watermarked stream-stream inner join: each left event pairs with the
+    """Watermarked stream-stream join: each left event pairs with the
     right-stream events of the same key within ``lookback`` before it.
 
     The time-bound predicate is what makes an unbounded stream-stream join
@@ -213,7 +214,15 @@ def stream_interval_join(
     never match again, so (with both watermarks) state is evicted instead
     of growing forever — per-key state is O(events within lookback +
     watermark). The shuffle key is the join key; skew rules from the batch
-    side apply unchanged."""
+    side apply unchanged.
+
+    ``how='left_outer'`` additionally emits the null-extended row for left
+    events that found no partner — but only when the watermark passes the
+    event's match window (that is when 'no partner' becomes a fact, not a
+    not-yet). Consequence: rows near the end of a drained stream never
+    emit unless something advances the watermark past them — push a
+    far-future sentinel through both streams (and filter it downstream),
+    the same flush idiom sessionize_stream uses."""
     from pyspark.sql import functions as F
 
     lw = left.withWatermark(left_ts, watermark)
@@ -224,5 +233,5 @@ def stream_interval_join(
             f"{on} = r_{on} AND {right_ts} BETWEEN {left_ts} - interval {lookback}"
             f" AND {left_ts}"
         ),
-        "inner",
+        how,
     )
