@@ -38,15 +38,21 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from split_kinesis_streams_with_glue_spark.operators.compact import compact, event_time
 from split_kinesis_streams_with_glue_spark.operators.split import split_one
 from split_kinesis_streams_with_glue_spark.streaming.markers import (
+    _fs as _fs_path,
     read_marker,
+    read_text_marker,
     write_marker,
+    write_text_marker,
 )
 
 META_COLS = ("timestamp", "operation", "__bucket")
@@ -76,10 +82,27 @@ def make_cdc_merger(
         delta = rows.withColumn(
             "__bucket", F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(num_buckets))
         )
+        stored = None
         try:
             # mergeSchema: buckets written before a schema drift keep their
             # old file schema; the union below must still see every column
             stored = spark.read.option("mergeSchema", "true").parquet(path)
+        except AnalysisException as exc:
+            # Only a genuinely-absent table is a first batch. Any OTHER
+            # analysis error (e.g. incompatible type drift) must fail the
+            # batch so the stream retries — falling back to pool = delta
+            # would dynamic-overwrite every dirty bucket with the delta
+            # alone, silently dropping their stored rows.
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+        if stored is None:
+            pool = delta
+        else:
             # only buckets this batch touches participate; untouched
             # partitions stay on disk as-is (dynamic overwrite)
             dirty = delta.select("__bucket").distinct()
@@ -88,13 +111,26 @@ def make_cdc_merger(
             pool = stored.join(F.broadcast(dirty), "__bucket").unionByName(
                 delta, allowMissingColumns=True
             )
-        except AnalysisException:
-            # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA: genuinely the first
-            # batch; any other read error must fail the batch so the
-            # stream retries instead of clobbering history
-            pool = delta
-        merged = compact(pool, pk_cols, drop_meta=False)
+        # Materialize once: the bucket census below and the write must see
+        # the same rows without recomputing the merge. Bounded: the pool is
+        # O(batch + dirty-bucket rows) by construction.
+        merged = compact(pool, pk_cols, drop_meta=False).localCheckpoint(eager=True)
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        # Dynamic overwrite only replaces partitions PRESENT in the output:
+        # a batch whose deletes empty an entire dirty bucket emits no rows
+        # for it, so its stale __bucket=N directory would survive on disk
+        # and the deleted rows would resurrect in read_table. Drop those
+        # emptied partitions explicitly (both collects are metadata-sized:
+        # ≤ num_buckets rows each).
+        dirty_ids = {r[0] for r in delta.select("__bucket").distinct().collect()}
+        surviving = {r[0] for r in merged.select("__bucket").distinct().collect()}
+        for bucket in sorted(dirty_ids - surviving):
+            fs, part, _ = _fs_path(spark, f"{path}/__bucket={bucket}")
+            fs.delete(part, True)
+        # Schema sidecar: if deletes empty the WHOLE table there are no data
+        # files left to infer a schema from; read_table falls back to this
+        # marker so an empty table reads as 0 rows with the last schema.
+        write_text_marker(spark, f"{path}/_schema", merged.schema.json())
         write_marker(spark, marker, epoch_id)
 
     return merge
@@ -122,6 +158,23 @@ def cdc_merge_stream(
 def read_table(spark, path: str) -> DataFrame:
     """The user-facing materialized table (merge bookkeeping columns
     dropped). mergeSchema tolerates buckets last rewritten before a
-    schema drift — their files lack the newer columns."""
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    schema drift — their files lack the newer columns. A table whose rows
+    were ALL deleted has no data files to infer from; fall back to the
+    ``_schema`` sidecar the merger records each epoch."""
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    except AnalysisException as exc:
+        cond = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else exc.getErrorClass()
+        )
+        schema_json = (
+            read_text_marker(spark, f"{path}/_schema")
+            if cond == "UNABLE_TO_INFER_SCHEMA"
+            else None
+        )
+        if schema_json is None:
+            raise
+        df = spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(path)
     return df.drop(*[c for c in META_COLS if c in df.columns])

@@ -28,31 +28,41 @@ def _fs(spark: SparkSession, path: str):
     return fs, p, jvm
 
 
-def read_marker(spark: SparkSession, path: str) -> int | None:
-    """Last committed id recorded at ``path``, or None if never written."""
+def read_text_marker(spark: SparkSession, path: str) -> str | None:
+    """Text recorded at ``path``, or None if never written."""
     fs, p, jvm = _fs(spark, path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
+        return jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         ).strip()
     finally:
         stream.close()
-    return int(text) if text else None
 
 
-def write_marker(spark: SparkSession, path: str, value: int) -> None:
-    """Atomically record ``value`` at ``path`` (temp file + rename)."""
+def write_text_marker(spark: SparkSession, path: str, text: str) -> None:
+    """Atomically record ``text`` at ``path`` (temp file + rename)."""
     fs, p, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(str(value).encode("utf-8")))
+        out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
     if fs.exists(p):
         fs.delete(p, False)  # rename refuses to clobber on HDFS
     if not fs.rename(tmp, p):
         raise IOError(f"marker rename failed: {tmp} -> {p}")
+
+
+def read_marker(spark: SparkSession, path: str) -> int | None:
+    """Last committed id recorded at ``path``, or None if never written."""
+    text = read_text_marker(spark, path)
+    return int(text) if text else None
+
+
+def write_marker(spark: SparkSession, path: str, value: int) -> None:
+    """Atomically record ``value`` at ``path`` (temp file + rename)."""
+    write_text_marker(spark, path, str(value))

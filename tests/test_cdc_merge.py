@@ -118,3 +118,73 @@ def test_schema_drift_mid_stream(spark, sf_dir, tmp_path):
     assert all(v == "gold" for k, v in rows.items() if k % 2 == 0)
     assert all(v is None for k, v in rows.items() if k % 2 == 1)
     assert len(rows) == cust.count()
+
+
+def test_deletes_emptying_a_bucket_drop_its_partition(spark, sf_dir, tmp_path):
+    """ADVICE r2 (high): dynamic overwrite only replaces partitions present
+    in the output, so a batch whose deletes empty an entire bucket must
+    explicitly remove the stale __bucket=N directory — otherwise the
+    deleted rows resurrect in read_table."""
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = str(tmp_path / "tbl")
+    # num_buckets=1: every key lands in bucket 0, so deleting ALL keys
+    # empties the only bucket
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=1)
+    merge(wrap(cust, "customer", "load", seq=F.lit(0)), 0)
+    assert read_table(spark, path).count() == cust.count()
+    merge(wrap(cust, "customer", "delete", seq=F.lit(1)), 1)
+    assert not os.path.isdir(os.path.join(path, "__bucket=0"))
+    assert read_table(spark, path).count() == 0
+
+
+def test_partial_bucket_delete_keeps_survivors(spark, sf_dir, tmp_path):
+    """Deleting only some keys of a bucket must keep the partition with the
+    surviving rows (the empty-bucket cleanup must not over-delete)."""
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = str(tmp_path / "tbl")
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=1)
+    merge(wrap(cust, "customer", "load", seq=F.lit(0)), 0)
+    doomed = cust.filter(F.col("c_custkey") % 2 == 0)
+    merge(wrap(doomed, "customer", "delete", seq=F.lit(1)), 1)
+    got = {r["c_custkey"] for r in read_table(spark, path).collect()}
+    want = {r["c_custkey"] for r in cust.filter(F.col("c_custkey") % 2 == 1).collect()}
+    assert got == want
+
+
+def test_unreadable_stored_table_fails_the_batch(spark, sf_dir, tmp_path):
+    """ADVICE r2 (medium): only PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA mean
+    'first batch'. Any other AnalysisException from reading the stored table
+    (e.g. incompatible type drift across bucket files) must propagate so the
+    stream retries, instead of silently treating pool = delta and
+    dynamic-overwriting away the stored rows of every dirty bucket."""
+    import pytest
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+
+    path = str(tmp_path / "tbl")
+    # fabricate a stored table whose bucket files carry irreconcilable
+    # types for the same column: int vs array<int> cannot schema-merge
+    spark.range(5).selectExpr(
+        "id AS c_custkey", "CAST(id AS INT) AS c_acctbal", "0 AS __bucket"
+    ).write.partitionBy("__bucket").parquet(path, mode="overwrite")
+    spark.range(5).selectExpr(
+        "id + 10 AS c_custkey", "array(CAST(id AS INT)) AS c_acctbal", "1 AS __bucket"
+    ).write.partitionBy("__bucket").parquet(path, mode="append")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    merge = make_cdc_merger(path, "customer", ["c_custkey"], num_buckets=2)
+    # surfaces as SparkException [CANNOT_MERGE_SCHEMAS] — the point is that
+    # it propagates (fails the batch) instead of being swallowed into
+    # pool = delta
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        merge(wrap(cust, "customer", "update", seq=F.lit(0)), 0)
+    # stored rows untouched by the failed batch
+    assert spark.read.parquet(path + "/__bucket=0").count() == 5
