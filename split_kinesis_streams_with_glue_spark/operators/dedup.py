@@ -384,6 +384,8 @@ def fuzzy_pairs(
         .select("d1", "d2", "s1", "s2")
         .distinct()
     )
-    return cand.filter(F.levenshtein("s1", "s2") <= max_distance).select(
-        "d1", "d2", F.levenshtein("s1", "s2").alias("dist")
+    return (
+        cand.withColumn("dist", F.levenshtein("s1", "s2"))
+        .filter(F.col("dist") <= max_distance)
+        .select("d1", "d2", "dist")
     )

@@ -54,7 +54,13 @@ def check_table(df: DataFrame, checks: list) -> DataFrame:
         kind = spec[0]
         if kind == "completeness":
             _, col, min_frac, _ = spec
-            obs = F.round(F.count(col) / n, 6)
+            # count(col)/count(*) on an empty table is 0/0 — DIVIDE_BY_ZERO
+            # under ANSI mode (Spark 4 default); try_divide → NULL, coalesced
+            # to 0.0 so the audit emits a deterministic failed row instead of
+            # crashing
+            obs = F.round(
+                F.coalesce(F.try_divide(F.count(col), n), F.lit(0.0)), 6
+            )
             aggs.append(obs.alias(f"__{len(aggs)}"))
             names.append(f"completeness({col})")
             passes.append(lambda v, m=min_frac: v >= m)
@@ -66,13 +72,18 @@ def check_table(df: DataFrame, checks: list) -> DataFrame:
             passes.append(lambda v: v == 0.0)
         elif kind == "bounds":
             _, col, lo, hi = spec
-            viol = F.sum(
-                F.when(
-                    F.col(col).isNotNull()
-                    & (~F.col(col).between(F.lit(lo), F.lit(hi))),
-                    1,
-                ).otherwise(0)
-            ).cast("double")
+            # sum() over an empty table is NULL; an empty table has zero
+            # violations
+            viol = F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull()
+                        & (~F.col(col).between(F.lit(lo), F.lit(hi))),
+                        1,
+                    ).otherwise(0)
+                ).cast("double"),
+                F.lit(0.0),
+            )
             aggs.append(viol.alias(f"__{len(aggs)}"))
             names.append(f"bounds({col})")
             passes.append(lambda v: v == 0.0)

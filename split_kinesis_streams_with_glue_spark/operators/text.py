@@ -312,7 +312,9 @@ def c4_clean(
 
     def _keep(line):
         t = F.trim(line)
-        words = F.size(F.filter(F.split(t, " +"), lambda w: w != F.lit("")))
+        # \s+ (not " +"): must agree with the oracle's
+        # string_split_regex(trim(l), '\s+') on tab-separated words
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
         low = F.lower(t)
         return (
             t.rlike('[.!?"]$')

@@ -586,30 +586,54 @@ def events_hll_rollup_contract(spark, sf_dir):
     COUNT(DISTINCT) over the same range (HLL++ lgConfigK=12 standard
     error is ~1.6%, so the floor tests the merge path, not luck). The
     sketch bytes are engine-specific, hence a contract query rather than
-    a value oracle."""
+    a value oracle.
+
+    Fused per round-2 verdict: ONE events scan builds the deduped
+    (day, user) frame (localCheckpoint, ≤ days x users rows); bounds,
+    the sketch rollup, the merged estimate, and the exact range count all
+    derive from it, and the error check is a plan-side expression — the
+    whole contract is a single returned plan instead of 4 driver jobs."""
     from split_kinesis_streams_with_glue_spark.operators.sketches import (
         bucket_sketches,
         range_distinct,
     )
 
     ev = load(spark, sf_dir, "events")
-    daily = bucket_sketches(ev, F.to_date("ts"), "user_id")
-    lo, hi = ev.select(
-        F.min(F.to_date("ts")).alias("lo"),
-        F.date_add(F.min(F.to_date("ts")), 29).alias("hi"),
-    ).first()
-    approx = range_distinct(
-        daily, (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi))
-    ).first()["approx_distinct"]
-    exact = (
-        ev.filter((F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(hi)))
-        .agg(F.count_distinct("user_id"))
-        .first()[0]
+    # HLL of user_id per day is invariant under (day, user) dedup, so the
+    # pairs frame serves sketch-build AND exact-count without rescanning
+    # events
+    pairs = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    n_days = ev.select(F.count_distinct(F.to_date("ts"))).first()[0]
-    err_ok = abs(approx - exact) <= 0.05 * max(exact, 1)
-    return spark.createDataFrame(
-        [(n_days, bool(err_ok))], "n_days bigint, error_ok boolean"
+    bounds = pairs.agg(
+        F.min("day").alias("lo"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    in_range = (F.col("day") >= F.col("lo")) & (
+        F.col("day") <= F.date_add("lo", 29)
+    )
+    daily = bucket_sketches(pairs, F.col("day"), "user_id").crossJoin(
+        F.broadcast(bounds)
+    )
+    approx = range_distinct(
+        daily,
+        (F.col("bucket") >= F.col("lo"))
+        & (F.col("bucket") <= F.date_add("lo", 29)),
+        group_cols=["n_days"],
+    )
+    exact = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .filter(in_range)
+        .agg(F.count_distinct("user_id").alias("exact"))
+    )
+    return approx.crossJoin(exact).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact"))
+            <= 0.05 * F.greatest(F.col("exact"), F.lit(1))
+        ).alias("error_ok"),
     )
 
 

@@ -293,6 +293,10 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin(broadcast(<k centroid rows>)) — bounded by design
     "sim_ann_ivf_topk": {"cartesian-product"},
     "sim_ann_recall_contract": {"cartesian-product"},
+    # centroid crossJoin + three 1-row recall aggregates — bounded by design
+    "sim_ann_quantized_ivf_contract": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row bounds agg>)) — bounded by design
+    "events_hll_rollup_contract": {"cartesian-product"},
     "dedup_semantic": {"cartesian-product"},
     # crossJoin(broadcast(<1-row corpus-size agg>)) — bounded by design
     "text_unigram_logprob": {"cartesian-product"},
