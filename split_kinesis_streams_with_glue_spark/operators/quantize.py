@@ -64,6 +64,92 @@ def quantized_dot(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
     return acc.cast("double") * sa.cast("double") * sb.cast("double")
 
 
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """End-to-end quantized ANN: IVF probe pruning + int8 integer-dot
+    scoring — the full 100 TB serving plan in one operator.
+
+    The two levers compose: IVF touches only ``nprobe/n_centroids`` of the
+    corpus (candidate pruning), and every candidate is scored with the
+    integer kernel over stored int8 codes (4x less scan bandwidth than the
+    float column; at scale the codes + per-row scale are what you persist,
+    so the float embedding column never leaves cold storage on the search
+    path). Bucket assignment and query-to-centroid probing stay in float —
+    the codebook is k rows, trained/assigned once offline, so quantizing it
+    would save nothing and cost recall. Output matches ``ivf_topk``:
+    (query_id, neighbor_id, sim, rank) with ``sim`` the reconstructed
+    approximate dot ``a.scale * b.scale * sum(qa_i * qb_i)``."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        _sim,
+        assign_buckets,
+        choose_centroids,
+        kmeans_centroids,
+    )
+
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    else:
+        cents = choose_centroids(corpus, n_centroids, id_col, vec_col)
+    # stored representation: bucket + int8 code + scale (float vec dropped)
+    coded = quantize_int8(
+        assign_buckets(corpus, cents, id_col, vec_col), vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col("qvec").alias("c_qvec"),
+        F.col("qscale").alias("c_qscale"),
+    )
+    qq = quantize_int8(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec_f"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qscale").alias("q_qscale"),
+    )
+    probed = qq.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_qvec",
+        "q_qscale",
+        "centroid_id",
+        _sim(F.col("qvec_f"), F.col("centroid_vec"), True).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        probed.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_qvec", "q_qscale", F.col("centroid_id").alias("bucket"))
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_dot(
+                F.col("q_qvec"),
+                F.col("q_qscale"),
+                F.col("c_qvec"),
+                F.col("c_qscale"),
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,35 +13,29 @@ order, the queries that most need a driver CORRECTNESS row THIS round:
 - ``pipeline_training_data_prep`` re-enters the window to prove the oracle
   HUGEINT cast fix.
 
-Queries not named in the priority list (all driver-green in round 1) follow
-in family registration order. Future rounds rotate this list so every query
-is driver-verified across consecutive rounds.
+Queries not named in the priority list (all driver-green in a past round)
+follow in family registration order. Each round the list is REGENERATED
+from the actual never-checked set — ``set(REGISTRY) - keys(CORRECTNESS_r*)``
+— never hand-maintained: round 2's precomputed plan drifted stale (claimed
+40 never-checked; the true count after the late round-2 commits was 54) and
+``tests/test_registry_rotation.py`` now fails the suite if the window would
+leave an oracle-backed query unverified.
 
-ROUND-3 ROTATION PLAN (precomputed; swap into ``_VERIFY_PRIORITY`` at the
-start of round 3): after round 2 the only queries with NO driver row are
-the ones registered past slot 50 this round —
+ROUND-3 WINDOW (derived by set-diff against CORRECTNESS_r01+r02 — 54
+never-checked entries: 47 oracle-backed + 7 rows-only):
 
-1. round-2 additions (oracle-backed, never driver-checked): the nine
-   TPC-H completions ``q2_min_cost_supplier q7_volume_shipping
-   q8_market_share q9_product_type_profit q11_important_stock
-   q12_shipmode_priority q15_top_supplier q20_potential_promotion
-   q21_waiting_supplier``, plus ``cdc_merge_apply sim_quantize_contract
-   events_stream_enrich sample_dsir_scores text_c4_clean
-   sample_token_budget catalog_analyze_stats events_hll_rollup_contract
-   pipeline_data_quality join_interval_bucketed cdc_table_diff
-   dedup_fuzzy_names pipeline_publish_gated agg_histogram``;
-2. the demoted SQL tail (oracle-backed, never driver-checked):
-   ``window_sliding_avg percentiles_exact map_from_entries_props
-   posexplode_tokens udf_python_rowwise agg_listagg_ordered
-   join_null_safe window_first_last window_range_frame``;
-3. the rows-only sketches (driver records a weaker rows-only check, still
-   worth a slot each once the above fit): ``dedup_semantic dedup_simhash
-   sim_ann_ivf_topk sim_ann_lsh_topk percentiles_approx
-   multimodal_frame_sample multimodal_feature_ann``;
-4. fill remaining slots by re-verifying round-1 families oldest-first.
-
-That is 23 + 9 + 8 = 40 never-checked entries — they all fit in one
-50-slot window with 10 slots left for re-verification.
+1. ``cdc_merge_apply`` first — the incremental CDC merge is the hardest
+   unverified operator and the scale answer to the reference's CDC story;
+2. the 19 TPC-H completions (q2,q4,q6-q22) — the headline decision-support
+   surface, currently resting on local parity only;
+3. the remaining oracle-backed round-2 additions (quality gate, WAP
+   publish, snapshot diff, ANALYZE stats, interval join, histogram,
+   LATERAL top-N, quantize contract, DSIR, C4, token budget, fuzzy names,
+   cluster-best, hopping/enrich/HLL/WMA/left-interval event queries);
+4. the 9-query demoted SQL tail (oracle-backed);
+5. new round-3 queries insert HERE — above rows-only, below the backlog;
+6. the 7 rows-only sketches absorb the past-slot-50 overflow (weakest
+   check loses least by waiting for round 4).
 """
 
 from __future__ import annotations
@@ -55,66 +49,50 @@ import split_kinesis_streams_with_glue_spark.plans.event_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- SQL tail, oracle-backed (unseen by driver in round 1; the most
-    # distinctive forms — siblings whose CATEGORY already has a round-1
-    # driver-green row are demoted below the window for round-3 rotation) ---
-    "pivot_status_by_priority",
-    "unpivot_lineitem_amounts",
-    "join_salted_skew",
-    "pandas_udaf_weighted_avg",
-    "events_timeseries_gapfill",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # --- extension surface (SURVEY §2.6), oracle-backed ---
-    "dedup_exact_doubled",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "sim_pairs_topk",
-    "dedup_embedding_pairs",
-    "dedup_embedding_cosine",
-    "sim_ann_brute_topk",
-    "text_token_counts",
-    "text_tfidf_topterms",
-    "sample_train_val_split",
-    "sample_stratified_lang",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
-    "multimodal_decode_meta",
-    "text_winnow_chunks",
-    "multimodal_resize",
-    "multimodal_audio_chunks",
-    # --- event/streaming surface (SURVEY T6/T7), oracle-backed ---
-    "events_tumbling_counts",
-    "events_sessionize",
-    "events_sessionize_stateful",
-    "events_stream_dedup",
-    "join_asof_attribution",
-    "events_cohort_retention",
-    "events_stream_stream_join",
-    "events_funnel",
-    "events_continuous_rollup",
-    # --- round-1 hash-fail, oracle fixed this round ---
-    "pipeline_training_data_prep",
-    # --- new this round ---
-    "choice_make_struct",
-    "agg_approx_distinct_error",
-    "sim_ann_recall_contract",
-    "percentiles_approx_contract",
-    "events_session_window",  # oracle-backed as of round 2
-    "sample_cap_per_source",
-    "text_redact_pii",
-    "dedup_paragraphs",
-    "text_repetition_scores",
-    # --- round-2b training-pipeline ops, oracle-backed ---
-    "pipeline_pack_sequences",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "sample_temperature_mix",
-    "events_anomaly_zscore",
-    # --- demoted SQL-tail siblings (categories driver-green in round 1;
-    # round-3 rotation re-prioritizes these) ---
+    # --- hardest unverified operator first: incremental CDC merge
+    # (epoch markers, dirty-bucket dynamic overwrite, schema drift) ---
+    "cdc_merge_apply",
+    # --- the 19 TPC-H completions (decision-support headline; only local
+    # parity until now) ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+    # --- remaining oracle-backed round-2 additions, never driver-checked ---
+    "pipeline_data_quality",
+    "pipeline_publish_gated",
+    "cdc_table_diff",
+    "catalog_analyze_stats",
+    "join_interval_bucketed",
+    "agg_histogram",
+    "subquery_lateral_topn",
+    "sim_quantize_contract",
+    "sample_dsir_scores",
+    "sample_token_budget",
+    "text_c4_clean",
+    "dedup_fuzzy_names",
+    "dedup_cluster_best",
+    "events_hopping_counts",
+    "events_stream_enrich",
+    "events_hll_rollup_contract",
+    "events_wma_trend",
+    "events_stream_stream_left_join",
+    # --- demoted SQL tail, oracle-backed, never driver-checked ---
     "window_sliding_avg",
     "percentiles_exact",
     "map_from_entries_props",
@@ -124,7 +102,10 @@ _VERIFY_PRIORITY: list[str] = [
     "join_null_safe",
     "window_first_last",
     "window_range_frame",
-    # --- rows-only (weakest check → absorb any window overflow) ---
+    # --- new round-3 queries (above rows-only) ---
+    "sim_ann_quantized_ivf_contract",
+    # --- rows-only sketches (weakest check → absorb past-slot-50
+    # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",
     "dedup_simhash",
     "sim_ann_ivf_topk",

@@ -307,6 +307,39 @@ def sim_ann_recall_contract(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ann_quantized_ivf_contract",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok
+    """,
+)
+def sim_ann_quantized_ivf_contract(spark, sf_dir):
+    """End-to-end quantized ANN contract (operators/quantize.py
+    ``ivf_quantized_topk``): IVF candidate pruning + int8 integer-dot
+    scoring over stored codes — the plan that at 100 TB scans 4x fewer
+    bytes AND nprobe/n_centroids of the rows — must keep recall@10 >= 0.6
+    vs the exact float brute-force baseline (measured 0.88-0.92 at
+    sf0.001/0.01, identical to float IVF, so the floor tests the fused
+    pipeline, not quantization luck). Entirely plan-side: the recall
+    arithmetic is a crossJoin of three 1-row aggregates, zero driver
+    actions in the query body."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        ivf_quantized_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    qivf = ivf_quantized_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_b = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    n_h = brute.intersect(qivf).agg(F.count(F.lit(1)).alias("hits"))
+    return n_q.crossJoin(n_b).crossJoin(n_h).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (F.col("hits") / F.col("n_brute") >= 0.6).alias("recall_ok"),
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @query(

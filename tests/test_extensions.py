@@ -552,6 +552,50 @@ def test_quality_checks_fire_on_dirty_data(spark):
     assert out["referential(id)"] == (0.0, True)
 
 
+def test_quality_checks_on_empty_table_are_deterministic(spark):
+    """ADVICE r2 (low): on an empty table count(col)/count(*) is NULL —
+    the gate must emit a clean failed completeness row (and zero-violation
+    bounds/uniqueness rows), not crash float(None)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        bounds,
+        check_table,
+        completeness,
+        referential,
+        uniqueness,
+    )
+
+    empty = spark.createDataFrame([], "id int, v double")
+    ref = spark.createDataFrame([(1,)], "id int")
+    out = {
+        r["check"]: (r["observed"], r["passed"])
+        for r in check_table(
+            empty,
+            [
+                completeness("id"),
+                uniqueness("id"),
+                bounds("v", 0.0, 50.0),
+                referential("id", ref, "id"),
+            ],
+        ).collect()
+    }
+    assert out["completeness(id)"] == (0.0, False)  # nothing observed -> fail
+    assert out["uniqueness(id)"] == (0.0, True)
+    assert out["bounds(v)"] == (0.0, True)
+    assert out["referential(id)"] == (0.0, True)
+
+
+def test_c4_clean_counts_tab_separated_words(spark):
+    """ADVICE r2 (low): word counting must split on \\s+ like the oracle —
+    a line whose five words are tab-separated passes min_words=5."""
+    from split_kinesis_streams_with_glue_spark.operators.text import c4_clean
+
+    line = "alpha\tbeta\tgamma\tdelta\tepsilon."
+    doc = "\n".join([line, line, line])
+    df = spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    got = c4_clean(df, min_words=5, min_lines=3).collect()
+    assert len(got) == 1 and got[0]["n_lines"] == 3
+
+
 def test_table_diff_apply_roundtrip(spark, sf_dir):
     """Applying the emitted change feed to the old snapshot must reproduce
     the new snapshot exactly — the property that makes the diff a usable
@@ -623,3 +667,37 @@ def test_write_audit_publish_gates_and_versions(spark, sf_dir, tmp_path):
         read_published(spark, path).agg(F.sum("c_acctbal")).first()[0]
         - (cust.agg(F.sum("c_acctbal")).first()[0] + cust.count())
     ) < 1e-6
+
+
+def test_ivf_quantized_topk_recall_and_shape(spark, sf_dir):
+    """Fused quantize->IVF-probe->integer-dot search: recall@10 vs the
+    exact float baseline must clear the same floor as float IVF, and the
+    output contract (columns, k, rank ordering) must match ivf_topk."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        ivf_quantized_topk,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_quantized_topk(emb, queries, k=10)
+    assert got.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["sim"]))
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    hits = sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in brute)
+    assert hits / len(brute) >= 0.6
