@@ -1,0 +1,113 @@
+"""Multi-dimensional clustering (Z-order) for scan locality.
+
+A Hive-partitioned layout (operators/split.py) prunes on ONE column chain;
+queries that filter on a *different* dimension still scan every file. The
+standard lakehouse answer (Delta OPTIMIZE ZORDER, Iceberg sort orders) is to
+sort data by an interleaved-bit space-filling curve over the hot filter
+columns, so every file's per-column min/max footer stats form a tight
+hyper-rectangle and a reader can skip files on ANY of the curve's
+dimensions.
+
+Everything here is codegen'd integer arithmetic (shift/and/or) — the
+z-value is computable by any engine, which is exactly what makes it
+oracle-checkable. Layout shape at scale: one range-shuffle on the z-value
+(the same cost as any global sort Spark would run for a sorted write), then
+file-local sorts; no UDFs, no driver state.
+
+The curve: each dimension is min-max scaled to a 16-bit integer grid, the
+bits are spread with the classic magic-number masks, and dimension ``i``
+occupies bit positions ``i mod n`` — the textbook Morton code (Morton 1966,
+the same construction Delta Lake's OPTIMIZE ZORDER documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPREAD_MASKS_2D = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits_2d(x: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit word
+    (x15 x14 ... x0  ->  0 x15 0 x14 ... 0 x0). Pure shift/and/or."""
+    out = x.cast("bigint")
+    for shift, mask in _SPREAD_MASKS_2D:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def grid_scale(v: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
+    """Min-max scale ``v`` onto the ``2^bits`` integer grid. Constant
+    columns land on cell 0; the top value lands on the last cell."""
+    cells = (1 << bits) - 1
+    span = hi.cast("double") - lo.cast("double")
+    return F.when(span <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(cells).cast("bigint"),
+            F.floor((v.cast("double") - lo.cast("double")) * cells / span),
+        )
+    )
+
+
+def zvalue_2d(a: Column, b: Column) -> Column:
+    """Morton-interleave two 16-bit grid coordinates: ``a`` takes the even
+    bits, ``b`` the odd bits of the 32-bit z-value."""
+    return spread_bits_2d(a).bitwiseOR(F.shiftleft(spread_bits_2d(b), 1))
+
+
+def with_zvalue(
+    df: DataFrame, col_a: str, col_b: str, out: str = "zval"
+) -> DataFrame:
+    """Append the z-value of two numeric columns, min-max scaled from the
+    frame's own global bounds (one tiny agg, broadcast back — never a
+    single-partition window)."""
+    bounds = df.agg(
+        F.min(col_a).alias("__lo_a"),
+        F.max(col_a).alias("__hi_a"),
+        F.min(col_b).alias("__lo_b"),
+        F.max(col_b).alias("__hi_b"),
+    )
+    ga = grid_scale(F.col(col_a), F.col("__lo_a"), F.col("__hi_a"))
+    gb = grid_scale(F.col(col_b), F.col("__lo_b"), F.col("__hi_b"))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, zvalue_2d(ga, gb))
+        .drop("__lo_a", "__hi_a", "__lo_b", "__hi_b")
+    )
+
+
+def zorder_repartition(
+    df: DataFrame, col_a: str, col_b: str, num_files: int
+) -> DataFrame:
+    """Cluster the frame along the z-curve into ``num_files`` range
+    partitions (each becoming one tight-bounding-box file on write). The
+    range shuffle samples the z distribution, so skewed dimensions still
+    split evenly."""
+    return (
+        with_zvalue(df, col_a, col_b)
+        .repartitionByRange(num_files, "zval")
+        .sortWithinPartitions("zval")
+    )
+
+
+def bounding_boxes(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-partition min/max of both dimensions — the footer stats a reader
+    would prune on. Diagnostic for tests/benchmarks: the z-ordered layout's
+    boxes should overlap a small box predicate far less than a linearly
+    sorted layout's."""
+    return (
+        df.select(F.spark_partition_id().alias("pid"), col_a, col_b)
+        .groupBy("pid")
+        .agg(
+            F.min(col_a).alias("min_a"),
+            F.max(col_a).alias("max_a"),
+            F.min(col_b).alias("min_b"),
+            F.max(col_b).alias("max_b"),
+        )
+    )

@@ -78,3 +78,20 @@ def read_published(spark: SparkSession, path: str) -> DataFrame:
     if current is None:
         raise FileNotFoundError(f"nothing published under {path}")
     return spark.read.parquet(f"{path}/v={current}")
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time travel: read a specific published (or still-staged) version.
+    Every publish keeps its ``path/v=N`` slot on disk, so any historical
+    snapshot remains addressable by number — the version directory IS the
+    snapshot, no transaction-log replay needed. Raises if the slot was
+    never written."""
+    return spark.read.parquet(f"{path}/v={version}")
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """The version readers currently resolve to (None before first
+    publish). A failed audit never moves this, so ``current_version`` can
+    trail the highest ``v=N`` directory on disk — that gap is the staged,
+    unpublished work."""
+    return read_marker(spark, f"{path}/_CURRENT")

@@ -57,3 +57,121 @@ def range_distinct(
         F.hll_sketch_estimate("merged").alias("approx_distinct"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency table for heavy hitters
+# ---------------------------------------------------------------------------
+#
+# Spark ships a count_min_sketch AGGREGATE but no SQL-side point-query over
+# its opaque binary, so a stored sketch would need driver-side
+# deserialization to answer anything. We instead materialize the sketch AS A
+# TABLE — depth x width rows of (d, bucket, cnt) — which keeps both halves
+# of the pattern distributed: build is one explode + groupBy (partial aggs
+# combine map-side, merging two sketches is a union + re-sum), and a point
+# query is an equi-join on (d, bucket) + min() — no UDF, no binary blob, no
+# driver round-trip. At 100 TB the sketch table is depth*width rows (~20k)
+# regardless of input size.
+#
+# Guarantee (Cormode & Muthukrishnan 2005): estimate >= true count always;
+# estimate <= true + eps*N with probability 1 - delta for width = e/eps,
+# depth = ln(1/delta).
+
+
+def cms_build(df: DataFrame, key: str, depth: int = 5, width: int = 4096) -> DataFrame:
+    """Count-min sketch of ``key`` frequencies as a (d, bucket, cnt) table.
+
+    Each row contributes one count to one bucket per hash row; hash rows use
+    xxhash64 salted with the row index (JVM-side, codegen). Weighted
+    variants would swap count(1) for sum(weight).
+    """
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    return (
+        df.select(F.col(key).alias("__k"))
+        .select(rows, F.col("__k"))
+        .select("d", F.pmod(F.xxhash64("d", "__k"), F.lit(width)).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, key: str, depth: int = 5, width: int = 4096
+) -> DataFrame:
+    """Point-query the sketch table for each row of ``items``: estimate =
+    min over hash rows of the landed bucket's count. ``items`` keeps its
+    other columns. Join shape: items x depth (small) equi-joined to the
+    sketch (<= depth*width rows, broadcastable)."""
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    probes = items.select(
+        *items.columns, rows
+    ).withColumn("bucket", F.pmod(F.xxhash64("d", F.col(key)), F.lit(width)))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — tiny broadcastable membership set
+# ---------------------------------------------------------------------------
+#
+# bloom_filter_agg exists in Spark's optimizer for runtime row-level
+# filtering but is NOT registered as a user-facing SQL function, so we build
+# the classic bit array explicitly from codegen primitives: k salted
+# xxhash64 positions per item, OR-folded into 64-bit words. The filter is a
+# map<word_index, bits> with at most m/64 entries — kilobytes for millions
+# of members — so the membership side of a decontamination join broadcasts
+# even when the member list itself would not. Merging two filters over the
+# same (m, k) is a union + bit_or on word index.
+#
+# No false negatives ever; false-positive rate ~ (1 - e^(-k*n/m))^k.
+
+
+def bloom_build(df: DataFrame, key: str, m_bits: int, k_hashes: int = 7) -> DataFrame:
+    """Build the filter: ONE row with column ``bloom`` = map<int,bigint> of
+    set 64-bit words (plus n_words for introspection)."""
+    hashes = F.explode(F.array(*[F.lit(h) for h in range(k_hashes)])).alias("h")
+    words = (
+        df.select(F.col(key).alias("__k"))
+        .select(hashes, F.col("__k"))
+        .select(F.pmod(F.xxhash64("h", "__k"), F.lit(m_bits)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            # F.shiftleft only takes a literal shift amount; the SQL
+            # function accepts a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+def bloom_might_contain(
+    bloom: Column, item: Column, m_bits: int, k_hashes: int = 7
+) -> Column:
+    """Membership test expression against a ``bloom_build`` map column.
+    k codegen'd bit probes AND-folded; true => possibly member, false =>
+    definitely not."""
+    cond = F.lit(True)
+    for h in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(h), item), F.lit(m_bits))
+        word = (pos / 64).cast("int")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+        )
+        cond = cond & (
+            F.coalesce(F.element_at(bloom, word), F.lit(0).cast("bigint")).bitwiseAND(
+                bit
+            )
+            != 0
+        )
+    return cond

@@ -45,6 +45,7 @@ import split_kinesis_streams_with_glue_spark.plans.pipeline_queries  # noqa: F40
 import split_kinesis_streams_with_glue_spark.plans.sql_queries  # noqa: F401
 import split_kinesis_streams_with_glue_spark.plans.extension_queries  # noqa: F401
 import split_kinesis_streams_with_glue_spark.plans.event_queries  # noqa: F401
+import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
@@ -102,8 +103,15 @@ _VERIFY_PRIORITY: list[str] = [
     "join_null_safe",
     "window_first_last",
     "window_range_frame",
-    # --- new round-3 queries (above rows-only) ---
+    # --- new round-3 queries (above rows-only; tagged since=3 so the
+    # rotation test lets any past-slot-50 overflow wait one round) ---
     "sim_ann_quantized_ivf_contract",
+    "events_heavy_hitters_contract",
+    "text_bloom_decontaminate",
+    "layout_zorder_key",
+    "profile_documents",
+    "pipeline_publish_time_travel",
+    "sim_ann_pq_contract",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

@@ -34,17 +34,21 @@ class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    since: int = 0  # round the query first registered in (0 = rounds 1-2)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, since: int = 0):
     """Register a driver-facing query. ``oracle=None`` marks a genuinely
-    non-SQL-expressible operator (weaker rows-only check)."""
+    non-SQL-expressible operator (weaker rows-only check). ``since`` tags
+    queries added in round N so the rotation-coverage test can tell a
+    brand-new query (allowed to wait one round for a window slot) from a
+    backlogged one (must be inside the window)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, since)
         return fn
 
     return deco

