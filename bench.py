@@ -9,6 +9,17 @@ no driver-side collect of large results). The headline set exercises every
 engine subsystem: envelope wire + split + compaction, heavy aggregation,
 broadcast star join, window functions, MinHash LSH dedup, embedding
 similarity, streaming end-to-end, sessionization.
+
+Methodology note (round-3 investigation of the r1->r2 per-query swings):
+at sf0.1 a query's FIRST execution in a session is dominated by one-time
+costs — whole-stage-codegen compilation of its (sometimes enormous)
+generated class, datasource/parser init — e.g. cdc_compact measures ~6.3s
+cold vs ~2.3s steady, minhash ~11s vs ~5.5s. On a real cluster those
+compile once and amortize over TBs; at fixture scale they dominate and
+wobble with machine state. ``queries`` / ``value`` keep the original
+cold-run semantics for round-over-round comparability; ``queries_steady``
+reports each query's second run in the same session — the number that
+actually predicts at-scale throughput.
 """
 
 from __future__ import annotations
@@ -46,12 +57,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        for tab in (timings, steady):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            tab[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +74,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "steady_total": round(sum(steady.values()), 3),
                 "sf": sf,
             }
         )

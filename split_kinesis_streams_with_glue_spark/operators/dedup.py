@@ -263,7 +263,12 @@ def minhash_near_dups(
     would be a bug: the unpersist fires at plan-build time, before the
     caller ever executes the returned frame.)"""
     sh = shingle_sets(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh, num_hashes)
+    # the signature frame is tiny (one row per doc) but its 128-lane min
+    # aggregate is the most expensive expression tree in the plan — and the
+    # banded self-join would evaluate it once PER SIDE (no ReusedExchange
+    # fires across the a/b aliases; verified on the executed plan).
+    # Checkpointing pins it to exactly one evaluation.
+    sigs = minhash_signatures(sh, num_hashes).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes)
     return jaccard_pairs(sh, threshold, candidates=cands)
 

@@ -111,3 +111,59 @@ def bounding_boxes(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.max(col_b).alias("max_b"),
         )
     )
+
+
+def write_clustered(
+    df: DataFrame, path: str, col_a: str, col_b: str, num_files: int
+) -> None:
+    """Write ``df`` z-clustered into ``num_files`` files plus a min/max
+    stats sidecar (``<path>/_stats``) — an explicit, engine-portable
+    data-skipping index in the spirit of Delta's per-file stats.
+
+    The sidecar is built with one narrow post-write scan of just the two
+    clustered columns (column-pruned parquet read, grouped by
+    ``input_file_name``); its size is one row per file regardless of data
+    volume. The z-range shuffle guarantees each file's (a, b) bounding box
+    is tight, which is what makes the sidecar selective."""
+    clustered = zorder_repartition(df, col_a, col_b, num_files).drop("zval")
+    clustered.write.mode("overwrite").parquet(f"{path}/data")
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(f"{path}/data")
+        .select(F.input_file_name().alias("file"), col_a, col_b)
+        .groupBy("file")
+        .agg(
+            F.min(col_a).alias("min_a"),
+            F.max(col_a).alias("max_a"),
+            F.min(col_b).alias("min_b"),
+            F.max(col_b).alias("max_b"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def read_pruned(
+    spark,
+    path: str,
+    a_range: tuple | None = None,
+    b_range: tuple | None = None,
+):
+    """Read a ``write_clustered`` table, skipping every file whose stats
+    box cannot intersect the requested ranges. The sidecar collect is
+    metadata-sized (one row per file); the exact predicate is still applied
+    after the scan, so pruning is purely an I/O optimization — results are
+    identical to a full-scan filter on ANY combination of the two
+    dimensions (the whole point of the 2-D curve)."""
+    stats = spark.read.parquet(f"{path}/_stats")
+    cond = F.lit(True)
+    if a_range is not None:
+        lo, hi = a_range
+        cond = cond & (F.col("min_a") <= hi) & (F.col("max_a") >= lo)
+    if b_range is not None:
+        lo, hi = b_range
+        cond = cond & (F.col("min_b") <= hi) & (F.col("max_b") >= lo)
+    files = [r["file"] for r in stats.filter(cond).collect()]
+    schema = spark.read.parquet(f"{path}/data").schema
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)

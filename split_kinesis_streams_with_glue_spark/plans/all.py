@@ -112,6 +112,7 @@ _VERIFY_PRIORITY: list[str] = [
     "profile_documents",
     "pipeline_publish_time_travel",
     "sim_ann_pq_contract",
+    "layout_stats_prune",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

@@ -349,3 +349,40 @@ def sim_ann_pq_contract(spark, sf_dir):
         F.col("n_queries").cast("long").alias("n_queries"),
         (F.col("hits") / F.col("n_brute") >= 0.7).alias("recall_ok"),
     )
+
+
+@query(
+    since=3,
+    name="layout_stats_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 220
+      AND (CAST(o_orderdate AS DATE) - DATE '1970-01-01') BETWEEN 9500 AND 10200
+    """,
+)
+def layout_stats_prune(spark, sf_dir):
+    """File-skipping read over a z-clustered table (operators/layout.py
+    write_clustered / read_pruned): orders is clustered on (custkey, order
+    day) into 32 files with a per-file min/max sidecar; a 2-D box predicate
+    then reads ONLY the files whose stats box intersects it — and must
+    return exactly what a full scan + filter returns (the oracle). The
+    pruning factor itself is asserted in tests (typically <1/4 of files
+    touched); here the driver checks the half that must never be wrong:
+    skipping loses no rows."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.operators.layout import (
+        read_pruned,
+        write_clustered,
+    )
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "d", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    )
+    path = tempfile.mkdtemp(prefix="sgs_zc_") + "/orders"
+    write_clustered(o, path, "o_custkey", "d", num_files=32)
+    pruned = read_pruned(spark, path, a_range=(100, 220), b_range=(9500, 10200))
+    return pruned.filter(
+        F.col("o_custkey").between(100, 220) & F.col("d").between(9500, 10200)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -304,3 +304,34 @@ def test_pq_refine_recovers_recall(spark, sf_dir):
     n = brute.count()
     hits = brute.intersect(pq).count()
     assert hits / n >= 0.6  # sf0.001 fixture; contract floor is 0.7 at 0.01
+
+
+def test_write_clustered_read_pruned_skips_files(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.operators.layout import (
+        read_pruned,
+        write_clustered,
+    )
+
+    n = 64
+    df = spark.createDataFrame(
+        [(a, b, a * n + b) for a in range(n) for b in range(n)], ["a", "b", "v"]
+    )
+    path = str(tmp_path / "zc")
+    write_clustered(df, path, "a", "b", num_files=16)
+    stats = spark.read.parquet(f"{path}/_stats")
+    assert stats.count() == 16
+    # box on BOTH dims: few files touched
+    pruned = read_pruned(spark, path, a_range=(8, 15), b_range=(8, 15))
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files <= 4
+    got = pruned.filter(F.col("a").between(8, 15) & F.col("b").between(8, 15))
+    assert got.count() == 64  # 8x8 box, no rows lost
+    # secondary-dim-only predicate still prunes (the z-order win)
+    pruned_b = read_pruned(spark, path, b_range=(0, 7))
+    nb = pruned_b.select(F.input_file_name()).distinct().count()
+    assert nb < 16
+    assert pruned_b.filter(F.col("b") <= 7).count() == n * 8
+    # empty box -> empty frame with the right schema, no files read
+    empty = read_pruned(spark, path, a_range=(1000, 2000))
+    assert empty.count() == 0
+    assert empty.columns == ["a", "b", "v"]
