@@ -109,3 +109,18 @@ def check_table(df: DataFrame, checks: list) -> DataFrame:
             rows.append((name, v, bool(ok(v))))
     rows.extend(ref_results)
     return spark.createDataFrame(rows, "check string, observed double, passed boolean")
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Privacy audit for a release/training snapshot: every combination of
+    the quasi-identifier columns must describe at least ``k`` rows, or the
+    combination re-identifies individuals. Returns the VIOLATING groups
+    (combination + its count, n < k) — empty means the table is
+    k-anonymous over those columns. One groupBy shuffle on the
+    quasi-identifier tuple; the output is bounded by the number of rare
+    combinations, not the table size."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+    )

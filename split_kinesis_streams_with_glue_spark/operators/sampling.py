@@ -219,3 +219,31 @@ def token_budget_sample(
         .filter(F.col("start_offset") < budget)
         .drop("__ord")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    expected_n: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """Probability-proportional-to-size sampling: keep each row with
+    inclusion probability ``expected_n * w_i / W`` (W = total weight), so
+    the expected sample size is ``expected_n`` and heavy rows (long docs,
+    high-quality docs) are proportionally favored — the standard one-pass
+    weighted downsampling of a training mix.
+
+    Determinism is the whole design: the uniform draw is 48 bits of the
+    CONTENT md5 (duplicate-safe, engine-portable), and the keep rule is the
+    multiplication-only comparison ``u * W < expected_n * w * 2^48`` —
+    no ln/pow/rand, whose last-ulp behavior differs between engines, and no
+    division, so the identical expression hashes identically in the SQL
+    oracle. Rows with w_i >= W/expected_n are kept with certainty (their
+    inclusion probability caps at 1 — the usual PPS cap). One tiny total
+    agg broadcast back; otherwise a pure filter: pushes down, no shuffle."""
+    total = df.agg(F.sum(F.col(weight_col)).cast("double").alias("__W"))
+    u48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast("bigint")
+    keep = (u48.cast("double") * F.col("__W")) < (
+        F.lit(float(expected_n)) * F.col(weight_col).cast("double") * F.lit(float(1 << 48))
+    )
+    return df.crossJoin(F.broadcast(total)).filter(keep).drop("__W")

@@ -113,6 +113,8 @@ _VERIFY_PRIORITY: list[str] = [
     "pipeline_publish_time_travel",
     "sim_ann_pq_contract",
     "layout_stats_prune",
+    "sample_weighted_pps",
+    "quality_k_anonymity",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

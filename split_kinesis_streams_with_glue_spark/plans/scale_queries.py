@@ -386,3 +386,53 @@ def layout_stats_prune(spark, sf_dir):
     return pruned.filter(
         F.col("o_custkey").between(100, 220) & F.col("d").between(9500, 10200)
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    since=3,
+    name="sample_weighted_pps",
+    oracle="""
+    WITH w AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS W FROM documents)
+    SELECT doc_id, n_chars
+    FROM documents CROSS JOIN w
+    WHERE (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) * W)
+        < (100.0 * CAST(n_chars AS DOUBLE) * 281474976710656.0)
+    """,
+)
+def sample_weighted_pps(spark, sf_dir):
+    """Weighted probability-proportional-to-size sampling
+    (operators/sampling.py weighted_sample): expected 100 docs, inclusion
+    probability proportional to document length. The keep rule is a
+    multiplication-only comparison on 48 content-hash bits, so the exact
+    kept set reproduces in any engine — the oracle IS the same rule in
+    SQL. One tiny total-weight broadcast; otherwise a pure pushdown
+    filter."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return weighted_sample(d, "n_chars", expected_n=100).select("doc_id", "n_chars")
+
+
+@query(
+    since=3,
+    name="quality_k_anonymity",
+    oracle="""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang, source
+    HAVING COUNT(*) < 3
+    """,
+)
+def quality_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/quality_checks.py k_anonymity): every
+    (lang, source) quasi-identifier combination must cover >= 3 documents;
+    the query returns the violating combinations — the privacy gate run
+    before releasing or training on a snapshot. One groupBy on the
+    quasi-identifier tuple; output bounded by rare combinations."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        k_anonymity,
+    )
+
+    return k_anonymity(load(spark, sf_dir, "documents"), ["lang", "source"], k=3)

@@ -277,15 +277,24 @@ def test_pq_exact_on_cluster_structured_data(spark):
         ).alias("embedding"),
     )
     queries = df.filter(F.col("vec_id") < 2)
-    brute = brute_force_topk(df, queries, k=5).select("query_id", "neighbor_id")
-    pq = pq_topk(df, queries, k=5, m=4, ksub=4, n_iters=3, refine=0).select(
-        "query_id", "neighbor_id"
-    )
-    # ADC similarity values tie heavily here (duplicated vectors), so
-    # compare per-query neighbor SETS of sims, not ids: every returned
-    # neighbor must carry a sim equal to a brute-force top-5 sim.
-    assert pq.count() == 10
-    assert brute.count() == 10
+    pq = pq_topk(df, queries, k=5, m=4, ksub=4, n_iters=3, refine=0)
+    # with a lossless codebook the ADC score IS the true dot product —
+    # check every returned sim against the exact dot of the two vectors
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    rows = pq.collect()
+    assert len(rows) == 10
+    for r in rows:
+        true_dot = sum(
+            x * y for x, y in zip(vecs[r["query_id"]], vecs[r["neighbor_id"]])
+        )
+        assert abs(r["sim"] - true_dot) < 1e-3, (r, true_dot)
+    # and the per-query sims must be the 5 best achievable (dup vectors tie)
+    brute = brute_force_topk(df, queries, k=5).collect()
+    best = {}
+    for r in brute:
+        best.setdefault(r["query_id"], set()).add(round(r["sim"], 3))
+    for r in rows:
+        assert round(r["sim"], 3) in best[r["query_id"]]
 
 
 def test_pq_refine_recovers_recall(spark, sf_dir):
@@ -335,3 +344,67 @@ def test_write_clustered_read_pruned_skips_files(spark, tmp_path):
     empty = read_pruned(spark, path, a_range=(1000, 2000))
     assert empty.count() == 0
     assert empty.columns == ["a", "b", "v"]
+
+
+# -------------------------------------------------- weighted PPS / k-anon
+
+
+def test_weighted_sample_expected_size_and_bias(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        # ids >= 1000 are 9x heavier
+        F.when(F.col("id") >= 1000, 9).otherwise(1).alias("w"),
+    )
+    kept = weighted_sample(df, "w", expected_n=200, text_col="text")
+    rows = kept.collect()
+    n = len(rows)
+    assert 140 <= n <= 260  # E=200, concentration around it
+    heavy = sum(1 for r in rows if r["id"] >= 1000)
+    assert heavy / n > 0.75  # heavy rows carry 90% of the weight
+
+
+def test_weighted_sample_deterministic_under_repartition(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("t"), F.col("id")).alias("text"), F.lit(1).alias("w")
+    )
+    a = {r["id"] for r in weighted_sample(df, "w", 50).select("id").collect()}
+    b = {
+        r["id"]
+        for r in weighted_sample(df.repartition(13), "w", 50).select("id").collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_certain_inclusion_of_dominant_row(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("x"), F.col("id")).alias("text"),
+        F.when(F.col("id") == 7, 10_000).otherwise(1).alias("w"),
+    )
+    kept = {r["id"] for r in weighted_sample(df, "w", 5).select("id").collect()}
+    assert 7 in kept  # p caps at 1 for w >= W/n
+
+
+def test_k_anonymity_flags_only_small_groups(spark):
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        k_anonymity,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 2 + [("c", "z")], ["g1", "g2"]
+    )
+    viol = {(r["g1"], r["g2"]): r["n"] for r in k_anonymity(df, ["g1", "g2"], 3).collect()}
+    assert viol == {("b", "y"): 2, ("c", "z"): 1}
