@@ -115,6 +115,7 @@ _VERIFY_PRIORITY: list[str] = [
     "layout_stats_prune",
     "sample_weighted_pps",
     "quality_k_anonymity",
+    "cdc_rollup_apply",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

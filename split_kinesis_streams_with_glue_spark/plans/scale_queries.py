@@ -436,3 +436,87 @@ def quality_k_anonymity(spark, sf_dir):
     )
 
     return k_anonymity(load(spark, sf_dir, "documents"), ["lang", "source"], k=3)
+
+
+@query(
+    since=3,
+    name="cdc_rollup_apply",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                                     WHEN c_custkey % 5 = 0 THEN 100.0
+                                     ELSE 0.0 END AS DECIMAL(18,2))) AS total
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def cdc_rollup_apply(spark, sf_dir):
+    """Incrementally maintained aggregate over a CDC stream
+    (streaming/cdc_merge.py make_cdc_rollup_merger): the load/update/delete
+    phases arrive as three ordered micro-batches and a per-(key-bucket,
+    segment) partial-aggregate table is kept exactly current alongside the
+    row merge — updates retract implicitly (dirty buckets' partials are
+    recomputed from their merged rows), deletes drop contributions, and
+    only dirty buckets are ever rewritten. The final view must equal
+    aggregating the full-history compaction — which is exactly what the
+    oracle computes from first principles."""
+    import os
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.envelope import (
+        generate_cdc_envelopes,
+        to_json_lines,
+    )
+    from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+        infer_envelope_schema,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_cdc_rollup_merger,
+        read_rollup,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_cdcroll_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    phases = [
+        env.filter(op == "load"),
+        env.filter(op == "update"),
+        env.filter(op == "delete"),
+    ]
+    stamped: set = set()
+
+    def stamp(t: int) -> None:
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in stamped:
+                os.utime(p, (t, t))
+                stamped.add(p)
+
+    for i, ph in enumerate(phases):
+        to_json_lines(ph).coalesce(1).write.mode("append").text(src)
+        stamp(1_600_000_000 + i)
+    stream = (
+        spark.readStream.schema(infer_envelope_schema(spark, src))
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    merge = make_cdc_rollup_merger(
+        f"{base}/tbl",
+        f"{base}/agg",
+        "customer",
+        ["c_custkey"],
+        ["c_mktsegment"],
+        F.col("c_acctbal").cast("decimal(18,2)"),
+        num_buckets=16,
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_rollup(spark, f"{base}/agg", ["c_mktsegment"])

@@ -63,9 +63,17 @@ def make_cdc_merger(
     table: str,
     pk_cols: list[str],
     num_buckets: int = 64,
+    on_merged=None,
 ):
     """Build the idempotent ``(envelope_batch, epoch_id) -> None`` merge
-    function (exposed for direct replay testing, as rollup's is)."""
+    function (exposed for direct replay testing, as rollup's is).
+
+    ``on_merged(merged, dirty_ids, surviving)`` runs after the row table is
+    written but BEFORE the epoch marker commits — derived state (e.g. the
+    partial-aggregate table of ``make_cdc_rollup_merger``) therefore shares
+    the merge's replay contract: a crash between the two re-runs one epoch,
+    and both writes are idempotent recomputations of the same dirty
+    buckets."""
     marker = f"{path}/_last_epoch"
 
     def merge(env_batch: DataFrame, epoch_id: int) -> None:
@@ -131,6 +139,8 @@ def make_cdc_merger(
         # files left to infer a schema from; read_table falls back to this
         # marker so an empty table reads as 0 rows with the last schema.
         write_text_marker(spark, f"{path}/_schema", merged.schema.json())
+        if on_merged is not None:
+            on_merged(merged, dirty_ids, surviving)
         write_marker(spark, marker, epoch_id)
 
     return merge
@@ -178,3 +188,75 @@ def read_table(spark, path: str) -> DataFrame:
             raise
         df = spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(path)
     return df.drop(*[c for c in META_COLS if c in df.columns])
+
+
+def make_cdc_rollup_merger(
+    path: str,
+    agg_path: str,
+    table: str,
+    pk_cols: list[str],
+    group_cols: list[str],
+    value_expr,
+    num_buckets: int = 64,
+):
+    """Incrementally maintained EXACT aggregate over a CDC stream — the op
+    an append-only rollup (streaming/rollup.py) cannot be: updates and
+    deletes must retract their old contribution, and CDC envelopes carry no
+    before-image to retract with.
+
+    The trick is the same bucket decomposition the row merge uses: keep a
+    PARTIAL aggregate per (key-hash bucket, group) in ``agg_path``. After
+    each merge, the dirty buckets' partials are recomputed wholesale from
+    their freshly merged rows (so retraction is implicit — the old row
+    simply isn't there anymore) and dynamic-overwritten; untouched buckets'
+    partials remain exactly valid. ``read_rollup`` folds the partial table
+    (num_buckets x |groups| rows, tiny) into the final aggregate. Cost per
+    trigger stays O(batch + dirty-bucket rows); correctness is exact for
+    any associative aggregate (count/sum here — pass a DECIMAL
+    ``value_expr`` for engine-exact money sums)."""
+
+    def on_merged(merged: DataFrame, dirty_ids: set, surviving: set) -> None:
+        spark = merged.sparkSession
+        partials = merged.groupBy("__bucket", *group_cols).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total")
+        )
+        partials.write.mode("overwrite").partitionBy("__bucket").parquet(agg_path)
+        # buckets emptied by deletes leave no partial rows either — drop
+        # their stale agg partitions just like the row table's; the schema
+        # sidecar keeps a fully-emptied agg table readable as zero rows
+        write_text_marker(spark, f"{agg_path}/_schema", partials.schema.json())
+        for bucket in sorted(dirty_ids - surviving):
+            fs, part, _ = _fs_path(spark, f"{agg_path}/__bucket={bucket}")
+            if fs.exists(part):
+                fs.delete(part, True)
+
+    return make_cdc_merger(path, table, pk_cols, num_buckets, on_merged=on_merged)
+
+
+def read_rollup(spark, agg_path: str, group_cols: list[str]) -> DataFrame:
+    """The user-facing aggregate view: fold the per-bucket partials. The
+    scan is the partial table (bounded by num_buckets x |groups|), never
+    the row table. Falls back to the ``_schema`` sidecar when deletes have
+    emptied every partial partition (same contract as ``read_table``)."""
+    try:
+        partials = spark.read.parquet(agg_path)
+    except AnalysisException as exc:
+        cond = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else exc.getErrorClass()
+        )
+        schema_json = (
+            read_text_marker(spark, f"{agg_path}/_schema")
+            if cond == "UNABLE_TO_INFER_SCHEMA"
+            else None
+        )
+        if schema_json is None:
+            raise
+        partials = spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(agg_path)
+    return (
+        partials.groupBy(*group_cols)
+        .agg(F.sum("n").cast("bigint").alias("n"), F.sum("total").alias("total"))
+    )

@@ -188,3 +188,88 @@ def test_unreadable_stored_table_fails_the_batch(spark, sf_dir, tmp_path):
         merge(wrap(cust, "customer", "update", seq=F.lit(0)), 0)
     # stored rows untouched by the failed batch
     assert spark.read.parquet(path + "/__bucket=0").count() == 5
+
+
+# --------------------------------------------- CDC-aware incremental rollup
+
+
+def _rollup_merge(spark, tmp_path, num_buckets=8):
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_cdc_rollup_merger,
+    )
+
+    path, agg = str(tmp_path / "tbl"), str(tmp_path / "agg")
+    merge = make_cdc_rollup_merger(
+        path,
+        agg,
+        "customer",
+        ["c_custkey"],
+        ["c_mktsegment"],
+        F.col("c_acctbal").cast("decimal(18,2)"),
+        num_buckets=num_buckets,
+    )
+    return path, agg, merge
+
+
+def test_cdc_rollup_tracks_table_through_updates_and_deletes(
+    spark, sf_dir, tmp_path
+):
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        read_rollup,
+    )
+
+    _, phases = _phases(spark, sf_dir)
+    path, agg, merge = _rollup_merge(spark, tmp_path)
+    for epoch, ph in enumerate(phases):
+        merge(ph, epoch)
+        # invariant after EVERY batch: the rollup equals re-aggregating the
+        # materialized row table (updates retract implicitly, deletes drop)
+        want = _sorted_rows(
+            read_table(spark, path)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total"),
+            )
+        )
+        got = _sorted_rows(read_rollup(spark, agg, ["c_mktsegment"]))
+        assert got == want, f"epoch {epoch}"
+
+
+def test_cdc_rollup_emptied_bucket_partials_removed(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_cdc_rollup_merger,
+        read_rollup,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, f"n{i}", 0, 10.0, "SEG") for i in range(20)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    path, agg = str(tmp_path / "t2"), str(tmp_path / "a2")
+    merge = make_cdc_rollup_merger(
+        path, agg, "customer", ["c_custkey"], ["c_mktsegment"],
+        F.col("c_acctbal").cast("decimal(18,2)"), num_buckets=4,
+    )
+    merge(wrap(rows, "customer", "load", seq=F.lit(0)), 0)
+    [r0] = read_rollup(spark, agg, ["c_mktsegment"]).collect()
+    assert r0["n"] == 20
+    # delete EVERY key: all buckets empty out; partial partitions must go
+    merge(wrap(rows, "customer", "delete", seq=F.lit(1)), 1)
+    assert read_rollup(spark, agg, ["c_mktsegment"]).count() == 0
+
+
+def test_cdc_rollup_replay_is_noop(spark, sf_dir, tmp_path):
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        read_rollup,
+    )
+
+    _, phases = _phases(spark, sf_dir)
+    _, agg, merge = _rollup_merge(spark, tmp_path)
+    merge(phases[0], 0)
+    merge(phases[1], 1)
+    before = _sorted_rows(read_rollup(spark, agg, ["c_mktsegment"]))
+    merge(phases[1], 1)
+    merge(phases[0], 0)
+    assert _sorted_rows(read_rollup(spark, agg, ["c_mktsegment"])) == before
