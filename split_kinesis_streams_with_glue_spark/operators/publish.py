@@ -95,3 +95,29 @@ def current_version(spark: SparkSession, path: str) -> int | None:
     trail the highest ``v=N`` directory on disk — that gap is the staged,
     unpublished work."""
     return read_marker(spark, f"{path}/_CURRENT")
+
+
+def vacuum_versions(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+    """Expire old snapshots: delete version slots older than the newest
+    ``keep_last``, NEVER the currently published one (time travel to kept
+    versions keeps working; storage stops growing unboundedly). Returns the
+    versions removed. Metadata-sized driver work: one directory listing."""
+    from split_kinesis_streams_with_glue_spark.streaming.markers import _fs as _fs_path
+
+    current = read_marker(spark, f"{path}/_CURRENT")
+    fs, root, _ = _fs_path(spark, path)
+    versions = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("v=")
+    )
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if current is not None:
+        keep.add(current)
+    removed: list[int] = []
+    for v in versions:
+        if v in keep:
+            continue
+        fs.delete(_fs_path(spark, f"{path}/v={v}")[1], True)
+        removed.append(v)
+    return removed

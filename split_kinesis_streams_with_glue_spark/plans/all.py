@@ -116,6 +116,7 @@ _VERIFY_PRIORITY: list[str] = [
     "sample_weighted_pps",
     "quality_k_anonymity",
     "cdc_rollup_apply",
+    "maintenance_compact_files",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

@@ -520,3 +520,41 @@ def cdc_rollup_apply(spark, sf_dir):
     )
     q.awaitTermination()
     return read_rollup(spark, f"{base}/agg", ["c_mktsegment"])
+
+
+@query(
+    since=3,
+    name="maintenance_compact_files",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+)
+def maintenance_compact_files(spark, sf_dir):
+    """Small-file compaction (operators/maintenance.py): a partitioned
+    table fragmented by many tiny streaming writes is rewritten partition
+    by partition into right-sized files — only partitions over the
+    file-count threshold are touched (dynamic overwrite), and the rewrite
+    is a narrow coalesce, no shuffle. The invariant the driver checks:
+    compaction changes the file layout and NOTHING else — the table still
+    reads back exactly as the source rows."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="sgs_maint_") + "/customer"
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    # simulate streaming fragmentation: many small appends per partition
+    for chunk in range(6):
+        cust.filter(F.col("c_custkey") % 6 == chunk).repartition(3).write.partitionBy(
+            "c_mktsegment"
+        ).mode("append").parquet(path)
+    report = compact_small_files(spark, path, target_bytes=1 << 30, min_files=4)
+    assert report, "fragmented partitions must trigger compaction"
+    assert all(r["files_after"] < r["files_before"] for r in report)
+    return spark.read.parquet(path).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )

@@ -320,6 +320,15 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "set_except_all": {"unpushed-scan-filter"},
     "explode_words": {"unpushed-scan-filter"},
     "subquery_scalar": {"unpushed-scan-filter"},
+    # --- round-3 scale queries: every crossJoin below is a broadcast of a
+    # 1-row aggregate (stream total / bloom filter / z-bounds / PPS total
+    # weight) or the k-row recall aggregates — bounded by design
+    "events_heavy_hitters_contract": {"cartesian-product"},
+    "text_bloom_decontaminate": {"cartesian-product"},
+    "layout_zorder_key": {"cartesian-product"},
+    "layout_stats_prune": {"cartesian-product"},
+    "sim_ann_pq_contract": {"cartesian-product"},
+    "sample_weighted_pps": {"cartesian-product"},
 }
 
 

@@ -408,3 +408,74 @@ def test_k_anonymity_flags_only_small_groups(spark):
     )
     viol = {(r["g1"], r["g2"]): r["n"] for r in k_anonymity(df, ["g1", "g2"], 3).collect()}
     assert viol == {("b", "y"): 2, ("c", "z"): 1}
+
+
+# ------------------------------------------------------------- maintenance
+
+
+def test_compact_small_files_rewrites_only_offenders(spark, tmp_path, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.maintenance import (
+        compact_small_files,
+        file_census,
+    )
+
+    path = str(tmp_path / "t")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # nation 0 fragmented into many small files; others one file each.
+    # (AQE would helpfully coalesce the round-robin shuffle back into a
+    # few partitions — exactly the fragmentation we need to simulate, so
+    # pin it off for the setup writes.)
+    seg = "BUILDING"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        frag = cust.filter(F.col("c_mktsegment") == seg).repartition(12)
+        rest = cust.filter(F.col("c_mktsegment") != seg).repartition(1)
+        frag.write.partitionBy("c_mktsegment").mode("overwrite").parquet(path)
+        rest.write.partitionBy("c_mktsegment").mode("append").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before_rows = spark.read.parquet(path).count()
+    census0 = file_census(spark, path)
+    assert census0[f"c_mktsegment={seg}"][0] == 12
+
+    report = compact_small_files(spark, path, target_bytes=1 << 30, min_files=8)
+    assert [r["partition"] for r in report] == [f"c_mktsegment={seg}"]
+    census1 = file_census(spark, path)
+    assert census1[f"c_mktsegment={seg}"][0] == 1
+    # untouched partitions keep their files; no rows gained or lost
+    for part, (n, _) in census1.items():
+        if part != f"c_mktsegment={seg}":
+            assert n == census0[part][0]
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    # double sums differ by addition order across layouts; compare keysets
+    assert sorted(r["c_custkey"] for r in after.select("c_custkey").collect()) == sorted(
+        r["c_custkey"] for r in cust.select("c_custkey").collect()
+    )
+    # idempotent: nothing left to do
+    assert compact_small_files(spark, path, target_bytes=1 << 30, min_files=8) == []
+
+
+def test_vacuum_keeps_current_and_last_n(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.operators.publish import (
+        current_version,
+        read_version,
+        vacuum_versions,
+        write_audit_publish,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        completeness,
+    )
+
+    path = str(tmp_path / "p")
+    for n in (3, 5, 7, 9):
+        write_audit_publish(
+            spark.range(n).selectExpr("id AS k"), path, [completeness("k")]
+        )
+    removed = vacuum_versions(spark, path, keep_last=2)
+    assert removed == [1, 2]
+    assert current_version(spark, path) == 4
+    assert read_version(spark, path, 3).count() == 7
+    assert read_version(spark, path, 4).count() == 9
+    with pytest.raises(Exception):
+        read_version(spark, path, 1).count()
