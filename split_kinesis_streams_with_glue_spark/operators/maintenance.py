@@ -55,8 +55,18 @@ def compact_small_files(
     rewritten (driver-side metadata-sized)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     report: list[dict] = []
+    fs, _, _ = _fs_path(spark, path)
     for part, (n, size) in sorted(file_census(spark, path).items()):
         if n < min_files:
+            continue
+        # guard the documented scope: one level of partitioning with a
+        # concrete value. A null-value partition dir can't round-trip
+        # through a literal re-attach, and a nested layout would silently
+        # flatten — skip both rather than corrupt.
+        if part.endswith("=__HIVE_DEFAULT_PARTITION__"):
+            continue
+        _, ppath, _ = _fs_path(spark, f"{path}/{part}")
+        if any(st.isDirectory() for st in fs.listStatus(ppath)):
             continue
         n_out = max(1, math.ceil(size / target_bytes))
         if n_out >= n:

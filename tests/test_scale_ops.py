@@ -479,3 +479,38 @@ def test_vacuum_keeps_current_and_last_n(spark, tmp_path):
     assert read_version(spark, path, 4).count() == 9
     with pytest.raises(Exception):
         read_version(spark, path, 1).count()
+
+
+def test_bloom_empty_member_set_matches_nothing(spark):
+    empty = spark.createDataFrame([], "k string")
+    bloom = bloom_build(empty, "k", 1 << 12, 4)
+    probes = spark.range(50).select(F.concat(F.lit("p"), F.col("id")).alias("k"))
+    hits = (
+        probes.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(F.col("bloom"), F.col("k"), 1 << 12, 4))
+        .count()
+    )
+    assert hits == 0
+
+
+def test_compact_small_files_skips_null_and_nested_partitions(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id") % 2).alias("p"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df.repartition(10).write.partitionBy("p").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before = spark.read.parquet(path).count()
+    report = compact_small_files(spark, path, target_bytes=1 << 30, min_files=2)
+    # null partition left alone; real partitions compacted; rows intact
+    assert all("__HIVE_DEFAULT_PARTITION__" not in r["partition"] for r in report)
+    assert {r["partition"] for r in report} <= {"p=0", "p=1"}
+    assert spark.read.parquet(path).count() == before
