@@ -20,7 +20,7 @@ All built-in expressions (``hll_sketch_agg`` / ``hll_union_agg`` /
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,3 +175,78 @@ def bloom_might_contain(
             != 0
         )
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch — mergeable quantile summaries
+# ---------------------------------------------------------------------------
+#
+# Completes the stored-sketch family: HLL answers distincts, CMS answers
+# frequencies, this answers QUANTILES over any bucket union after the fact.
+# Per rollup cell keep n_bins counts on a SHARED global grid; merging cells
+# is a per-bin sum (associative), and any quantile of any union is answered
+# from the merged n_bins rows with error bounded by one bin's mass + width.
+# approx_percentile answers one query per scan; the sketch table answers
+# every later range/rollup quantile from kilobytes.
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 256,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """(bucket?, bin, bin_lo, bin_hi, cnt) on a shared min/max grid (one
+    tiny bounds agg, broadcast back). Values at the top edge clamp into the
+    last bin."""
+    bounds = df.agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    safe_width = F.when(width > 0, width).otherwise(F.lit(1.0))
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(value_col).cast("double") - F.col("__lo")) / safe_width
+                    ),
+                ),
+            ).cast("int"),
+        )
+        .withColumn("bin_lo", F.col("__lo") + F.col("bin") * safe_width)
+        .withColumn("bin_hi", F.col("__lo") + (F.col("bin") + 1) * safe_width)
+    )
+    keys = (["bucket"] if bucket is not None else []) + ["bin"]
+    if bucket is not None:
+        binned = binned.withColumn("bucket", bucket)
+    return binned.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("bin_lo").alias("bin_lo"),
+        F.first("bin_hi").alias("bin_hi"),
+    )
+
+
+def histogram_quantile(hist: DataFrame, q: float) -> DataFrame:
+    """Estimate the q-quantile from a (merged) histogram frame: one row
+    (est, n_total). Merging first is a per-bin sum; the running-total
+    window is over n_bins rows — bounded regardless of data volume."""
+    merged = hist.groupBy("bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.first("bin_lo").alias("bin_lo"),
+        F.first("bin_hi").alias("bin_hi"),
+    )
+    w = Window.orderBy("bin")  # bounded: n_bins rows
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(merged.agg(F.sum("cnt").alias("n_total")))
+    )
+    hit = cum.filter(F.col("cum") >= F.lit(q) * F.col("n_total")).orderBy("bin").limit(1)
+    return hit.select(
+        ((F.col("bin_lo") + F.col("bin_hi")) / 2).alias("est"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )

@@ -117,6 +117,8 @@ _VERIFY_PRIORITY: list[str] = [
     "quality_k_anonymity",
     "cdc_rollup_apply",
     "maintenance_compact_files",
+    "agg_salted_skew",
+    "events_quantile_sketch_contract",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

@@ -558,3 +558,79 @@ def maintenance_compact_files(spark, sf_dir):
     return spark.read.parquet(path).select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
+
+
+@query(
+    since=3,
+    name="agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py salted_agg): the
+    3-value l_returnflag key is extreme skew by construction — a plain
+    groupBy puts ~1/3 of the table in each of three reduce tasks; the
+    salted form spreads every key across 32 partial cells first, then
+    combines the (3 x 32)-row partials. Result provably equals the plain
+    aggregation for algebraic aggregates — which is exactly what the
+    oracle checks. (DECIMAL sum: engine-exact, no float order dependence.)"""
+    from split_kinesis_streams_with_glue_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__q", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return salted_agg(
+        li,
+        "l_returnflag",
+        {"n": "count", "sum_qty": "sum:__q", "max_ok": "max:l_orderkey"},
+        salt=32,
+    )
+
+
+@query(
+    since=3,
+    name="events_quantile_sketch_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS median_rank_ok
+    FROM events
+    """,
+)
+def events_quantile_sketch_contract(spark, sf_dir):
+    """Mergeable histogram-sketch contract (operators/sketches.py
+    value_histogram / histogram_quantile): per-day 256-bin histograms on a
+    shared grid are merged (per-bin sum) and the median read off the
+    merged bins — the stored-sketch pattern that answers any later
+    range-quantile question from kilobytes instead of a rescan. The
+    oracle-checkable fact: the estimate's true rank lands within
+    [0.45, 0.55] (measured 0.49-0.51; one bin holds ~1/256 of the mass, so
+    the band tests the binning logic, not luck). Completes the sketch
+    trio: HLL = distincts, CMS = frequencies, histogram = quantiles."""
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        histogram_quantile,
+        value_histogram,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    hist = value_histogram(ev, "value", n_bins=256, bucket=F.to_date("ts"))
+    est = histogram_quantile(hist, 0.5)
+    ranked = (
+        ev.crossJoin(F.broadcast(est))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            (F.sum((F.col("value") <= F.col("est")).cast("long")) / F.count(F.lit(1)))
+            .alias("__rank"),
+        )
+        .select(
+            F.col("n_total").cast("bigint").alias("n_total"),
+            ((F.col("__rank") >= 0.45) & (F.col("__rank") <= 0.55)).alias(
+                "median_rank_ok"
+            ),
+        )
+    )
+    return ranked

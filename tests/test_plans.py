@@ -329,6 +329,7 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "layout_stats_prune": {"cartesian-product"},
     "sim_ann_pq_contract": {"cartesian-product"},
     "sample_weighted_pps": {"cartesian-product"},
+    "events_quantile_sketch_contract": {"cartesian-product"},
 }
 
 

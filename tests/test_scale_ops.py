@@ -514,3 +514,50 @@ def test_compact_small_files_skips_null_and_nested_partitions(spark, tmp_path):
     assert all("__HIVE_DEFAULT_PARTITION__" not in r["partition"] for r in report)
     assert {r["partition"] for r in report} <= {"p=0", "p=1"}
     assert spark.read.parquet(path).count() == before
+
+
+# ------------------------------------------------------- histogram sketch
+
+
+def test_histogram_merge_is_per_bin_sum(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        value_histogram,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"),
+        (F.col("id") % 4).alias("g"),
+    )
+    hist = value_histogram(df, "v", n_bins=32, bucket=F.col("g"))
+    merged = hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    flat = value_histogram(df, "v", n_bins=32)
+    assert sorted((r["bin"], r["cnt"]) for r in merged.collect()) == sorted(
+        (r["bin"], r["cnt"]) for r in flat.select("bin", "cnt").collect()
+    )
+
+
+def test_histogram_quantile_error_bounded_by_bin(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        histogram_quantile,
+        value_histogram,
+    )
+
+    df = spark.range(10000).select(F.col("id").cast("double").alias("v"))
+    hist = value_histogram(df, "v", n_bins=100)
+    for q in (0.1, 0.5, 0.9):
+        [r] = histogram_quantile(hist, q).collect()
+        assert abs(r["est"] - q * 9999) <= 9999 / 100 + 1, (q, r["est"])
+        assert r["n_total"] == 10000
+
+
+def test_histogram_constant_column_single_bin(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        histogram_quantile,
+        value_histogram,
+    )
+
+    df = spark.range(50).select(F.lit(7.0).alias("v"))
+    hist = value_histogram(df, "v", n_bins=16)
+    assert hist.count() == 1
+    [r] = histogram_quantile(hist, 0.5).collect()
+    assert 6.0 <= r["est"] <= 8.0
