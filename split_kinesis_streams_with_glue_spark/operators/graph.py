@@ -91,3 +91,56 @@ def cluster_labels(
         *[rows[c] for c in rows.columns],
         F.coalesce(F.col("component"), rows[id_col]).alias("cluster_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair frame: (node, rank).
+
+    The centrality step after near-dup clustering: within a duplicate/
+    similarity graph, rank identifies the most-connected (most
+    "canonical") documents, a better survivor heuristic than min-id when
+    clusters are large. Classic power iteration, one shuffle per round:
+    every node sends rank/degree along each edge, receivers sum and apply
+    the damping mix. Undirected graphs are symmetrized, so every node in
+    ``edges`` both sends and receives; the fixed iteration count keeps the
+    computation ORACLE-CHECKABLE (the same five rounds unroll as chained
+    SQL CTEs — no convergence test, no data-dependent control flow).
+    Lineage is truncated per round (localCheckpoint) exactly as in
+    ``connected_components`` and for the same plan-explosion reason."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("out"))
+    n_total = deg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = deg.crossJoin(F.broadcast(n_total)).select(
+        F.col("a").alias("node"), (F.lit(1.0) / F.col("nn")).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        contrib = (
+            sym.join(ranks, sym["a"] == ranks["node"])
+            .join(deg, "a")
+            .select(F.col("b"), (F.col("r") / F.col("out")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("b").alias("node"))
+            .agg(F.sum("c").alias("recv"))
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("nn")
+                    + F.lit(damping) * F.col("recv")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -119,6 +119,8 @@ _VERIFY_PRIORITY: list[str] = [
     "maintenance_compact_files",
     "agg_salted_skew",
     "events_quantile_sketch_contract",
+    "events_stream_topk",
+    "dedup_pagerank_centrality",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

@@ -634,3 +634,114 @@ def events_quantile_sketch_contract(spark, sf_dir):
         )
     )
     return ranked
+
+
+@query(
+    since=3,
+    name="events_stream_topk",
+    oracle="""
+    SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS err
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, key
+    """,
+)
+def events_stream_topk(spark, sf_dir):
+    """Streaming space-saving top-k (streaming/topk.py): the events stream
+    replays as 8 micro-batches, each folding its exact per-key counts into
+    a fixed-capacity (key, cnt, err) summary. Capacity (64) exceeds the
+    distinct event-type count, so the admission threshold never rises and
+    the summary must be EXACT — which is what the oracle checks. The
+    capacity-exceeded approximation path (admission at threshold, heavy
+    keys guaranteed to survive, cnt bounds [true, true+err]) is pinned by
+    unit tests; the operator's state is `capacity` rows forever."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.topk import (
+        read_topk,
+        stream_topk,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    base = tempfile.mkdtemp(prefix="sgs_topk_")
+    ev.repartition(8).write.mode("overwrite").json(f"{base}/src")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{base}/src")
+    )
+    q = stream_topk(stream, f"{base}/out", f"{base}/ckpt", "event_type", capacity=64)
+    q.awaitTermination()
+    return read_topk(spark, f"{base}/out")
+
+
+_PAGERANK_ITER = """
+r{i} AS (
+  SELECT s.b AS node, 0.15 / n.nn + 0.85 * SUM(p.r / d.out) AS r
+  FROM sym s
+  JOIN r{j} p ON p.node = s.a
+  JOIN deg d ON d.a = s.a
+  CROSS JOIN n
+  GROUP BY s.b, n.nn
+)"""
+
+_PAGERANK_SQL = (
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+),
+sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+deg AS (SELECT a, count(*) AS out FROM sym GROUP BY a),
+n AS (SELECT count(*) AS nn FROM deg),
+r0 AS (SELECT a AS node, 1.0 / n.nn AS r FROM deg CROSS JOIN n),"""
+    + ",".join(_PAGERANK_ITER.format(i=i, j=i - 1) for i in range(1, 6))
+    + """
+SELECT node, ROUND(r, 6) AS rank FROM r5
+"""
+)
+
+
+@query(
+    since=3,
+    name="dedup_pagerank_centrality",
+    oracle=_PAGERANK_SQL,
+)
+def dedup_pagerank_centrality(spark, sf_dir):
+    """PageRank over the near-dup similarity graph (operators/graph.py
+    pagerank): five fixed power-iteration rounds on the exact 3-shingle
+    Jaccard pairs — the centrality signal that picks a CANONICAL document
+    per duplicate neighborhood better than min-id when clusters are big.
+    Fixed iterations keep it fully oracle-checkable: the same five rounds
+    unroll as chained CTEs in the DuckDB twin, and both engines' float
+    sums agree to the rounded 6 decimals on this graph scale. One shuffle
+    per round, lineage checkpointed per round."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import pagerank
+
+    sh = shingle_sets(load(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(sh, 0.5).select("d1", "d2")
+    pr = pagerank(pairs, n_iters=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

@@ -330,6 +330,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "sim_ann_pq_contract": {"cartesian-product"},
     "sample_weighted_pps": {"cartesian-product"},
     "events_quantile_sketch_contract": {"cartesian-product"},
+    # presentational sort over the space-saving summary table, which is
+    # <= capacity (64) rows by construction — bounded at any stream volume
+    "events_stream_topk": {"global-sort"},
 }
 
 

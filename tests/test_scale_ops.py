@@ -561,3 +561,39 @@ def test_histogram_constant_column_single_bin(spark):
     assert hist.count() == 1
     [r] = histogram_quantile(hist, 0.5).collect()
     assert 6.0 <= r["est"] <= 8.0
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from split_kinesis_streams_with_glue_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iters=5).collect()}
+
+    import numpy as np
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    nn = len(nodes)
+    adj = np.zeros((nn, nn))
+    for a, b in edges:
+        adj[idx[a]][idx[b]] = adj[idx[b]][idx[a]] = 1
+    out = adj.sum(axis=1)
+    r = np.full(nn, 1.0 / nn)
+    for _ in range(5):
+        r = 0.15 / nn + 0.85 * adj.T @ (r / out)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9, (n, got[n], r[idx[n]])
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from split_kinesis_streams_with_glue_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 8)], ["d1", "d2"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iters=5).collect()}
+    hub = got[0]
+    assert all(hub > got[i] for i in range(1, 8))
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # conserved mass

@@ -284,3 +284,80 @@ def test_stream_metrics_side_channel(spark, sf_dir, stream_dirs, tmp_path):
         m.filter(F.col("table_name") == "_corrupt").agg(F.sum("n_records")).first()[0]
     )
     assert corrupt_total == 2
+
+
+# ------------------------------------------------------ streaming top-k
+
+
+def _mk_batches(spark, counts_per_batch):
+    """counts_per_batch: list of dicts key->n; build one frame per batch."""
+    out = []
+    for d in counts_per_batch:
+        rows = [(k,) for k, n in d.items() for _ in range(n)]
+        out.append(spark.createDataFrame(rows, "k string"))
+    return out
+
+
+def test_topk_exact_when_under_capacity(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.streaming.topk import (
+        make_topk_merger,
+        read_topk,
+    )
+
+    path = str(tmp_path / "tk")
+    merge = make_topk_merger(path, "k", capacity=16)
+    batches = _mk_batches(
+        spark, [{"a": 5, "b": 2}, {"a": 3, "c": 7}, {"b": 1, "c": 1}]
+    )
+    for e, b in enumerate(batches):
+        merge(b, e)
+    got = {r["key"]: (r["cnt"], r["err"]) for r in read_topk(spark, path).collect()}
+    assert got == {"a": (8, 0), "b": (3, 0), "c": (8, 0)}
+
+
+def test_topk_capacity_bound_and_guarantees(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.streaming.topk import (
+        make_topk_merger,
+        read_topk,
+    )
+
+    path = str(tmp_path / "tk2")
+    cap = 8
+    merge = make_topk_merger(path, "k", capacity=cap)
+    # heavy keys h0..h3 appear every batch; 30 distinct light keys churn
+    true_counts: dict[str, int] = {}
+    batches = []
+    for e in range(5):
+        d = {f"h{i}": 20 for i in range(4)}
+        d.update({f"l{e}_{j}": 1 for j in range(6)})
+        for k, n in d.items():
+            true_counts[k] = true_counts.get(k, 0) + n
+        batches.append(d)
+    for e, b in enumerate(_mk_batches(spark, batches)):
+        merge(b, e)
+    rows = read_topk(spark, path).collect()
+    assert len(rows) <= cap
+    got = {r["key"]: r for r in rows}
+    # every heavy key present, never undercounted, lower bound never over
+    for i in range(4):
+        k = f"h{i}"
+        assert k in got
+        assert got[k]["cnt"] >= true_counts[k]
+        assert got[k]["cnt"] - got[k]["err"] <= true_counts[k]
+
+
+def test_topk_replay_is_noop(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.streaming.topk import (
+        make_topk_merger,
+        read_topk,
+    )
+
+    path = str(tmp_path / "tk3")
+    merge = make_topk_merger(path, "k", capacity=4)
+    batches = _mk_batches(spark, [{"a": 3}, {"a": 2, "b": 1}])
+    merge(batches[0], 0)
+    merge(batches[1], 1)
+    before = sorted(map(tuple, read_topk(spark, path).collect()))
+    merge(batches[1], 1)
+    merge(batches[0], 0)
+    assert sorted(map(tuple, read_topk(spark, path).collect())) == before
