@@ -9,8 +9,9 @@ the classic guarantees: estimates never undercount, every key whose true
 count exceeds N/capacity is present, and est - true <= the admission
 threshold recorded alongside.
 
-Batch-merge form (foreachBatch, same replay contract as rollup/cdc_merge):
-per trigger the batch's exact per-key counts fold into the stored summary —
+Batch-merge form (foreachBatch; epoch-snapshot replay contract — see
+``make_topk_merger``): per trigger the batch's exact per-key counts fold
+into the stored summary —
 keys already present add their counts; new keys are admitted at the current
 threshold (the count mass they could have accumulated while evicted, which
 is exactly their ``err``); the summary is cut back to the top ``capacity``
@@ -21,11 +22,11 @@ per-trigger cost is O(batch + capacity).
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from split_kinesis_streams_with_glue_spark.streaming.markers import (
+    _fs as _fs_path,
     read_marker,
     write_marker,
 )
@@ -33,37 +34,47 @@ from split_kinesis_streams_with_glue_spark.streaming.markers import (
 
 def make_topk_merger(path: str, key_col: str, capacity: int = 256):
     """Idempotent ``(batch, epoch_id) -> None``: fold the batch into the
-    stored summary under ``path``. Exposed for direct replay testing."""
+    stored summary under ``path``. Exposed for direct replay testing.
+
+    Replay safety differs from rollup/cdc_merge in a crucial way: their
+    per-epoch write is a RECOMPUTATION of dirty state, so re-running an
+    epoch is harmless; this merge is INCREMENTAL (counts add), so writing
+    into one summary location would double-count an epoch replayed after a
+    crash between data write and marker write. Each epoch therefore writes
+    its own ``summary_e{N}`` snapshot derived from ``summary_e{last}`` —
+    re-running epoch N reproduces summary_e{N} byte-identically from the
+    untouched N-1 snapshot. The admission threshold is DERIVED from the
+    stored summary (min count once at capacity — monotone non-decreasing),
+    not kept as separate mutable state that could desync. The previous-but-
+    one snapshot is deleted after the marker commits, so disk holds at most
+    two capacity-row summaries."""
     epoch_marker = f"{path}/_last_epoch"
-    thresh_marker = f"{path}/_threshold"
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         last = read_marker(spark, epoch_marker)
         if last is not None and epoch_id <= last:
             return  # replayed epoch — already applied
-        thresh = read_marker(spark, thresh_marker) or 0
         delta = batch.groupBy(F.col(key_col).alias("key")).agg(
             F.count(F.lit(1)).alias("__d_cnt")
         )
-        stored = None
-        try:
-            stored = spark.read.parquet(f"{path}/summary")
-        except AnalysisException as exc:
-            cond = (
-                exc.getCondition()
-                if hasattr(exc, "getCondition")
-                else exc.getErrorClass()
-            )
-            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                raise
-        if stored is None:
+        stored_rows = []
+        if last is not None:
+            stored = spark.read.parquet(f"{path}/summary_e{last}")
+            stored_rows = stored.collect()  # bounded: <= capacity rows
+        thresh = (
+            min(r["cnt"] for r in stored_rows)
+            if len(stored_rows) >= capacity
+            else 0
+        )
+        if not stored_rows:
             pool = delta.select(
                 "key",
                 (F.col("__d_cnt") + F.lit(thresh)).alias("cnt"),
                 F.lit(thresh).cast("bigint").alias("err"),
             )
         else:
+            stored = spark.createDataFrame(stored_rows)
             j = stored.join(delta, "key", "full_outer")
             pool = j.select(
                 "key",
@@ -76,17 +87,16 @@ def make_topk_merger(path: str, key_col: str, capacity: int = 256):
         # top-`capacity` by count (ties by key for determinism); capacity is
         # small, so this is a TakeOrdered, not a global sort
         kept = pool.orderBy(F.col("cnt").desc(), F.col("key")).limit(capacity)
-        # bounded collect (`capacity` rows by construction): also severs the
-        # lineage to the stored summary, so the overwrite below does not
-        # read the very files it is replacing
-        rows = kept.collect()
-        spark.createDataFrame(rows, kept.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/summary")
-        if len(rows) >= capacity:
-            new_thresh = min(r["cnt"] for r in rows)
-            write_marker(spark, thresh_marker, max(thresh, int(new_thresh)))
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/summary_e{epoch_id}"
+        )
         write_marker(spark, epoch_marker, epoch_id)
+        if last is not None and last != epoch_id:
+            fs, prev, _ = _fs_path(spark, f"{path}/summary_e{last}")
+            # safe AFTER the marker: readers resolve via the marker, and a
+            # replay of epoch_id no longer needs the N-1 snapshot
+            if last < epoch_id and fs.exists(prev):
+                fs.delete(prev, True)
 
     return merge
 
@@ -111,8 +121,12 @@ def stream_topk(
 
 def read_topk(spark, path: str, k: int | None = None) -> DataFrame:
     """The current summary: (key, cnt, err), heaviest first. ``cnt`` never
-    undercounts the true total; ``cnt - err`` never overcounts it."""
-    df = spark.read.parquet(f"{path}/summary").orderBy(
+    undercounts the true total; ``cnt - err`` never overcounts it. Resolves
+    the epoch pointer, so readers always see a complete snapshot."""
+    last = read_marker(spark, f"{path}/_last_epoch")
+    if last is None:
+        raise FileNotFoundError(f"no top-k summary committed under {path}")
+    df = spark.read.parquet(f"{path}/summary_e{last}").orderBy(
         F.col("cnt").desc(), F.col("key")
     )
     return df.limit(k) if k is not None else df

@@ -361,3 +361,28 @@ def test_topk_replay_is_noop(spark, tmp_path):
     merge(batches[1], 1)
     merge(batches[0], 0)
     assert sorted(map(tuple, read_topk(spark, path).collect())) == before
+
+
+def test_topk_crash_between_snapshot_and_marker_recovers_exactly(
+    spark, tmp_path
+):
+    """Simulate the at-least-once crash window: epoch 1's snapshot was
+    written but its marker never committed. The re-delivered epoch must
+    rebuild the snapshot from epoch 0's (still present) state — counts
+    exact, no double-add."""
+    from split_kinesis_streams_with_glue_spark.streaming.topk import (
+        make_topk_merger,
+        read_topk,
+    )
+
+    path = str(tmp_path / "tk4")
+    merge = make_topk_merger(path, "k", capacity=8)
+    b0, b1 = _mk_batches(spark, [{"a": 3, "b": 1}, {"a": 2, "c": 4}])
+    merge(b0, 0)
+    # a torn epoch-1 snapshot from the "crashed" attempt (wrong contents)
+    spark.createDataFrame(
+        [("a", 999, 0)], "key string, cnt long, err long"
+    ).write.mode("overwrite").parquet(f"{path}/summary_e1")
+    merge(b1, 1)  # redelivery: must overwrite the torn snapshot, not trust it
+    got = {r["key"]: r["cnt"] for r in read_topk(spark, path).collect()}
+    assert got == {"a": 5, "b": 1, "c": 4}
