@@ -167,3 +167,56 @@ def read_pruned(
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
+
+
+# 10-bit three-way interleave (x | x<<16 ... pattern), the standard 3-D
+# Morton magic numbers: each step doubles the gap between bit groups.
+_SPREAD_MASKS_3D = (
+    (16, 0x030000FF),
+    (8, 0x0300F00F),
+    (4, 0x030C30C3),
+    (2, 0x09249249),
+)
+
+
+def spread_bits_3d(x: Column) -> Column:
+    """Spread a 10-bit value's bits to every third position of a 30-bit
+    word. Same shift/and/or shape as the 2-D spread, different masks."""
+    out = x.cast("bigint")
+    for shift, mask in _SPREAD_MASKS_3D:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def zvalue_3d(a: Column, b: Column, c: Column) -> Column:
+    """Morton-interleave three 10-bit grid coordinates into a 30-bit
+    z-value (a = bits 0,3,6,...; b = 1,4,7,...; c = 2,5,8,...)."""
+    return (
+        spread_bits_3d(a)
+        .bitwiseOR(F.shiftleft(spread_bits_3d(b), 1))
+        .bitwiseOR(F.shiftleft(spread_bits_3d(c), 2))
+    )
+
+
+def with_zvalue_3d(
+    df: DataFrame, col_a: str, col_b: str, col_c: str, out: str = "zval"
+) -> DataFrame:
+    """Append the 3-D z-value (each dimension min-max scaled onto a 10-bit
+    grid from the frame's global bounds). Three dimensions at 10 bits is
+    the useful upper end of the curve: more dims on a fixed bit budget
+    coarsen every dimension's grid and footer stats stop discriminating —
+    past 3-4 hot columns, pick the hottest and Hive-partition the rest."""
+    aggs = []
+    for c in (col_a, col_b, col_c):
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    bounds = df.agg(*aggs)
+    grids = [
+        grid_scale(F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits=10)
+        for c in (col_a, col_b, col_c)
+    ]
+    drop = [f"__{p}_{c}" for c in (col_a, col_b, col_c) for p in ("lo", "hi")]
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, zvalue_3d(*grids))
+        .drop(*drop)
+    )

@@ -48,11 +48,19 @@ def compact_small_files(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 8,
+    zorder_cols: tuple[str, str] | None = None,
 ) -> list[dict]:
     """Compact every partition holding at least ``min_files`` files into
     ``ceil(total_bytes / target_bytes)`` files. Returns a per-partition
     report [{partition, files_before, files_after}] for the partitions
-    rewritten (driver-side metadata-sized)."""
+    rewritten (driver-side metadata-sized).
+
+    ``zorder_cols=(a, b)``: the OPTIMIZE ... ZORDER BY form — since the
+    rewrite is touching the bytes anyway, cluster them along the Morton
+    curve over the two hot filter columns for free, so each output file's
+    footer stats become a tight 2-D bounding box (operators/layout.py).
+    Multi-file outputs switch the narrow coalesce for a z-range shuffle of
+    just that partition's rows."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     report: list[dict] = []
     fs, _, _ = _fs_path(spark, path)
@@ -78,11 +86,16 @@ def compact_small_files(
         # reader's partition-type inference is unchanged
         from pyspark.sql import functions as F
 
-        part_df: DataFrame = (
-            spark.read.parquet(f"{path}/{part}")
-            .coalesce(n_out)
-            .withColumn(col, F.lit(val))
-        )
+        part_df: DataFrame = spark.read.parquet(f"{path}/{part}")
+        if zorder_cols is not None:
+            from split_kinesis_streams_with_glue_spark.operators.layout import (
+                zorder_repartition,
+            )
+
+            part_df = zorder_repartition(part_df, *zorder_cols, n_out).drop("zval")
+        else:
+            part_df = part_df.coalesce(n_out)
+        part_df = part_df.withColumn(col, F.lit(val))
         part_df.write.mode("overwrite").partitionBy(col).parquet(path)
         report.append(
             {"partition": part, "files_before": n, "files_after": n_out}

@@ -100,8 +100,10 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch table for each row of ``items``: estimate =
     min over hash rows of the landed bucket's count. ``items`` keeps its
-    other columns. Join shape: items x depth (small) equi-joined to the
-    sketch (<= depth*width rows, broadcastable)."""
+    other columns (note: exact duplicate rows in ``items`` collapse to one
+    output row — the estimate is per distinct probe). Join shape: items x
+    depth (small) equi-joined to the sketch (<= depth*width rows,
+    broadcastable)."""
     rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
     probes = items.select(
         *items.columns, rows

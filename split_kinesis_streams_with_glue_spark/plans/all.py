@@ -33,7 +33,11 @@ never-checked entries: 47 oracle-backed + 7 rows-only):
    LATERAL top-N, quantize contract, DSIR, C4, token budget, fuzzy names,
    cluster-best, hopping/enrich/HLL/WMA/left-interval event queries);
 4. the 9-query demoted SQL tail (oracle-backed);
-5. new round-3 queries insert HERE — above rows-only, below the backlog;
+5. new round-3 queries insert HERE — above rows-only, below the backlog
+   (15 landed during round 3, tagged ``since=3``; only the first ~2 fit
+   inside slot 50 — the rest wait for round 4 per the rotation test's
+   ``since`` exemption, which is exactly the "new queries may wait one
+   round" policy);
 6. the 7 rows-only sketches absorb the past-slot-50 overflow (weakest
    check loses least by waiting for round 4).
 """
@@ -106,21 +110,24 @@ _VERIFY_PRIORITY: list[str] = [
     # --- new round-3 queries (above rows-only; tagged since=3 so the
     # rotation test lets any past-slot-50 overflow wait one round) ---
     "sim_ann_quantized_ivf_contract",
-    "events_heavy_hitters_contract",
-    "text_bloom_decontaminate",
-    "layout_zorder_key",
-    "profile_documents",
-    "pipeline_publish_time_travel",
-    "sim_ann_pq_contract",
-    "layout_stats_prune",
-    "sample_weighted_pps",
-    "quality_k_anonymity",
+    # hardest new derived-state / compression ops first: the two slots
+    # that fit inside the 50-query window should carry the most evidence
     "cdc_rollup_apply",
-    "maintenance_compact_files",
-    "agg_salted_skew",
-    "events_quantile_sketch_contract",
+    "sim_ann_pq_contract",
     "events_stream_topk",
     "dedup_pagerank_centrality",
+    "text_bloom_decontaminate",
+    "events_heavy_hitters_contract",
+    "layout_stats_prune",
+    "layout_zorder_key",
+    "layout_zorder3_key",
+    "events_quantile_sketch_contract",
+    "sample_weighted_pps",
+    "quality_k_anonymity",
+    "maintenance_compact_files",
+    "agg_salted_skew",
+    "profile_documents",
+    "pipeline_publish_time_travel",
     # --- rows-only sketches (weakest check → absorb past-slot-50
     # overflow; any left out re-enter in round 4) ---
     "dedup_semantic",

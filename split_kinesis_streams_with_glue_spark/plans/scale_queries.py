@@ -745,3 +745,71 @@ def dedup_pagerank_centrality(spark, sf_dir):
     pairs = jaccard_pairs(sh, 0.5).select("d1", "d2")
     pr = pagerank(pairs, n_iters=5)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    since=3,
+    name="layout_zorder3_key",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d
+      FROM orders
+    ),
+    bnd AS (
+      SELECT MIN(o_custkey) AS lo_a, MAX(o_custkey) AS hi_a,
+             MIN(d) AS lo_b, MAX(d) AS hi_b,
+             MIN(o_totalprice) AS lo_c, MAX(o_totalprice) AS hi_c
+      FROM o
+    ),
+    g AS (
+      SELECT o_orderkey,
+             CAST(LEAST(1023, FLOOR((CAST(o_custkey AS DOUBLE)
+                  - CAST(lo_a AS DOUBLE)) * 1023
+                  / (CAST(hi_a AS DOUBLE) - CAST(lo_a AS DOUBLE))))
+               AS BIGINT) AS ga,
+             CAST(LEAST(1023, FLOOR((CAST(d AS DOUBLE)
+                  - CAST(lo_b AS DOUBLE)) * 1023
+                  / (CAST(hi_b AS DOUBLE) - CAST(lo_b AS DOUBLE))))
+               AS BIGINT) AS gb,
+             CAST(LEAST(1023, FLOOR((CAST(o_totalprice AS DOUBLE)
+                  - CAST(lo_c AS DOUBLE)) * 1023
+                  / (CAST(hi_c AS DOUBLE) - CAST(lo_c AS DOUBLE))))
+               AS BIGINT) AS gc
+      FROM o CROSS JOIN bnd
+    ),
+    s1 AS (SELECT o_orderkey,
+                  ((ga | (ga << 16)) & 50331903) AS a,
+                  ((gb | (gb << 16)) & 50331903) AS b,
+                  ((gc | (gc << 16)) & 50331903) AS c FROM g),
+    s2 AS (SELECT o_orderkey,
+                  ((a | (a << 8)) & 50393103) AS a,
+                  ((b | (b << 8)) & 50393103) AS b,
+                  ((c | (c << 8)) & 50393103) AS c FROM s1),
+    s3 AS (SELECT o_orderkey,
+                  ((a | (a << 4)) & 51130563) AS a,
+                  ((b | (b << 4)) & 51130563) AS b,
+                  ((c | (c << 4)) & 51130563) AS c FROM s2),
+    s4 AS (SELECT o_orderkey,
+                  ((a | (a << 2)) & 153391689) AS a,
+                  ((b | (b << 2)) & 153391689) AS b,
+                  ((c | (c << 2)) & 153391689) AS c FROM s3)
+    SELECT o_orderkey, (a | (b << 1) | (c << 2)) AS zval FROM s4
+    """,
+)
+def layout_zorder3_key(spark, sf_dir):
+    """Three-dimensional Morton z-value (operators/layout.py
+    with_zvalue_3d): orders positioned on the 30-bit curve over
+    (customer, order day, order value) — file footer stats then prune on
+    any of the THREE dimensions. Same bit-exact cross-engine property as
+    the 2-D form (the oracle unrolls the identical spread masks: 50331903
+    = 0x030000FF etc.); 10 bits per dimension is the deliberate trade —
+    more dims on a fixed bit budget coarsen every grid."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "d", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    )
+    from split_kinesis_streams_with_glue_spark.operators.layout import with_zvalue_3d
+
+    return with_zvalue_3d(o, "o_custkey", "d", "o_totalprice").select(
+        "o_orderkey", "zval"
+    )

@@ -597,3 +597,64 @@ def test_pagerank_star_hub_dominates(spark):
     hub = got[0]
     assert all(hub > got[i] for i in range(1, 8))
     assert abs(sum(got.values()) - 1.0) < 1e-6  # conserved mass
+
+
+def test_compact_with_zorder_tightens_file_boxes(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY form: reclustering during compaction must
+    leave each output file with a tighter (a, b) bounding box than the
+    fragmented input had."""
+    from split_kinesis_streams_with_glue_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    n = 48
+    df = spark.createDataFrame(
+        [(a, b, "x") for a in range(n) for b in range(n)], ["a", "b", "p"]
+    )
+    path = str(tmp_path / "zc")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df.repartition(12).write.partitionBy("p").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def mean_box_area():
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("a") - F.min("a")).alias("da"),
+                (F.max("b") - F.min("b")).alias("db"),
+            )
+            .collect()
+        )
+        return sum((r["da"] + 1) * (r["db"] + 1) for r in stats) / len(stats)
+
+    before = mean_box_area()  # round-robin: every file spans ~the whole grid
+    report = compact_small_files(
+        spark, path, target_bytes=4_000, min_files=4, zorder_cols=("a", "b")
+    )
+    assert report and report[0]["files_after"] >= 2  # multi-file, z-ranged
+    after = mean_box_area()
+    assert after < before / 2, (before, after)
+    assert spark.read.parquet(path).count() == n * n
+
+
+def test_zvalue_3d_known_interleave(spark):
+    from split_kinesis_streams_with_glue_spark.operators.layout import (
+        spread_bits_3d,
+        zvalue_3d,
+    )
+
+    df = spark.range(1).select(
+        spread_bits_3d(F.lit(0b1011)).alias("s"),
+        zvalue_3d(F.lit(1), F.lit(1), F.lit(1)).alias("z111"),
+        zvalue_3d(F.lit(1023), F.lit(1023), F.lit(1023)).alias("zmax"),
+        zvalue_3d(F.lit(0), F.lit(0), F.lit(1)).alias("zc"),
+    )
+    [r] = df.collect()
+    # 0b1011 -> set bits 0,1,3 land at positions 0,3,9 = 1+8+512
+    assert r["s"] == 521
+    assert r["z111"] == 0b111
+    assert r["zmax"] == (1 << 30) - 1
+    assert r["zc"] == 0b100
