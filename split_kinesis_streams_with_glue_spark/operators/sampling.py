@@ -247,3 +247,31 @@ def weighted_sample(
         F.lit(float(expected_n)) * F.col(weight_col).cast("double") * F.lit(float(1 << 48))
     )
     return df.crossJoin(F.broadcast(total)).filter(keep).drop("__W")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate documents
+    must land in the SAME split, or the model is evaluated on paraphrases
+    of its training data. ``hash_split`` already pins exact duplicates
+    (same text => same hash); this closes the near-dup hole by keying the
+    split on the document's duplicate-CLUSTER id (connected components
+    over the near-dup pair graph) instead of its own content — every
+    member of a cluster inherits one assignment. Cost: the components
+    iteration over the pair graph (already computed for dedup); the split
+    itself stays a pure projection."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    labeled = cluster_labels(df, edges, id_col)
+    b = _hex_bucket(F.col("cluster_id").cast("string"))
+    t1, t2 = _hex_threshold(train), _hex_threshold(train + val)
+    return labeled.withColumn(
+        split_col,
+        F.when(b < F.lit(t1), "train").when(b < F.lit(t2), "val").otherwise("test"),
+    )

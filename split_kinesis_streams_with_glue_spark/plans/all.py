@@ -116,6 +116,7 @@ _VERIFY_PRIORITY: list[str] = [
     "sim_ann_pq_contract",
     "events_stream_topk",
     "dedup_pagerank_centrality",
+    "sample_cluster_safe_split",
     "text_bloom_decontaminate",
     "events_heavy_hitters_contract",
     "layout_stats_prune",

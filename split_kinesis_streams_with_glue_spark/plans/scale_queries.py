@@ -813,3 +813,71 @@ def layout_zorder3_key(spark, sf_dir):
     return with_zvalue_3d(o, "o_custkey", "d", "o_totalprice").select(
         "o_orderkey", "zval"
     )
+
+
+@query(
+    since=3,
+    name="sample_cluster_safe_split",
+    oracle=r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    cc(n, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a WHERE cc.lbl < e.b
+    ),
+    lab AS (SELECT n, min(lbl) AS lbl FROM cc GROUP BY n),
+    clustered AS (
+      SELECT d.doc_id, COALESCE(lab.lbl, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab ON d.doc_id = lab.n
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccd'
+                  THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM clustered
+    """,
+)
+def sample_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe splitting (operators/sampling.py cluster_safe_split):
+    the 80/10/10 assignment is keyed on the near-dup CLUSTER id, so a
+    document and its paraphrases can never straddle train and test — the
+    hole plain content-hash splitting leaves open. The oracle recomputes
+    the full chain: exact Jaccard pairs -> recursive-CTE connected
+    components -> the same md5-threshold rule on the cluster id."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    return cluster_safe_split(d.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "split"
+    )

@@ -658,3 +658,40 @@ def test_zvalue_3d_known_interleave(spark):
     assert r["z111"] == 0b111
     assert r["zmax"] == (1 << 30) - 1
     assert r["zc"] == 0b100
+
+
+def test_cluster_safe_split_no_cluster_straddles_splits(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+    from split_kinesis_streams_with_glue_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    out = cluster_safe_split(d.select("doc_id"), pairs)
+    # the leakage invariant: one split per cluster
+    straddle = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # and specifically every near-dup PAIR agrees
+    s1 = out.select(F.col("doc_id").alias("d1"), F.col("split").alias("sp1"))
+    s2 = out.select(F.col("doc_id").alias("d2"), F.col("split").alias("sp2"))
+    disagree = (
+        pairs.join(s1, "d1").join(s2, "d2").filter(F.col("sp1") != F.col("sp2")).count()
+    )
+    assert disagree == 0
+    # still roughly 80/10/10 over clusters
+    frac = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert frac.get("train", 0) > frac.get("val", 0)
+    assert frac.get("train", 0) > frac.get("test", 0)
