@@ -363,21 +363,37 @@ def fuzzy_pairs(
     removes the (rare) same-variant-different-edit false positives.
 
     The fuzzy entity-match / near-dup-name primitive. Scale shape: the
-    variant explode is a linear map (len+1 rows per string), the join
-    keys on the variant (groups = strings sharing a variant — small by
-    construction), and only candidates pay the levenshtein. For
-    ``max_distance`` k > 1 the same scheme needs C(len, k) deletion
-    variants — bound it by hashing variants of a fixed-length prefix
-    (not implemented; distance 1 covers typo-grade matching).
+    variant explode is a linear map (len+1 rows per string at k=1,
+    ~len^2/2 at k=2), the join keys on the variant (groups = strings
+    sharing a variant — small by construction), and only candidates pay
+    the levenshtein. The SymSpell guarantee holds for any k: strings
+    within k edits share at least one member of their delete-<=k
+    neighborhoods, so blocking misses nothing. k=2 is the practical
+    ceiling for name-grade strings — the neighborhood grows C(len, k),
+    so larger k on long strings should switch to n-gram Jaccard/minhash
+    blocking instead.
     """
-    if max_distance != 1:
-        raise NotImplementedError("symmetric-deletion blocking wired for k=1")
-    v = (
-        f"array_union(array({col}), "
+    if max_distance not in (1, 2):
+        raise NotImplementedError(
+            "symmetric-deletion blocking wired for k in {1, 2}; larger k "
+            "explodes the C(len, k) neighborhood — use n-gram blocking"
+        )
+    del1 = (
         f"transform(sequence(1, length({col})), "
         f"i -> concat(substring({col}, 1, i-1), "
-        f"substring({col}, i+1, length({col})))))"
+        f"substring({col}, i+1, length({col}))))"
     )
+    v = f"array_union(array({col}), {del1})"
+    if max_distance == 2:
+        # delete positions i < j in one pass: left of i, between, right of j
+        del2 = (
+            f"flatten(transform(sequence(1, length({col})), "
+            f"i -> transform(sequence(1, length({col})), "
+            f"j -> if(i < j, concat(substring({col}, 1, i-1), "
+            f"substring({col}, i+1, j-i-1), "
+            f"substring({col}, j+1, length({col}))), null))))"
+        )
+        v = f"array_union({v}, filter({del2}, x -> x is not null))"
     sides = df.select(
         F.col(id_col).alias("id"), F.col(col).alias("s"), F.explode(F.expr(v)).alias("v")
     )

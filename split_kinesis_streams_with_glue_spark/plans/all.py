@@ -117,6 +117,7 @@ _VERIFY_PRIORITY: list[str] = [
     "events_stream_topk",
     "dedup_pagerank_centrality",
     "sample_cluster_safe_split",
+    "dedup_fuzzy_names_k2",
     "text_bloom_decontaminate",
     "events_heavy_hitters_contract",
     "layout_stats_prune",

@@ -881,3 +881,27 @@ def sample_cluster_safe_split(spark, sf_dir):
     return cluster_safe_split(d.select("doc_id"), pairs).select(
         "doc_id", "cluster_id", "split"
     )
+
+
+@query(
+    since=3,
+    name="dedup_fuzzy_names_k2",
+    oracle="""
+    SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_fuzzy_names_k2(spark, sf_dir):
+    """Distance-2 fuzzy matching (operators/dedup.py fuzzy_pairs,
+    max_distance=2 — the round-2 verdict's last documented gap, previously
+    a NotImplementedError): symmetric-deletion blocking with the full
+    delete-<=2 neighborhood (~len^2/2 variants per string; the SymSpell
+    guarantee holds at any k, so blocking misses nothing) and an exact
+    levenshtein post-filter. The oracle is the quadratic all-pairs join
+    the blocking exists to avoid — both must yield identical pairs."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import fuzzy_pairs
+
+    c = load(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_name", id_col="c_custkey", max_distance=2)

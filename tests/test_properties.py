@@ -124,3 +124,27 @@ def test_table_diff_apply_roundtrip_property(spark, old_rows, new_rows):
     assert sorted(map(tuple, applied.collect())) == sorted(
         dedup_new.items()
     )
+
+
+@SET
+@given(st.lists(_words, min_size=2, max_size=12, unique=True))
+def test_fuzzy_pairs_k2_matches_naive_levenshtein(spark, strings):
+    """The delete-<=2 neighborhood blocking must find EXACTLY the
+    distance<=2 pairs — the SymSpell guarantee at k=2, including the
+    tricky cases (two deletions at adjacent positions, length-2 gaps)."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc_id long, s string"
+    )
+    got = {
+        (r["d1"], r["d2"]): r["dist"]
+        for r in fuzzy_pairs(df, "s", max_distance=2).collect()
+    }
+    want = {
+        (i, j): _lev(strings[i], strings[j])
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _lev(strings[i], strings[j]) <= 2
+    }
+    assert got == want
