@@ -905,3 +905,52 @@ def dedup_fuzzy_names_k2(spark, sf_dir):
 
     c = load(spark, sf_dir, "customer")
     return fuzzy_pairs(c, "c_name", id_col="c_custkey", max_distance=2)
+
+
+@query(
+    since=3,
+    name="events_ewma_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           ROUND(list_reduce(list(n ORDER BY day),
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM d
+    GROUP BY event_type
+    """,
+)
+def events_ewma_trend(spark, sf_dir):
+    """Exponentially weighted moving average of daily event volume per
+    type — the RECURSIVE smoother (s_t = a*x_t + (1-a)*s_{t-1}) that a
+    fixed-window WMA (events_wma_trend) cannot express. The recursion runs
+    as a fold over each type's day-ordered value array: the array is
+    day-grain (bounded by the calendar — ~30 entries per type at any event
+    volume), so collect_list here is a bounded reduction, not a data-sized
+    buffer; everything upstream is one groupBy over events. Both engines
+    fold left-to-right over the same order with the same arithmetic shape,
+    so the doubles agree bit-for-bit (rounded to 6 for the hash)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "n"))), lambda x: x["n"]
+    )
+    per_type = daily.groupBy("event_type").agg(
+        vals.alias("__vals"), F.count(F.lit(1)).alias("n_days")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per_type.select(
+        "event_type",
+        F.round(ewma, 6).alias("ewma"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+    )
