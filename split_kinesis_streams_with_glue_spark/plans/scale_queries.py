@@ -1,14 +1,26 @@
-"""Round-3 scale operators: mergeable frequency/membership sketches,
-Z-order clustering, one-pass profiling, snapshot time travel.
+"""Round-3 scale operators — the driver-checkable face of the operators
+whose real purpose is the 100 TB shape.
 
-Each query is the driver-checkable face of an operator whose real purpose
-is the 100 TB shape: a count-min sketch TABLE that answers heavy-hitter
-queries without rescanning events; a Bloom filter that shrinks a
-decontamination join's broadcast side from the member list to a bit array;
-a Morton-curve sort key that lets file footer stats prune on two dimensions
-at once; a profiler that reads the table once, not once per column; and a
-versioned-snapshot read that makes published corpus states addressable
-forever.
+Sketches & membership: count-min sketch TABLE (heavy hitters without
+rescans), explicit bit-array Bloom filter (decontamination joins whose
+broadcast side is kilobytes), mergeable equi-width histograms (quantiles
+over any bucket union), streaming space-saving top-k.
+
+Layout & maintenance: 2-D and 3-D Morton z-values (bit-identical in the
+oracle engine), per-file stats sidecars with file-skipping reads,
+small-file compaction incl. the OPTIMIZE...ZORDER form, snapshot time
+travel and version vacuum on the write-audit-publish store.
+
+Training-data pipeline: weighted PPS sampling (multiplication-only keep
+rule, engine-exact), leakage-safe splits keyed on near-dup clusters,
+k-anonymity audits, distance-2 fuzzy matching, PageRank centrality over
+the near-dup graph, PQ/ADC similarity contracts.
+
+Incremental state: CDC-aware rollup (exact aggregates under updates and
+deletes, dirty-bucket-only recompute), EWMA trend folds.
+
+Every query pairs a Spark plan with a DuckDB oracle (contract-style for
+the approximate ops) and is tagged ``since=3`` for the rotation test.
 """
 
 from __future__ import annotations

@@ -326,6 +326,7 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "events_heavy_hitters_contract": {"cartesian-product"},
     "text_bloom_decontaminate": {"cartesian-product"},
     "layout_zorder_key": {"cartesian-product"},
+    "layout_zorder3_key": {"cartesian-product"},
     "layout_stats_prune": {"cartesian-product"},
     "sim_ann_pq_contract": {"cartesian-product"},
     "sample_weighted_pps": {"cartesian-product"},
