@@ -64,6 +64,7 @@ def make_cdc_merger(
     pk_cols: list[str],
     num_buckets: int = 64,
     on_merged=None,
+    compat_policy: set[str] | None = None,
 ):
     """Build the idempotent ``(envelope_batch, epoch_id) -> None`` merge
     function (exposed for direct replay testing, as rollup's is).
@@ -73,7 +74,13 @@ def make_cdc_merger(
     partial-aggregate table of ``make_cdc_rollup_merger``) therefore shares
     the merge's replay contract: a crash between the two re-runs one epoch,
     and both writes are idempotent recomputations of the same dirty
-    buckets."""
+    buckets.
+
+    ``compat_policy``: optional schema-drift gate (schema/compat.py) —
+    e.g. ``{"full", "backward"}`` lets additive/widening drift through and
+    FAILS the batch on anything else, BEFORE any file is written (the
+    stream retries; a human widens the policy or fixes the producer).
+    ``None`` keeps the mechanical tolerance (mergeSchema + null-fill)."""
     marker = f"{path}/_last_epoch"
 
     def merge(env_batch: DataFrame, epoch_id: int) -> None:
@@ -108,6 +115,26 @@ def make_cdc_merger(
             )
             if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
                 raise
+        if stored is not None and compat_policy is not None:
+            from pyspark.sql.types import StructType as _ST
+
+            from split_kinesis_streams_with_glue_spark.schema.compat import (
+                compatibility,
+            )
+
+            # classify the PAYLOAD only: the merge's bookkeeping columns
+            # (event time, operation, bucket) are engine artifacts whose
+            # types/nullability vary by code path, not producer drift
+            def _payload(schema):
+                return _ST([f for f in schema.fields if f.name not in META_COLS])
+
+            verdict = compatibility(_payload(stored.schema), _payload(delta.schema))
+            if verdict not in compat_policy:
+                raise ValueError(
+                    f"schema drift verdict '{verdict}' not in allowed "
+                    f"policy {sorted(compat_policy)} for table {table!r} "
+                    f"(epoch {epoch_id}); batch failed before any write"
+                )
         if stored is None:
             pool = delta
         else:

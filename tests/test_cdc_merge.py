@@ -273,3 +273,41 @@ def test_cdc_rollup_replay_is_noop(spark, sf_dir, tmp_path):
     merge(phases[1], 1)
     merge(phases[0], 0)
     assert _sorted_rows(read_rollup(spark, agg, ["c_mktsegment"])) == before
+
+
+def test_compat_policy_blocks_incompatible_drift(spark, tmp_path):
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_cdc_merger,
+        read_table,
+    )
+
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    retyped = spark.createDataFrame(
+        [(3, "c", "not-a-number")],
+        "c_custkey long, c_name string, c_acctbal string",
+    )
+    widened = spark.createDataFrame(
+        [(4, "d", 9.5, "extra")],
+        "c_custkey long, c_name string, c_acctbal double, c_note string",
+    )
+    path = str(tmp_path / "t")
+    merge = make_cdc_merger(
+        path, "customer", ["c_custkey"], num_buckets=4,
+        compat_policy={"full", "backward"},
+    )
+    merge(wrap(base, "customer", "load", seq=F.lit(0)), 0)
+    # incompatible retype fails the batch BEFORE any write
+    with pytest.raises(ValueError, match="schema drift verdict 'none'"):
+        merge(wrap(retyped, "customer", "insert", seq=F.lit(1)), 1)
+    assert read_table(spark, path).count() == 2  # table untouched
+    # additive (backward-compatible) drift passes the gate
+    merge(wrap(widened, "customer", "insert", seq=F.lit(1)), 1)
+    got = read_table(spark, path)
+    assert got.count() == 3
+    assert "c_note" in got.columns
