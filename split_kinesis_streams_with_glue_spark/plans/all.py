@@ -118,6 +118,7 @@ _VERIFY_PRIORITY: list[str] = [
     "dedup_pagerank_centrality",
     "sample_cluster_safe_split",
     "dedup_fuzzy_names_k2",
+    "pipeline_entity_resolution",
     "text_bloom_decontaminate",
     "events_heavy_hitters_contract",
     "layout_stats_prune",

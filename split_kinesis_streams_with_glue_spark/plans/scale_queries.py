@@ -966,3 +966,46 @@ def events_ewma_trend(spark, sf_dir):
         F.round(ewma, 6).alias("ewma"),
         F.col("n_days").cast("bigint").alias("n_days"),
     )
+
+
+@query(
+    since=3,
+    name="pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.c_custkey AS d1, b.c_custkey AS d2
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+    cc(n, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a WHERE cc.lbl < e.b
+    ),
+    lab AS (SELECT n, MIN(lbl) AS lbl FROM cc GROUP BY n)
+    SELECT c.c_custkey, COALESCE(lab.lbl, c.c_custkey) AS entity_id,
+           (COALESCE(lab.lbl, c.c_custkey) = c.c_custkey) AS is_canonical
+    FROM customer c LEFT JOIN lab ON c.c_custkey = lab.n
+    """,
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: symmetric-deletion blocking proposes
+    name pairs within one edit (never the quadratic all-pairs), connected
+    components closes them into entities, and the min-key member becomes
+    the canonical record — the dedupe-people/merge-accounts pipeline,
+    composed entirely from the engine's own operators (fuzzy_pairs ->
+    cluster_labels). The oracle recomputes the whole chain from first
+    principles: quadratic levenshtein join + recursive-CTE transitive
+    closure + min-per-group."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import fuzzy_pairs
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    c = load(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(c, "c_name", id_col="c_custkey").select("d1", "d2")
+    return cluster_labels(c.select("c_custkey"), pairs, id_col="c_custkey").select(
+        "c_custkey",
+        F.col("cluster_id").alias("entity_id"),
+        (F.col("cluster_id") == F.col("c_custkey")).alias("is_canonical"),
+    )
