@@ -34,7 +34,7 @@ never-checked entries: 47 oracle-backed + 7 rows-only):
    cluster-best, hopping/enrich/HLL/WMA/left-interval event queries);
 4. the 9-query demoted SQL tail (oracle-backed);
 5. new round-3 queries insert HERE — above rows-only, below the backlog
-   (19 landed during round 3, tagged ``since=3``; only the first ~2 fit
+   (20 landed during round 3, tagged ``since=3``; only the first ~2 fit
    inside slot 50 — the rest wait for round 4 per the rotation test's
    ``since`` exemption, which is exactly the "new queries may wait one
    round" policy);
