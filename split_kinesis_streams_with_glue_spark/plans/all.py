@@ -21,25 +21,33 @@ from the actual never-checked set — ``set(REGISTRY) - keys(CORRECTNESS_r*)``
 ``tests/test_registry_rotation.py`` now fails the suite if the window would
 leave an oracle-backed query unverified.
 
-ROUND-3 WINDOW (derived by set-diff against CORRECTNESS_r01+r02 — 54
-never-checked entries: 47 oracle-backed + 7 rows-only):
+ROUND-4 WINDOW (derived by set-diff against CORRECTNESS_r01+r02+r03 — 25
+never-checked entries: 18 oracle-backed ``since=3`` + 7 rows-only — plus
+one previously-errored query and 24 staleness re-verifications):
 
-1. ``cdc_merge_apply`` first — the incremental CDC merge is the hardest
-   unverified operator and the scale answer to the reference's CDC story;
-2. the 19 TPC-H completions (q2,q4,q6-q22) — the headline decision-support
-   surface, currently resting on local parity only;
-3. the remaining oracle-backed round-2 additions (quality gate, WAP
-   publish, snapshot diff, ANALYZE stats, interval join, histogram,
-   LATERAL top-N, quantize contract, DSIR, C4, token budget, fuzzy names,
-   cluster-best, hopping/enrich/HLL/WMA/left-interval event queries);
-4. the 9-query demoted SQL tail (oracle-backed);
-5. new round-3 queries insert HERE — above rows-only, below the backlog
-   (20 landed during round 3, tagged ``since=3``; only the first ~2 fit
-   inside slot 50 — the rest wait for round 4 per the rotation test's
-   ``since`` exemption, which is exactly the "new queries may wait one
-   round" policy);
-6. the 7 rows-only sketches absorb the past-slot-50 overflow (weakest
-   check loses least by waiting for round 4).
+1. the 18 oracle-backed round-3 operators that overflowed round 3's
+   window (the rotation test's planned one-round wait) — the layout /
+   Z-order family as a set, the derived-state streamers
+   (space-saving top-k, CMS heavy hitters, quantile sketch), the
+   quadratic-oracle dedup checks (``dedup_fuzzy_names_k2``,
+   ``pipeline_entity_resolution``), and the sampling/quality/profile/
+   time-travel tail;
+2. ``agg_listagg_ordered`` — round 3's single red row was a harness
+   artifact (pandas cannot canonicalize an ``array<string>`` column);
+   the array is now emitted as JSON text on both sides, so this
+   re-entry must come back green;
+3. the 7 never-checked rows-only sketches (inside the window so the
+   frontload invariant holds; several are upgraded to oracle-backed
+   contracts this round);
+4. 24 staleness re-verifications — the core families last driver-checked
+   in round 1 (CDC compaction, stream split, cube/rollup/grouping-sets,
+   the whole join family, windows, set ops) so every green claim rests on
+   evidence at most two rounds old. The other 25 round-1-only queries
+   (scan/format/choice/scalar-func/subquery tails) rotate in next round.
+
+New round-4 queries are appended AFTER the window, tagged ``since=4`` —
+the "brand-new queries may wait one round" exemption both rotation tests
+encode.
 """
 
 from __future__ import annotations
@@ -54,86 +62,35 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- hardest unverified operator first: incremental CDC merge
-    # (epoch markers, dirty-bucket dynamic overwrite, schema drift) ---
-    "cdc_merge_apply",
-    # --- the 19 TPC-H completions (decision-support headline; only local
-    # parity until now) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    # --- remaining oracle-backed round-2 additions, never driver-checked ---
-    "pipeline_data_quality",
-    "pipeline_publish_gated",
-    "cdc_table_diff",
-    "catalog_analyze_stats",
-    "join_interval_bucketed",
-    "agg_histogram",
-    "subquery_lateral_topn",
-    "sim_quantize_contract",
-    "sample_dsir_scores",
-    "sample_token_budget",
-    "text_c4_clean",
-    "dedup_fuzzy_names",
-    "dedup_cluster_best",
-    "events_hopping_counts",
-    "events_stream_enrich",
-    "events_hll_rollup_contract",
-    "events_wma_trend",
-    "events_stream_stream_left_join",
-    # --- demoted SQL tail, oracle-backed, never driver-checked ---
-    "window_sliding_avg",
-    "percentiles_exact",
-    "map_from_entries_props",
-    "posexplode_tokens",
-    "udf_python_rowwise",
-    "agg_listagg_ordered",
-    "join_null_safe",
-    "window_first_last",
-    "window_range_frame",
-    # --- new round-3 queries (above rows-only; tagged since=3 so the
-    # rotation test lets any past-slot-50 overflow wait one round) ---
-    "sim_ann_quantized_ivf_contract",
-    # hardest new derived-state / compression ops first: the two slots
-    # that fit inside the 50-query window should carry the most evidence
-    "cdc_rollup_apply",
-    "sim_ann_pq_contract",
-    "events_stream_topk",
-    "dedup_pagerank_centrality",
-    "sample_cluster_safe_split",
-    "dedup_fuzzy_names_k2",
-    "pipeline_entity_resolution",
-    "text_bloom_decontaminate",
-    "events_heavy_hitters_contract",
-    "layout_stats_prune",
+    # --- the 18 oracle-backed round-3 operators that waited one round ---
+    # layout/Z-order family verified as a set: bit-exact Morton oracles +
+    # the pruned-read == full-scan-filter equivalence, cross-engine
     "layout_zorder_key",
     "layout_zorder3_key",
+    "layout_stats_prune",
+    "maintenance_compact_files",
+    # derived-state streamers: sketch tables answering without fact rescans
+    "events_stream_topk",
+    "events_heavy_hitters_contract",
     "events_quantile_sketch_contract",
-    "events_ewma_trend",
+    # quadratic-oracle dedup evidence: blocking misses nothing
+    "dedup_fuzzy_names_k2",
+    "pipeline_entity_resolution",
+    "dedup_pagerank_centrality",
+    # decontamination / sampling / quality / profiling / time travel
+    "text_bloom_decontaminate",
+    "sample_cluster_safe_split",
     "sample_weighted_pps",
     "quality_k_anonymity",
-    "maintenance_compact_files",
-    "agg_salted_skew",
     "profile_documents",
     "pipeline_publish_time_travel",
-    # --- rows-only sketches (weakest check → absorb past-slot-50
-    # overflow; any left out re-enter in round 4) ---
+    "agg_salted_skew",
+    "events_ewma_trend",
+    # --- round 3's only red row: array<string> broke the driver's pandas
+    # canonicalizer; re-enters with the array emitted as JSON text ---
+    "agg_listagg_ordered",
+    # --- never-checked rows-only sketches (several upgraded to
+    # oracle-backed contracts this round) ---
     "dedup_semantic",
     "dedup_simhash",
     "sim_ann_ivf_topk",
@@ -141,6 +98,31 @@ _VERIFY_PRIORITY: list[str] = [
     "percentiles_approx",
     "multimodal_frame_sample",
     "multimodal_feature_ann",
+    # --- staleness re-verification: last driver-checked in round 1 ---
+    "cdc_compact_customer",
+    "stream_split_customer",
+    "q1_pricing_summary",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_count_distinct",
+    "agg_stats",
+    "join_broadcast_dims",
+    "join_left_with_empty",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross_small",
+    "join_range_events",
+    "window_rank_topn",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile",
+    "topk_orders",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
 ]
 
 

@@ -1117,19 +1117,24 @@ def pandas_udaf_weighted_avg(spark, sf_dir):
     oracle="""
     SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,
-           list_sort(list(n_name)) AS nation_arr
+           to_json(list_sort(list(n_name))) AS nation_arr_json
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_listagg_ordered(spark, sf_dir):
     """Ordered string/array aggregation (LISTAGG / array_agg): collect_list
     is unordered by contract, so determinism comes from sorting the
-    collected array before joining — the only portable semantics."""
+    collected array before joining — the only portable semantics.
+
+    The sorted array itself is emitted as JSON text, not array<string>:
+    the driver's pandas canonicalizer cannot hash list cells (round-3 red
+    row), and JSON is the harness-representable canonical form both
+    engines agree on byte-for-byte."""
     n = load(spark, sf_dir, "nation")
     arr = F.array_sort(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
         F.array_join(arr, ",").alias("nations"),
-        arr.alias("nation_arr"),
+        F.to_json(arr).alias("nation_arr_json"),
     )
 
 

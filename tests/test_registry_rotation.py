@@ -66,13 +66,22 @@ def test_every_oracle_backed_unchecked_query_is_inside_the_driver_window():
 
 def test_never_checked_queries_are_frontloaded_before_already_green_ones():
     """No already-verified query may occupy a window slot while ANY
-    never-checked query (oracle-backed or rows-only) waits outside it."""
+    never-checked query (oracle-backed or rows-only) waits outside it.
+
+    Queries registered THIS round (``since == current round``) are exempt,
+    mirroring the first test: brand-new queries may wait one round for a
+    slot, so their presence outside the window does not turn the window's
+    staleness re-verifications into squatters.
+    """
     reg = all_queries()
     checked = _checked_queries()
     if not checked:
         return
     order = list(reg)
-    waiting_outside = [n for n in order[WINDOW:] if n not in checked]
+    this_round = _current_round()
+    waiting_outside = [
+        n for n in order[WINDOW:] if n not in checked and reg[n].since < this_round
+    ]
     if not waiting_outside:
         return
     squatters = [n for n in order[:WINDOW] if n in checked]
