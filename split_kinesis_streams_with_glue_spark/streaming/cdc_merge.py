@@ -135,17 +135,23 @@ def make_cdc_merger(
                     f"policy {sorted(compat_policy)} for table {table!r} "
                     f"(epoch {epoch_id}); batch failed before any write"
                 )
+        # The dirty-bucket census drives the stored-side scan, the emptied-
+        # bucket sweep, and on_merged — derive it ONCE (metadata-sized:
+        # ≤ num_buckets rows).
+        dirty_ids = {r[0] for r in delta.select("__bucket").distinct().collect()}
         if stored is None:
             pool = delta
         else:
             # only buckets this batch touches participate; untouched
-            # partitions stay on disk as-is (dynamic overwrite)
-            dirty = delta.select("__bucket").distinct()
+            # partitions stay on disk as-is (dynamic overwrite). isin over
+            # the partition column beats a broadcast join here: __bucket is
+            # the Hive partition key, so the predicate prunes at the file
+            # listing — the scan never opens untouched buckets.
             # allowMissingColumns: a column added (or dropped) mid-stream
             # null-fills on the side that lacks it instead of being dropped
-            pool = stored.join(F.broadcast(dirty), "__bucket").unionByName(
-                delta, allowMissingColumns=True
-            )
+            pool = stored.filter(
+                F.col("__bucket").isin([int(b) for b in dirty_ids])
+            ).unionByName(delta, allowMissingColumns=True)
         # Materialize once: the bucket census below and the write must see
         # the same rows without recomputing the merge. Bounded: the pool is
         # O(batch + dirty-bucket rows) by construction.
@@ -155,9 +161,8 @@ def make_cdc_merger(
         # a batch whose deletes empty an entire dirty bucket emits no rows
         # for it, so its stale __bucket=N directory would survive on disk
         # and the deleted rows would resurrect in read_table. Drop those
-        # emptied partitions explicitly (both collects are metadata-sized:
-        # ≤ num_buckets rows each).
-        dirty_ids = {r[0] for r in delta.select("__bucket").distinct().collect()}
+        # emptied partitions explicitly (the collect is metadata-sized and
+        # runs on the checkpointed frame).
         surviving = {r[0] for r in merged.select("__bucket").distinct().collect()}
         for bucket in sorted(dirty_ids - surviving):
             fs, part, _ = _fs_path(spark, f"{path}/__bucket={bucket}")
