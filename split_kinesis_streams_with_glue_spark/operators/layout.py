@@ -138,6 +138,10 @@ def write_clustered(
             F.min(col_b).alias("min_b"),
             F.max(col_b).alias("max_b"),
         )
+        # the clustered column NAMES ride along so read_pruned can apply
+        # the exact row predicate without the caller restating them
+        .withColumn("col_a", F.lit(col_a))
+        .withColumn("col_b", F.lit(col_b))
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
 
@@ -149,11 +153,13 @@ def read_pruned(
     b_range: tuple | None = None,
 ):
     """Read a ``write_clustered`` table, skipping every file whose stats
-    box cannot intersect the requested ranges. The sidecar collect is
-    metadata-sized (one row per file); the exact predicate is still applied
-    after the scan, so pruning is purely an I/O optimization — results are
-    identical to a full-scan filter on ANY combination of the two
-    dimensions (the whole point of the 2-D curve)."""
+    box cannot intersect the requested ranges, then applying the exact
+    inclusive range predicate to the surviving files' rows. The sidecar
+    collect is metadata-sized (one row per file) and the file skip is
+    purely an I/O optimization — the returned frame is row-identical to a
+    full-scan BETWEEN filter on ANY combination of the two dimensions (the
+    whole point of the 2-D curve), not a superset the caller must
+    re-filter."""
     stats = spark.read.parquet(f"{path}/_stats")
     cond = F.lit(True)
     if a_range is not None:
@@ -162,11 +168,17 @@ def read_pruned(
     if b_range is not None:
         lo, hi = b_range
         cond = cond & (F.col("min_b") <= hi) & (F.col("max_b") >= lo)
-    files = [r["file"] for r in stats.filter(cond).collect()]
+    kept = stats.filter(cond).collect()
     schema = spark.read.parquet(f"{path}/data").schema
-    if not files:
+    if not kept:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    name_a, name_b = kept[0]["col_a"], kept[0]["col_b"]
+    df = spark.read.schema(schema).parquet(*[r["file"] for r in kept])
+    if a_range is not None:
+        df = df.filter(F.col(name_a).between(*a_range))
+    if b_range is not None:
+        df = df.filter(F.col(name_b).between(*b_range))
+    return df
 
 
 # 10-bit three-way interleave (x | x<<16 ... pattern), the standard 3-D

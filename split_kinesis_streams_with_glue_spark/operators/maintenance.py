@@ -80,6 +80,15 @@ def compact_small_files(
         if n_out >= n:
             continue  # already right-sized
         col, val = part.split("=", 1)
+        # Hive escapes special chars in partition dir names (%3A for ':',
+        # %25 for '%', ...). The re-attached literal must be the LOGICAL
+        # value — re-attaching the escaped string verbatim would get
+        # re-escaped on write, forking a double-escaped duplicate dir while
+        # the original survives. unquote inverts Hive's %XX encoding and
+        # leaves non-escape '%' sequences untouched.
+        from urllib.parse import unquote
+
+        val = unquote(val)
         # read ONLY this partition (partition pruning via the dir path),
         # re-attach the partition column for the dynamic overwrite; the
         # string literal round-trips through the directory name, so the

@@ -377,11 +377,12 @@ def layout_stats_prune(spark, sf_dir):
     """File-skipping read over a z-clustered table (operators/layout.py
     write_clustered / read_pruned): orders is clustered on (custkey, order
     day) into 32 files with a per-file min/max sidecar; a 2-D box predicate
-    then reads ONLY the files whose stats box intersects it — and must
-    return exactly what a full scan + filter returns (the oracle). The
-    pruning factor itself is asserted in tests (typically <1/4 of files
-    touched); here the driver checks the half that must never be wrong:
-    skipping loses no rows."""
+    then reads ONLY the files whose stats box intersects it, applying the
+    exact row predicate itself — so the returned frame must equal a full
+    scan + filter (the oracle) with no caller-side re-filter. The pruning
+    factor itself is asserted in tests (typically <1/4 of files touched);
+    here the driver checks the half that must never be wrong: skipping
+    loses no rows."""
     import tempfile
 
     from split_kinesis_streams_with_glue_spark.operators.layout import (
@@ -395,9 +396,7 @@ def layout_stats_prune(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="sgs_zc_") + "/orders"
     write_clustered(o, path, "o_custkey", "d", num_files=32)
     pruned = read_pruned(spark, path, a_range=(100, 220), b_range=(9500, 10200))
-    return pruned.filter(
-        F.col("o_custkey").between(100, 220) & F.col("d").between(9500, 10200)
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    return pruned.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @query(

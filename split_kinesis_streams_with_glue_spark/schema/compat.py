@@ -113,6 +113,17 @@ def diff_schemas(
                     forward=True,
                 )
             )
+        elif nf.nullable and not of.nullable:
+            changes.append(
+                FieldChange(
+                    path,
+                    "nullability",
+                    "required -> nullable",
+                    backward=True,  # old data is all non-null; new readers fine
+                    forward=False,  # old readers hold a non-null contract yet
+                    # may now receive nulls
+                )
+            )
     for name, of in old_fields.items():
         if name not in new_fields:
             changes.append(

@@ -329,17 +329,16 @@ def test_write_clustered_read_pruned_skips_files(spark, tmp_path):
     write_clustered(df, path, "a", "b", num_files=16)
     stats = spark.read.parquet(f"{path}/_stats")
     assert stats.count() == 16
-    # box on BOTH dims: few files touched
+    # box on BOTH dims: few files touched, exact predicate applied inside
     pruned = read_pruned(spark, path, a_range=(8, 15), b_range=(8, 15))
     n_files = pruned.select(F.input_file_name()).distinct().count()
     assert n_files <= 4
-    got = pruned.filter(F.col("a").between(8, 15) & F.col("b").between(8, 15))
-    assert got.count() == 64  # 8x8 box, no rows lost
+    assert pruned.count() == 64  # 8x8 box exactly — no superset rows
     # secondary-dim-only predicate still prunes (the z-order win)
     pruned_b = read_pruned(spark, path, b_range=(0, 7))
     nb = pruned_b.select(F.input_file_name()).distinct().count()
     assert nb < 16
-    assert pruned_b.filter(F.col("b") <= 7).count() == n * 8
+    assert pruned_b.count() == n * 8
     # empty box -> empty frame with the right schema, no files read
     empty = read_pruned(spark, path, a_range=(1000, 2000))
     assert empty.count() == 0
@@ -514,6 +513,47 @@ def test_compact_small_files_skips_null_and_nested_partitions(spark, tmp_path):
     assert all("__HIVE_DEFAULT_PARTITION__" not in r["partition"] for r in report)
     assert {r["partition"] for r in report} <= {"p=0", "p=1"}
     assert spark.read.parquet(path).count() == before
+
+
+def test_compact_small_files_roundtrips_hive_escaped_values(spark, tmp_path):
+    """Partition values holding Hive-escaped chars (':' → %3A, '%' → %25)
+    must compact in place: re-attaching the escaped directory string as the
+    literal would get re-escaped on write, forking a double-escaped
+    duplicate partition and duplicating its rows on read."""
+    from split_kinesis_streams_with_glue_spark.operators.maintenance import (
+        compact_small_files,
+        file_census,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(90).select(
+        F.col("id"),
+        F.element_at(
+            F.array(F.lit("a:b"), F.lit("50%off"), F.lit("plain")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("p"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df.repartition(6).write.partitionBy("p").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    census0 = file_census(spark, path)
+    assert set(census0) == {"p=a%3Ab", "p=50%25off", "p=plain"}
+    before = spark.read.parquet(path).count()
+    report = compact_small_files(spark, path, target_bytes=1 << 30, min_files=2)
+    assert {r["partition"] for r in report} == set(census0)
+    census1 = file_census(spark, path)
+    # no forked double-escaped dirs; every partition down to one file
+    assert set(census1) == set(census0)
+    assert all(n == 1 for n, _ in census1.values())
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert {r["p"] for r in after.select("p").distinct().collect()} == {
+        "a:b",
+        "50%off",
+        "plain",
+    }
 
 
 # ------------------------------------------------------- histogram sketch
