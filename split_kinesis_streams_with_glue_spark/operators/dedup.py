@@ -274,15 +274,32 @@ def minhash_near_dups(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash long): per-token xxhash64, each bit votes ±1, sign of the
+    """(id, simhash long): per-token hash, each bit votes ±1, sign of the
     vote sum forms the signature bit. Explode+groupBy formulation — one
-    shuffle on id, 64 conditional sums (all codegen'd)."""
+    shuffle on id, ``bits`` conditional sums (all codegen'd).
+
+    ``hash_fn``: ``xxhash64`` (default, fastest) or ``md5`` — the top 60
+    md5 bits, standard across engines, so an external system (or a SQL
+    oracle) can recompute the signature bit-for-bit; requires
+    ``bits <= 60``."""
+    if hash_fn == "xxhash64":
+        tok_hash = F.xxhash64("tok")
+    elif hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 token hash provides 60 usable bits")
+        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("__h", F.xxhash64("tok"))
+    ).withColumn("__h", tok_hash)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -305,14 +322,17 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with simhash Hamming distance <= max_hamming.
 
-    Bucketing: split the 64-bit signature into 4 × 16-bit chunks; hamming<=3
+    Bucketing: split the ``bits``-bit signature into 4 chunks; hamming<=3
     implies at least one chunk matches exactly (pigeonhole), so candidates
     come from 4 equi-joins on a chunk value — never a full cross join.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    width = bits // 4
+    sigs = simhash_signatures(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     chunks = sigs.select(
         "id",
         "simhash",
@@ -321,8 +341,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
                     for c in range(4)

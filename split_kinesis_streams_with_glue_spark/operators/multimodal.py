@@ -111,12 +111,28 @@ def decode_pixels(df: DataFrame, bin_col: str = "image") -> DataFrame:
 
 
 def frame_sample(
-    df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic 1-in-N sampling by key hash — the frame-sampling shape
     for video tables (select every Nth frame) without an order-dependent
-    ``sample()``. Pure filter: pushes down, no shuffle."""
-    return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every_n)) == 0)
+    ``sample()``. Pure filter: pushes down, no shuffle.
+
+    ``hash_fn``: ``xxhash64`` (default — fastest JVM hash) or ``md5``
+    (32 content-hash bits; slower, but standard across engines, so the
+    exact kept set reproduces anywhere — the cross-engine-auditable form,
+    same trick the PPS sampler uses)."""
+    if hash_fn == "xxhash64":
+        keyed = F.xxhash64(F.col(id_col))
+    elif hash_fn == "md5":
+        keyed = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return df.filter(F.pmod(keyed, F.lit(every_n)) == 0)
 
 
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, image binary"

@@ -157,8 +157,56 @@ def dedup_clusters(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3 of 64 bits). No SQL oracle:
     DuckDB lacks xxhash64, so the signature can't be reproduced engine-side;
-    correctness is covered by the planted-duplicate unit test."""
+    correctness is covered by the planted-duplicate unit test and the
+    bit-exact md5 twin below, which drives the identical vote/signature/
+    bucketing machinery through an engine-reproducible token hash."""
     return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    since=4,
+    name="dedup_simhash_md5",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.i AS bit,
+             SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN generate_series(0, 59) b(i)
+      GROUP BY doc_id, b.i
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                      ELSE 0 END) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
+def dedup_simhash_md5(spark, sf_dir):
+    """SimHash with an engine-reproducible token hash (top 60 md5 bits):
+    the ONLY difference from ``dedup_simhash`` is the per-token hash, so a
+    green row here is bit-level evidence for the shared vote aggregation,
+    signature assembly, pigeonhole chunk bucketing, and hamming filter —
+    the oracle recomputes the full 60-bit signatures and the pairwise
+    popcount in SQL, no contract booleans involved."""
+    pairs = simhash_near_dups(
+        load(spark, sf_dir, "documents"), max_hamming=3, bits=60, hash_fn="md5"
+    )
+    return pairs.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
 
 
 # -------------------------------------------------------------- similarity
@@ -675,14 +723,29 @@ def multimodal_decode_meta(spark, sf_dir):
     return decode_meta(d)
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 512 + 16 AS INTEGER) AS claimed_width,
+           CAST(doc_id % 384 + 16 AS INTEGER) AS claimed_height
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10 = 0
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
-    """Deterministic 1-in-N frame sampling by key hash (xxhash64 — not
-    reproducible in DuckDB, hence rows-only; determinism is unit-tested)."""
+    """Deterministic 1-in-N frame sampling by key hash. The registered form
+    uses the operator's md5 mode (32 content-hash bits are standard across
+    engines), so the EXACT kept set is the oracle — upgraded from the
+    rows-only xxhash64 form, which remains the default scale path and is
+    unit-tested for determinism."""
     from split_kinesis_streams_with_glue_spark.operators.multimodal import frame_sample
 
     d = attach_fake_images(load(spark, sf_dir, "documents"))
-    return frame_sample(d, every_n=10).select("doc_id", "claimed_width", "claimed_height")
+    return frame_sample(d, every_n=10, hash_fn="md5").select(
+        "doc_id", "claimed_width", "claimed_height"
+    )
 
 
 @query(
@@ -748,12 +811,59 @@ def multimodal_resize(spark, sf_dir):
     return resize_images(d, target_width=64).select("doc_id", "width", "height")
 
 
-@query("multimodal_feature_ann", oracle=None)
+@query(
+    "multimodal_feature_ann",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id, doc_id % 512 + 16 AS w, doc_id % 384 + 16 AS h,
+             CAST(doc_id AS VARCHAR) AS s
+      FROM documents
+    ),
+    bytes AS (
+      -- the SGIM blob byte-for-byte: magic + u16 width + u16 height +
+      -- channels + 'pixels:' + the id's digits
+      SELECT doc_id,
+        [83, 71, 73, 77, w // 256, w % 256, h // 256, h % 256, 3,
+         112, 105, 120, 101, 108, 115, 58]
+        || list_transform(range(1, length(s) + 1),
+                          i -> ascii(substr(s, CAST(i AS INT), 1))) AS bs
+      FROM geo
+    ),
+    hist AS (
+      SELECT doc_id,
+        list_transform(range(0, 16),
+          b -> CAST(len(list_filter(bs, x -> x % 16 = b)) AS DOUBLE)) AS hst
+      FROM bytes
+    ),
+    feat AS (
+      -- CAST AS REAL reproduces the float32 rounding of the engine's
+      -- array<float> feature column, so downstream sims are bit-equal
+      SELECT doc_id,
+        list_transform(hst,
+          x -> CAST(CAST(x / sqrt(list_sum(list_transform(hst, y -> y * y)))
+                         AS REAL) AS DOUBLE)) AS f
+      FROM hist
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 17),
+                   i -> q.f[CAST(i AS INT)] * c.f[CAST(i AS INT)])), 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.doc_id
+               ORDER BY list_sum(list_transform(range(1, 17),
+                        i -> q.f[CAST(i AS INT)] * c.f[CAST(i AS INT)])) DESC,
+                        c.doc_id) AS rank
+      FROM feat q JOIN feat c ON c.doc_id <> q.doc_id
+      WHERE q.doc_id < 3) t
+    WHERE rank <= 5
+    """,
+)
 def multimodal_feature_ann(spark, sf_dir):
     """Featurize binary blobs (byte-histogram stand-in featurizer) then
     brute-force cosine top-5 over the features — the multimodal
-    embed-then-search composition. Rows-only (the featurizer is
-    engine-internal by design; determinism is unit-tested)."""
+    embed-then-search composition. Oracle-backed (upgraded from rows-only):
+    the fixture blob is arithmetic in doc_id, so DuckDB rebuilds the exact
+    bytes, the mod-16 histogram, and the float32-rounded normalized
+    feature, making every sim and rank bit-comparable cross-engine."""
     from split_kinesis_streams_with_glue_spark.operators.multimodal import (
         attach_fake_images,
         extract_features,
@@ -959,6 +1069,52 @@ def dedup_semantic(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     kept = semantic_dedup(emb, n_centroids=8, threshold=_NEAR_DUP_T, kmeans_iters=2)
     return kept.select("vec_id", "label")
+
+
+@query(
+    since=4,
+    name="dedup_semantic_contract",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS containment_ok, TRUE AS kept_ge_exact
+    FROM embeddings
+    """,
+)
+def dedup_semantic_contract(spark, sf_dir):
+    """Driver-checkable contract for SemDeDup: clustering only EXEMPTS
+    cross-cluster pairs, so (1) every survivor of the EXACT embedding dedup
+    must also survive the semantic one (equivalently: semantic never drops
+    a vector without a genuine lower-id near-dup), and (2) the semantic
+    survivor count is >= the exact one. Holds for ANY k-means outcome —
+    the invariant tests the within-cluster pair logic, not centroid luck —
+    which is what makes the iterative/approximate operator oracle-checkable
+    at all (the kept set itself stays rows-only by design)."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        embedding_dedup,
+        semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    kept_sem = semantic_dedup(
+        emb, n_centroids=8, threshold=_NEAR_DUP_T, kmeans_iters=2
+    ).select("vec_id")
+    kept_exact = embedding_dedup(emb, _NEAR_DUP_T).select("vec_id")
+    miss = kept_exact.join(kept_sem, "vec_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_miss")
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    ns = kept_sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    ne = kept_exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        tot.crossJoin(ns)
+        .crossJoin(ne)
+        .crossJoin(miss)
+        .select(
+            F.col("n_total").cast("long").alias("n_total"),
+            (F.col("n_miss") == 0).alias("containment_ok"),
+            (F.col("n_sem") >= F.col("n_exact")).alias("kept_ge_exact"),
+        )
+    )
 
 
 @query(
