@@ -29,13 +29,20 @@ def whitespace_tokens(text: Column | str) -> Column:
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct n-word shingles from a token array — the unit set for
-    Jaccard/MinHash dedup. Pure array HOF: sequence + transform + slice."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-        )
-    )
+    Jaccard/MinHash dedup. Pure array HOF: sequence + transform + slice.
+
+    Docs shorter than ``n`` tokens yield an EMPTY set via an explicit
+    guard: ``sequence(0, -1)`` is the descending ``[0, -1]`` in Spark, not
+    empty, and the ``slice`` at start 0 would throw."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -48,8 +55,13 @@ def fingerprint(text: Column | str) -> Column:
 
 def rolling_hashes(tokens: Column, window: int = 8) -> Column:
     """Winnowing-style rolling fingerprints: xxhash64 over each
-    ``window``-token slice. Basis for content-defined chunk dedup."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - window, F.lit(-1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, window))),
-    )
+    ``window``-token slice. Basis for content-defined chunk dedup.
+    Same short-input guard as ``word_shingles`` (descending sequence +
+    slice-at-0 crash otherwise)."""
+    return F.when(
+        F.size(tokens) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -430,3 +430,87 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_distance)
         .select("d1", "d2", "dist")
     )
+
+
+def strip_repeated_passages(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level cross-document dedup (the passage-removal pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any ``window``-token span that also appears in another
+    document is removed from every document except the one with the
+    smallest id — exact dedup at sub-document grain, where doc-level and
+    paragraph-level passes can't see the copying.
+
+    Output: (id, text_clean, n_removed_tokens); ``text_clean`` is
+    whitespace-normalized (tokens re-joined with single spaces — the same
+    normalization the matching uses; matching is case-insensitive, removal
+    operates on the original-case tokens).
+
+    Shape — linear, three shuffles, no quadratic stage:
+    1. per-doc sliding md5 over ``window`` lowercased tokens (array HOFs,
+       no explode of the token stream);
+    2. chunk occurrences explode → groupBy chunk hash: duplicated = seen
+       in >1 doc; keeper = min doc id (map-side combine applies);
+    3. join occurrences to duplicated hashes (hash-keyed, linear in
+       occurrences), explode each hit to its ``window`` covered positions,
+       collect the removal set per doc (bounded by doc length);
+    4. left-join removal sets back and rebuild with a positional filter —
+       docs without removals pass through the join untouched.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    ltoks = F.transform(toks, lambda t: F.lower(t))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — short docs
+    # must produce no chunks explicitly
+    chunk_arr = F.when(
+        F.size(ltoks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ltoks) - (window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ltoks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occurrences = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_arr).alias("pos0", "h"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        occurrences.groupBy("h")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("h", "keeper")
+    )
+    removed = (
+        occurrences.join(dup, "h")
+        .filter(F.col("id") != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (window - 1))
+            ).alias("rm"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("rm").alias("__rm"))
+    )
+    with_rm = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(removed, "id", "left")
+        .withColumn(
+            "__rm", F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+        )
+    )
+    kept = F.filter(
+        whitespace_tokens(F.col(text_col)),
+        lambda t, i: ~F.array_contains(F.col("__rm"), i + 1),
+    )
+    return with_rm.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("__rm").alias("n_removed_tokens"),
+    )

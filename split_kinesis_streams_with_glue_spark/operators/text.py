@@ -293,6 +293,60 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-words query —
+    the keyword-search ranking function (Robertson & Spärck Jones line of
+    work, the Lucene/Elasticsearch default), as one linear scan:
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    the standard smoothed ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Shape: explode lowercased tokens, keep ONLY query terms (a literal
+    isin — the filter reaches the scan side of the explode, so the
+    per-(doc, term) aggregate sees query-term occurrences, not the
+    corpus); doc lengths come from the same pass pre-filter via a
+    parallel aggregate; df/N/avgdl are broadcast metadata-sized
+    aggregates. No UDFs, no quadratic stage; the heavy shuffle is the
+    per-(doc, term) count over query-term hits only.
+
+    Output: (id, score, n_hit_terms) for documents matching >= 1 term.
+    Scores are ROUNDed to 6 so ranking is reproducible across libm
+    implementations (same policy as tfidf_top_terms)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    docs = df.select(F.col(id_col), toks.alias("__toks"))
+    lengths = docs.select(F.col(id_col), F.size("__toks").alias("dl"))
+    words = docs.select(
+        F.col(id_col), F.explode("__toks").alias("term")
+    ).filter(F.col("term").isin([t.lower() for t in query_terms]))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("tf") * (k1 + 1) / denom)
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+    )
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -689,6 +689,64 @@ def text_language_id(spark, sf_dir):
 
 
 @query(
+    since=4,
+    name="text_bm25_search",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    words AS (SELECT doc_id, unnest(w) AS term FROM tok),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('join', 'stream', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    per AS (
+      SELECT h.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * h.tf * 2.2
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(SUM(sc), 6) AS score,
+             CAST(count(*) AS INTEGER) AS n_hit_terms
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_hit_terms, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg) t
+    WHERE rank <= 20
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword search (operators/text.py bm25_scores): top-20
+    documents for a 3-term query, the Lucene-default ranking function as a
+    single linear scan (query-term filter under the explode, broadcast
+    df/N/avgdl). Ranking uses the ROUNDed score + doc_id tiebreak so the
+    top-20 cut is reproducible across libm implementations; the final
+    window orders only the matched docs (bounded by corpus hit count)."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.text import bm25_scores
+
+    scores = bm25_scores(
+        load(spark, sf_dir, "documents"), ["join", "stream", "vector"]
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "n_hit_terms", "rank")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=r"""
     SELECT doc_id,
@@ -777,10 +835,14 @@ def text_winnow_chunks(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     toks = whitespace_tokens(F.lower(F.col("text")))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8))),
-    )
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs
+    chunks = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 7),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         d.select("doc_id", F.explode(chunks).alias("chunk_hash"))
         .distinct()
@@ -788,6 +850,58 @@ def text_winnow_chunks(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    since=4,
+    name="dedup_repeated_passages",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    lt AS (SELECT doc_id, w, list_transform(w, x -> lower(x)) AS lw FROM tok),
+    occ AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(lw[i:i+7], ' ')) AS h
+      FROM lt JOIN generate_series(1, 100000) t(i) ON i <= len(lw) - 7
+    ),
+    dup AS (
+      SELECT h, min(doc_id) AS keeper FROM occ
+      GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    rm AS (
+      SELECT DISTINCT o.doc_id, o.pos + s.off AS p
+      FROM occ o JOIN dup d ON o.h = d.h AND o.doc_id <> d.keeper
+      CROSS JOIN generate_series(0, 7) s(off)
+    ),
+    rs AS (SELECT doc_id, list(p) AS ps FROM rm GROUP BY doc_id)
+    SELECT t.doc_id,
+           -- array_to_string is NULL on an empty list (fully-removed doc);
+           -- the engine's concat_ws returns '' there
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(range(1, len(t.w) + 1),
+                 i -> CASE WHEN list_contains(COALESCE(rs.ps, CAST([] AS BIGINT[])), i)
+                           THEN NULL ELSE t.w[CAST(i AS INT)] END),
+               x -> x IS NOT NULL), ' '), '') AS text_clean,
+           CAST(COALESCE(len(rs.ps), 0) AS INTEGER) AS n_removed_tokens
+    FROM lt t LEFT JOIN rs USING (doc_id)
+    """,
+)
+def dedup_repeated_passages(spark, sf_dir):
+    """Substring-level cross-document dedup (operators/dedup.py
+    strip_repeated_passages): every 8-token span appearing in more than one
+    document is removed everywhere except the min-id document — the
+    passage-removal pass doc- and paragraph-level dedup can't see. The
+    oracle rebuilds the sliding md5 chunks, the keeper rule, the covered
+    position sets, and the positional reassembly in SQL, so the cleaned
+    TEXT itself is hash-compared, not just counts."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        strip_repeated_passages,
+    )
+
+    return strip_repeated_passages(load(spark, sf_dir, "documents"), window=8)
 
 
 @query(

@@ -370,6 +370,83 @@ def test_paragraph_dedup_keeps_first_occurrence_in_order(spark):
     assert got[4] == "delta four\n\nepsilon five"
 
 
+def test_shingle_helpers_empty_on_short_docs(spark):
+    """Docs shorter than the shingle/window width yield EMPTY arrays:
+    sequence(0, -1) is the descending [0, -1] in Spark, so the naive
+    formulation crashed slice() at start 0 on any short document."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        rolling_hashes,
+        whitespace_tokens,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    toks = whitespace_tokens(F.col("text"))
+    rows = df.select(
+        "doc_id",
+        word_shingles(toks, 3).alias("sh"),
+        rolling_hashes(toks, 8).alias("rh"),
+    ).collect()
+    got = {r["doc_id"]: (len(r["sh"]), len(r["rh"])) for r in rows}
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3] == (6, 1)
+
+
+def test_bm25_ranks_tf_and_length_and_rarity(spark):
+    """BM25 orders by the textbook forces: more hits beat fewer at equal
+    length; equal hits in a shorter doc beat a longer one; docs with no
+    query term are absent; n_hit_terms counts distinct matched terms."""
+    from split_kinesis_streams_with_glue_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog bird"),
+            (2, "cat dog bird fish"),
+            (3, "cat dog bird fish lizard frog newt snail"),
+            (4, "fish lizard frog newt"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["n_hit_terms"])
+        for r in bm25_scores(docs, ["cat", "dog"]).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] > got[2][0] > got[3][0]
+    assert got[1][1] == 2 and got[2][1] == 2 and got[3][1] == 2
+    assert all(s > 0 for s, _ in got.values())
+
+
+def test_strip_repeated_passages_removes_copied_span(spark):
+    """A copied 8+-token span is removed from the higher-id doc only; the
+    keeper and unrelated docs pass through (whitespace-normalized); a doc
+    shorter than the window never produces chunks."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        strip_repeated_passages,
+    )
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {span} outro"),
+            (2, f"other start {span} other end"),
+            (3, "totally unrelated text right here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+        for r in strip_repeated_passages(docs, window=8).collect()
+    }
+    assert got[1] == (f"intro {span} outro", 0)
+    assert got[2] == ("other start other end", 8)
+    assert got[3] == ("totally unrelated text right here", 0)
+
+
 def test_kmeans_centroids_recover_planted_clusters(spark):
     """Two well-separated planted clusters: Lloyd iterations must move the
     (deliberately bad: both seeds in cluster A) initial centroids onto the
