@@ -105,6 +105,57 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    since=4,
+    name="dedup_incremental_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d2 AS doc_id, min(d1) AS dup_of
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = d1
+    JOIN sizes sb ON sb.doc_id = d2
+    WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+    GROUP BY d2
+    """,
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Dedup-at-ingest (streaming/dedup_index.py): the corpus arrives as
+    three mod-3 interleaved micro-batches and the LSH index is maintained
+    incrementally — per epoch, signatures for the batch only, a
+    shard-pruned probe of the stored band index, exact Jaccard on
+    candidates only. The accumulated min-id flags must equal what the
+    one-shot quadratic Jaccard (the oracle) flags over the whole corpus —
+    arrival order and batch boundaries must not matter."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.dedup_index import (
+        make_dedup_indexer,
+        read_dup_flags,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="sgs_dedup_idx_") + "/idx"
+    ingest = make_dedup_indexer(path, threshold=0.5)
+    for epoch, i in enumerate((1, 0, 2), start=1):
+        ingest(docs.filter(F.col("doc_id") % 3 == i), epoch_id=epoch)
+    return read_dup_flags(spark, path)
+
+
 _CLUSTER_SQL = """
 WITH RECURSIVE tok AS (
   SELECT doc_id,
