@@ -179,6 +179,55 @@ def bloom_might_contain(
     return cond
 
 
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 5
+) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min sketches built with the
+    same (depth, width): |A ⋈_k B| ≈ min over hash rows d of
+    Σ_bucket cntA(d,b)·cntB(d,b) (Cormode & Muthukrishnan 2005, §4.2).
+    Never underestimates; overshoot ≤ (e/width)·|A|·|B| per row w.h.p.
+
+    The planner-side use: join-size/selectivity estimation BEFORE running a
+    join, from two ≤ depth×width-row summaries that were built in one scan
+    each and are mergeable across partitions/days — no sampling pass over
+    either input. Output: one row (join_size_estimate bigint)."""
+    a = sketch_a.alias("a")
+    b = sketch_b.alias("b")
+    per_row = (
+        a.join(b, ["d", "bucket"])  # inner: absent buckets contribute 0
+        .groupBy("d")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    return per_row.agg(
+        F.min("dot").cast("bigint").alias("join_size_estimate")
+    )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Runtime-filtered equi-join: build a Bloom filter over the dim keys
+    (kilobytes regardless of dim size), drop fact rows that cannot match
+    BEFORE the join, then exact-join the survivors. Because a Bloom filter
+    has no false negatives, the result is row-identical to the plain join;
+    false positives just ride through to the exact join and fall out.
+
+    This is the explicit, engine-portable form of the optimizer's
+    runtime-filter/DPP trick: at 100 TB the win is shuffle volume — only
+    fact rows that can match pay the exchange, and the membership side
+    broadcasts even when the dim's key list would not."""
+    bloom = bloom_build(dim, dim_key, m_bits, k_hashes)
+    pre = fact.crossJoin(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col("bloom"), F.col(fact_key), m_bits, k_hashes)
+    ).drop("bloom", "n_words")
+    return pre.join(dim, pre[fact_key] == dim[dim_key])
+
+
 # ---------------------------------------------------------------------------
 # Equi-width histogram sketch — mergeable quantile summaries
 # ---------------------------------------------------------------------------

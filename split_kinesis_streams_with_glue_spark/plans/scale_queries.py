@@ -101,6 +101,93 @@ def events_heavy_hitters_contract(spark, sf_dir):
 
 
 @query(
+    since=4,
+    name="join_cms_size_contract",
+    oracle="""
+    SELECT CAST((SELECT count(*)
+                 FROM orders JOIN customer ON o_custkey = c_custkey)
+                AS BIGINT) AS n_exact,
+           TRUE AS never_underestimates,
+           TRUE AS within_bound
+    """,
+)
+def join_cms_size_contract(spark, sf_dir):
+    """Join-size estimation from two count-min sketches
+    (operators/sketches.py cms_inner_product): |orders ⋈ customer| is
+    estimated as the min over hash rows of the bucket-count inner product —
+    a planner-grade cardinality estimate from two ≤ depth×width-row
+    mergeable summaries, no sampling pass over either input. Contract pins
+    the two deterministic-on-fixed-data guarantees: the estimate never
+    undercounts the true join size, and overshoot stays within the
+    (e/width)·|A|·|B| analytical bound."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        cms_inner_product,
+    )
+
+    depth, width = 5, 4096
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    est = cms_inner_product(
+        cms_build(o, "o_custkey", depth=depth, width=width),
+        cms_build(c, "c_custkey", depth=depth, width=width),
+        depth=depth,
+    )
+    exact = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    sizes = o.agg(F.count(F.lit(1)).alias("__na")).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    bound = F.lit(math.e / width) * F.col("__na") * F.col("__nb")
+    return (
+        exact.crossJoin(est)
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("join_size_estimate") >= F.col("n_exact")).alias(
+                "never_underestimates"
+            ),
+            ((F.col("join_size_estimate") - F.col("n_exact")) <= bound).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+@query(
+    since=4,
+    name="join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Runtime-filtered join (operators/sketches.py bloom_prefilter_join):
+    the selective dim side becomes a kilobyte Bloom filter that drops
+    non-matching fact rows BEFORE the join's exchange — the explicit,
+    engine-portable form of the optimizer's runtime-filter/DPP trick. The
+    oracle is the plain join: no false negatives means the prefiltered
+    result is row-identical, with false positives eliminated by the exact
+    join it feeds."""
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        bloom_prefilter_join,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 10 == 0))
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = bloom_prefilter_join(o, dim, "o_custkey", "c_custkey", m_bits=1 << 16)
+    return joined.select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+@query(
     since=3,
     name="text_bloom_decontaminate",
     oracle=r"""

@@ -480,6 +480,48 @@ def test_vacuum_keeps_current_and_last_n(spark, tmp_path):
         read_version(spark, path, 1).count()
 
 
+def test_cms_inner_product_bounds_join_size(spark):
+    """Planted multiplicities: |A ⋈ B| = Σ_k cntA(k)·cntB(k) = 3·2 + 1·4
+    = 10; the CMS inner product must never undercount and stay within the
+    (e/width)·|A|·|B| analytical bound."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "k string")
+    b = spark.createDataFrame([("x",)] * 2 + [("y",)] * 4 + [("z",)] * 5, "k string")
+    est = cms_inner_product(
+        cms_build(a, "k", depth=5, width=1024), cms_build(b, "k", depth=5, width=1024)
+    ).first()["join_size_estimate"]
+    assert est >= 10
+    assert est <= 10 + math.e / 1024 * 4 * 11
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        bloom_prefilter_join,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 25 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    got = bloom_prefilter_join(o, dim, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_custkey"
+    )
+    exp = o.join(dim, o["o_custkey"] == dim["c_custkey"]).select(
+        "o_orderkey", "c_custkey"
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    assert got.count() < o.count()  # the prefilter actually drops rows
+
+
 def test_bloom_empty_member_set_matches_nothing(spark):
     empty = spark.createDataFrame([], "k string")
     bloom = bloom_build(empty, "k", 1 << 12, 4)
