@@ -514,3 +514,58 @@ def strip_repeated_passages(
         F.concat_ws(" ", kept).alias("text_clean"),
         F.size("__rm").alias("n_removed_tokens"),
     )
+
+
+def ppjoin_pairs(
+    shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs (d1 < d2, jac >= threshold) via prefix
+    filtering — the deterministic counterpart to MinHash LSH.
+
+    All-pairs/PPJoin (Bayardo et al., WWW'07; Xiao et al., WWW'08): under a
+    global token order, two sets with overlap >= o must share a token in
+    their first ``|d| - o + 1`` tokens. Jaccard >= t implies overlap >=
+    ceil(t * |d|) for BOTH sides, so probing only each document's prefix of
+    ``|d| - ceil(t*|d|) + 1`` rarest tokens finds every qualifying pair —
+    no false negatives, and the candidate join touches a small fraction of
+    the token postings instead of all of them.
+
+    Ordering tokens by ASCENDING document frequency (ties by token string,
+    for cross-run determinism) puts the rarest tokens in the prefix, so
+    posting lists joined on are the shortest ones — the frequent-token
+    postings (the quadratic blowup in the naive self-join) never meet the
+    join. A length filter (``t * max(|a|,|b|) <= min(|a|,|b|)``) prunes
+    further before verification; survivors are exact-verified by
+    ``jaccard_pairs`` on candidates only.
+
+    Scale shape: one shuffle for document frequencies, one doc-keyed window
+    to rank tokens, one equi-join on prefix tokens (linear in prefix
+    postings), then candidate-only verification. No all-pairs comparison
+    anywhere; skew on a prefix token is bounded by that token's rarity.
+    """
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = shingles.join(freq, "shingle")
+    by_rarity = Window.partitionBy("id").orderBy("__df", "shingle")
+    whole = Window.partitionBy("id")
+    with_pos = ranked.select(
+        "id",
+        "shingle",
+        F.row_number().over(by_rarity).alias("__pos"),
+        F.count(F.lit(1)).over(whole).alias("__sz"),
+    )
+    prefix = with_pos.filter(
+        F.col("__pos") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    )
+    a = prefix.select(F.col("id").alias("d1"), "shingle", F.col("__sz").alias("__sza"))
+    b = prefix.select(F.col("id").alias("d2"), "shingle", F.col("__sz").alias("__szb"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(
+            F.lit(threshold) * F.greatest("__sza", "__szb")
+            <= F.least("__sza", "__szb")
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    return jaccard_pairs(shingles, threshold, candidates=cand)

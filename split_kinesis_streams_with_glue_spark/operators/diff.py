@@ -70,3 +70,99 @@ def table_diff(
         ],
         *[side(c).alias(c) for c in compare_cols],
     )
+
+
+def _bucket_expr(pk_cols: list[str], num_buckets: int):
+    """Cross-engine-reproducible bucket id: first 4 md5 hex chars of the
+    joined pk string, mod ``num_buckets``. (DuckDB:
+    ``CAST(('0x'||substr(md5(pk),1,4)) AS BIGINT) % n``.)"""
+    pk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in pk_cols])
+    return (F.conv(F.substring(F.md5(pk), 1, 4), 16, 10).cast("long") % num_buckets).alias(
+        "bucket"
+    )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Merkle-style per-bucket checksum summary: (bucket, n_rows, checksum).
+
+    Row hash = first 48 bits of md5 over the '\\x1f'-joined string forms of
+    pk + compared columns (nulls → '\\x00' sentinel); bucket checksum =
+    exact SUM of row hashes (order-independent, mergeable — a bucket's
+    checksum is the same whether computed in one pass or unioned from
+    partial fingerprints). Two snapshots agree on a bucket's (n_rows,
+    checksum) iff (within 2^-48 collision odds per changed row) the bucket
+    holds identical rows — so comparing two O(num_buckets)-sized summaries
+    localizes every change without joining the tables row-by-row.
+
+    Callers must pre-cast columns whose string form is engine-dependent
+    (float/timestamp) to decimal/ISO strings if the fingerprint is compared
+    cross-engine; integer and string columns are safe as-is.
+
+    Scale shape: one scan + one map-side-combining aggregation per
+    snapshot; the summary is num_buckets rows regardless of table size.
+    The anti-entropy primitive for 100 TB replica reconciliation: ship the
+    kilobyte summary, not the table.
+    """
+    compare_cols = compare_cols or [c for c in df.columns if c not in pk_cols]
+    repr_cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        for c in [*pk_cols, *compare_cols]
+    ]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *repr_cols)), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+    return (
+        df.select(_bucket_expr(pk_cols, num_buckets), row_hash.alias("__h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__h").alias("checksum"),
+        )
+    )
+
+
+def merkle_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """``table_diff`` that pays only for what changed: compare the two
+    per-bucket fingerprints first, then run the row-level full-outer diff
+    on rows from DIRTY buckets only. Result is row-identical to
+    ``table_diff(old, new, ...)`` (the md5 bucket assignment is a pure
+    function of the pk, so an old/new row pair always lands in the same
+    bucket and a clean bucket can hide no change).
+
+    Scale shape: two summary scans (no pk shuffle), a num_buckets-row
+    comparison, then a pk join over the dirty fraction only — at 1% churn
+    the expensive join touches ~1% of each table instead of all of it.
+    The dirty-bucket set is broadcast as a semi-join filter, never
+    collected."""
+    compare_cols = compare_cols or [c for c in new.columns if c not in pk_cols]
+    fo = table_fingerprint(old, pk_cols, compare_cols, num_buckets)
+    fn_ = table_fingerprint(new, pk_cols, compare_cols, num_buckets)
+    o = fo.select("bucket", F.col("n_rows").alias("__no"), F.col("checksum").alias("__co"))
+    n = fn_.select("bucket", F.col("n_rows").alias("__nn"), F.col("checksum").alias("__cn"))
+    dirty = (
+        o.join(n, "bucket", "full_outer")
+        .filter(
+            ~F.col("__no").eqNullSafe(F.col("__nn"))
+            | ~F.col("__co").eqNullSafe(F.col("__cn"))
+        )
+        .select("bucket")
+    )
+    bexpr = _bucket_expr(pk_cols, num_buckets)
+    old_dirty = old.withColumn("bucket", bexpr).join(
+        F.broadcast(dirty), "bucket", "left_semi"
+    ).drop("bucket")
+    new_dirty = new.withColumn("bucket", bexpr).join(
+        F.broadcast(dirty), "bucket", "left_semi"
+    ).drop("bucket")
+    return table_diff(old_dirty, new_dirty, pk_cols, compare_cols)

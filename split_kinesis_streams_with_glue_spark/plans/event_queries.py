@@ -795,3 +795,82 @@ def events_stream_stream_left_join(spark, sf_dir):
     # drop the sentinel purchase row (its null-extended self) and any
     # sentinel-vs-sentinel pairing
     return spark.read.parquet(f"{base}/out").filter(F.col("event_id") != -1)
+
+
+@query(
+    "events_interpolate_gaps",
+    since=4,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    sparse AS (SELECT * FROM daily WHERE day(day) % 3 = 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+            FROM sparse GROUP BY 1)
+    ),
+    j AS (
+      SELECT s.event_type, s.day, sp.v
+      FROM spine s LEFT JOIN sparse sp USING (event_type, day)
+    ),
+    w AS (
+      SELECT event_type, day, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT event_type, day,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) *
+                           (date_diff('day', pd, day) * 1.0 /
+                            date_diff('day', pd, nd)) END, 6) AS value,
+           v IS NULL AS interpolated
+    FROM w
+    """,
+)
+def events_interpolate_gaps(spark, sf_dir):
+    """Linear interpolation over a sparse daily gauge
+    (operators/timeseries.py): daily decimal-exact mean of `value` per
+    event type, thinned to every third day-of-month, then densified with
+    missing days linearly interpolated between known neighbors (edges
+    carry the nearest value). Window work runs over the day-grain
+    aggregate only — bounded at any event volume."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        interpolate_gaps,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")) / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("v")
+        )
+    )
+    sparse = daily.filter(F.dayofmonth("day") % 3 == 1)
+    out = interpolate_gaps(sparse, "event_type", day_col="day", value_col="v")
+    return out.select(
+        "event_type", "day", F.round("v", 6).alias("value"), "interpolated"
+    )

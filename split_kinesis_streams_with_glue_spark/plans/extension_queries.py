@@ -17,6 +17,7 @@ from split_kinesis_streams_with_glue_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_near_dups,
+    ppjoin_pairs,
     shingle_sets,
     simhash_near_dups,
 )
@@ -102,6 +103,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     must reproduce the brute-force ground truth (miss prob < 1e-8 at
     j >= 0.5), which is exactly what the oracle computes."""
     pairs = minhash_near_dups(load(spark, sf_dir, "documents"), threshold=0.5)
+    return pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_ppjoin_exact", oracle=_JACCARD_SQL, since=4)
+def dedup_ppjoin_exact(spark, sf_dir):
+    """Prefix-filtered EXACT similarity join (All-Pairs/PPJoin): probe only
+    each doc's rarest-token prefix, length-filter, verify candidates — no
+    probabilistic misses, no all-pairs comparison. Must equal the quadratic
+    Jaccard ground truth exactly (same oracle as the MinHash path, but here
+    equality is guaranteed, not just overwhelmingly likely)."""
+    sh = shingle_sets(load(spark, sf_dir, "documents"))
+    pairs = ppjoin_pairs(sh, 0.5)
     return pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -688,3 +688,84 @@ def pipeline_publish_gated(spark, sf_dir):
     except PublishBlocked:
         pass
     return read_published(spark, path)
+
+
+@query(
+    "cdc_fingerprint_buckets",
+    since=4,
+    oracle="""
+    WITH r AS (
+      SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)) AS BIGINT)
+             % 64 AS bucket,
+             CAST(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || chr(31) ||
+               coalesce(c_name, chr(0)) || chr(31) ||
+               coalesce(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), chr(0))
+             ), 1, 12)) AS BIGINT) AS h
+      FROM customer
+    )
+    SELECT bucket, count(*) AS n_rows,
+           CAST(SUM(h) AS DECIMAL(38,0)) AS checksum
+    FROM r GROUP BY bucket
+    """,
+)
+def cdc_fingerprint_buckets(spark, sf_dir):
+    """Merkle-style table fingerprint (operators/diff.py): per-bucket
+    (n_rows, checksum) summary whose md5 arithmetic must be BIT-EXACT
+    cross-engine — the strongest oracle form available. The double
+    c_acctbal is pre-cast to DECIMAL(12,2) so its string form is
+    engine-independent, per table_fingerprint's documented contract."""
+    from split_kinesis_streams_with_glue_spark.operators.diff import table_fingerprint
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal")
+    )
+    return table_fingerprint(cust, ["c_custkey"], num_buckets=64)
+
+
+@query(
+    "cdc_merkle_diff",
+    since=4,
+    oracle="""
+    SELECT 'delete' AS operation, c_custkey, c_name,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+    FROM customer WHERE c_custkey % 11 = 0
+    UNION ALL
+    SELECT 'update', c_custkey, c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 50.25 AS DECIMAL(12,2))
+    FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 13 = 0
+    UNION ALL
+    SELECT 'insert', c_custkey + 2000000, c_name,
+           CAST(c_acctbal AS DECIMAL(12,2))
+    FROM customer WHERE c_custkey % 17 = 0
+    """,
+)
+def cdc_merkle_diff(spark, sf_dir):
+    """Anti-entropy diff (operators/diff.py merkle_diff): fingerprints
+    localize the changed buckets, the row-level full-outer join runs on
+    dirty-bucket rows only — and the output must STILL be exactly the full
+    diff (deletes %11, updates %13, inserts %17), because a clean bucket
+    provably hides no change. The oracle is the change feed itself."""
+    from split_kinesis_streams_with_glue_spark.operators.diff import merkle_diff
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal")
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 13 == 0,
+                (F.col("c_acctbal") + F.lit(50.25).cast("decimal(12,2)")).cast(
+                    "decimal(12,2)"
+                ),
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 17 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 2_000_000
+            )
+        )
+    )
+    return merkle_diff(cust, new, ["c_custkey"], num_buckets=128)

@@ -778,3 +778,121 @@ def test_ivf_quantized_topk_recall_and_shape(spark, sf_dir):
     }
     hits = sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in brute)
     assert hits / len(brute) >= 0.6
+
+
+def test_ppjoin_equals_quadratic_jaccard(spark, sf_dir):
+    """Prefix filtering is exact: the PPJoin path must return the SAME pair
+    set and scores as the quadratic all-pairs Jaccard join, at several
+    thresholds (prefix length and length filter both depend on t)."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        ppjoin_pairs,
+        shingle_sets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_sets(d).localCheckpoint()
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r["d1"], r["d2"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(sh, t).collect()
+        }
+        pp = {
+            (r["d1"], r["d2"], round(r["jaccard"], 9))
+            for r in ppjoin_pairs(sh, t).collect()
+        }
+        assert pp == exact, f"threshold {t}: ppjoin {len(pp)} vs exact {len(exact)}"
+    assert exact, "fixture produced no similar pairs at 0.8 — test is vacuous"
+
+
+def test_merkle_diff_matches_table_diff_and_prunes(spark, sf_dir):
+    """merkle_diff must be row-identical to the full table_diff; identical
+    snapshots must produce ZERO dirty buckets (the pruning evidence); and
+    fingerprints must merge: unioned partial summaries re-aggregate to the
+    whole-table summary."""
+    from split_kinesis_streams_with_glue_spark.operators.diff import (
+        merkle_diff,
+        table_diff,
+        table_fingerprint,
+    )
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        )
+        .localCheckpoint()
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 9 != 0)
+        .withColumn(
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 4 == 0, F.concat(F.col("c_name"), F.lit("!"))
+            ).otherwise(F.col("c_name")),
+        )
+        .localCheckpoint()
+    )
+    full = {tuple(r) for r in table_diff(cust, new, ["c_custkey"]).collect()}
+    mk = {tuple(r) for r in merkle_diff(cust, new, ["c_custkey"]).collect()}
+    assert mk == full and full, "merkle diff must equal the full diff"
+
+    # identical snapshots: every bucket matches -> empty diff
+    assert merkle_diff(cust, cust, ["c_custkey"]).count() == 0
+
+    # mergeability: partial fingerprints union+re-sum to the whole
+    whole = {
+        tuple(r)
+        for r in table_fingerprint(cust, ["c_custkey"], num_buckets=32).collect()
+    }
+    parts = [
+        table_fingerprint(
+            cust.filter(F.col("c_custkey") % 3 == i), ["c_custkey"], num_buckets=32
+        )
+        for i in range(3)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("bucket")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("checksum").alias("checksum"))
+    )
+    # re-summed checksum widens to decimal(38,0)-compatible; compare values
+    remerged = {
+        (r["bucket"], r["n_rows"], int(r["checksum"])) for r in merged.collect()
+    }
+    assert {(b, n, int(c)) for b, n, c in whole} == remerged
+
+
+def test_interpolate_gaps_exact_values(spark):
+    """Hand-checked interpolation: gap of two days between 10 and 40 fills
+    20, 30; edge days carry the nearest known value; known rows unmarked."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        interpolate_gaps,
+    )
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 2), 10.0),
+        ("a", d(2024, 1, 5), 40.0),
+        ("a", d(2024, 1, 6), 6.0),
+        ("b", d(2024, 1, 1), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "day", "v"])
+    out = {
+        (r["k"], r["day"].isoformat()): (round(r["v"], 9), r["interpolated"])
+        for r in interpolate_gaps(df, "k", "day", "v").collect()
+    }
+    assert out == {
+        ("a", "2024-01-02"): (10.0, False),
+        ("a", "2024-01-03"): (20.0, True),
+        ("a", "2024-01-04"): (30.0, True),
+        ("a", "2024-01-05"): (40.0, False),
+        ("a", "2024-01-06"): (6.0, False),
+        ("b", "2024-01-01"): (1.0, False),
+    }
