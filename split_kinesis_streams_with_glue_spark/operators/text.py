@@ -386,3 +386,42 @@ def c4_clean(
         .withColumn("n_lines", F.size("__kept").cast("int"))
         .drop("__kept")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """One BPE merge iteration's candidate statistics: corpus-weighted
+    counts of adjacent character pairs (Sennrich et al. 2016) — the pair
+    with the highest count is the next merge a byte-pair-encoding
+    tokenizer would learn.
+
+    Shape matters at scale: the corpus is first reduced to the WORD
+    VOCABULARY (word, freq) — a map-side-combining aggregation that shrinks
+    ~10^11 tokens to ~10^6 distinct words — and the quadratic-ish pair
+    explosion runs over the vocabulary only, weighted by ``freq``. The
+    corpus is scanned once; no per-row Python.
+
+    Returns the ``top_n`` (pair, cnt) rows, count-desc (ties by pair asc).
+    """
+    words = df.select(
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # sequence(1, 0) is the DESCENDING [1, 0] in Spark (not empty), so
+    # 1-char words must be guarded out explicitly
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN array() "
+                "ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) END"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+    )

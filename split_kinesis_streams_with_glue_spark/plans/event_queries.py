@@ -874,3 +874,46 @@ def events_interpolate_gaps(spark, sf_dir):
     return out.select(
         "event_type", "day", F.round("v", 6).alias("value"), "interpolated"
     )
+
+
+@query(
+    "events_regression_slope",
+    since=4,
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope
+    FROM a
+    """,
+)
+def events_regression_slope(spark, sf_dir):
+    """Per-type OLS trend slope of `value` over epoch-day — the
+    closed-form regression (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) computed from
+    DECIMAL-EXACT sufficient statistics (one grouped aggregation,
+    map-side combined; the only floating-point op is the final division,
+    bit-identical cross-engine). The distributed-regression shape: at any
+    scale the shuffle carries five numbers per group."""
+    ev = load(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    y = F.col("value").cast("decimal(18,6)")
+    a = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return a.select("event_type", "n", F.round(num / den, 9).alias("slope"))

@@ -1533,3 +1533,33 @@ def dedup_cluster_best(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("best_doc_id"), "n_tokens")
     )
+
+
+@query(
+    "text_bpe_pairs",
+    since=4,
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM vocab JOIN generate_series(1, 10000) t(i) ON i <= length(w) - 1
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """One BPE merge iteration (operators/text.py bpe_pair_counts): the
+    corpus reduces to its word vocabulary first, adjacent char pairs
+    explode over the VOCAB only (freq-weighted) — the statistic a BPE
+    tokenizer trainer computes per merge, at corpus scale. Top-50 pairs,
+    fully ordered (count desc, pair asc) so the limit is deterministic."""
+    from split_kinesis_streams_with_glue_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), top_n=50)

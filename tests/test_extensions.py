@@ -896,3 +896,16 @@ def test_interpolate_gaps_exact_values(spark):
         ("a", "2024-01-06"): (6.0, False),
         ("b", "2024-01-01"): (1.0, False),
     }
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """'low low lower': pair counts are freq-weighted over the word vocab
+    ('lo'/'ow' appear in both 'low'(x2) and 'lower'); 1-char words
+    contribute nothing (the sequence(1,0)-descending guard)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "a b be")], ["doc_id", "text"]
+    )
+    got = {(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, top_n=100).collect()}
+    assert got == {("lo", 3), ("ow", 3), ("we", 1), ("er", 1), ("be", 1)}

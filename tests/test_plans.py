@@ -334,6 +334,21 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # presentational sort over the space-saving summary table, which is
     # <= capacity (64) rows by construction — bounded at any stream volume
     "events_stream_topk": {"global-sort"},
+    # --- round-4 queries ---
+    # crossJoin(broadcast(<1-row survivor-count aggregates>)) — the
+    # containment contract compares two scalar counts
+    "dedup_semantic_contract": {"cartesian-product"},
+    # crossJoin of the 1-row CMS estimate, 1-row exact join size, and
+    # 1-row |A|/|B| aggregates — bounded by design
+    "join_cms_size_contract": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row N/avgdl corpus-stats agg>)); the
+    # query-term IN filter applies under the token explode (Generate
+    # output), so there is no scan column to push it into
+    "text_bm25_search": {"cartesian-product", "unpushed-scan-filter"},
+    # planted-change modulo predicates and the md5-derived dirty-bucket
+    # semi-join filter are functions of a column — semantically
+    # un-pushable; the scan itself is still column-pruned
+    "cdc_merkle_diff": {"unpushed-scan-filter"},
 }
 
 
