@@ -26,6 +26,7 @@ def compact(
     ts_col: str = "timestamp",
     op_col: str = "operation",
     drop_meta: bool = True,
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Latest-per-PK with delete handling.
 
@@ -33,6 +34,12 @@ def compact(
     rows whose winning operation is 'delete'. Ties on ``ts`` break on
     operation rank (delete > update > insert > load) so a delete at the same
     event time wins — the conservative CDC ordering.
+
+    ``keep_deletes=True`` retains winning delete rows as TOMBSTONES instead
+    of dropping them — required when changes can arrive out of order across
+    batches (streaming/cdc_merge.py's out-of-order mode): the tombstone's
+    event time must stay around to beat a late-arriving older update, else
+    the deleted row resurrects. Readers filter ``op_col != 'delete'``.
     """
     op_rank = (
         F.when(F.col(op_col) == "delete", 3)
@@ -41,12 +48,10 @@ def compact(
         .otherwise(0)
     )
     w = Window.partitionBy(*pk_cols).orderBy(F.col(ts_col).desc(), op_rank.desc())
-    out = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != "delete")
-        .drop("__rn")
-    )
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    if not keep_deletes:
+        out = out.filter(F.col(op_col) != "delete")
+    out = out.drop("__rn")
     if drop_meta:
         out = out.drop(ts_col, op_col)
     return out

@@ -769,3 +769,78 @@ def cdc_merkle_diff(spark, sf_dir):
         )
     )
     return merkle_diff(cust, new, ["c_custkey"], num_buckets=128)
+
+
+@query(
+    "cdc_merge_out_of_order",
+    since=4,
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                            WHEN c_custkey % 5 = 0 THEN 100.0
+                            ELSE 0.0 END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def cdc_merge_out_of_order(spark, sf_dir):
+    """Out-of-order CDC apply (streaming/cdc_merge.py out_of_order=True):
+    the DELETE phase is delivered BEFORE the older-event-time update
+    phase, violating the ordered-delivery requirement the default merger
+    carries. Delete tombstones (retained with their event times) beat the
+    late updates, so the final table must STILL equal the in-order
+    result — the same oracle as cdc_merge_apply. Without tombstones the
+    %35 keys (deleted AND updated) would resurrect."""
+    import os
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+    from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+        infer_envelope_schema,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        cdc_merge_stream,
+        read_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_merge_ooo_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    phases = [
+        env.filter(op == "load"),
+        env.filter(op == "delete"),  # arrives before the updates it outranks
+        env.filter(op == "update"),
+    ]
+    stamped: set[str] = set()
+
+    def stamp(t: int) -> None:
+        # strictly increasing mtimes → the file source batches phases in
+        # DELIVERY order (which here is NOT event-time order)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in stamped:
+                os.utime(p, (t, t))
+                stamped.add(p)
+
+    for i, ph in enumerate(phases):
+        to_json_lines(ph).coalesce(1).write.mode("append").text(src)
+        stamp(1_600_000_000 + i)
+    stream = (
+        spark.readStream.schema(infer_envelope_schema(spark, src))
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = cdc_merge_stream(
+        stream,
+        f"{base}/tbl",
+        f"{base}/ckpt",
+        "customer",
+        ["c_custkey"],
+        num_buckets=16,
+        out_of_order=True,
+    )
+    q.awaitTermination()
+    return read_table(spark, f"{base}/tbl")

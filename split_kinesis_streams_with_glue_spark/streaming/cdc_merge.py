@@ -23,11 +23,17 @@ Scale notes:
   production escape hatch at that point is a merge-on-read table format
   (Delta/Iceberg/Hudi); this operator is the format-free equivalent for
   plain Parquet.
-- Correctness requires per-key ordered delivery across batches — which the
-  reference's pipeline provides (Kinesis partition key = primary key,
-  README.md:216). Same-batch ties resolve by event time then operation
-  rank (delete wins), via ``compact``. With out-of-order keys you would
-  need delete tombstone retention; not implemented, documented.
+- Ordered mode (default) requires per-key ordered delivery across batches
+  — which the reference's pipeline provides (Kinesis partition key =
+  primary key, README.md:216). Same-batch ties resolve by event time then
+  operation rank (delete wins), via ``compact``. ``out_of_order=True``
+  drops that delivery requirement: winning deletes are retained as
+  TOMBSTONES (event time + operation kept in the stored rows), so a
+  late-arriving older change loses against the tombstone instead of
+  resurrecting the row; reads filter tombstones out. Tombstones accumulate
+  until ``expire_tombstones`` rewrites (only) the buckets holding ones
+  older than a chosen safety horizon — the usual watermark-style bound on
+  how late a change may arrive.
 - Replay safety: foreachBatch is at-least-once, so the merger records the
   last applied epoch in a ``_last_epoch`` marker (Hadoop FS, atomic
   temp+rename — streaming/markers.py) and skips epochs already applied.
@@ -65,6 +71,7 @@ def make_cdc_merger(
     num_buckets: int = 64,
     on_merged=None,
     compat_policy: set[str] | None = None,
+    out_of_order: bool = False,
 ):
     """Build the idempotent ``(envelope_batch, epoch_id) -> None`` merge
     function (exposed for direct replay testing, as rollup's is).
@@ -155,7 +162,9 @@ def make_cdc_merger(
         # Materialize once: the bucket census below and the write must see
         # the same rows without recomputing the merge. Bounded: the pool is
         # O(batch + dirty-bucket rows) by construction.
-        merged = compact(pool, pk_cols, drop_meta=False).localCheckpoint(eager=True)
+        merged = compact(
+            pool, pk_cols, drop_meta=False, keep_deletes=out_of_order
+        ).localCheckpoint(eager=True)
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
         # Dynamic overwrite only replaces partitions PRESENT in the output:
         # a batch whose deletes empty an entire dirty bucket emits no rows
@@ -185,10 +194,11 @@ def cdc_merge_stream(
     table: str,
     pk_cols: list[str],
     num_buckets: int = 64,
+    out_of_order: bool = False,
 ):
     """Maintain the latest-row-per-key table for ``table`` under ``path``
     from an envelope stream; returns the started StreamingQuery."""
-    merge = make_cdc_merger(path, table, pk_cols, num_buckets)
+    merge = make_cdc_merger(path, table, pk_cols, num_buckets, out_of_order=out_of_order)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
@@ -219,6 +229,10 @@ def read_table(spark, path: str) -> DataFrame:
         if schema_json is None:
             raise
         df = spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(path)
+    if "operation" in df.columns:
+        # out-of-order tables store delete tombstones; they are merge
+        # bookkeeping, not user rows (no-op on ordered tables)
+        df = df.filter(F.col("operation") != "delete")
     return df.drop(*[c for c in META_COLS if c in df.columns])
 
 
@@ -292,3 +306,47 @@ def read_rollup(spark, agg_path: str, group_cols: list[str]) -> DataFrame:
         partials.groupBy(*group_cols)
         .agg(F.sum("n").cast("bigint").alias("n"), F.sum("total").alias("total"))
     )
+
+
+
+def expire_tombstones(spark, path: str, older_than: str) -> int:
+    """Bound out-of-order tombstone retention: rewrite ONLY the buckets
+    holding delete tombstones whose event time is before ``older_than``
+    (an ISO timestamp string — the caller's lateness horizon, the same
+    contract as a streaming watermark: changes later than this are
+    declared impossible, so their tombstones can never matter again).
+    Buckets with no expired tombstone keep their files untouched; a bucket
+    left empty is removed like the merger's emptied-bucket sweep. Returns
+    the number of tombstones dropped.
+
+    Scale: the census scan projects (``__bucket``, operation, timestamp)
+    only, and the rewrite is dirty-buckets only — the vacuum never touches
+    the clean majority of a large table."""
+    cutoff = F.to_timestamp(F.lit(older_than))
+    stored = spark.read.option("mergeSchema", "true").parquet(path)
+    if "operation" not in stored.columns:
+        return 0
+    expired = (F.col("operation") == "delete") & (F.col("timestamp") < cutoff)
+    census = (
+        stored.filter(expired)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # metadata-sized: ≤ num_buckets rows
+    if not census:
+        return 0
+    dirty = [int(r["__bucket"]) for r in census]
+    dropped = sum(int(r["n"]) for r in census)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    kept = (
+        stored.filter(F.col("__bucket").isin(dirty))
+        .filter(~expired)
+        .localCheckpoint(eager=True)
+    )
+    kept.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    surviving = {r[0] for r in kept.select("__bucket").distinct().collect()}
+    for bucket in sorted(set(dirty) - surviving):
+        fs, part, _ = _fs_path(spark, f"{path}/__bucket={bucket}")
+        if fs.exists(part):
+            fs.delete(part, True)
+    return dropped

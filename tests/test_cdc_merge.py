@@ -311,3 +311,92 @@ def test_compat_policy_blocks_incompatible_drift(spark, tmp_path):
     got = read_table(spark, path)
     assert got.count() == 3
     assert "c_note" in got.columns
+
+
+def test_out_of_order_batches_converge_with_tombstones(spark, sf_dir, tmp_path):
+    """out_of_order=True: applying [load, DELETES, updates] — the deletes
+    arrive BEFORE older-event-time updates — must still converge to the
+    in-order final state: the delete tombstones' later event times beat
+    the late updates, so deleted keys do not resurrect. The ordered-mode
+    merger fed the same scrambled order demonstrably gets this wrong
+    (that is the documented delivery requirement it trades away)."""
+    env, phases = _phases(spark, sf_dir)
+    want = compact(
+        event_time(split_one(env, "customer", keep_operation=True, prune=False)),
+        ["c_custkey"],
+    )
+    scrambled = [phases[0], phases[2], phases[1]]  # load, deletes, updates
+
+    ooo = str(tmp_path / "ooo")
+    merge = make_cdc_merger(
+        ooo, "customer", ["c_custkey"], num_buckets=8, out_of_order=True
+    )
+    for epoch, ph in enumerate(scrambled):
+        merge(ph, epoch)
+    got = read_table(spark, ooo)
+    assert _sorted_rows(got) == _sorted_rows(want.select(*got.columns))
+
+    ordered = str(tmp_path / "ord")
+    merge_ord = make_cdc_merger(ordered, "customer", ["c_custkey"], num_buckets=8)
+    for epoch, ph in enumerate(scrambled):
+        merge_ord(ph, epoch)
+    resurrected = read_table(spark, ordered)
+    assert len(_sorted_rows(resurrected)) > len(_sorted_rows(got)), (
+        "ordered mode should resurrect deleted keys under disorder — if it "
+        "doesn't, this test isn't exercising the tombstone path"
+    )
+
+
+def test_expire_tombstones_drops_only_expired_buckets(spark, sf_dir, tmp_path):
+    """After out-of-order merging, expire_tombstones with a horizon past
+    every delete drops all tombstones (file-level: only buckets that held
+    tombstones are rewritten); the visible table is unchanged; a fresh
+    late update older than the horizon would now land — which is exactly
+    the contract: the horizon declares such lateness impossible."""
+    import os as _os
+
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        expire_tombstones,
+    )
+
+    _, phases = _phases(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    merge = make_cdc_merger(
+        path, "customer", ["c_custkey"], num_buckets=8, out_of_order=True
+    )
+    for epoch, ph in enumerate([phases[0], phases[2], phases[1]]):
+        merge(ph, epoch)
+    before = _sorted_rows(read_table(spark, path))
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    n_tombs = raw.filter(F.col("operation") == "delete").count()
+    assert n_tombs > 0
+    tomb_buckets = {
+        r[0]
+        for r in raw.filter(F.col("operation") == "delete")
+        .select("__bucket")
+        .distinct()
+        .collect()
+    }
+    clean = {
+        int(d.split("=")[1])
+        for d in _os.listdir(path)
+        if d.startswith("__bucket=")
+    } - tomb_buckets
+    mtimes = {
+        d: _os.path.getmtime(_os.path.join(path, d))
+        for d in _os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    dropped = expire_tombstones(spark, path, "2030-01-01 00:00:00")
+    assert dropped == n_tombs
+    after_raw = spark.read.option("mergeSchema", "true").parquet(path)
+    assert after_raw.filter(F.col("operation") == "delete").count() == 0
+    assert _sorted_rows(read_table(spark, path)) == before
+    for d, t in mtimes.items():
+        b = int(d.split("=")[1])
+        if b in clean:
+            assert _os.path.getmtime(_os.path.join(path, d)) == t, (
+                f"clean bucket {b} was rewritten"
+            )
+    # horizon earlier than every tombstone: nothing to drop
+    assert expire_tombstones(spark, path, "2030-01-01 00:00:00") == 0
