@@ -77,3 +77,49 @@ def asof_join(
             *[F.col(f"__p.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    on: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload_cols: list[str] | None = None,
+    suffix: str = "_pit",
+) -> DataFrame:
+    """Point-in-time join against SCD2 validity intervals — the
+    feature-store primitive: attach to each fact the dimension version
+    whose ``[valid_from, valid_to)`` contains the fact's timestamp, and
+    NOTHING when the entity was deleted (or not yet created) at that time.
+
+    A naive key-join + validity filter fans every fact out across all of
+    its key's versions before filtering. This instead rides ``asof_join``
+    (one key shuffle, latest ``valid_from <= ts`` version carried by a
+    window — no fanout) and then applies the expiry mask: if the attached
+    version's ``valid_to`` is at or before the fact's timestamp, the
+    entity's history was CLOSED there (a delete) and the payload nulls
+    out — the leakage-free semantics training-data pipelines need (no
+    peeking at versions that didn't exist yet, no resurrecting deleted
+    entities)."""
+    payload_cols = payload_cols or [
+        c for c in history.columns if c not in (on, valid_from, valid_to)
+    ]
+    joined = asof_join(
+        facts,
+        history,
+        on=on,
+        left_ts=ts_col,
+        right_ts=valid_from,
+        right_cols=[*payload_cols, valid_to],
+        suffix=suffix,
+    )
+    vt = F.col(f"{valid_to}{suffix}")
+    alive = vt.isNull() | (F.col(ts_col).cast("timestamp") < vt)
+    sel = [F.col(c) for c in facts.columns]
+    for c in payload_cols:
+        sel.append(
+            F.when(alive, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+        )
+    return joined.select(*sel)

@@ -844,3 +844,69 @@ def cdc_merge_out_of_order(spark, sf_dir):
     )
     q.awaitTermination()
     return read_table(spark, f"{base}/tbl")
+
+
+@query(
+    "join_point_in_time",
+    since=4,
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, c_acctbal AS bal, 0 AS seq, FALSE AS is_del FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100, 1, FALSE FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 200, 2, FALSE FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 3, TRUE FROM customer WHERE c_custkey % 7 = 0
+    ), h AS (
+      SELECT *, LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS next_seq
+      FROM v
+    ), live AS (SELECT * FROM h WHERE NOT is_del),
+    p AS (SELECT event_id, user_id, event_id % 5 AS probe_seq FROM events)
+    SELECT p.event_id, p.user_id, p.probe_seq,
+           ROUND(live.bal, 2) AS acctbal_pit
+    FROM p LEFT JOIN live
+      ON live.c_custkey = p.user_id
+     AND live.seq <= p.probe_seq
+     AND (live.next_seq IS NULL OR p.probe_seq < live.next_seq)
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time join (operators/asof.py point_in_time_join): each
+    event probes the customer SCD2 history at BASE_TS + (event_id % 5)
+    seconds and must see exactly the version valid THEN — pre-creation
+    and post-delete probes yield NULL (no leakage, no resurrection). The
+    oracle is the interval join the fanout-free asof formulation avoids."""
+    from split_kinesis_streams_with_glue_spark.envelope import BASE_TS
+    from split_kinesis_streams_with_glue_spark.operators.asof import (
+        point_in_time_join,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.compact import scd2_history
+
+    env = json_roundtrip(
+        generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    )
+    cust = event_time(split_one(env, "customer", keep_operation=True))
+    hist = scd2_history(cust, ["c_custkey"]).select(
+        F.col("c_custkey"), "c_acctbal", "valid_from", "valid_to"
+    )
+    probes = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 5).alias("probe_seq"),
+        F.timestamp_add(
+            "SECOND", (F.col("event_id") % 5).cast("long"), F.to_timestamp(F.lit(BASE_TS))
+        ).alias("probe_ts"),
+    )
+    out = point_in_time_join(
+        probes.withColumnRenamed("user_id", "c_custkey"),
+        hist,
+        on="c_custkey",
+        ts_col="probe_ts",
+    )
+    return out.select(
+        "event_id",
+        F.col("c_custkey").alias("user_id"),
+        "probe_seq",
+        F.round("c_acctbal_pit", 2).alias("acctbal_pit"),
+    )

@@ -35,3 +35,40 @@ def test_asof_payload_struct_consistency(spark):
                 "k long, t double, v long, tag string")
     row = asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()[0]
     assert row["v_asof"] == 2 and row["tag_asof"] is None
+
+
+def test_point_in_time_join_expiry_and_precreation(spark):
+    """Hand-checked SCD2 probing: mid-validity probes see that version,
+    probes after a closing delete are NULL (no resurrection), probes
+    before the entity existed are NULL (no leakage)."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.asof import (
+        point_in_time_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            ("k1", 10.0, t(10), t(20)),
+            ("k1", 11.0, t(20), t(30)),  # delete closes history at t30
+            ("k2", 5.0, t(0), None),  # still current
+        ],
+        ["k", "val", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "k1", t(5)),   # before creation -> NULL
+            (2, "k1", t(15)),  # first version
+            (3, "k1", t(20)),  # boundary: second version ([from, to))
+            (4, "k1", t(35)),  # after delete -> NULL
+            (5, "k2", t(59)),  # open-ended current version
+            (6, "k3", t(1)),   # unknown key -> NULL
+        ],
+        ["fid", "k", "ts"],
+    )
+    out = {
+        r["fid"]: r["val_pit"]
+        for r in point_in_time_join(facts, hist, on="k", ts_col="ts").collect()
+    }
+    assert out == {1: None, 2: 10.0, 3: 11.0, 4: None, 5: 5.0, 6: None}
