@@ -18,7 +18,7 @@ Unchanged keys are dropped before the output projection, so the result is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -72,6 +72,22 @@ def table_diff(
     )
 
 
+def row_hash_expr(cols: list) -> Column:
+    """48-bit cross-engine row hash: first 12 md5 hex chars of the
+    '\\x1f'-joined string forms (nulls → '\\x00' sentinel) as
+    DECIMAL(38,0) — exact to SUM order-independently. Accepts column
+    names or Column expressions (pre-cast engine-dependent string forms —
+    float/timestamp — to decimal/ISO upstream). DuckDB twin:
+    ``CAST(('0x'||substr(md5(a||chr(31)||b||...),1,12)) AS BIGINT)``."""
+    reprs = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("\x00"))
+        for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *reprs)), 1, 12), 16, 10
+    ).cast("decimal(38,0)")
+
+
 def _bucket_expr(pk_cols: list[str], num_buckets: int):
     """Cross-engine-reproducible bucket id: first 4 md5 hex chars of the
     joined pk string, mod ``num_buckets``. (DuckDB:
@@ -109,13 +125,7 @@ def table_fingerprint(
     kilobyte summary, not the table.
     """
     compare_cols = compare_cols or [c for c in df.columns if c not in pk_cols]
-    repr_cols = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-        for c in [*pk_cols, *compare_cols]
-    ]
-    row_hash = F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", *repr_cols)), 1, 12), 16, 10
-    ).cast("decimal(38,0)")
+    row_hash = row_hash_expr([*pk_cols, *compare_cols])
     return (
         df.select(_bucket_expr(pk_cols, num_buckets), row_hash.alias("__h"))
         .groupBy("bucket")

@@ -910,3 +910,58 @@ def join_point_in_time(spark, sf_dir):
         "probe_seq",
         F.round("c_acctbal_pit", 2).alias("acctbal_pit"),
     )
+
+
+@query(
+    "cdc_merge_verified",
+    since=4,
+    oracle="""
+    WITH final AS (
+      SELECT c_custkey, c_name,
+             CAST(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                                   WHEN c_custkey % 5 = 0 THEN 100.0
+                                   ELSE 0.0 END AS DECIMAL(12,2)) AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || chr(31) ||
+             coalesce(c_name, chr(0)) || chr(31) ||
+             coalesce(CAST(bal AS VARCHAR), chr(0))
+           ), 1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+    FROM final
+    """,
+)
+def cdc_merge_verified(spark, sf_dir):
+    """Self-certifying CDC apply (streaming/cdc_merge.py
+    make_fingerprinted_merger): the merger maintains a per-bucket Merkle
+    fingerprint of the materialized table incrementally (dirty buckets
+    only, every epoch). The folded (n_rows, checksum) certificate must
+    BIT-EXACTLY equal what the oracle recomputes from scratch over the
+    final CDC state — proving the incremental maintenance path equals the
+    full recomputation any replica would run."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_fingerprinted_merger,
+        read_fingerprint,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_merge_fp_")
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    merge = make_fingerprinted_merger(
+        f"{base}/tbl",
+        f"{base}/fp",
+        "customer",
+        ["c_custkey"],
+        repr_cols=[
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_acctbal").cast("decimal(12,2)"),
+        ],
+        num_buckets=16,
+    )
+    for epoch, phase in enumerate(["load", "update", "delete"]):
+        merge(env.filter(op == phase), epoch)
+    return read_fingerprint(spark, f"{base}/fp")

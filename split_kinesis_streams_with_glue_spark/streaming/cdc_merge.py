@@ -350,3 +350,59 @@ def expire_tombstones(spark, path: str, older_than: str) -> int:
         if fs.exists(part):
             fs.delete(part, True)
     return dropped
+
+
+def make_fingerprinted_merger(
+    path: str,
+    fp_path: str,
+    table: str,
+    pk_cols: list[str],
+    repr_cols,
+    num_buckets: int = 64,
+    out_of_order: bool = False,
+):
+    """CDC merger that keeps the table SELF-CERTIFYING: alongside each
+    merge it maintains a per-bucket Merkle fingerprint (operators/diff.py
+    row hash — order-independent exact SUM of 48-bit md5 row hashes) of
+    the materialized rows, recomputed for DIRTY buckets only and
+    dynamic-overwritten like the rollup merger's partials.
+
+    ``repr_cols`` is the ordered list of columns/Column expressions that
+    define a row's canonical form (pre-cast engine-dependent string forms
+    — float/timestamp — per ``row_hash_expr``'s contract). ``read_
+    fingerprint`` folds the per-bucket summaries to one (n_rows, checksum)
+    row that any other engine can recompute from its replica of the table
+    — continuous replica reconciliation at O(dirty buckets) per epoch,
+    with no full-table scan ever."""
+    from split_kinesis_streams_with_glue_spark.operators.diff import row_hash_expr
+
+    def on_merged(merged: DataFrame, dirty_ids: set, surviving: set) -> None:
+        spark = merged.sparkSession
+        live = merged.filter(F.col("operation") != "delete")  # skip tombstones
+        fp = (
+            live.select("__bucket", row_hash_expr(repr_cols).alias("__h"))
+            .groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__h").alias("checksum"))
+        )
+        fp.write.mode("overwrite").partitionBy("__bucket").parquet(fp_path)
+        write_text_marker(spark, f"{fp_path}/_schema", fp.schema.json())
+        for bucket in sorted(dirty_ids - surviving):
+            fs, part, _ = _fs_path(spark, f"{fp_path}/__bucket={bucket}")
+            if fs.exists(part):
+                fs.delete(part, True)
+
+    return make_cdc_merger(
+        path, table, pk_cols, num_buckets, on_merged=on_merged, out_of_order=out_of_order
+    )
+
+
+def read_fingerprint(spark, fp_path: str) -> DataFrame:
+    """Fold the per-bucket fingerprint partials to the table-level
+    (n_rows, checksum) pair — the kilobyte certificate a replica compares
+    against its own recomputation. Scans only the summary table
+    (≤ num_buckets rows)."""
+    partials = spark.read.parquet(fp_path)
+    return partials.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
+    )

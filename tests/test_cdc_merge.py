@@ -400,3 +400,56 @@ def test_expire_tombstones_drops_only_expired_buckets(spark, sf_dir, tmp_path):
             )
     # horizon earlier than every tombstone: nothing to drop
     assert expire_tombstones(spark, path, "2030-01-01 00:00:00") == 0
+
+
+def test_incremental_fingerprint_equals_scratch_recompute(spark, sf_dir, tmp_path):
+    """After every epoch the incrementally-maintained fingerprint must
+    equal recomputing the row hashes from the materialized table itself
+    (same fold), and clean fingerprint partitions must not be rewritten
+    by a single-bucket batch."""
+    import os as _os
+
+    from split_kinesis_streams_with_glue_spark.operators.diff import row_hash_expr
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_fingerprinted_merger,
+        read_fingerprint,
+    )
+
+    _, phases = _phases(spark, sf_dir)
+    tbl, fp = str(tmp_path / "tbl"), str(tmp_path / "fp")
+    repr_cols = [
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_acctbal").cast("decimal(12,2)"),
+    ]
+    merge = make_fingerprinted_merger(
+        tbl, fp, "customer", ["c_custkey"], repr_cols, num_buckets=8
+    )
+    for epoch, ph in enumerate(phases):
+        merge(ph, epoch)
+        cert = read_fingerprint(spark, fp).collect()[0]
+        scratch = (
+            read_table(spark, tbl)
+            .select(row_hash_expr(repr_cols).alias("h"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("h").cast("decimal(38,0)").alias("c"),
+            )
+            .collect()[0]
+        )
+        assert (cert["n_rows"], cert["checksum"]) == (scratch["n"], scratch["c"])
+
+    mtimes = {
+        d: _os.path.getmtime(_os.path.join(fp, d))
+        for d in _os.listdir(fp)
+        if d.startswith("__bucket=")
+    }
+    one_key = phases[1].filter(F.col("data.c_custkey") == 5)
+    merge(one_key, 10)
+    rewritten = [
+        d
+        for d in _os.listdir(fp)
+        if d.startswith("__bucket=")
+        and _os.path.getmtime(_os.path.join(fp, d)) != mtimes.get(d)
+    ]
+    assert len(rewritten) == 1, f"expected 1 dirty fp partition, got {rewritten}"
