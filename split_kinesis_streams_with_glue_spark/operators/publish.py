@@ -121,3 +121,51 @@ def vacuum_versions(spark: SparkSession, path: str, keep_last: int = 2) -> list[
         fs.delete(_fs_path(spark, f"{path}/v={v}")[1], True)
         removed.append(v)
     return removed
+
+
+def write_audit_publish_group(
+    tables: dict[str, tuple[DataFrame, list]],
+    path: str,
+) -> int:
+    """Cross-table ATOMIC write-audit-publish: stage every table of the
+    group as ``path/<table>/v=N`` under ONE shared version number, audit
+    each staged table, and only if EVERY audit passes advance the single
+    group-level ``_CURRENT`` marker. Readers resolve all tables through
+    that one marker, so any pair of tables they join comes from the same
+    consistent snapshot — a new ``customer`` can never be joined against
+    last snapshot's ``orders``. A failed audit on ANY table blocks ALL of
+    them (the staged slots stay on disk for debugging, readers stay on
+    the previous group version) — the cross-table transaction semantics
+    single-table WAP cannot give.
+
+    ``tables`` maps table name → (DataFrame, checks). Returns the
+    published group version; raises ``PublishBlocked`` with per-table
+    check names on failure."""
+    assert tables, "empty publish group"
+    spark = next(iter(tables.values()))[0].sparkSession
+    marker = f"{path}/_CURRENT"
+    version = (read_marker(spark, marker) or 0) + 1
+    failures = []
+    for name, (df, checks) in tables.items():
+        staged = f"{path}/{name}/v={version}"
+        df.write.mode("overwrite").parquet(staged)
+        audit = check_table(spark.read.parquet(staged), checks)
+        failures.extend(
+            (f"{name}.{r['check']}", r["observed"], r["passed"])
+            for r in audit.collect()  # metadata-sized: one row per check
+            if not r["passed"]
+        )
+    if failures:
+        raise PublishBlocked(failures)
+    write_marker(spark, marker, version)
+    return version
+
+
+def read_published_group(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Read one table of the currently published group snapshot. Every
+    table read through the same group marker is version-consistent with
+    every other."""
+    current = read_marker(spark, f"{path}/_CURRENT")
+    if current is None:
+        raise FileNotFoundError(f"nothing published under {path}")
+    return spark.read.parquet(f"{path}/{table}/v={current}")

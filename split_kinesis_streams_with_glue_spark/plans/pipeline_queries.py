@@ -965,3 +965,76 @@ def cdc_merge_verified(spark, sf_dir):
     for epoch, phase in enumerate(["load", "update", "delete"]):
         merge(env.filter(op == phase), epoch)
     return read_fingerprint(spark, f"{base}/fp")
+
+
+@query(
+    "pipeline_publish_group_atomic",
+    since=4,
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) / count(*), 2)
+             AS avg_acctbal
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pipeline_publish_group_atomic(spark, sf_dir):
+    """Cross-table atomic publish (operators/publish.py
+    write_audit_publish_group): customer+orders publish together as group
+    v1; a second group attempt pairs a PASSING customer (balances +1000)
+    with a CORRUPT orders (duplicated keys) and must block BOTH — the
+    join read through the group marker must still see v1's consistent
+    pair. If per-table semantics leaked through, the +1000 balances would
+    shift avg_acctbal; if staged files leaked, order counts would double."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.operators.publish import (
+        PublishBlocked,
+        read_published_group,
+        write_audit_publish_group,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        uniqueness,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_pub_grp_") + "/snap"
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    v = write_audit_publish_group(
+        {
+            "customer": (cust, [uniqueness("c_custkey")]),
+            "orders": (orders, [uniqueness("o_orderkey")]),
+        },
+        base,
+    )
+    assert v == 1
+    cust2 = cust.withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+    bad_orders = orders.unionByName(orders.limit(100))
+    try:
+        write_audit_publish_group(
+            {
+                "customer": (cust2, [uniqueness("c_custkey")]),
+                "orders": (bad_orders, [uniqueness("o_orderkey")]),
+            },
+            base,
+        )
+        raise AssertionError("corrupt group publish was not blocked")
+    except PublishBlocked:
+        pass
+    c = read_published_group(spark, base, "customer")
+    o = read_published_group(spark, base, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                / F.count(F.lit(1)),
+                2,
+            )
+            .cast("double")
+            .alias("avg_acctbal"),
+        )
+    )

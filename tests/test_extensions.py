@@ -909,3 +909,49 @@ def test_bpe_pair_counts_hand_checked(spark):
     )
     got = {(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, top_n=100).collect()}
     assert got == {("lo", 3), ("ow", 3), ("we", 1), ("er", 1), ("be", 1)}
+
+
+def test_group_publish_atomicity(spark, sf_dir, tmp_path):
+    """A group publish where ONE table's audit fails must leave EVERY
+    table on the previous version — including the table whose own audit
+    passed (the semantics per-table WAP cannot give). Staged slots remain
+    addressable for debugging."""
+    from split_kinesis_streams_with_glue_spark.operators.publish import (
+        PublishBlocked,
+        read_published_group,
+        write_audit_publish_group,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        uniqueness,
+    )
+
+    base = str(tmp_path / "grp")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    v = write_audit_publish_group(
+        {
+            "nation": (nation, [uniqueness("n_nationkey")]),
+            "region": (region, [uniqueness("r_regionkey")]),
+        },
+        base,
+    )
+    assert v == 1
+    nation2 = nation.withColumn("n_name", F.upper("n_name"))
+    bad_region = region.unionByName(region)  # duplicate keys -> audit fails
+    try:
+        write_audit_publish_group(
+            {
+                "nation": (nation2, [uniqueness("n_nationkey")]),
+                "region": (bad_region, [uniqueness("r_regionkey")]),
+            },
+            base,
+        )
+        raise AssertionError("not blocked")
+    except PublishBlocked as exc:
+        assert any(c.startswith("region.") for c, _, _ in exc.failures)
+    # nation's own v2 audit passed, but the GROUP stays on v1
+    got = {r["n_name"] for r in read_published_group(spark, base, "nation").collect()}
+    want = {r["n_name"] for r in nation.collect()}
+    assert got == want
+    # the staged v2 slot is still on disk for debugging
+    assert spark.read.parquet(f"{base}/nation/v=2").count() == nation.count()
