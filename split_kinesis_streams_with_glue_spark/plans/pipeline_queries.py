@@ -1038,3 +1038,65 @@ def pipeline_publish_group_atomic(spark, sf_dir):
             .alias("avg_acctbal"),
         )
     )
+
+
+@query(
+    "cdc_join_view_apply",
+    since=4,
+    oracle="""
+    WITH final AS (
+      SELECT c_custkey, c_mktsegment,
+             c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                              WHEN c_custkey % 5 = 0 THEN 100.0
+                              ELSE 0.0 END AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))
+               + CAST(bal AS DECIMAL(18,2))) AS total
+    FROM final JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def cdc_join_view_apply(spark, sf_dir):
+    """Incrementally maintained JOIN view (streaming/join_view.py): orders
+    is co-bucketed once by the merger's key-hash of o_custkey; per CDC
+    epoch only the dirty buckets' (dim ⋈ fact) partials are recomputed —
+    clean fact buckets are never opened. After load/update/delete the
+    folded view must equal recomputing the join aggregate over the final
+    customer state from scratch (the oracle): updates shift the summed
+    balances, deletes retract every joined contribution of their keys."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.join_view import (
+        bucket_copy,
+        make_cdc_join_view_merger,
+        read_join_view,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_join_view_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bucket_copy(orders, "o_custkey", f"{base}/facts", num_buckets=16)
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    merge = make_cdc_join_view_merger(
+        f"{base}/tbl",
+        f"{base}/agg",
+        f"{base}/facts",
+        "customer",
+        ["c_custkey"],
+        dim_key="c_custkey",
+        fact_key="o_custkey",
+        group_cols=["c_mktsegment"],
+        value_expr=(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.col("c_acctbal").cast("decimal(18,2)")
+        ),
+        num_buckets=16,
+    )
+    for epoch, phase in enumerate(["load", "update", "delete"]):
+        merge(env.filter(op == phase), epoch)
+    return read_join_view(spark, f"{base}/agg", ["c_mktsegment"])
