@@ -1100,3 +1100,75 @@ def cdc_join_view_apply(spark, sf_dir):
     for epoch, phase in enumerate(["load", "update", "delete"]):
         merge(env.filter(op == phase), epoch)
     return read_join_view(spark, f"{base}/agg", ["c_mktsegment"])
+
+
+@query(
+    "cdc_join_view_symmetric",
+    since=4,
+    oracle="""
+    WITH cf AS (
+      SELECT c_custkey, c_mktsegment,
+             c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                              WHEN c_custkey % 5 = 0 THEN 100.0
+                              ELSE 0.0 END AS bal
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    ofin AS (
+      SELECT o_custkey,
+             o_totalprice + CASE WHEN o_orderkey % 10 = 0 THEN 200.0
+                                 WHEN o_orderkey % 5 = 0 THEN 100.0
+                                 ELSE 0.0 END AS price
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(price AS DECIMAL(18,2)) + CAST(bal AS DECIMAL(18,2)))
+             AS total
+    FROM cf JOIN ofin ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def cdc_join_view_symmetric(spark, sf_dir):
+    """BOTH-sides-streaming join view (streaming/join_view.py
+    make_symmetric_join_view_mergers): customer AND orders each arrive as
+    their own CDC stream (load/update/delete), interleaved; the shared
+    view recomputes only the buckets each epoch dirties, joining both
+    materialized tables' dirty-bucket rows. The folded view must equal
+    the join of the two FINAL states — deletes on either side retract,
+    updates on either side re-price."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.join_view import (
+        make_symmetric_join_view_mergers,
+        read_join_view,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_join_sym_")
+    cenv = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    oenv = generate_cdc_envelopes(spark, sf_dir, "orders", "o_orderkey", "o_totalprice")
+    op = F.col("metadata.operation")
+    lm, rm = make_symmetric_join_view_mergers(
+        f"{base}/cust",
+        f"{base}/ord",
+        f"{base}/agg",
+        "customer",
+        "orders",
+        ["c_custkey"],
+        ["o_orderkey"],
+        left_key="c_custkey",
+        right_key="o_custkey",
+        group_cols=["c_mktsegment"],
+        value_expr=(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.col("c_acctbal").cast("decimal(18,2)")
+        ),
+        num_buckets=16,
+    )
+    # interleaved delivery: each side's epochs advance independently
+    lm(cenv.filter(op == "load"), 0)
+    rm(oenv.filter(op == "load"), 0)
+    lm(cenv.filter(op == "update"), 1)
+    rm(oenv.filter(op == "update"), 1)
+    lm(cenv.filter(op == "delete"), 2)
+    rm(oenv.filter(op == "delete"), 2)
+    return read_join_view(spark, f"{base}/agg", ["c_mktsegment"])

@@ -72,9 +72,17 @@ def make_cdc_merger(
     on_merged=None,
     compat_policy: set[str] | None = None,
     out_of_order: bool = False,
+    bucket_cols: list[str] | None = None,
 ):
     """Build the idempotent ``(envelope_batch, epoch_id) -> None`` merge
     function (exposed for direct replay testing, as rollup's is).
+
+    ``bucket_cols`` (default: the pk) chooses the key-hash bucketing
+    columns — set it to a JOIN key (e.g. the fact table's foreign key) so
+    derived join-view state (streaming/join_view.py) is co-located with
+    the other side. The chosen columns must be IMMUTABLE per pk (true of
+    pks and of foreign keys in practice): if an update could move a row
+    between buckets, its old version would be stranded in the old bucket.
 
     ``on_merged(merged, dirty_ids, surviving)`` runs after the row table is
     written but BEFORE the epoch marker commits — derived state (e.g. the
@@ -102,7 +110,11 @@ def make_cdc_merger(
             split_one(env_batch, table, keep_operation=True, prune=False)
         )
         delta = rows.withColumn(
-            "__bucket", F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(num_buckets))
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in (bucket_cols or pk_cols)]),
+                F.lit(num_buckets),
+            ),
         )
         stored = None
         try:

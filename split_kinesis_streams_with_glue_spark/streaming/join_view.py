@@ -105,3 +105,84 @@ def read_join_view(spark, agg_path: str, group_cols: list[str]) -> DataFrame:
         F.sum("n").cast("bigint").alias("n"),
         F.sum("total").alias("total"),
     )
+
+
+def make_symmetric_join_view_mergers(
+    left_path: str,
+    right_path: str,
+    agg_path: str,
+    left_table: str,
+    right_table: str,
+    left_pk: list[str],
+    right_pk: list[str],
+    left_key: str,
+    right_key: str,
+    group_cols: list[str],
+    value_expr,
+    num_buckets: int = 64,
+):
+    """BOTH sides streaming: two CDC mergers sharing one bucket function
+    (each bucketed by its JOIN key — immutable per row, see
+    ``make_cdc_merger``'s ``bucket_cols`` contract) and one view updater.
+    Whichever side merges, the view recomputes partials for the buckets
+    THAT epoch dirtied, joining the two materialized tables' rows of
+    those buckets only (both reads prune at the file listing). Clean
+    buckets' partials stay exactly valid because neither side's rows in
+    them changed — the co-bucketing invariant. Returns
+    ``(left_merge, right_merge)``; read with ``read_join_view``.
+
+    Cost per trigger on either stream: O(batch + dirty-bucket rows of
+    BOTH tables) — still independent of total table sizes."""
+    from pyspark.errors import AnalysisException
+
+    def _side(spark, path, dirty):
+        try:
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+        except AnalysisException:
+            return None  # that side has seen no epoch yet
+        df = df.filter(F.col("__bucket").isin(dirty))
+        if "operation" in df.columns:
+            df = df.filter(F.col("operation") != "delete")
+        return df
+
+    def update_view(spark, dirty_ids: set) -> None:
+        dirty = [int(b) for b in dirty_ids]
+        left = _side(spark, left_path, dirty)
+        right = _side(spark, right_path, dirty)
+        if left is None or right is None:
+            empty_sweep = dirty
+            partials = None
+        else:
+            l = left.withColumnRenamed("__bucket", "__b").drop(
+                "timestamp", "operation"
+            )
+            r = right.drop("__bucket", "timestamp", "operation")
+            joined = l.join(r, F.col(left_key) == F.col(right_key))
+            partials = joined.groupBy(
+                F.col("__b").alias("__bucket"), *group_cols
+            ).agg(F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total"))
+            partials.write.mode("overwrite").partitionBy("__bucket").parquet(
+                agg_path
+            )
+            write_text_marker(spark, f"{agg_path}/_schema", partials.schema.json())
+            present = {
+                row[0] for row in partials.select("__bucket").distinct().collect()
+            }
+            empty_sweep = sorted(set(dirty) - present)
+        for bucket in empty_sweep:
+            fs, part, _ = _fs_path(spark, f"{agg_path}/__bucket={bucket}")
+            if fs.exists(part):
+                fs.delete(part, True)
+
+    def hook(merged: DataFrame, dirty_ids: set, surviving: set) -> None:
+        update_view(merged.sparkSession, dirty_ids)
+
+    left_merge = make_cdc_merger(
+        left_path, left_table, left_pk, num_buckets,
+        on_merged=hook, bucket_cols=[left_key],
+    )
+    right_merge = make_cdc_merger(
+        right_path, right_table, right_pk, num_buckets,
+        on_merged=hook, bucket_cols=[right_key],
+    )
+    return left_merge, right_merge

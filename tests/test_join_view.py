@@ -95,3 +95,69 @@ def test_join_view_rewrites_only_dirty_partials(spark, sf_dir, tmp_path):
         and os.path.getmtime(os.path.join(agg, d)) != mtimes.get(d)
     ]
     assert len(rewritten) == 1, f"expected 1 dirty partial partition, got {rewritten}"
+
+
+def test_symmetric_join_view_tracks_both_streams(spark, sf_dir, tmp_path):
+    """Both sides stream: after EVERY interleaved epoch the folded view
+    equals joining the two materialized tables from scratch — including
+    the half-initialized state (one side empty → empty view)."""
+    from split_kinesis_streams_with_glue_spark.streaming.join_view import (
+        make_symmetric_join_view_mergers,
+        read_join_view,
+    )
+
+    cenv = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    oenv = generate_cdc_envelopes(spark, sf_dir, "orders", "o_orderkey", "o_totalprice")
+    op = F.col("metadata.operation")
+    cust_p, ord_p, agg = (
+        str(tmp_path / "cust"),
+        str(tmp_path / "ord"),
+        str(tmp_path / "agg"),
+    )
+    value = F.col("o_totalprice").cast("decimal(18,2)") + F.col("c_acctbal").cast(
+        "decimal(18,2)"
+    )
+    lm, rm = make_symmetric_join_view_mergers(
+        cust_p, ord_p, agg, "customer", "orders",
+        ["c_custkey"], ["o_orderkey"],
+        left_key="c_custkey", right_key="o_custkey",
+        group_cols=["c_mktsegment"], value_expr=value, num_buckets=8,
+    )
+
+    def scratch():
+        try:
+            dim = read_table(spark, cust_p)
+            fact = read_table(spark, ord_p)
+        except Exception:
+            return set()
+        return {
+            (r["c_mktsegment"], r["n"], r["total"])
+            for r in dim.join(fact, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(value).alias("total"),
+            )
+            .collect()
+        }
+
+    def view():
+        try:
+            return {
+                (r["c_mktsegment"], r["n"], r["total"])
+                for r in read_join_view(spark, agg, ["c_mktsegment"]).collect()
+            }
+        except Exception:
+            return set()
+
+    steps = [
+        (lm, cenv.filter(op == "load"), 0),
+        (rm, oenv.filter(op == "load"), 0),
+        (lm, cenv.filter(op == "update"), 1),
+        (rm, oenv.filter(op == "update"), 1),
+        (lm, cenv.filter(op == "delete"), 2),
+        (rm, oenv.filter(op == "delete"), 2),
+    ]
+    for i, (m, batch, epoch) in enumerate(steps):
+        m(batch, epoch)
+        assert view() == scratch(), f"diverged after interleaved step {i}"
