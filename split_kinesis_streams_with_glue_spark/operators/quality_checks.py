@@ -124,3 +124,62 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") < k)
     )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift monitor run before retraining on (or
+    publishing) a refreshed corpus: ``PSI = sum (p_i - q_i) * ln(p_i/q_i)``
+    over fixed equi-width bins on ``[lo, hi)`` plus underflow/overflow
+    bins, so the binning is a pure function of the value — deterministic
+    cross-engine, unlike data-dependent quantile bins. Rule of thumb:
+    PSI < 0.1 stable, 0.1-0.2 shifting, > 0.2 act.
+
+    ``eps`` floors empty-bin fractions so the log stays finite (the
+    conventional PSI smoothing). Each side is ONE aggregation pass with
+    map-side combine; the PSI fold and its totals run over the bounded
+    ``n_bins + 2``-row bin frame (the documented bounded-global-window
+    pattern — never over data rows).
+
+    Returns one row: (feature, psi, drifted).
+    """
+    from pyspark.sql import Window
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        b = (
+            F.when(F.col(col) < lo, 0)
+            .when(F.col(col) >= hi, n_bins + 1)
+            .otherwise(
+                F.floor((F.col(col) - lo) / ((hi - lo) / n_bins)).cast("int") + 1
+            )
+        )
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    joined = (
+        binned(reference, "n_ref")
+        .join(binned(current, "n_cur"), "bin", "full_outer")
+        .fillna({"n_ref": 0, "n_cur": 0})
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.greatest(F.col("n_ref") / F.sum("n_ref").over(w), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.sum("n_cur").over(w), F.lit(eps))
+    per_bin = joined.select(((p - q) * F.log(p / q)).alias("term"))
+    return per_bin.agg(
+        F.lit(col).alias("feature"),
+        F.round(F.sum("term"), 6).alias("psi"),
+        (F.sum("term") > threshold).alias("drifted"),
+    )

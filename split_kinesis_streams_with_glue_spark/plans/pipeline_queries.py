@@ -1172,3 +1172,60 @@ def cdc_join_view_symmetric(spark, sf_dir):
     lm(cenv.filter(op == "delete"), 2)
     rm(oenv.filter(op == "delete"), 2)
     return read_join_view(spark, f"{base}/agg", ["c_mktsegment"])
+
+
+@query(
+    "quality_psi_drift",
+    since=4,
+    oracle="""
+    WITH ref AS (SELECT c_acctbal AS v FROM customer WHERE c_acctbal IS NOT NULL),
+    cur AS (
+      SELECT c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 1500.0 ELSE 0.0 END AS v
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    rb AS (
+      SELECT CASE WHEN v < -1000.0 THEN 0 WHEN v >= 10000.0 THEN 11
+                  ELSE CAST(floor((v - (-1000.0)) / 1100.0) AS INT) + 1 END AS bin,
+             count(*) AS n_ref
+      FROM ref GROUP BY 1
+    ),
+    cb AS (
+      SELECT CASE WHEN v < -1000.0 THEN 0 WHEN v >= 10000.0 THEN 11
+                  ELSE CAST(floor((v - (-1000.0)) / 1100.0) AS INT) + 1 END AS bin,
+             count(*) AS n_cur
+      FROM cur GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(rb.bin, cb.bin) AS bin,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+    ),
+    t AS (
+      SELECT greatest(n_ref * 1.0 / SUM(n_ref) OVER (), 1e-6) AS p,
+             greatest(n_cur * 1.0 / SUM(n_cur) OVER (), 1e-6) AS q
+      FROM j
+    )
+    SELECT 'c_acctbal' AS feature,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           SUM((p - q) * ln(p / q)) > 0.2 AS drifted
+    FROM t
+    """,
+)
+def quality_psi_drift(spark, sf_dir):
+    """Population-stability drift monitor (operators/quality_checks.py
+    psi_drift): half the customers' balances shift +1500 between the
+    reference and current snapshots; the fixed-bin PSI must flag the
+    drift, and the value itself is reproduced in SQL bin for bin (fixed
+    equi-width bins keep the whole computation a pure function of the
+    values — deterministic cross-engine)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        psi_drift,
+    )
+
+    ref = load(spark, sf_dir, "customer")
+    cur = ref.withColumn(
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_custkey") % 2 == 0, 1500.0).otherwise(0.0),
+    )
+    return psi_drift(ref, cur, "c_acctbal", -1000.0, 10000.0, n_bins=10)

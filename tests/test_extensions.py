@@ -955,3 +955,24 @@ def test_group_publish_atomicity(spark, sf_dir, tmp_path):
     assert got == want
     # the staged v2 slot is still on disk for debugging
     assert spark.read.parquet(f"{base}/nation/v=2").count() == nation.count()
+
+
+def test_psi_drift_sanity(spark, sf_dir):
+    """PSI is 0 for identical snapshots, small for tiny perturbations,
+    large (and flagged) for a gross shift; out-of-range values land in
+    the overflow bin instead of being dropped."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        psi_drift,
+    )
+
+    ref = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    same = psi_drift(ref, ref, "c_acctbal", -1000.0, 10000.0).collect()[0]
+    assert same["psi"] == 0.0 and not same["drifted"]
+
+    tiny = ref.withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+    t = psi_drift(ref, tiny, "c_acctbal", -1000.0, 10000.0).collect()[0]
+    assert t["psi"] < 0.1
+
+    gross = ref.withColumn("c_acctbal", F.col("c_acctbal") + 50000.0)  # all overflow
+    g = psi_drift(ref, gross, "c_acctbal", -1000.0, 10000.0).collect()[0]
+    assert g["drifted"] and g["psi"] > 1.0
