@@ -183,3 +183,40 @@ def psi_drift(
         F.round(F.sum("term"), 6).alias("psi"),
         (F.sum("term") > threshold).alias("drifted"),
     )
+
+
+def psi_drift_categorical(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a categorical column: one category = one bin (NULL is its
+    own category), otherwise identical semantics to ``psi_drift``. The
+    fold runs over the distinct-category frame — bounded by the column's
+    cardinality, which for a monitored categorical is small by
+    definition. Returns one row: (feature, psi, drifted)."""
+    from pyspark.sql import Window
+
+    key = F.coalesce(F.col(col).cast("string"), F.lit("\x00null"))
+
+    def counted(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(key.alias("cat")).groupBy("cat").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    joined = (
+        counted(reference, "n_ref")
+        .join(counted(current, "n_cur"), "cat", "full_outer")
+        .fillna({"n_ref": 0, "n_cur": 0})
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.greatest(F.col("n_ref") / F.sum("n_ref").over(w), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.sum("n_cur").over(w), F.lit(eps))
+    per_cat = joined.select(((p - q) * F.log(p / q)).alias("term"))
+    return per_cat.agg(
+        F.lit(col).alias("feature"),
+        F.round(F.sum("term"), 6).alias("psi"),
+        (F.sum("term") > threshold).alias("drifted"),
+    )

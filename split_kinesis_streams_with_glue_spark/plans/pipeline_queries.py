@@ -1229,3 +1229,106 @@ def quality_psi_drift(spark, sf_dir):
         + F.when(F.col("c_custkey") % 2 == 0, 1500.0).otherwise(0.0),
     )
     return psi_drift(ref, cur, "c_acctbal", -1000.0, 10000.0, n_bins=10)
+
+
+@query(
+    "quality_psi_categorical",
+    since=4,
+    oracle="""
+    WITH ref AS (SELECT coalesce(c_mktsegment, chr(0) || 'null') AS cat FROM customer),
+    cur AS (
+      SELECT coalesce(CASE WHEN c_custkey % 3 = 0 THEN 'MACHINERY'
+                           ELSE c_mktsegment END, chr(0) || 'null') AS cat
+      FROM customer
+    ),
+    rb AS (SELECT cat, count(*) AS n_ref FROM ref GROUP BY 1),
+    cb AS (SELECT cat, count(*) AS n_cur FROM cur GROUP BY 1),
+    j AS (
+      SELECT coalesce(rb.cat, cb.cat) AS cat,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb ON rb.cat = cb.cat
+    ),
+    t AS (
+      SELECT greatest(n_ref * 1.0 / SUM(n_ref) OVER (), 1e-6) AS p,
+             greatest(n_cur * 1.0 / SUM(n_cur) OVER (), 1e-6) AS q
+      FROM j
+    )
+    SELECT 'c_mktsegment' AS feature,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           SUM((p - q) * ln(p / q)) > 0.2 AS drifted
+    FROM t
+    """,
+)
+def quality_psi_categorical(spark, sf_dir):
+    """Categorical-drift twin of quality_psi_drift: a third of the
+    customers flip to MACHINERY between snapshots; the per-category PSI
+    must flag the segment-mix shift, reproduced category for category in
+    SQL."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        psi_drift_categorical,
+    )
+
+    ref = load(spark, sf_dir, "customer")
+    cur = ref.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, "MACHINERY").otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return psi_drift_categorical(ref, cur, "c_mktsegment")
+
+
+@query(
+    "cdc_scd2_incremental",
+    since=4,
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, c_acctbal AS bal, 0 AS seq, FALSE AS is_del FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100, 1, FALSE FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 200, 2, FALSE FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 3, TRUE FROM customer WHERE c_custkey % 7 = 0
+    ), h AS (
+      SELECT *, LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS next_seq
+      FROM v
+    )
+    SELECT c_custkey, ROUND(bal, 2) AS c_acctbal,
+           seq AS valid_from_seq, next_seq AS valid_to_seq,
+           next_seq IS NULL AS is_current
+    FROM h WHERE NOT is_del
+    """,
+)
+def cdc_scd2_incremental(spark, sf_dir):
+    """Incrementally maintained SCD2 (streaming/cdc_merge.py
+    make_scd2_merger): the change phases arrive as three epochs and the
+    validity table is recomputed per epoch for DIRTY BUCKETS ONLY (a
+    key's validity chain lives in one bucket) — never re-windowing the
+    full log. Must equal the one-shot scd2_history over the whole stream
+    (cdc_scd2_customer's oracle)."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.envelope import BASE_TS
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_scd2_merger,
+        read_scd2,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_scd2_inc_")
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    merge = make_scd2_merger(
+        f"{base}/log", f"{base}/scd2", "customer", ["c_custkey"], num_buckets=16
+    )
+    for epoch, phase in enumerate(["load", "update", "delete"]):
+        merge(env.filter(op == phase), epoch)
+    hist = read_scd2(spark, f"{base}/scd2")
+    epoch0 = F.unix_timestamp(F.to_timestamp(F.lit(BASE_TS)))
+    return hist.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        (F.unix_timestamp("valid_from") - epoch0).alias("valid_from_seq"),
+        (F.unix_timestamp("valid_to") - epoch0).alias("valid_to_seq"),
+        "is_current",
+    )

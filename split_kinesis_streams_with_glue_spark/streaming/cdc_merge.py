@@ -51,7 +51,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from split_kinesis_streams_with_glue_spark.operators.compact import compact, event_time
+from split_kinesis_streams_with_glue_spark.operators.compact import (
+    compact,
+    event_time,
+    scd2_history,
+)
 from split_kinesis_streams_with_glue_spark.operators.split import split_one
 from split_kinesis_streams_with_glue_spark.streaming.markers import (
     _fs as _fs_path,
@@ -418,3 +422,78 @@ def read_fingerprint(spark, fp_path: str) -> DataFrame:
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
     )
+
+
+def make_scd2_merger(
+    log_path: str,
+    scd2_path: str,
+    table: str,
+    pk_cols: list[str],
+    num_buckets: int = 64,
+):
+    """Incrementally maintained SCD2 history — ``scd2_history``
+    (operators/compact.py) without ever re-windowing the full change log.
+
+    Two bucketed stores: the raw VERSION LOG (every change row, kept — a
+    key's delete must stay on record to close validity for versions that
+    arrive later) and the derived SCD2 table (valid_from / valid_to /
+    is_current rows). Per epoch, dirty buckets' log partitions merge in
+    the delta (exact-duplicate rows dropped, so replays and at-least-once
+    delivery stay idempotent) and the SCD2 windows recompute from those
+    buckets' logs alone — validity is a per-key computation and a key
+    lives in exactly one bucket, so clean buckets' derived rows stay
+    exactly valid. O(batch + dirty-bucket log rows) per trigger."""
+    marker = f"{log_path}/_last_epoch"
+
+    def merge(env_batch: DataFrame, epoch_id: int) -> None:
+        spark = env_batch.sparkSession
+        last = read_marker(spark, marker)
+        if last is not None and epoch_id <= last:
+            return
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        delta = event_time(
+            split_one(env_batch, table, keep_operation=True, prune=False)
+        ).withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(num_buckets)),
+        )
+        stored = None
+        try:
+            stored = spark.read.option("mergeSchema", "true").parquet(log_path)
+        except AnalysisException as exc:
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+        dirty = [
+            int(r[0]) for r in delta.select("__bucket").distinct().collect()
+        ]  # metadata-sized
+        if stored is None:
+            pool = delta
+        else:
+            pool = stored.filter(F.col("__bucket").isin(dirty)).unionByName(
+                delta, allowMissingColumns=True
+            )
+        # exact-duplicate drop = replay idempotence for the append-ish log
+        pool = pool.distinct().localCheckpoint(eager=True)
+        pool.write.mode("overwrite").partitionBy("__bucket").parquet(log_path)
+        hist = scd2_history(pool, pk_cols)
+        hist.write.mode("overwrite").partitionBy("__bucket").parquet(scd2_path)
+        # a bucket whose keys were ALL deleted still has log rows (the
+        # deletes), but may emit no scd2 rows — sweep its stale partition
+        present = {r[0] for r in hist.select("__bucket").distinct().collect()}
+        for bucket in sorted(set(dirty) - present):
+            fs, part, _ = _fs_path(spark, f"{scd2_path}/__bucket={bucket}")
+            if fs.exists(part):
+                fs.delete(part, True)
+        write_marker(spark, marker, epoch_id)
+
+    return merge
+
+
+def read_scd2(spark, scd2_path: str) -> DataFrame:
+    """The user-facing SCD2 table (bucket column dropped)."""
+    return spark.read.option("mergeSchema", "true").parquet(scd2_path).drop("__bucket")

@@ -453,3 +453,37 @@ def test_incremental_fingerprint_equals_scratch_recompute(spark, sf_dir, tmp_pat
         and _os.path.getmtime(_os.path.join(fp, d)) != mtimes.get(d)
     ]
     assert len(rewritten) == 1, f"expected 1 dirty fp partition, got {rewritten}"
+
+
+def test_scd2_incremental_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """Per-epoch the incremental SCD2 equals scd2_history over everything
+    delivered so far; replaying an epoch is a no-op; a batch-3 update to
+    one key extends that key's chain and closes the prior version."""
+    from split_kinesis_streams_with_glue_spark.operators.compact import scd2_history
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_scd2_merger,
+        read_scd2,
+    )
+
+    env, phases = _phases(spark, sf_dir)
+    log, scd2 = str(tmp_path / "log"), str(tmp_path / "scd2")
+    merge = make_scd2_merger(log, scd2, "customer", ["c_custkey"], num_buckets=8)
+
+    delivered = None
+    for epoch, ph in enumerate(phases):
+        merge(ph, epoch)
+        delivered = ph if delivered is None else delivered.unionByName(ph)
+        want = scd2_history(
+            event_time(
+                split_one(delivered, "customer", keep_operation=True, prune=False)
+            ),
+            ["c_custkey"],
+        )
+        got = read_scd2(spark, scd2)
+        assert _sorted_rows(got) == _sorted_rows(want.select(*got.columns)), (
+            f"epoch {epoch} diverged"
+        )
+
+    before = _sorted_rows(read_scd2(spark, scd2))
+    merge(phases[1], 1)  # replay
+    assert _sorted_rows(read_scd2(spark, scd2)) == before
