@@ -569,3 +569,84 @@ def ppjoin_pairs(
         .distinct()
     )
     return jaccard_pairs(shingles, threshold, candidates=cand)
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT containment-similar pairs: ``|S1 ∩ S2| / |S1| >= t`` for
+    ``d1 != d2`` — the ASYMMETRIC near-dup relation Jaccard misses: a
+    short document wholly embedded in a long one has high containment
+    but low Jaccard (the quote, the excerpt, the template instance), and
+    an LSH tuned for Jaccard will skip exactly those pairs.
+
+    Prefix filtering adapts: containment >= t needs overlap >=
+    ceil(t*|S1|), so d1's prefix of ``|S1| - ceil(t*|S1|) + 1`` rarest
+    tokens must share a token with ANY of d2's tokens — the candidate
+    join is d1-prefixes against the full posting lists (heavier than
+    PPJoin's prefix x prefix, still linear in postings; the rarest-first
+    order keeps the joined lists short). No length filter applies — that
+    asymmetry is the point. Candidates verify by exact intersection
+    count against |S1|.
+    """
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = shingles.join(freq, "shingle")
+    by_rarity = Window.partitionBy("id").orderBy("__df", "shingle")
+    whole = Window.partitionBy("id")
+    with_pos = ranked.select(
+        "id",
+        "shingle",
+        F.row_number().over(by_rarity).alias("__pos"),
+        F.count(F.lit(1)).over(whole).alias("__sz"),
+    )
+    prefix = with_pos.filter(
+        F.col("__pos") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    )
+    a = prefix.select(F.col("id").alias("d1"), "shingle")
+    b = shingles.select(F.col("id").alias("d2"), "shingle")
+    cand = (
+        a.join(b, "shingle").filter(F.col("d1") != F.col("d2")).select("d1", "d2").distinct()
+    )
+    s1 = shingles.select(F.col("id").alias("d1"), "shingle")
+    s2 = shingles.select(F.col("id").alias("d2"), "shingle")
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "d1"), "d1")
+        .select(
+            "d1",
+            "d2",
+            (F.col("ix") / F.col("n")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct n-gram
+    shingles that appear in NO other document (corpus document frequency
+    = 1) — the cheap uniqueness signal for training-data curation (near-1
+    = fresh content, near-0 = boilerplate/duplicates). One shingle
+    explode + one df aggregation + one per-doc fold; linear, two
+    shuffles."""
+    sh = shingle_sets(df, text_col=text_col, id_col=id_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

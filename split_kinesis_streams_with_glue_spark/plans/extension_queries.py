@@ -1563,3 +1563,78 @@ def text_bpe_pairs(spark, sf_dir):
     from split_kinesis_streams_with_glue_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(load(spark, sf_dir, "documents"), top_n=50)
+
+
+@query(
+    "dedup_containment_exact",
+    since=4,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, ROUND(ix * 1.0 / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = d1
+    WHERE ix * 1.0 / sa.n >= 0.6
+    """,
+)
+def dedup_containment_exact(spark, sf_dir):
+    """Asymmetric containment join (operators/dedup.py containment_pairs):
+    |S1 ∩ S2| / |S1| >= 0.6 in BOTH directions — catches the
+    short-doc-inside-long-doc pairs Jaccard-tuned LSH structurally
+    misses. Prefix-filtered exact; the oracle is the quadratic join."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    sh = shingle_sets(load(spark, sf_dir, "documents"))
+    pairs = containment_pairs(sh, 0.6)
+    return pairs.select("d1", "d2", F.round("containment", 6).alias("containment"))
+
+
+@query(
+    "text_ngram_novelty",
+    since=4,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    freq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1)
+    SELECT ds.doc_id,
+           ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS novelty,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM ds JOIN freq USING (shingle)
+    GROUP BY ds.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-doc novelty score (operators/dedup.py ngram_novelty): the
+    share of a doc's distinct 3-word shingles unique to it corpus-wide —
+    the cheap uniqueness signal for curation ranking. One explode + df
+    aggregation + per-doc fold."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import ngram_novelty
+
+    out = ngram_novelty(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.round("novelty", 6).alias("novelty"), "n_shingles"
+    )

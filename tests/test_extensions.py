@@ -976,3 +976,34 @@ def test_psi_drift_sanity(spark, sf_dir):
     gross = ref.withColumn("c_acctbal", F.col("c_acctbal") + 50000.0)  # all overflow
     g = psi_drift(ref, gross, "c_acctbal", -1000.0, 10000.0).collect()[0]
     assert g["drifted"] and g["psi"] > 1.0
+
+
+def test_containment_catches_embedded_docs_jaccard_misses(spark, sf_dir):
+    """Plant a short doc that is a verbatim excerpt of a long one: the
+    containment join must pair them at t=0.9 while the Jaccard join at
+    the same threshold does not (the asymmetry is the operator's point).
+    Exactness: containment equals the quadratic recompute."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_sets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    long_doc = d.orderBy(F.length("text").desc()).limit(1)
+    excerpt = long_doc.select(
+        (F.col("doc_id") + 50_000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 30), " ").alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = d.unionByName(excerpt)
+    sh = shingle_sets(corpus).localCheckpoint()
+    [lid] = [r["doc_id"] for r in long_doc.collect()]
+    cont = {(r["d1"], r["d2"]) for r in containment_pairs(sh, 0.9).collect()}
+    assert (lid + 50_000, lid) in cont, "excerpt -> source containment missed"
+    jac = {(r["d1"], r["d2"]) for r in jaccard_pairs(sh, 0.9).collect()}
+    assert (lid, lid + 50_000) not in jac and (lid + 50_000, lid) not in jac
