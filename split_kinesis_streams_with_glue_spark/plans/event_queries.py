@@ -983,3 +983,119 @@ def events_hll_sliding_distinct(spark, sf_dir):
             ).alias("error_ok"),
         )
     )
+
+
+@query(
+    "events_cooccurrence_lift",
+    since=4,
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    per_type AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           ROUND((n_ab * 1.0 / n_users) /
+                 ((ta.n_t * 1.0 / n_users) * (tb.n_t * 1.0 / n_users)), 6)
+             AS lift
+    FROM pairs
+    JOIN per_type ta ON ta.event_type = type_a
+    JOIN per_type tb ON tb.event_type = type_b
+    CROSS JOIN n
+    """,
+)
+def events_cooccurrence_lift(spark, sf_dir):
+    """Market-basket first pass: per event-type pair, how many users did
+    both, and the lift vs independence — the frequent-itemset support/
+    lift statistics. The user×type frame is the deduped reduction (one
+    shuffle); the pair self-join runs over it, bounded by |types| per
+    user, never over raw events. The 1-row user-count aggregate
+    broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("__na")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("__nb")
+    )
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") / F.col("n_users"))
+                / (
+                    (F.col("__na") / F.col("n_users"))
+                    * (F.col("__nb") / F.col("n_users"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_markov_transitions",
+    since=4,
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / n_from, 6) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: per user, each event's
+    successor (event-time order, event_id tiebreak) → (from, to) counts
+    and transition probabilities. One user-keyed window pass over events;
+    the matrix itself is |types|² rows — bounded at any volume."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+    )

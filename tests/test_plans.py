@@ -352,6 +352,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # envelope query (like cdc_scd2_customer): filters on fields parsed
     # out of the JSON wire value — nothing exists at the scan to push into
     "join_point_in_time": {"unpushed-scan-filter"},
+    # crossJoin(broadcast(<1-row distinct-user-count agg>)) — bounded
+    "events_cooccurrence_lift": {"cartesian-product"},
 }
 
 
