@@ -497,3 +497,24 @@ def make_scd2_merger(
 def read_scd2(spark, scd2_path: str) -> DataFrame:
     """The user-facing SCD2 table (bucket column dropped)."""
     return spark.read.option("mergeSchema", "true").parquet(scd2_path).drop("__bucket")
+
+
+def scd2_stream(
+    stream: DataFrame,
+    log_path: str,
+    scd2_path: str,
+    checkpoint: str,
+    table: str,
+    pk_cols: list[str],
+    num_buckets: int = 64,
+):
+    """Run the incremental SCD2 merger as a Structured Streaming sink
+    (availableNow drain; same foreachBatch replay contract as
+    cdc_merge_stream). Returns the started StreamingQuery."""
+    merge = make_scd2_merger(log_path, scd2_path, table, pk_cols, num_buckets)
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -186,3 +186,32 @@ def make_symmetric_join_view_mergers(
         on_merged=hook, bucket_cols=[right_key],
     )
     return left_merge, right_merge
+
+
+def join_view_stream(
+    stream: DataFrame,
+    path: str,
+    agg_path: str,
+    fact_path: str,
+    checkpoint: str,
+    table: str,
+    pk_cols: list[str],
+    dim_key: str,
+    fact_key: str,
+    group_cols: list[str],
+    value_expr,
+    num_buckets: int = 64,
+):
+    """Run the join-view merger as a Structured Streaming sink
+    (availableNow drain; same foreachBatch replay contract as
+    cdc_merge_stream). Returns the started StreamingQuery."""
+    merge = make_cdc_join_view_merger(
+        path, agg_path, fact_path, table, pk_cols,
+        dim_key, fact_key, group_cols, value_expr, num_buckets,
+    )
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -487,3 +487,52 @@ def test_scd2_incremental_matches_batch_and_replays(spark, sf_dir, tmp_path):
     before = _sorted_rows(read_scd2(spark, scd2))
     merge(phases[1], 1)  # replay
     assert _sorted_rows(read_scd2(spark, scd2)) == before
+
+
+def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path):
+    """The streaming SCD2 wrapper drains a file-source backlog; the
+    resulting validity table equals the one-shot scd2_history."""
+    import os as _os
+
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+    from split_kinesis_streams_with_glue_spark.operators.compact import scd2_history
+    from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+        infer_envelope_schema,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        read_scd2,
+        scd2_stream,
+    )
+
+    env, phases = _phases(spark, sf_dir)
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    stamped: set = set()
+    for i, ph in enumerate(phases):
+        to_json_lines(ph).coalesce(1).write.mode("append").text(src)
+        for f in _os.listdir(src):
+            p = _os.path.join(src, f)
+            if p not in stamped:
+                _os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
+                stamped.add(p)
+    stream = (
+        spark.readStream.schema(infer_envelope_schema(spark, src))
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = scd2_stream(
+        stream,
+        str(tmp_path / "log"),
+        str(tmp_path / "scd2"),
+        str(tmp_path / "ckpt"),
+        "customer",
+        ["c_custkey"],
+        num_buckets=8,
+    )
+    q.awaitTermination()
+    got = read_scd2(spark, str(tmp_path / "scd2"))
+    want = scd2_history(
+        event_time(split_one(env, "customer", keep_operation=True, prune=False)),
+        ["c_custkey"],
+    )
+    assert _sorted_rows(got) == _sorted_rows(want.select(*got.columns))

@@ -161,3 +161,72 @@ def test_symmetric_join_view_tracks_both_streams(spark, sf_dir, tmp_path):
     for i, (m, batch, epoch) in enumerate(steps):
         m(batch, epoch)
         assert view() == scratch(), f"diverged after interleaved step {i}"
+
+
+def test_join_view_stream_end_to_end(spark, sf_dir, tmp_path):
+    """The streaming wrapper drains a file-source envelope backlog through
+    the join-view merger; the folded view equals the from-scratch join of
+    the final materialized state."""
+    import os as _os
+
+    from split_kinesis_streams_with_glue_spark.envelope import to_json_lines
+    from split_kinesis_streams_with_glue_spark.sources.json_envelope import (
+        infer_envelope_schema,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.join_view import (
+        join_view_stream,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    facts = str(tmp_path / "facts")
+    bucket_copy(orders, "o_custkey", facts, 8)
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    op = F.col("metadata.operation")
+    stamped: set = set()
+    for i, phase in enumerate(["load", "update", "delete"]):
+        to_json_lines(env.filter(op == phase)).coalesce(1).write.mode("append").text(src)
+        for f in _os.listdir(src):
+            p = _os.path.join(src, f)
+            if p not in stamped:
+                _os.utime(p, (1_600_000_000 + i, 1_600_000_000 + i))
+                stamped.add(p)
+    stream = (
+        spark.readStream.schema(infer_envelope_schema(spark, src))
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    value = F.col("o_totalprice").cast("decimal(18,2)") + F.col("c_acctbal").cast(
+        "decimal(18,2)"
+    )
+    q = join_view_stream(
+        stream,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "agg"),
+        facts,
+        str(tmp_path / "ckpt"),
+        "customer",
+        ["c_custkey"],
+        dim_key="c_custkey",
+        fact_key="o_custkey",
+        group_cols=["c_mktsegment"],
+        value_expr=value,
+        num_buckets=8,
+    )
+    q.awaitTermination()
+    dim = read_table(spark, str(tmp_path / "tbl"))
+    want = {
+        (r["c_mktsegment"], r["n"], r["total"])
+        for r in dim.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum(value).alias("total"))
+        .collect()
+    }
+    got = {
+        (r["c_mktsegment"], r["n"], r["total"])
+        for r in read_join_view(spark, str(tmp_path / "agg"), ["c_mktsegment"]).collect()
+    }
+    assert got == want
