@@ -398,3 +398,57 @@ def pq_topk(
         )
     )
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def projection_signs(in_dims: int, out_dims: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the sparse random projection
+    (Achlioptas 2003): sign(j, i) from the first md5 hex digit of
+    ``"{seed}:{j}:{i}"`` — reproducible in any engine, no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    df,
+    in_dims: int,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Johnson–Lindenstrauss dimensionality reduction as pure codegen:
+    project ``in_dims``-d float vectors to ``out_dims`` dims with the
+    deterministic ±1 matrix, scaled by 1/sqrt(out_dims) (the JL scaling
+    that preserves pairwise distances in expectation with error
+    O(sqrt(log n / out_dims))). Each output component is one
+    ``aggregate(zip_with(...))`` double fold against a broadcast literal
+    sign array — no UDFs, no shuffle, 4× (64→16) smaller vectors feeding
+    every downstream ANN/dedup stage.
+
+    Output columns ``p0..p{out_dims-1}`` (doubles).
+    """
+    signs = projection_signs(in_dims, out_dims, seed)
+    scale = 1.0 / (out_dims ** 0.5)
+    cols = []
+    for j in range(out_dims):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        yj = (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), sj, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * scale
+        )
+        cols.append(yj.alias(f"p{j}"))
+    return df.select("*", *cols)

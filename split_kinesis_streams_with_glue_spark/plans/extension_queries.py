@@ -1638,3 +1638,42 @@ def text_ngram_novelty(spark, sf_dir):
     return out.select(
         "doc_id", F.round("novelty", 6).alias("novelty"), "n_shingles"
     )
+
+
+def _rp_oracle() -> str:
+    """Programmatically built oracle for the random projection: the same
+    md5-derived ±1 sign arrays inlined as SQL list literals; double
+    accumulation via list_sum(list_transform(...)), per the module's
+    oracle notes."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        projection_signs,
+    )
+
+    signs = projection_signs(64, 8)
+    scale = 1.0 / (8 ** 0.5)
+    cols = []
+    for j, sj in enumerate(signs):
+        lit = "[" + ", ".join(str(s) for s in sj) + "]"
+        cols.append(
+            f"ROUND(list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])) * {scale!r}, 6) "
+            f"AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@query("sim_random_projection", since=4, oracle=_rp_oracle())
+def sim_random_projection(spark, sf_dir):
+    """JL random projection (operators/quantize.py random_projection):
+    64-d embeddings to 8-d with the deterministic md5-derived ±1 matrix —
+    value-exact cross-engine (the strongest oracle form for a 'random'
+    method: the randomness is a pure hash function)."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        random_projection,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = random_projection(emb, in_dims=64, out_dims=8)
+    return out.select(
+        "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(8)]
+    )

@@ -1007,3 +1007,41 @@ def test_containment_catches_embedded_docs_jaccard_misses(spark, sf_dir):
     assert (lid + 50_000, lid) in cont, "excerpt -> source containment missed"
     jac = {(r["d1"], r["d2"]) for r in jaccard_pairs(sh, 0.9).collect()}
     assert (lid, lid + 50_000) not in jac and (lid + 50_000, lid) not in jac
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL contract: with out_dims=16 the projected pairwise distances of
+    sampled pairs stay within a loose multiplicative band of the original
+    distances (the expectation is exact; the band covers variance), and
+    the projection is deterministic across invocations."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    out = random_projection(emb, in_dims=64, out_dims=16)
+    rows = out.collect()
+    by_id = {
+        r["vec_id"]: (list(r["embedding"]), [r[f"p{j}"] for j in range(16)])
+        for r in rows
+    }
+    ids = sorted(by_id)[:12]
+    ratios = []
+    for i in range(len(ids)):
+        for k in range(i + 1, len(ids)):
+            x, px = by_id[ids[i]]
+            y, py = by_id[ids[k]]
+            d = math.dist(x, y)
+            dp = math.dist(px, py)
+            if d > 1e-9:
+                ratios.append(dp / d)
+    assert ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, f"mean distance ratio {mean} outside JL band"
+    again = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(16)]
+        for r in random_projection(emb, in_dims=64, out_dims=16).collect()
+    }
+    assert again == {k: v[1] for k, v in by_id.items()}
