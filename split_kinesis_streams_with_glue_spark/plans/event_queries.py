@@ -1099,3 +1099,111 @@ def events_markov_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
     )
+
+
+@query(
+    "events_mutual_information",
+    since=4,
+    oracle="""
+    WITH j AS (
+      SELECT event_type AS a, dayofweek(CAST(ts AS DATE)) AS b, count(*) AS n_ab
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_ab) AS n FROM j),
+    ma AS (SELECT a, SUM(n_ab) AS n_a FROM j GROUP BY 1),
+    mb AS (SELECT b, SUM(n_ab) AS n_b FROM j GROUP BY 1)
+    SELECT ROUND(SUM((n_ab * 1.0 / n) *
+                     ln((n_ab * 1.0 / n) /
+                        ((n_a * 1.0 / n) * (n_b * 1.0 / n)))), 6) AS mi_nats
+    FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    """,
+)
+def events_mutual_information(spark, sf_dir):
+    """Exact mutual information (nats) between event type and day-of-week
+    — the dependence screen run during feature selection. One grouped
+    count builds the joint table; marginals and the MI fold run over the
+    bounded |A|x|B| frame (the 1-row total broadcasts). All fractions
+    exact before the one ln per cell."""
+    ev = load(spark, sf_dir, "events")
+    j = (
+        ev.groupBy(
+            F.col("event_type").alias("a"),
+            F.dayofweek(F.to_date("ts")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    tot = j.agg(F.sum("n_ab").alias("n"))
+    ma = j.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = j.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    p_ab = F.col("n_ab") / F.col("n")
+    p_a = F.col("n_a") / F.col("n")
+    p_b = F.col("n_b") / F.col("n")
+    return (
+        j.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(p_ab * F.log(p_ab / (p_a * p_b))), 6).alias("mi_nats"))
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    since=4,
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, SUM(n) / COUNT(*) AS mean FROM daily GROUP BY 1
+    ),
+    d AS (
+      SELECT daily.event_type, n, mean * 1.1 AS thresh,
+             row_number() OVER (PARTITION BY daily.event_type ORDER BY day) AS i
+      FROM daily JOIN m USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, i, GREATEST(0.0, n - thresh) AS s, thresh FROM d WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i, GREATEST(0.0, r.s + d.n - d.thresh), d.thresh
+      FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT r.event_type, ROUND(MAX(s), 6) AS cusum_max,
+           MAX(s) > MAX(thresh) AS alarm
+    FROM r GROUP BY r.event_type
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point statistic per event type: the one-sided
+    cumulative-sum recursion S_t = max(0, S_{t-1} + x_t − 1.1·mean) over
+    the day-ordered volume series, reporting the peak statistic and an
+    alarm when it exceeds the mean-level threshold — the sequential
+    drift/level-shift detector EWMA smooths over. The recursion folds a
+    STRUCT accumulator (running value + running max) over each type's
+    bounded day-grain array; the oracle reproduces it with a recursive
+    CTE — same arithmetic, different mechanism, equal values."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "n"))), lambda x: x["n"]
+    )
+    per_type = daily.groupBy("event_type").agg(vals.alias("__vals"))
+    mean = F.aggregate(
+        F.col("__vals"), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("__vals")
+    with_thresh = per_type.withColumn("__thresh", mean * 1.1)
+    zero = F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("mx"))
+
+    def step(acc, x):
+        s = F.greatest(F.lit(0.0), acc["s"] + x - F.col("__thresh"))
+        return F.struct(s.alias("s"), F.greatest(acc["mx"], s).alias("mx"))
+
+    folded = F.aggregate(F.col("__vals"), zero, step)
+    return with_thresh.select(
+        "event_type",
+        F.round(folded["mx"], 6).alias("cusum_max"),
+        (folded["mx"] > F.col("__thresh")).alias("alarm"),
+    )

@@ -354,6 +354,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "join_point_in_time": {"unpushed-scan-filter"},
     # crossJoin(broadcast(<1-row distinct-user-count agg>)) — bounded
     "events_cooccurrence_lift": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row joint-total agg>)) — bounded
+    "events_mutual_information": {"cartesian-product"},
 }
 
 
