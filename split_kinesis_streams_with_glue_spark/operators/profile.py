@@ -51,3 +51,82 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def exact_quantile_twopass(
+    df: DataFrame,
+    col: str,
+    q: float,
+    n_bins: int = 1024,
+    rank_limit: int = 1_000_000,
+) -> DataFrame:
+    """EXACT quantile (type-1 / lower order statistic: the k-th smallest
+    with k = ceil(q*n)) without a global sort — the at-scale exact path
+    between `percentile` (full sort-based) and `approx_percentile`
+    (error-bounded sketch).
+
+    Iterative bin refinement: each pass histograms the surviving
+    candidate range into ``n_bins`` equi-width bins over its CURRENT
+    [min, max] and narrows to the bin containing the k-th value (rank
+    bookkeeping from the bounded cumulative bin frame — n_bins rows,
+    never data rows). Candidates shrink ~n_bins× per pass, so the final
+    single-partition ranking only ever sees ≤ ``rank_limit`` rows (two
+    passes cover 10^12 rows at the default settings); a range whose
+    values are all equal short-circuits (duplicate-heavy skew cannot
+    loop forever). Every per-pass aggregate is metadata-sized.
+
+    Returns one row: (quantile, value, n).
+    """
+    from pyspark.sql import Window
+
+    total = df.filter(F.col(col).isNotNull()).count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "quantile double, value double, n bigint"
+        )
+    kn = q * total
+    k = max(1, int(kn) if kn == int(kn) else int(kn) + 1)
+    cand = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v")
+    )
+    value = None
+    for _ in range(6):
+        agg = cand.agg(
+            F.count(F.lit(1)).alias("c"), F.min("v").alias("mn"), F.max("v").alias("mx")
+        ).collect()[0]  # 1-row metadata aggregate
+        if agg["mn"] == agg["mx"]:
+            value = float(agg["mn"])
+            break
+        if int(agg["c"]) <= rank_limit:
+            break
+        lo_, hi_ = float(agg["mn"]), float(agg["mx"])
+        width = (hi_ - lo_) / n_bins
+        b = F.least(
+            F.lit(n_bins - 1), F.floor((F.col("v") - lo_) / width).cast("int")
+        )
+        hist = cand.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        located = (
+            hist.withColumn("before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+            .filter((F.col("before") < k) & (F.col("before") + F.col("cnt") >= k))
+            .collect()[0]
+        )  # bounded: the n_bins-row frame
+        tb, before = int(located["bin"]), int(located["before"])
+        k -= before
+        bin_lo = lo_ + tb * width
+        bin_hi = hi_ if tb == n_bins - 1 else lo_ + (tb + 1) * width
+        upper = (
+            (F.col("v") <= bin_hi) if tb == n_bins - 1 else (F.col("v") < bin_hi)
+        )
+        cand = cand.filter((F.col("v") >= bin_lo) & upper)
+    if value is None:
+        value = float(
+            cand.withColumn("r", F.row_number().over(Window.orderBy("v")))
+            .filter(F.col("r") == k)
+            .collect()[0]["v"]
+        )
+    return df.sparkSession.createDataFrame(
+        [(q, value, total)], "quantile double, value double, n bigint"
+    )

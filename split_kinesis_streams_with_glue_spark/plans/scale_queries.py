@@ -1095,3 +1095,34 @@ def pipeline_entity_resolution(spark, sf_dir):
         F.col("cluster_id").alias("entity_id"),
         (F.col("cluster_id") == F.col("c_custkey")).alias("is_canonical"),
     )
+
+
+@query(
+    since=4,
+    name="percentiles_exact_twopass",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS quantile, quantile_disc(l_extendedprice, 0.5) AS value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9), count(*) FROM lineitem
+    """,
+)
+def percentiles_exact_twopass(spark, sf_dir):
+    """EXACT quantiles without a global sort (operators/profile.py
+    exact_quantile_twopass): pass 1 histograms into 1024 bins and locates
+    the k-th value's bin from the bounded cumulative frame; pass 2 ranks
+    only that bin's ~n/1024 rows (filter pushed to the reader). The
+    at-scale exact-quantile path — `percentile` sorts everything,
+    `approx_percentile` gives up exactness; this does neither. Oracle =
+    DuckDB's discrete quantile (the same k-th order statistic)."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        exact_quantile_twopass,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    # rank_limit far below the row count so the histogram refinement is
+    # what actually runs here, not the small-data ranking shortcut
+    return exact_quantile_twopass(li, "l_extendedprice", 0.5, rank_limit=500).unionByName(
+        exact_quantile_twopass(li, "l_extendedprice", 0.9, rank_limit=500)
+    )

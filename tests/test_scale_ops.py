@@ -777,3 +777,35 @@ def test_cluster_safe_split_no_cluster_straddles_splits(spark, sf_dir):
     }
     assert frac.get("train", 0) > frac.get("val", 0)
     assert frac.get("train", 0) > frac.get("test", 0)
+
+
+def test_exact_quantile_twopass_edges(spark, sf_dir):
+    """Two-pass exact quantile agrees with a full sort at extreme q, under
+    heavy skew (99% of mass on one value), and on a constant column."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        exact_quantile_twopass,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5000)
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for q in (0.25, 0.75, 0.999):
+        k = max(1, -(-int(q * n) // 1) if (q * n) == int(q * n) else int(q * n) + 1)
+        got = exact_quantile_twopass(
+            li, "l_extendedprice", q, rank_limit=100
+        ).collect()[0]["value"]
+        assert got == vals[k - 1], f"q={q}: {got} != {vals[k-1]}"
+
+    skewed = li.withColumn(
+        "v",
+        F.when(F.col("l_orderkey") % 100 != 0, F.lit(7.0)).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+    sv = sorted(r["v"] for r in skewed.select("v").collect())
+    k = int(0.5 * len(sv)) + (0 if (0.5 * len(sv)).is_integer() else 1)
+    got = exact_quantile_twopass(skewed, "v", 0.5, rank_limit=100).collect()[0]["value"]
+    assert got == sv[max(1, k) - 1]
+
+    const = li.withColumn("c", F.lit(42.0))
+    assert exact_quantile_twopass(const, "c", 0.5).collect()[0]["value"] == 42.0
