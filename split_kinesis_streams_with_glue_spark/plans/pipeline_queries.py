@@ -1332,3 +1332,51 @@ def cdc_scd2_incremental(spark, sf_dir):
         (F.unix_timestamp("valid_to") - epoch0).alias("valid_to_seq"),
         "is_current",
     )
+
+
+@query(
+    "pipeline_cdc_optimize",
+    since=4,
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                            WHEN c_custkey % 5 = 0 THEN 100.0
+                            ELSE 0.0 END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def pipeline_cdc_optimize(spark, sf_dir):
+    """Live-table maintenance composition: CDC merge (three epochs, each
+    fragmenting the bucket partitions with small files) followed by
+    OPTIMIZE-style small-file compaction over the merged table. The
+    compaction must rewrite at least one partition's layout (asserted)
+    while leaving the readable rows EXACTLY the final CDC state — the
+    same oracle as cdc_merge_apply, now read through the compacted
+    files."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.operators.maintenance import (
+        compact_small_files,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_cdc_merger,
+        read_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_cdc_opt_")
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    merge = make_cdc_merger(f"{base}/tbl", "customer", ["c_custkey"], num_buckets=4)
+    for epoch, phase in enumerate(["load", "update", "delete"]):
+        merge(env.filter(op == phase), epoch)
+    # fragment each bucket into many small files — the state a streaming
+    # merger reaches after enough triggers (AQE keeps the 3-epoch fixture
+    # run too tidy to show it naturally)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frag = spark.read.parquet(f"{base}/tbl").repartition(16).localCheckpoint()
+    frag.write.mode("overwrite").partitionBy("__bucket").parquet(f"{base}/tbl")
+    report = compact_small_files(spark, f"{base}/tbl", min_files=4)
+    assert report, "compaction rewrote nothing — fixture didn't fragment"
+    return read_table(spark, f"{base}/tbl")
