@@ -1207,3 +1207,71 @@ def events_cusum_changepoint(spark, sf_dir):
         F.round(folded["mx"], 6).alias("cusum_max"),
         (folded["mx"] > F.col("__thresh")).alias("alarm"),
     )
+
+
+@query(
+    "events_holt_trend",
+    since=4,
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, i, n AS s, CAST(0.0 AS DOUBLE) AS b FROM d WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i,
+             0.5 * d.n + 0.5 * (r.s + r.b),
+             0.3 * ((0.5 * d.n + 0.5 * (r.s + r.b)) - r.s) + 0.7 * r.b
+      FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.i + 1
+    ),
+    last AS (
+      SELECT event_type, s, b,
+             row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rn
+      FROM r
+    )
+    SELECT event_type, ROUND(s, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(s + b, 6) AS forecast_1
+    FROM last WHERE rn = 1
+    """,
+)
+def events_holt_trend(spark, sf_dir):
+    """Holt's double exponential smoothing (level + trend) of daily event
+    volume — the two-state recursion neither a fixed-window WMA nor
+    single-EWMA expresses (init s_1 = x_1, b_1 = 0; alpha 0.5, beta 0.3).
+    Folds a struct accumulator over each type's bounded day-grain array;
+    recursive-CTE oracle, same arithmetic per step. Reports the final
+    level, trend, and one-step forecast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "n"))), lambda x: x["n"]
+    )
+    per_type = daily.groupBy("event_type").agg(vals.alias("__vals"))
+    zero = F.struct(
+        F.element_at(F.col("__vals"), 1).alias("s"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        s = F.lit(0.5) * x + F.lit(0.5) * (acc["s"] + acc["b"])
+        b = F.lit(0.3) * (s - acc["s"]) + F.lit(0.7) * acc["b"]
+        return F.struct(s.alias("s"), b.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(F.col("__vals"), 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        zero,
+        step,
+    )
+    return per_type.select(
+        "event_type",
+        F.round(folded["s"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(folded["s"] + folded["b"], 6).alias("forecast_1"),
+    )
