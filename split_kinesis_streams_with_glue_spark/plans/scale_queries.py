@@ -1126,3 +1126,50 @@ def percentiles_exact_twopass(spark, sf_dir):
     return exact_quantile_twopass(li, "l_extendedprice", 0.5, rank_limit=500).unionByName(
         exact_quantile_twopass(li, "l_extendedprice", 0.9, rank_limit=500)
     )
+
+
+@query(
+    since=4,
+    name="agg_equidepth_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT quantile_disc(l_extendedprice, 0.25) AS q1,
+             quantile_disc(l_extendedprice, 0.5) AS q2,
+             quantile_disc(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT b.bucket, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem, e,
+    LATERAL (SELECT CASE WHEN l_extendedprice <= q1 THEN 0
+                         WHEN l_extendedprice <= q2 THEN 1
+                         WHEN l_extendedprice <= q3 THEN 2
+                         ELSE 3 END AS bucket) b
+    GROUP BY b.bucket
+    """,
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Exact equi-depth (quartile) histogram at scale: the three bucket
+    edges come from exact_quantile_twopass (iterative bin refinement, no
+    global sort — rank_limit forced low so that path runs), then one
+    bucket-count pass. Complements the equi-width agg_histogram: depth
+    boundaries adapt to the distribution, counts are exact, and the whole
+    thing is a few scans at any table size."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        exact_quantile_twopass,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = [
+        exact_quantile_twopass(li, "l_extendedprice", q, rank_limit=500).collect()[
+            0
+        ]["value"]
+        for q in (0.25, 0.5, 0.75)
+    ]  # three metadata-sized refinement results
+    q1, q2, q3 = edges
+    bucket = (
+        F.when(F.col("l_extendedprice") <= q1, 0)
+        .when(F.col("l_extendedprice") <= q2, 1)
+        .when(F.col("l_extendedprice") <= q3, 2)
+        .otherwise(3)
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
