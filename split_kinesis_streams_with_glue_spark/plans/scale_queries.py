@@ -1173,3 +1173,131 @@ def agg_equidepth_histogram(spark, sf_dir):
         .otherwise(3)
     )
     return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    since=4,
+    name="quality_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT quantile_disc(l_extendedprice, 0.5) AS m FROM lineitem),
+    dev AS (
+      SELECT quantile_disc(abs(l_extendedprice - m), 0.5) AS mad
+      FROM lineitem, med
+    )
+    SELECT CAST(SUM(CASE WHEN abs(l_extendedprice - med.m)
+                              > 3 * 1.4826 * dev.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(med.m, 2) AS median, ROUND(dev.mad, 2) AS mad
+    FROM lineitem, med, dev
+    GROUP BY med.m, dev.mad
+    """,
+)
+def quality_mad_outliers(spark, sf_dir):
+    """Robust outlier gate: median and MAD (median absolute deviation)
+    both via the iterative exact quantile (no global sort), then one
+    count of values past 3 scaled MADs — the robust z-score screen that,
+    unlike mean/stddev, is not dragged by the outliers it hunts. Three
+    bounded-refinement passes + one counting scan at any table size."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        exact_quantile_twopass,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    med = exact_quantile_twopass(li, "l_extendedprice", 0.5, rank_limit=500).collect()[
+        0
+    ]["value"]
+    dev = li.select(F.abs(F.col("l_extendedprice") - med).alias("d"))
+    mad = exact_quantile_twopass(dev, "d", 0.5, rank_limit=500).collect()[0]["value"]
+    return (
+        li.filter(F.abs(F.col("l_extendedprice") - med) > 3 * 1.4826 * mad)
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .select(
+            "n_outliers",
+            F.round(F.lit(med), 2).alias("median"),
+            F.round(F.lit(mad), 2).alias("mad"),
+        )
+    )
+
+
+@query(
+    since=4,
+    name="agg_correlation_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sq,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sp,
+             SUM(CAST(l_discount AS DECIMAL(19,6))) AS sd,
+             SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sqq,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS spp,
+             SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS sdd,
+             SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sqp,
+             SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS sqd,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS spd
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS n, CAST(sq AS DOUBLE) AS sq,
+             CAST(sp AS DOUBLE) AS sp, CAST(sd AS DOUBLE) AS sd,
+             CAST(sqq AS DOUBLE) AS sqq, CAST(spp AS DOUBLE) AS spp,
+             CAST(sdd AS DOUBLE) AS sdd, CAST(sqp AS DOUBLE) AS sqp,
+             CAST(sqd AS DOUBLE) AS sqd, CAST(spd AS DOUBLE) AS spd
+      FROM s
+    )
+    SELECT 'quantity_price' AS pair,
+           ROUND((n * sqp - sq * sp) /
+                 (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr
+    FROM d
+    UNION ALL
+    SELECT 'quantity_discount',
+           ROUND((n * sqd - sq * sd) /
+                 (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+    FROM d
+    UNION ALL
+    SELECT 'price_discount',
+           ROUND((n * spd - sp * sd) /
+                 (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+    FROM d
+    """,
+)
+def agg_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations from ONE aggregation pass of
+    DECIMAL-EXACT sufficient statistics (nine sums; the only float ops
+    are the final sqrt/divide, bit-identical cross-engine) — unlike the
+    built-in `corr`, whose single-pass float accumulation is
+    order-dependent and engine-specific. The feature-correlation screen
+    at 100 TB: one scan, nine numbers."""
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(19,6)")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("l_quantity")).alias("sq"),
+        F.sum(d("l_extendedprice")).alias("sp"),
+        F.sum(d("l_discount")).alias("sd"),
+        F.sum(d("l_quantity") * d("l_quantity")).alias("sqq"),
+        F.sum(d("l_extendedprice") * d("l_extendedprice")).alias("spp"),
+        F.sum(d("l_discount") * d("l_discount")).alias("sdd"),
+        F.sum(d("l_quantity") * d("l_extendedprice")).alias("sqp"),
+        F.sum(d("l_quantity") * d("l_discount")).alias("sqd"),
+        F.sum(d("l_extendedprice") * d("l_discount")).alias("spd"),
+    ).localCheckpoint(eager=True)
+
+    # combine in DOUBLE with the identical operation order as the oracle:
+    # the exact decimal sums cast to double first, then mult/sub/sqrt —
+    # bit-identical cross-engine (a decimal-exact combination would
+    # overflow DECIMAL(38) on the squared-sum terms)
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def corr_row(name, sxy, sx, sy, sxx, syy):
+        num = dbl("n") * dbl(sxy) - dbl(sx) * dbl(sy)
+        dx = F.sqrt(dbl("n") * dbl(sxx) - dbl(sx) * dbl(sx))
+        dy = F.sqrt(dbl("n") * dbl(syy) - dbl(sy) * dbl(sy))
+        return s.select(
+            F.lit(name).alias("pair"), F.round(num / (dx * dy), 6).alias("corr")
+        )
+
+    return (
+        corr_row("quantity_price", "sqp", "sq", "sp", "sqq", "spp")
+        .unionByName(corr_row("quantity_discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionByName(corr_row("price_discount", "spd", "sp", "sd", "spp", "sdd"))
+    )
