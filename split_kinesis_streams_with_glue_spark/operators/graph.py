@@ -144,3 +144,28 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over an undirected edge list
+    (columns d1 < d2) — the density/clustering statistic for a near-dup
+    or entity graph (a surge in triangles = tightly-knit duplicate
+    families forming).
+
+    Canonical-order join (the standard distributed formulation): with
+    every edge stored as (lo, hi), a triangle a<b<c is counted exactly
+    once as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins on edge endpoints,
+    no direction double-counting, no per-node adjacency materialization.
+    At scale the classic refinement (order endpoints by degree before the
+    join, so high-degree hubs sit on the probe side) bounds the join
+    fan-out; graphs here are near-dup graphs, which are sparse by
+    construction. Returns one row: (n_triangles).
+    """
+    e1 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = edges.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -1677,3 +1677,31 @@ def sim_random_projection(spark, sf_dir):
     return out.select(
         "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(8)]
     )
+
+
+@query(
+    "dedup_triangle_count",
+    since=4,
+    oracle="""
+    WITH e AS (
+      SELECT a.c_custkey AS d1, b.c_custkey AS d2
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.d2 = e2.d1 JOIN e e3
+      ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    """,
+)
+def dedup_triangle_count(spark, sf_dir):
+    """Exact triangle count (operators/graph.py) over the fuzzy-name
+    similarity graph: edges from symmetric-deletion blocking (linear),
+    triangles from the canonical-order two-join formulation — each a<b<c
+    triangle counted exactly once. The oracle builds the same graph
+    quadratically and joins the same way."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import fuzzy_pairs
+    from split_kinesis_streams_with_glue_spark.operators.graph import triangle_count
+
+    c = load(spark, sf_dir, "customer")
+    edges = fuzzy_pairs(c, "c_name", id_col="c_custkey").select("d1", "d2")
+    return triangle_count(edges)

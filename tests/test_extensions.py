@@ -1045,3 +1045,16 @@ def test_random_projection_preserves_distances(spark, sf_dir):
         for r in random_projection(emb, in_dims=64, out_dims=16).collect()
     }
     assert again == {k: v[1] for k, v in by_id.items()}
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 has 4 triangles; adding a disjoint path (no triangle) and one
+    pendant edge changes nothing; K3 alone counts 1."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(10, 11), (11, 12), (5, 6)]
+    e = spark.createDataFrame(k4 + extra, ["d1", "d2"])
+    assert triangle_count(e).collect()[0]["n_triangles"] == 4
+    k3 = spark.createDataFrame([(7, 8), (7, 9), (8, 9)], ["d1", "d2"])
+    assert triangle_count(k3).collect()[0]["n_triangles"] == 1
