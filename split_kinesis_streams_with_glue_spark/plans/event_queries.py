@@ -1275,3 +1275,74 @@ def events_holt_trend(spark, sf_dir):
         F.round(folded["b"], 6).alias("trend"),
         F.round(folded["s"] + folded["b"], 6).alias("forecast_1"),
     )
+
+
+@query(
+    "events_hll_intersection",
+    since=4,
+    oracle="""
+    WITH h AS (
+      SELECT user_id, CAST(ts AS DATE) < DATE '2024-01-16' AS first_half
+      FROM events
+    )
+    SELECT CAST(count(DISTINCT CASE WHEN first_half THEN user_id END) AS BIGINT)
+             AS n_a,
+           CAST(count(DISTINCT CASE WHEN NOT first_half THEN user_id END) AS BIGINT)
+             AS n_b,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_union,
+           TRUE AS error_ok
+    FROM h
+    """,
+)
+def events_hll_intersection(spark, sf_dir):
+    """Approximate set INTERSECTION from mergeable sketches via
+    inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B| with every term an
+    HLL estimate (A = first-half actives, B = second-half; the union
+    sketch is the two period sketches merged — no rescan). Contract: the
+    estimated intersection within 15% of the exact retained-user count
+    (inclusion-exclusion compounds three ~1.6% errors against a smaller
+    target, hence the wider band). Exact per-term counts ride along as
+    the value-checked columns."""
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        bucket_sketches,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    pairs = (
+        ev.select(
+            (F.to_date("ts") < F.lit("2024-01-16").cast("date")).alias("first_half"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sk = bucket_sketches(pairs, F.col("first_half"), "user_id")
+    est = sk.agg(
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("bucket"), F.col("sketch")))
+        ).alias("ea"),
+        F.hll_sketch_estimate(
+            F.max(F.when(~F.col("bucket"), F.col("sketch")))
+        ).alias("eb"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("eu"),
+    )
+    exact = pairs.agg(
+        F.count_distinct(F.when(F.col("first_half"), F.col("user_id"))).alias("n_a"),
+        F.count_distinct(F.when(~F.col("first_half"), F.col("user_id"))).alias("n_b"),
+        F.count_distinct("user_id").alias("n_union"),
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            (
+                F.abs(
+                    (F.col("ea") + F.col("eb") - F.col("eu"))
+                    - (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+                )
+                <= 0.15 * (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+            ).alias("error_ok"),
+        )
+    )

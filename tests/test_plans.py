@@ -356,6 +356,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "events_cooccurrence_lift": {"cartesian-product"},
     # crossJoin(broadcast(<1-row joint-total agg>)) — bounded
     "events_mutual_information": {"cartesian-product"},
+    # crossJoin of the 1-row sketch-estimate and 1-row exact aggregates
+    "events_hll_intersection": {"cartesian-product"},
 }
 
 
