@@ -115,12 +115,11 @@ def exact_quantile_twopass(
         )  # bounded: the n_bins-row frame
         tb, before = int(located["bin"]), int(located["before"])
         k -= before
-        bin_lo = lo_ + tb * width
-        bin_hi = hi_ if tb == n_bins - 1 else lo_ + (tb + 1) * width
-        upper = (
-            (F.col("v") <= bin_hi) if tb == n_bins - 1 else (F.col("v") < bin_hi)
-        )
-        cand = cand.filter((F.col("v") >= bin_lo) & upper)
+        # narrow with the IDENTICAL binning expression the histogram used:
+        # reconstructing [bin_lo, bin_hi) arithmetically can disagree with
+        # floor((v - lo)/width) by an ulp at bin edges, stranding a value
+        # the rank bookkeeping counted
+        cand = cand.filter(b == tb)
     if value is None:
         value = float(
             cand.withColumn("r", F.row_number().over(Window.orderBy("v")))

@@ -132,7 +132,14 @@ def make_symmetric_join_view_mergers(
     ``(left_merge, right_merge)``; read with ``read_join_view``.
 
     Cost per trigger on either stream: O(batch + dirty-bucket rows of
-    BOTH tables) — still independent of total table sizes."""
+    BOTH tables) — still independent of total table sizes.
+
+    Single-writer discipline: the two mergers share the partial table, so
+    their triggers must not run CONCURRENTLY (a hook reading the other
+    side mid-write could recompute a bucket from a half-merged state).
+    Sequential availableNow drains (the tested mode) satisfy this; for
+    two live processingTime streams, serialize the foreachBatch bodies
+    (same driver lock or alternating triggers)."""
     from pyspark.errors import AnalysisException
 
     def _side(spark, path, dirty):
