@@ -1380,3 +1380,84 @@ def pipeline_cdc_optimize(spark, sf_dir):
     report = compact_small_files(spark, f"{base}/tbl", min_files=4)
     assert report, "compaction rewrote nothing — fixture didn't fragment"
     return read_table(spark, f"{base}/tbl")
+
+
+def _psi_epoch_sql(epoch: int, cur_from: str) -> str:
+    """One epoch's PSI row vs the customer c_acctbal reference, bins
+    [-1000, 10000) x 10 (+under/overflow), mirroring streaming/monitor.py."""
+    bin_case = (
+        "CASE WHEN v < -1000.0 THEN 0 WHEN v >= 10000.0 THEN 11 "
+        "ELSE CAST(floor((v - (-1000.0)) / 1100.0) AS INT) + 1 END"
+    )
+    return f"""
+    SELECT {epoch} AS epoch,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           SUM((p - q) * ln(p / q)) > 0.2 AS drifted,
+           CAST(MAX(nc) AS BIGINT) AS n_rows
+    FROM (
+      SELECT greatest(coalesce(n_ref, 0) * 1.0 / SUM(coalesce(n_ref, 0)) OVER (), 1e-6) AS p,
+             greatest(coalesce(n_cur, 0) * 1.0 / SUM(coalesce(n_cur, 0)) OVER (), 1e-6) AS q,
+             SUM(coalesce(n_cur, 0)) OVER () AS nc
+      FROM (
+        SELECT {bin_case} AS bin, count(*) AS n_ref
+        FROM (SELECT c_acctbal AS v FROM customer WHERE c_acctbal IS NOT NULL)
+        GROUP BY 1
+      ) r
+      FULL OUTER JOIN (
+        SELECT {bin_case} AS bin, count(*) AS n_cur
+        FROM ({cur_from}) c
+        GROUP BY 1
+      ) cu USING (bin)
+    )
+    """
+
+
+_PSI_MONITOR_ORACLE = " UNION ALL ".join(
+    [
+        _psi_epoch_sql(0, "SELECT c_acctbal AS v FROM customer WHERE c_acctbal IS NOT NULL"),
+        _psi_epoch_sql(
+            1,
+            "SELECT c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0 ELSE 100.0 END AS v "
+            "FROM customer WHERE c_custkey % 5 = 0 AND c_acctbal IS NOT NULL",
+        ),
+        _psi_epoch_sql(
+            2,
+            "SELECT c_acctbal AS v FROM customer WHERE c_custkey % 7 = 0 AND c_acctbal IS NOT NULL",
+        ),
+    ]
+)
+
+
+@query("stream_psi_monitor", since=4, oracle=_PSI_MONITOR_ORACLE)
+def stream_psi_monitor(spark, sf_dir):
+    """Drift monitoring at ingest (streaming/monitor.py): every
+    micro-batch is PSI-scored against the frozen reference as it
+    arrives — the load batch scores ~0, the shifted update batch spikes,
+    the delete-phase subset stays near-reference. One metrics row per
+    epoch with the replay guard; the oracle recomputes each batch's PSI
+    bin for bin."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_psi_monitor,
+        read_psi_metrics,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_psi_mon_")
+    cust = load(spark, sf_dir, "customer")
+    monitor = make_psi_monitor(
+        cust, "c_acctbal", -1000.0, 10000.0, f"{base}/metrics"
+    )
+    batches = [
+        cust,
+        cust.filter(F.col("c_custkey") % 5 == 0).withColumn(
+            "c_acctbal",
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 10 == 0, 200.0).otherwise(100.0),
+        ),
+        cust.filter(F.col("c_custkey") % 7 == 0),
+    ]
+    for epoch, b in enumerate(batches):
+        monitor(b, epoch)
+        monitor(b, epoch)  # replayed trigger must be a no-op
+    return read_psi_metrics(spark, f"{base}/metrics")

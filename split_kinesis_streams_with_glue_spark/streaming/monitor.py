@@ -1,0 +1,91 @@
+"""Drift monitoring at ingest: per-micro-batch PSI against a frozen
+reference, appended to a metrics table.
+
+The batch-mode ``psi_drift`` (operators/quality_checks.py) answers "did
+the corpus drift between snapshots"; this wires the same statistic into
+the stream so every micro-batch is scored AS IT ARRIVES — the early-warning
+form: a producer bug or upstream schema change shows up as a PSI spike on
+the trigger that introduced it, not at the next snapshot audit.
+
+State shape: the reference's bin counts are computed ONCE and broadcast
+(bounded: n_bins + 2 rows); each trigger bins only its own batch and
+appends one (epoch, psi, drifted) row to the metrics side-channel with the
+same epoch-marker replay guard the other mergers use. O(batch) per
+trigger, metrics table grows one row per trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from split_kinesis_streams_with_glue_spark.streaming.markers import (
+    read_marker,
+    write_marker,
+)
+
+
+def make_psi_monitor(
+    reference: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    metrics_path: str,
+    n_bins: int = 10,
+    threshold: float = 0.2,
+    eps: float = 1e-6,
+):
+    """Build the ``(batch_df, epoch_id) -> None`` monitor. The reference
+    histogram is materialized once at build time (bounded rows, cached on
+    the driver as plain Python — broadcast-sized by construction)."""
+
+    def binexpr(c):
+        return (
+            F.when(F.col(c) < lo, 0)
+            .when(F.col(c) >= hi, n_bins + 1)
+            .otherwise(F.floor((F.col(c) - lo) / ((hi - lo) / n_bins)).cast("int") + 1)
+        )
+
+    ref_rows = (
+        reference.filter(F.col(col).isNotNull())
+        .select(binexpr(col).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .collect()
+    )  # bounded: n_bins + 2 rows
+    ref_counts = {int(r["bin"]): int(r["n_ref"]) for r in ref_rows}
+    ref_total = sum(ref_counts.values())
+    marker = f"{metrics_path}/_last_epoch"
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = read_marker(spark, marker)
+        if last is not None and epoch_id <= last:
+            return
+        cur_rows = (
+            batch_df.filter(F.col(col).isNotNull())
+            .select(binexpr(col).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+            .collect()
+        )  # bounded: n_bins + 2 rows
+        cur_counts = {int(r["bin"]): int(r["n_cur"]) for r in cur_rows}
+        cur_total = sum(cur_counts.values())
+        import math
+
+        psi = 0.0
+        for b in set(ref_counts) | set(cur_counts):
+            p = max(ref_counts.get(b, 0) / ref_total, eps) if ref_total else eps
+            q = max(cur_counts.get(b, 0) / cur_total, eps) if cur_total else eps
+            psi += (p - q) * math.log(p / q)
+        row = [(int(epoch_id), round(psi, 6), psi > threshold, cur_total)]
+        spark.createDataFrame(
+            row, "epoch int, psi double, drifted boolean, n_rows bigint"
+        ).write.mode("append").parquet(metrics_path)
+        write_marker(spark, marker, epoch_id)
+
+    return monitor
+
+
+def read_psi_metrics(spark, metrics_path: str) -> DataFrame:
+    return spark.read.parquet(metrics_path)
