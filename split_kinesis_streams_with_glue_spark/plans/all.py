@@ -48,6 +48,15 @@ one previously-errored query and 24 staleness re-verifications):
 New round-4 queries are appended AFTER the window, tagged ``since=4`` —
 the "brand-new queries may wait one round" exemption both rotation tests
 encode.
+
+ROUND-5 ROTATION PRECOMPUTE (for the next regeneration): round 4
+registered 39 new oracle-backed ``since=4`` queries past the window —
+all already fresh-process-verified against DuckDB locally (SURVEY.md
+§11 evidence summary), but none will have a driver CORRECTNESS row
+until round 5. When CORRECTNESS_r04.json lands, regenerate
+``_VERIFY_PRIORITY`` from the set-diff as usual: the 39 plus the
+stalest earlier-round re-verifications fill the 50 slots; the overflow
+waits one round per the standing policy.
 """
 
 from __future__ import annotations
