@@ -386,3 +386,26 @@ def test_topk_crash_between_snapshot_and_marker_recovers_exactly(
     merge(b1, 1)  # redelivery: must overwrite the torn snapshot, not trust it
     got = {r["key"]: r["cnt"] for r in read_topk(spark, path).collect()}
     assert got == {"a": 5, "b": 1, "c": 4}
+
+
+def test_psi_monitor_empty_batch_and_replay(spark, sf_dir, tmp_path):
+    """An EMPTY micro-batch must not crash the monitor (eps floors both
+    distributions; the row records 0 rows and flags drift — an empty
+    trigger IS maximally unlike the reference); replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_psi_monitor,
+        read_psi_metrics,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = str(tmp_path / "metrics")
+    monitor = make_psi_monitor(cust, "c_acctbal", -1000.0, 10000.0, path)
+    monitor(cust.filter(F.lit(False)), 0)  # empty batch
+    monitor(cust, 1)
+    monitor(cust, 1)  # replay
+    rows = {r["epoch"]: r for r in read_psi_metrics(spark, path).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_rows"] == 0 and rows[0]["drifted"]
+    assert rows[1]["psi"] == 0.0 and not rows[1]["drifted"]
