@@ -1346,3 +1346,40 @@ def events_hll_intersection(spark, sf_dir):
             ).alias("error_ok"),
         )
     )
+
+
+@query(
+    "agg_distribution_stats",
+    since=4,
+    oracle="""
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT 'event_type' AS feature,
+           ROUND(-SUM((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy_nats,
+           ROUND(1.0 - SUM((n * 1.0 / tot) * (n * 1.0 / tot)), 6) AS gini,
+           ROUND(SUM((n * 1.0 / tot) * (n * 1.0 / tot)), 6) AS hhi,
+           CAST(count(*) AS BIGINT) AS n_categories
+    FROM c, t
+    """,
+)
+def agg_distribution_stats(spark, sf_dir):
+    """Categorical concentration profile in one aggregation pass: Shannon
+    entropy (nats), Gini impurity, and the Herfindahl index of the
+    event-type mix — the balance diagnostics run before stratifying or
+    temperature-mixing a corpus. Exact fractions from the bounded
+    category-count frame; the only floats are one ln/square per
+    category."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    p = F.col("n") / tot
+    per = c.select(p.alias("p"))
+    return per.agg(
+        F.lit("event_type").alias("feature"),
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_nats"),
+        F.round(1.0 - F.sum(F.col("p") * F.col("p")), 6).alias("gini"),
+        F.round(F.sum(F.col("p") * F.col("p")), 6).alias("hhi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
