@@ -1383,3 +1383,96 @@ def agg_distribution_stats(spark, sf_dir):
         F.round(F.sum(F.col("p") * F.col("p")), 6).alias("hhi"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
     )
+
+
+@query(
+    "events_seasonal_indices",
+    since=4,
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, dayofweek(CAST(ts AS DATE)) AS dow,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+      SELECT dow, SUM(n) AS tot, count(*) AS n_days FROM daily GROUP BY 1
+    ),
+    overall AS (SELECT SUM(tot) * 1.0 / SUM(n_days) AS mean_daily FROM per_dow)
+    SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+           ROUND((tot * 1.0 / n_days) / mean_daily, 6) AS seasonal_index
+    FROM per_dow, overall
+    """,
+)
+def events_seasonal_indices(spark, sf_dir):
+    """Day-of-week seasonal indices: each weekday's mean daily volume
+    relative to the overall mean daily volume (index 1.0 = no weekly
+    seasonality) — the classical decomposition first step. Two bounded
+    aggregations over the day-grain reduction; exact integer sums, one
+    float division per index. NOTE: the dow NUMBER is engine-local
+    (Spark Sunday=1 vs DuckDB Sunday=0 conventions differ) so the Spark
+    side emits DuckDB's numbering explicitly via date arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    # DuckDB dayofweek: Sunday=0..Saturday=6. Reconstruct that exact
+    # numbering from the epoch day (1970-01-01 was a Thursday=4).
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    dow = F.pmod(epoch_day + 4, F.lit(7))
+    daily = ev.groupBy(F.to_date("ts").alias("day"), dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    from pyspark.sql import Window as W
+
+    whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    mean_daily = F.sum("tot").over(whole) / F.sum("n_days").over(whole)
+    return per_dow.select(
+        "dow",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round((F.col("tot") / F.col("n_days")) / mean_daily, 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+@query(
+    "events_burstiness",
+    since=4,
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, count(*) AS d, SUM(n) AS sn, SUM(n * n) AS snn
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(d AS BIGINT) AS n_days,
+           ROUND(CAST(d * snn - sn * sn AS DOUBLE) /
+                 CAST(d AS DOUBLE) / CAST(d AS DOUBLE) /
+                 (CAST(sn AS DOUBLE) / CAST(d AS DOUBLE)), 6) AS fano
+    FROM s
+    """,
+)
+def events_burstiness(spark, sf_dir):
+    """Burstiness per event type: the Fano factor (daily-count variance /
+    mean; 1 = Poisson arrivals, >1 = bursty) from integer-exact
+    sufficient statistics over the day-grain reduction — the float ops
+    are three divisions in a fixed order, bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    num = (F.col("d") * F.col("snn") - F.col("sn") * F.col("sn")).cast("double")
+    d = F.col("d").cast("double")
+    mean = F.col("sn").cast("double") / d
+    return s.select(
+        "event_type",
+        F.col("d").cast("bigint").alias("n_days"),
+        F.round(num / d / d / mean, 6).alias("fano"),
+    )
