@@ -1461,3 +1461,54 @@ def stream_psi_monitor(spark, sf_dir):
         monitor(b, epoch)
         monitor(b, epoch)  # replayed trigger must be a no-op
     return read_psi_metrics(spark, f"{base}/metrics")
+
+
+@query(
+    "stream_novelty_monitor",
+    since=4,
+    oracle="""
+    SELECT 0 AS epoch, CAST(count(*) AS BIGINT) AS n_new,
+           CAST(count(*) AS BIGINT) AS n_batch_keys
+    FROM customer WHERE c_custkey < 800
+    UNION ALL
+    SELECT 1,
+           (SELECT count(*) FROM customer
+             WHERE c_custkey >= 800 AND c_custkey < 1200),
+           count(*)
+    FROM customer WHERE c_custkey >= 400 AND c_custkey < 1200
+    UNION ALL
+    SELECT 2,
+           (SELECT count(*) FROM customer WHERE c_custkey >= 1200),
+           count(*)
+    FROM customer
+    """,
+)
+def stream_novelty_monitor(spark, sf_dir):
+    """Identity-drift monitoring at ingest (streaming/monitor.py
+    make_novelty_monitor): three overlapping key-range batches arrive;
+    the persisted Bloom of seen keys must credit each epoch exactly its
+    genuinely-new keys (no false negatives; the 32 KB filter's fp rate is
+    < 1e-9 per key at fixture cardinality, so the counts are exact).
+    Replayed triggers are no-ops (exercised in-query)."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_novelty_monitor,
+        read_psi_metrics,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_novelty_")
+    cust = load(spark, sf_dir, "customer")
+    monitor = make_novelty_monitor(
+        "c_custkey", f"{base}/metrics", f"{base}/state"
+    )
+    k = F.col("c_custkey")
+    batches = [
+        cust.filter(k < 800),
+        cust.filter((k >= 400) & (k < 1200)),
+        cust,
+    ]
+    for epoch, b in enumerate(batches):
+        monitor(b, epoch)
+        monitor(b, epoch)  # replayed trigger must be a no-op
+    return read_psi_metrics(spark, f"{base}/metrics")

@@ -89,3 +89,87 @@ def make_psi_monitor(
 
 def read_psi_metrics(spark, metrics_path: str) -> DataFrame:
     return spark.read.parquet(metrics_path)
+
+
+def make_novelty_monitor(
+    key_col: str,
+    metrics_path: str,
+    state_path: str,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 7,
+):
+    """Cardinality-novelty monitoring at ingest: per micro-batch, count
+    the batch's keys never seen on the stream before, against a PERSISTED
+    Bloom filter of all keys ever seen (kilobytes forever, regardless of
+    stream volume). A key-space shift — a producer emitting a new id range,
+    an upstream re-keying — shows up as a new-key spike on the trigger
+    that introduced it. Completes the ingest-monitor pair with
+    ``make_psi_monitor`` (value drift there, identity drift here).
+
+    No false negatives means a genuinely-new key is ALWAYS counted as
+    new; false positives undercount novelty by the filter's fp rate —
+    with the default 32 KB / 7-hash filter, < 1e-9 per key below ~10k
+    inserted keys, i.e. exact at any plausible per-key fixture and a
+    bounded undercount at scale (size ``m_bits`` to the expected key
+    cardinality, as with any Bloom deployment). State updates are
+    replay-guarded and the merged filter is rewritten only after the
+    metrics row derives from the PREVIOUS state (localCheckpoint fences
+    the self-overwrite)."""
+    from pyspark.errors import AnalysisException
+
+    from split_kinesis_streams_with_glue_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    marker = f"{metrics_path}/_last_epoch"
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = read_marker(spark, marker)
+        if last is not None and epoch_id <= last:
+            return
+        keys = batch_df.select(F.col(key_col).alias("__k")).distinct()
+        stored = None
+        try:
+            stored = spark.read.parquet(state_path).localCheckpoint(eager=True)
+        except AnalysisException:
+            pass  # first epoch: empty filter, everything is new
+        n_batch = keys.count()
+        if stored is None:
+            n_new = n_batch
+        else:
+            n_new = (
+                keys.crossJoin(F.broadcast(stored))
+                .filter(
+                    ~bloom_might_contain(
+                        F.col("bloom"), F.col("__k"), m_bits, k_hashes
+                    )
+                )
+                .count()
+            )
+        fresh = bloom_build(keys, "__k", m_bits, k_hashes)
+        if stored is None:
+            merged = fresh
+        else:
+            ents = (
+                fresh.select(F.explode("bloom").alias("word", "bits"))
+                .unionByName(stored.select(F.explode("bloom").alias("word", "bits")))
+                .groupBy("word")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+            merged = ents.agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("bloom"),
+                F.count(F.lit(1)).alias("n_words"),
+            )
+        merged = merged.localCheckpoint(eager=True)  # fence the self-overwrite
+        merged.write.mode("overwrite").parquet(state_path)
+        spark.createDataFrame(
+            [(int(epoch_id), int(n_new), int(n_batch))],
+            "epoch int, n_new bigint, n_batch_keys bigint",
+        ).write.mode("append").parquet(metrics_path)
+        write_marker(spark, marker, epoch_id)
+
+    return monitor
