@@ -21,42 +21,43 @@ from the actual never-checked set — ``set(REGISTRY) - keys(CORRECTNESS_r*)``
 ``tests/test_registry_rotation.py`` now fails the suite if the window would
 leave an oracle-backed query unverified.
 
-ROUND-4 WINDOW (derived by set-diff against CORRECTNESS_r01+r02+r03 — 25
-never-checked entries: 18 oracle-backed ``since=3`` + 7 rows-only — plus
-one previously-errored query and 24 staleness re-verifications):
+ROUND-5 WINDOW (derived by set-diff against CORRECTNESS_r01..r04 — exactly
+43 never-checked entries, all oracle-backed ``since=4``, plus one
+previously-errored query and 6 staleness re-verifications = 50 slots):
 
-1. the 18 oracle-backed round-3 operators that overflowed round 3's
-   window (the rotation test's planned one-round wait) — the layout /
-   Z-order family as a set, the derived-state streamers
-   (space-saving top-k, CMS heavy hitters, quantile sketch), the
-   quadratic-oracle dedup checks (``dedup_fuzzy_names_k2``,
-   ``pipeline_entity_resolution``), and the sampling/quality/profile/
-   time-travel tail;
-2. ``agg_listagg_ordered`` — round 3's single red row was a harness
-   artifact (pandas cannot canonicalize an ``array<string>`` column);
-   the array is now emitted as JSON text on both sides, so this
-   re-entry must come back green;
-3. the 7 never-checked rows-only sketches (inside the window so the
-   frontload invariant holds; several are upgraded to oracle-backed
-   contracts this round);
-4. 24 staleness re-verifications — the core families last driver-checked
-   in round 1 (CDC compaction, stream split, cube/rollup/grouping-sets,
-   the whole join family, windows, set ops) so every green claim rests on
-   evidence at most two rounds old. The other 25 round-1-only queries
-   (scan/format/choice/scalar-func/subquery tails) rotate in next round.
+1. the 43 oracle-backed round-4 operators that waited one round (the
+   rotation test's planned exemption): the CDC-derived-state family
+   (out-of-order tombstone merge, verified merge, SCD2 incremental,
+   join-view apply/symmetric, fingerprint buckets, Merkle diff,
+   point-in-time join, publish group-atomic, cdc optimize), the ingest
+   monitors (PSI stream/batch, Bloom novelty), the dedup/text wave
+   (incremental LSH index, PPJoin, containment, repeated passages,
+   SimHash-md5, semantic contract, triangle count, BM25, BPE pairs,
+   n-gram novelty, JL projection), the time-series family (interpolate,
+   regression slope, HLL sliding/intersection, co-occurrence lift,
+   Markov, mutual information, CUSUM, Holt, seasonal indices,
+   burstiness), and the profile/agg tail (distribution stats, exact
+   two-pass percentiles, equi-depth histogram, MAD outliers, correlation
+   matrix, CMS-size + Bloom-prefilter join contracts);
+2. ``agg_salted_skew`` — round 4's single red row: rows+schema matched
+   but the raw ``DECIMAL(38,2)`` output column hashed differently across
+   engines (the driver's canonicalizer, not the values — judge re-ran
+   and confirmed value-identical). Re-enters with the sum cast to DOUBLE
+   on BOTH sides per the repo's own ``decimal_money_math`` convention;
+3. 6 staleness re-verifications — family heads from the 25 queries whose
+   only driver row is round 1 (scan, formats, choice, scalar funcs,
+   subqueries, the pandas-UDF surface). The remaining 19 rotate next
+   round, when the never-checked backlog is zero.
 
-New round-4 queries are appended AFTER the window, tagged ``since=4`` —
+New round-5 queries are appended AFTER the window, tagged ``since=5`` —
 the "brand-new queries may wait one round" exemption both rotation tests
 encode.
 
-ROUND-5 ROTATION PRECOMPUTE (for the next regeneration): round 4
-registered 39 new oracle-backed ``since=4`` queries past the window —
-all already fresh-process-verified against DuckDB locally (SURVEY.md
-§11 evidence summary), but none will have a driver CORRECTNESS row
-until round 5. When CORRECTNESS_r04.json lands, regenerate
-``_VERIFY_PRIORITY`` from the set-diff as usual: the 39 plus the
-stalest earlier-round re-verifications fill the 50 slots; the overflow
-waits one round per the standing policy.
+ROUND-6 ROTATION PRECOMPUTE: after CORRECTNESS_r05 lands, the
+never-checked set should be exactly the ``since=5`` registrations; the
+50-slot window then takes those plus the 19 remaining round-1-only
+queries (and any round-5 red rows). Regenerate from the set-diff as
+usual — never hand-maintain the counts (rounds 2 and 4 both drifted).
 """
 
 from __future__ import annotations
@@ -71,67 +72,67 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 18 oracle-backed round-3 operators that waited one round ---
-    # layout/Z-order family verified as a set: bit-exact Morton oracles +
-    # the pruned-read == full-scan-filter equivalence, cross-engine
-    "layout_zorder_key",
-    "layout_zorder3_key",
-    "layout_stats_prune",
-    "maintenance_compact_files",
-    # derived-state streamers: sketch tables answering without fact rescans
-    "events_stream_topk",
-    "events_heavy_hitters_contract",
-    "events_quantile_sketch_contract",
-    # quadratic-oracle dedup evidence: blocking misses nothing
-    "dedup_fuzzy_names_k2",
-    "pipeline_entity_resolution",
-    "dedup_pagerank_centrality",
-    # decontamination / sampling / quality / profiling / time travel
-    "text_bloom_decontaminate",
-    "sample_cluster_safe_split",
-    "sample_weighted_pps",
-    "quality_k_anonymity",
-    "profile_documents",
-    "pipeline_publish_time_travel",
+    # --- the 43 oracle-backed round-4 operators that waited one round ---
+    # CDC derived-state family: merges, views, certificates
+    "cdc_merge_out_of_order",
+    "cdc_merge_verified",
+    "cdc_scd2_incremental",
+    "cdc_join_view_apply",
+    "cdc_join_view_symmetric",
+    "cdc_fingerprint_buckets",
+    "cdc_merkle_diff",
+    "join_point_in_time",
+    "pipeline_publish_group_atomic",
+    "pipeline_cdc_optimize",
+    # ingest monitors (exact per-epoch oracles, replay no-op in-query)
+    "stream_psi_monitor",
+    "stream_novelty_monitor",
+    "quality_psi_drift",
+    "quality_psi_categorical",
+    # dedup / text wave
+    "dedup_incremental_index",
+    "dedup_ppjoin_exact",
+    "dedup_containment_exact",
+    "dedup_repeated_passages",
+    "dedup_simhash_md5",
+    "dedup_semantic_contract",
+    "dedup_triangle_count",
+    "text_bm25_search",
+    "text_bpe_pairs",
+    "text_ngram_novelty",
+    "sim_random_projection",
+    # time-series family
+    "events_interpolate_gaps",
+    "events_regression_slope",
+    "events_hll_sliding_distinct",
+    "events_hll_intersection",
+    "events_cooccurrence_lift",
+    "events_markov_transitions",
+    "events_mutual_information",
+    "events_cusum_changepoint",
+    "events_holt_trend",
+    "events_seasonal_indices",
+    "events_burstiness",
+    # profile / aggregation tail + join contracts
+    "agg_distribution_stats",
+    "percentiles_exact_twopass",
+    "agg_equidepth_histogram",
+    "quality_mad_outliers",
+    "agg_correlation_matrix",
+    "join_cms_size_contract",
+    "join_bloom_prefilter",
+    # --- round 4's only red row: raw DECIMAL(38,2) output hashed
+    # differently across engines; re-enters with CAST AS DOUBLE both sides
+    # (repo convention, see decimal_money_math) ---
     "agg_salted_skew",
-    "events_ewma_trend",
-    # --- round 3's only red row: array<string> broke the driver's pandas
-    # canonicalizer; re-enters with the array emitted as JSON text ---
-    "agg_listagg_ordered",
-    # --- never-checked rows-only sketches (several upgraded to
-    # oracle-backed contracts this round) ---
-    "dedup_semantic",
-    "dedup_simhash",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "percentiles_approx",
-    "multimodal_frame_sample",
-    "multimodal_feature_ann",
-    # --- staleness re-verification: last driver-checked in round 1 ---
-    "cdc_compact_customer",
-    "stream_split_customer",
-    "q1_pricing_summary",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_count_distinct",
-    "agg_stats",
-    "join_broadcast_dims",
-    "join_left_with_empty",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross_small",
-    "join_range_events",
-    "window_rank_topn",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_ntile",
-    "topk_orders",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
+    # --- staleness re-verification: family heads last driver-checked in
+    # round 1 (the other 19 r1-only queries rotate in round 6) ---
+    "scan_limit",
+    "formats_csv_roundtrip",
+    "choice_resolution_totalprice",
+    "string_funcs",
+    "subquery_scalar",
+    "pandas_udf_revenue",
 ]
 
 

@@ -19,6 +19,14 @@ What it flags and why:
   empty while a ``Filter`` node sits directly on top of it referencing
   scanned columns: the predicate stayed in Spark instead of reaching the
   reader (typically a UDF or a non-deterministic expression in the way).
+- ``unpartitioned-window`` — a ``Window`` node with no PARTITION BY whose
+  input subtree is not already limit-bounded
+  (``TakeOrderedAndProject``/``CollectLimit``/``GlobalLimit``): every
+  input row funnels through a single task (``Exchange SinglePartition``).
+  Fine over a provably small frame (an n-bins CDF, a k-row centroid
+  table); a scale-killer over anything data-sized — the top-k cut must be
+  ``orderBy().limit()`` (a distributed ``TakeOrderedAndProject``), never a
+  global ``row_number()``.
 
 The linter reads the *executed* plan string when the frame has been
 collected under AQE (final plan), else the static physical plan. It is a
@@ -73,6 +81,72 @@ def lint_plan(df: DataFrame) -> list[str]:
                 )
                 break
 
+    # A Window with an empty partition spec funnels its whole input through
+    # one task. The plan line carries top-level bracket groups
+    # [functions], [partition], [order] — the partition group is omitted
+    # when empty, so a 2-group line is global IFF its second group is an
+    # order spec (sort directions present); a 2-group line whose second
+    # group is bare columns is partitionBy-without-orderBy, which scales.
+    # A group scan (not a regex) because window functions nest arbitrary
+    # bracketed expressions. The finding is suppressed when the window's
+    # own input subtree is limit-bounded — rank-over-top-k via
+    # orderBy().limit() is the sanctioned pattern and its k-row window is
+    # harmless.
+    lines = plan.splitlines()
+
+    def _depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1  # -1: root (no marker)
+
+    def _bracket_groups(s: str) -> list[str]:
+        groups: list[str] = []
+        depth = 0
+        start = -1
+        for i, ch in enumerate(s):
+            if ch == "[":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(s[start:i])
+                elif depth < 0:
+                    depth = 0
+        return groups
+
+    _order_spec = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)")
+
+    def _is_global_window(segment: str) -> bool:
+        groups = _bracket_groups(segment)
+        if len(groups) >= 3:  # [functions], [partition], [order]
+            return False
+        if len(groups) == 2:  # second group: order spec ⇒ no partition
+            return bool(_order_spec.search(groups[1]))
+        return len(groups) == 1  # functions only: neither partition nor order
+
+    bounded = re.compile(r"TakeOrderedAndProject|CollectLimit|GlobalLimit")
+    for i, ln in enumerate(lines):
+        m = re.search(r"(?:[+:]- |^)Window (\[.*)$", ln)
+        if not m or not _is_global_window(m.group(1)):
+            continue
+        wdepth = _depth(ln)
+        subtree_bounded = False
+        for j in range(i + 1, len(lines)):
+            if -1 < _depth(lines[j]) <= wdepth:
+                break  # left the window's subtree
+            if bounded.search(lines[j]):
+                subtree_bounded = True
+                break
+        if not subtree_bounded:
+            findings.append(
+                "unpartitioned-window: global Window with no PARTITION BY "
+                "and no bounding limit below it — all input rows pass "
+                "through a single task; use orderBy().limit() for top-k or "
+                "partition the window"
+            )
+            break
+
     # Filter above a scan whose PushedFilters is empty. The flag only fires
     # when the Filter is an ANCESTOR of the scan with nothing but projections
     # in between — an intervening aggregate/join/window means the Filter is
@@ -85,11 +159,6 @@ def lint_plan(df: DataFrame) -> list[str]:
         r"|Window|Generate|Expand|Union|AggregateInPandas|FlatMapGroupsInPandas"
     )
 
-    def _depth(line: str) -> int:
-        m = re.search(r"[+:]- ", line)
-        return m.start() if m else -1  # -1: root (no marker)
-
-    lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "PushedFilters: []" not in ln:
             continue

@@ -664,7 +664,7 @@ def maintenance_compact_files(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(MAX(l_orderkey) AS BIGINT) AS max_ok
     FROM lineitem
     GROUP BY l_returnflag
@@ -677,18 +677,23 @@ def agg_salted_skew(spark, sf_dir):
     salted form spreads every key across 32 partial cells first, then
     combines the (3 x 32)-row partials. Result provably equals the plain
     aggregation for algebraic aggregates — which is exactly what the
-    oracle checks. (DECIMAL sum: engine-exact, no float order dependence.)"""
+    oracle checks. The sum runs in DECIMAL (engine-exact, no float order
+    dependence) and the FINAL value is cast to DOUBLE on both sides: the
+    driver's hasher canonicalizes Spark and DuckDB decimals differently
+    (round 4's one red row), the same representability convention as
+    decimal_money_math (sql_queries.py)."""
     from split_kinesis_streams_with_glue_spark.operators.skew import salted_agg
 
     li = load(spark, sf_dir, "lineitem").withColumn(
         "__q", F.col("l_quantity").cast("decimal(18,2)")
     )
-    return salted_agg(
+    out = salted_agg(
         li,
         "l_returnflag",
         {"n": "count", "sum_qty": "sum:__q", "max_ok": "max:l_orderkey"},
         salt=32,
     )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
 @query(
