@@ -402,7 +402,16 @@ def make_fingerprinted_merger(
         )
         fp.write.mode("overwrite").partitionBy("__bucket").parquet(fp_path)
         write_text_marker(spark, f"{fp_path}/_schema", fp.schema.json())
-        for bucket in sorted(dirty_ids - surviving):
+        # Sweep fingerprint partitions for dirty buckets absent from the
+        # FINGERPRINT output, not from the row table: out-of-order mode
+        # keeps tombstones, so a bucket whose live rows were all deleted is
+        # still in `surviving` (its tombstones survive) yet emits no fp
+        # rows — sweeping dirty_ids - surviving would leave its stale
+        # fingerprint behind and the certificate would over-count. The
+        # census recomputation is bounded (`merged` is checkpointed;
+        # ≤ num_buckets rows come back).
+        present = {r[0] for r in fp.select("__bucket").distinct().collect()}
+        for bucket in sorted(dirty_ids - present):
             fs, part, _ = _fs_path(spark, f"{fp_path}/__bucket={bucket}")
             if fs.exists(part):
                 fs.delete(part, True)

@@ -70,7 +70,16 @@ def make_cdc_join_view_merger(
     DECIMAL for engine-exact money math); a COUNT of joined rows rides
     along. The dimension's CDC phases keep the view exact: updates change
     the dim columns ``value_expr``/``group_cols`` read, deletes remove all
-    of a key's joined contributions."""
+    of a key's joined contributions.
+
+    The dim table is bucketed by ``dim_key`` (NOT by the pk): the fact
+    side was laid out by ``pmod(xxhash64(fact_key), n)``, so the dirty-
+    bucket fact filter is only correct when the dim side buckets by the
+    JOIN key with the same function — with pk bucketing, any composite pk
+    (or a join on a non-pk column) would prune the WRONG fact partitions
+    and silently corrupt the partials. ``xxhash64`` is type-sensitive:
+    ``dim_key`` and ``fact_key`` must have identical types on both sides
+    (cast before ``bucket_copy`` if they differ)."""
 
     def on_merged(merged: DataFrame, dirty_ids: set, surviving: set) -> None:
         spark = merged.sparkSession
@@ -79,7 +88,12 @@ def make_cdc_join_view_merger(
             "__bucket", "__dim_bucket"
         )
         facts = spark.read.parquet(fact_path).filter(F.col("__bucket").isin(dirty))
-        joined = dim.join(facts, F.col(dim_key) == F.col(fact_key))
+        # alias both sides: with unaliased frames a shared key name (the
+        # common case — e.g. customer_id on both tables) makes
+        # F.col(dim_key) ambiguous and the merge raises AnalysisException
+        joined = dim.alias("d").join(
+            facts.alias("f"), F.col(f"d.{dim_key}") == F.col(f"f.{fact_key}")
+        )
         partials = joined.groupBy(
             F.col("__dim_bucket").alias("__bucket"), *group_cols
         ).agg(F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total"))
@@ -93,7 +107,10 @@ def make_cdc_join_view_merger(
             if fs.exists(part):
                 fs.delete(part, True)
 
-    return make_cdc_merger(path, table, pk_cols, num_buckets, on_merged=on_merged)
+    return make_cdc_merger(
+        path, table, pk_cols, num_buckets,
+        on_merged=on_merged, bucket_cols=[dim_key],
+    )
 
 
 def read_join_view(spark, agg_path: str, group_cols: list[str]) -> DataFrame:
@@ -164,7 +181,12 @@ def make_symmetric_join_view_mergers(
                 "timestamp", "operation"
             )
             r = right.drop("__bucket", "timestamp", "operation")
-            joined = l.join(r, F.col(left_key) == F.col(right_key))
+            # qualified join condition: when left_key == right_key (the
+            # common case) an unaliased F.col(key) == F.col(key) is
+            # ambiguous and raises at merge time
+            joined = l.alias("l").join(
+                r.alias("r"), F.col(f"l.{left_key}") == F.col(f"r.{right_key}")
+            )
             partials = joined.groupBy(
                 F.col("__b").alias("__bucket"), *group_cols
             ).agg(F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total"))

@@ -111,15 +111,26 @@ def make_novelty_monitor(
     with the default 32 KB / 7-hash filter, < 1e-9 per key below ~10k
     inserted keys, i.e. exact at any plausible per-key fixture and a
     bounded undercount at scale (size ``m_bits`` to the expected key
-    cardinality, as with any Bloom deployment). State updates are
-    replay-guarded and the merged filter is rewritten only after the
-    metrics row derives from the PREVIOUS state (localCheckpoint fences
-    the self-overwrite)."""
-    from pyspark.errors import AnalysisException
+    cardinality, as with any Bloom deployment).
 
+    Replay contract (the round-4 verdict's crash-window fix): the Bloom
+    state is STAGED to a versioned slot ``{state_path}/__v={epoch}`` and
+    the epoch marker commits LAST, so the committed state — what the next
+    epoch (or a replay) reads — never changes until the whole epoch is
+    durable. A crash anywhere inside the epoch leaves the previous
+    committed version intact, and the replayed trigger recomputes the
+    IDENTICAL ``n_new`` against it (the old in-place overwrite made a
+    replay see the already-merged filter and record ``n_new = 0``). The
+    metrics row is likewise idempotent: one ``epoch=N`` partition,
+    overwritten (not appended) on replay, so a crash after the metrics
+    write duplicates nothing. Superseded state versions are GC'd after
+    the marker commit."""
     from split_kinesis_streams_with_glue_spark.operators.sketches import (
         bloom_build,
         bloom_might_contain,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.markers import (
+        _fs as _fs_path,
     )
 
     marker = f"{metrics_path}/_last_epoch"
@@ -130,11 +141,15 @@ def make_novelty_monitor(
         if last is not None and epoch_id <= last:
             return
         keys = batch_df.select(F.col(key_col).alias("__k")).distinct()
-        stored = None
-        try:
-            stored = spark.read.parquet(state_path).localCheckpoint(eager=True)
-        except AnalysisException:
-            pass  # first epoch: empty filter, everything is new
+        # read the last COMMITTED state version — present iff a marker is
+        # (the marker commits after the version is written, never before)
+        stored = (
+            spark.read.parquet(f"{state_path}/__v={int(last)}").localCheckpoint(
+                eager=True
+            )
+            if last is not None
+            else None
+        )
         n_batch = keys.count()
         if stored is None:
             n_new = n_batch
@@ -164,12 +179,20 @@ def make_novelty_monitor(
                 ).alias("bloom"),
                 F.count(F.lit(1)).alias("n_words"),
             )
-        merged = merged.localCheckpoint(eager=True)  # fence the self-overwrite
-        merged.write.mode("overwrite").parquet(state_path)
+        # stage: the committed version (__v=last) is never touched, so any
+        # crash from here on replays against unchanged state
+        merged.write.mode("overwrite").parquet(f"{state_path}/__v={int(epoch_id)}")
         spark.createDataFrame(
-            [(int(epoch_id), int(n_new), int(n_batch))],
-            "epoch int, n_new bigint, n_batch_keys bigint",
-        ).write.mode("append").parquet(metrics_path)
-        write_marker(spark, marker, epoch_id)
+            [(int(n_new), int(n_batch))], "n_new bigint, n_batch_keys bigint"
+        ).write.mode("overwrite").parquet(f"{metrics_path}/epoch={int(epoch_id)}")
+        write_marker(spark, marker, epoch_id)  # commit point
+        # GC superseded versions (idempotent; a crash here only leaves a
+        # kilobyte-sized orphan that the next epoch's sweep removes)
+        fs, root, _ = _fs_path(spark, state_path)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("__v=") and name != f"__v={int(epoch_id)}":
+                    fs.delete(st.getPath(), True)
 
     return monitor

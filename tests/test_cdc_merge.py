@@ -536,3 +536,66 @@ def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path):
         ["c_custkey"],
     )
     assert _sorted_rows(got) == _sorted_rows(want.select(*got.columns))
+
+
+def test_fingerprint_sweeps_tombstone_only_buckets_out_of_order(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r4 (high): with out_of_order=True, a dirty bucket whose live
+    rows are ALL deleted still holds tombstones — it survives in the row
+    table, but the fingerprint (live rows only) emits no replacement rows
+    for it. Sweeping dirty - surviving skipped exactly that bucket, so its
+    stale fingerprint partition persisted and read_fingerprint over-counted
+    (reproduced upstream as n_rows=129 for a 128-row table). The sweep must
+    key off the buckets PRESENT IN THE FINGERPRINT OUTPUT instead."""
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+    from split_kinesis_streams_with_glue_spark.operators.diff import row_hash_expr
+    from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
+        make_fingerprinted_merger,
+        read_fingerprint,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    n_buckets = 8
+    bucket = F.pmod(F.xxhash64("c_custkey"), F.lit(n_buckets))
+    target = int(
+        cust.select(bucket.alias("b")).groupBy("b").count().orderBy("b").first()["b"]
+    )
+    tbl, fp = str(tmp_path / "tbl"), str(tmp_path / "fp")
+    repr_cols = [F.col("c_custkey"), F.col("c_name")]
+    merge = make_fingerprinted_merger(
+        tbl, fp, "customer", ["c_custkey"], repr_cols,
+        num_buckets=n_buckets, out_of_order=True,
+    )
+    merge(wrap(cust, "customer", "load", seq=F.lit(0)), 0)
+    # delete EVERY key of the target bucket, later event time: the bucket
+    # keeps only tombstones afterwards
+    doomed = cust.filter(bucket == target)
+    assert doomed.count() > 0
+    merge(wrap(doomed, "customer", "delete", seq=F.lit(3)), 1)
+
+    raw = spark.read.option("mergeSchema", "true").parquet(tbl)
+    assert (
+        raw.filter(F.col("__bucket") == target)
+        .filter(F.col("operation") != "delete")
+        .count()
+        == 0
+    ), "test setup: the target bucket must hold only tombstones"
+
+    cert = read_fingerprint(spark, fp).collect()[0]
+    scratch = (
+        read_table(spark, tbl)
+        .select(row_hash_expr(repr_cols).alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("h").cast("decimal(38,0)").alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (cert["n_rows"], cert["checksum"]) == (scratch["n"], scratch["c"]), (
+        "fingerprint must not retain the stale partition of a "
+        "tombstone-only bucket"
+    )
+    assert not os.path.isdir(os.path.join(fp, f"__bucket={target}"))

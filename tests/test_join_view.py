@@ -230,3 +230,144 @@ def test_join_view_stream_end_to_end(spark, sf_dir, tmp_path):
         for r in read_join_view(spark, str(tmp_path / "agg"), ["c_mktsegment"]).collect()
     }
     assert got == want
+
+
+def test_join_view_non_pk_join_key_buckets_by_the_key(spark, sf_dir, tmp_path):
+    """ADVICE r4 (medium): the dim table must bucket by the JOIN key, not
+    the pk — here the streamed side is orders (pk o_orderkey) joined on
+    o_custkey to a customer fact table bucketed by c_custkey. With pk
+    bucketing, the dirty-bucket fact filter prunes the WRONG customer
+    partitions and the partials silently corrupt; keyed bucketing keeps
+    the view exact through every CDC phase."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    facts = str(tmp_path / "cust_facts")
+    bucket_copy(cust, "c_custkey", facts, 8)
+    oenv = generate_cdc_envelopes(spark, sf_dir, "orders", "o_orderkey", "o_totalprice")
+    value = F.col("o_totalprice").cast("decimal(18,2)")
+    merge = make_cdc_join_view_merger(
+        str(tmp_path / "tbl"),
+        str(tmp_path / "agg"),
+        facts,
+        "orders",
+        ["o_orderkey"],          # pk != join key — the bug's trigger
+        dim_key="o_custkey",
+        fact_key="c_custkey",
+        group_cols=["c_mktsegment"],
+        value_expr=value,
+        num_buckets=8,
+    )
+    op = F.col("metadata.operation")
+    for epoch, phase in enumerate(["load", "update", "delete"]):
+        merge(oenv.filter(op == phase), epoch)
+        dim = read_table(spark, str(tmp_path / "tbl"))
+        want = {
+            (r["c_mktsegment"], r["n"], r["total"])
+            for r in dim.join(cust, dim["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(value).alias("total"),
+            )
+            .collect()
+        }
+        got = {
+            (r["c_mktsegment"], r["n"], r["total"])
+            for r in read_join_view(
+                spark, str(tmp_path / "agg"), ["c_mktsegment"]
+            ).collect()
+        }
+        assert got == want, f"epoch {epoch} ({phase}) diverged"
+
+
+def test_join_view_shared_key_name_is_not_ambiguous(spark, sf_dir, tmp_path):
+    """ADVICE r4 (low): when both sides use the SAME key column name (the
+    common case — customer_id on both tables), the unaliased join condition
+    was ambiguous and raised AnalysisException at merge time. The aliased
+    join must run and stay exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"),  # shared name on purpose
+        "o_totalprice",
+    )
+    facts = str(tmp_path / "facts")
+    bucket_copy(orders, "c_custkey", facts, 8)
+    cenv = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    value = F.col("o_totalprice").cast("decimal(18,2)")
+    merge = make_cdc_join_view_merger(
+        str(tmp_path / "tbl"),
+        str(tmp_path / "agg"),
+        facts,
+        "customer",
+        ["c_custkey"],
+        dim_key="c_custkey",
+        fact_key="c_custkey",
+        group_cols=["c_mktsegment"],
+        value_expr=value,
+        num_buckets=8,
+    )
+    op = F.col("metadata.operation")
+    for epoch, phase in enumerate(["load", "delete"]):
+        merge(cenv.filter(op == phase), epoch)
+    dim = read_table(spark, str(tmp_path / "tbl"))
+    want = {
+        (r["c_mktsegment"], r["n"], r["total"])
+        for r in dim.alias("d")
+        .join(orders.alias("f"), F.col("d.c_custkey") == F.col("f.c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum(value).alias("total"))
+        .collect()
+    }
+    got = {
+        (r["c_mktsegment"], r["n"], r["total"])
+        for r in read_join_view(spark, str(tmp_path / "agg"), ["c_mktsegment"]).collect()
+    }
+    assert got == want
+
+
+def test_symmetric_join_view_shared_key_name(spark, sf_dir, tmp_path):
+    """Symmetric mergers with left_key == right_key: the qualified join
+    condition must resolve (the unaliased form raised), and the view stays
+    exact as both streams apply their loads."""
+    from split_kinesis_streams_with_glue_spark.envelope import wrap
+    from split_kinesis_streams_with_glue_spark.streaming.join_view import (
+        make_symmetric_join_view_mergers,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),  # shared name on purpose
+        "o_totalprice",
+    )
+    cust_p, ord_p, agg = (
+        str(tmp_path / "cust"),
+        str(tmp_path / "ord"),
+        str(tmp_path / "agg"),
+    )
+    value = F.col("o_totalprice").cast("decimal(18,2)")
+    lm, rm = make_symmetric_join_view_mergers(
+        cust_p, ord_p, agg, "customer", "orders",
+        ["c_custkey"], ["o_orderkey"],
+        left_key="c_custkey", right_key="c_custkey",
+        group_cols=["c_mktsegment"], value_expr=value, num_buckets=8,
+    )
+    lm(wrap(cust, "customer", "load", seq=F.lit(0)), 0)
+    rm(wrap(orders, "orders", "load", seq=F.lit(0)), 0)
+    want = {
+        (r["c_mktsegment"], r["n"], r["total"])
+        for r in cust.alias("l")
+        .join(orders.alias("r"), F.col("l.c_custkey") == F.col("r.c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum(value).alias("total"))
+        .collect()
+    }
+    got = {
+        (r["c_mktsegment"], r["n"], r["total"])
+        for r in read_join_view(spark, agg, ["c_mktsegment"]).collect()
+    }
+    assert got == want

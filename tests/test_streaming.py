@@ -409,3 +409,63 @@ def test_psi_monitor_empty_batch_and_replay(spark, sf_dir, tmp_path):
     assert set(rows) == {0, 1}
     assert rows[0]["n_rows"] == 0 and rows[0]["drifted"]
     assert rows[1]["psi"] == 0.0 and not rows[1]["drifted"]
+
+
+def test_novelty_monitor_counts_replays_and_partial_failure(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """make_novelty_monitor (ADVICE r4 medium + VERDICT item 4): exact
+    per-epoch new-key counts across overlapping batches; a replayed
+    trigger is a no-op; and — the crash-window fix — an epoch that dies
+    AFTER staging its Bloom state but BEFORE its marker commits must
+    recompute the identical n_new on redelivery (the old in-place state
+    overwrite made the replay see the merged filter and record n_new=0)."""
+    from pyspark.sql import functions as F
+
+    import split_kinesis_streams_with_glue_spark.streaming.monitor as mon
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    metrics, state = str(tmp_path / "metrics"), str(tmp_path / "state")
+    monitor = mon.make_novelty_monitor("c_custkey", metrics, state)
+
+    n_lt_800 = cust.filter(k < 800).count()
+    n_800_1200 = cust.filter((k >= 800) & (k < 1200)).count()
+
+    monitor(cust.filter(k < 800), 0)
+    monitor(cust.filter(k < 800), 0)  # replay: no-op
+
+    # epoch 1 crashes between the state stage and the marker commit
+    real_write_marker = mon.write_marker
+
+    def crash_before_marker(spark_, marker_path, epoch_id):
+        raise RuntimeError("injected crash before marker commit")
+
+    monkeypatch.setattr(mon, "write_marker", crash_before_marker)
+    batch1 = cust.filter((k >= 400) & (k < 1200))
+    try:
+        monitor(batch1, 1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(mon, "write_marker", real_write_marker)
+
+    # redelivery: must count against the COMMITTED epoch-0 state
+    monitor(batch1, 1)
+
+    rows = {r["epoch"]: r for r in mon.read_psi_metrics(spark, metrics).collect()}
+    assert set(rows) == {0, 1}, "one metrics row per epoch — no duplicates"
+    assert rows[0]["n_new"] == n_lt_800
+    assert rows[1]["n_new"] == n_800_1200, (
+        "replay after partial failure must re-derive n_new from the last "
+        "COMMITTED state, not the staged one"
+    )
+    assert rows[1]["n_batch_keys"] == batch1.count()
+
+    # epoch 2: everything beyond 1200 is new; superseded versions GC'd
+    monitor(cust, 2)
+    rows = {r["epoch"]: r for r in mon.read_psi_metrics(spark, metrics).collect()}
+    assert rows[2]["n_new"] == cust.filter(k >= 1200).count()
+    import os as _os
+
+    versions = [d for d in _os.listdir(state) if d.startswith("__v=")]
+    assert versions == ["__v=2"], f"superseded state versions not GC'd: {versions}"
