@@ -425,3 +425,137 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(top_n)
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models", §A1.1) — the standard cheap gate a pretraining pipeline runs
+    before any model-based scoring. Per document, each rule emits its own
+    boolean (so rejects are attributable) plus the conjunction ``keep``:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (``#`` or ``...``) below max_symbol_ratio
+    - fraction of words containing an alphabetic char above
+      min_alpha_word_frac
+    - at least ``min_stopword_hits`` distinct common stopwords present
+    - fraction of lines starting with a bullet below max_bullet_line_frac
+      and ending with an ellipsis below max_ellipsis_line_frac
+
+    All rules are single-pass Column expressions over the row (token and
+    line arrays never leave the row) — zero shuffles, zero UDFs; the plan
+    is a projection that scales to any corpus size."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    mean_wl = (F.length(F.col(text_col)) - n_words + 1) / n_words1
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop = F.array([F.lit(w) for w in
+                    ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines1
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / n_lines1
+    )
+    return df.withColumns(
+        {
+            "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+            "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len),
+            "rule_symbol_ratio": (n_symbols / n_words1) < max_symbol_ratio,
+            "rule_alpha_words": (n_alpha_words / n_words1) > min_alpha_word_frac,
+            "rule_stopwords": n_stop_distinct >= min_stopword_hits,
+            "rule_lines": (bullet_frac < max_bullet_line_frac)
+            & (ellipsis_frac < max_ellipsis_line_frac),
+        }
+    ).withColumn(
+        "keep",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords")
+        & F.col("rule_lines"),
+    )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Zipf's-law fit over the corpus term distribution: OLS slope of
+    ln(freq) against ln(rank) for the top-``k`` terms (count-desc, term-asc
+    tiebreak). Natural text sits near -1; heavily duplicated or synthetic
+    corpora drift away — a one-number corpus-health signal.
+
+    Scale shape: the term counts are one map-side-combining aggregation;
+    the top-k cut is orderBy().limit() (TakeOrderedAndProject, a
+    distributed top-k — never a global row_number over the vocabulary);
+    ranks attach to the k surviving rows only; the fit is covar_pop/var_pop
+    on a k-row frame. Returns one row (slope, n_terms)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("w")).limit(k)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))),
+    )
+    return ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    ).agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility per language: corpus-level tokens-per-word
+    (regex "BPE-ish" tokens over whitespace words) and chars-per-token —
+    the standard multilingual-tokenizer efficiency report (a language
+    whose fertility is 2x another's pays 2x the sequence length for the
+    same text). Corpus-level ratios (sum/sum, not mean-of-ratios) so short
+    documents don't dominate. One scan, one shuffle on the language key."""
+    toks = token_counts(df, text_col)
+    return (
+        toks.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens")
+                / F.greatest(F.sum("n_ws_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars_computed")
+                / F.greatest(F.sum("n_bpe_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -75,3 +75,85 @@ def interpolate_gaps(
         filled.alias(value_col),
         F.col("__v").isNull().alias("interpolated"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of a daily series at lags
+    1..``max_lag``: acf(k) = sum((x_t - mu)(x_{t+k} - mu)) / sum((x_t -
+    mu)^2), with the full-series mean and denominator (the standard
+    sample ACF). The one-number-per-lag seasonality detector: a weekly
+    cycle shows as a spike at lag 7.
+
+    ``series`` is the already-aggregated (day, value) frame — bounded by
+    the calendar, not the corpus — so the self-join on the day offset and
+    the 1-row stats broadcast are metadata-sized at any fact-table scale.
+    Lag pairs come from an equi-join on ``date_add``, never a global
+    window."""
+    # two-pass: mean first (1 row), then centered moments against it
+    mu = series.agg(F.avg(value_col).alias("__mu"))
+    centered = series.crossJoin(F.broadcast(mu)).select(
+        F.col(day_col).alias("__d"),
+        (F.col(value_col) - F.col("__mu")).alias("__c"),
+    )
+    denom = centered.agg(F.sum(F.col("__c") * F.col("__c")).alias("__denom"))
+    lags = series.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        centered.crossJoin(F.broadcast(lags))
+        .alias("a")
+        .join(
+            centered.select(
+                F.col("__d").alias("__d2"), F.col("__c").alias("__c2")
+            ).alias("b"),
+            F.expr("date_add(a.__d, a.lag) = b.__d2"),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(F.sum(F.col("__c") * F.col("__c2")).alias("__num"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            F.round(F.col("__num") / F.col("__denom"), 6).alias("acf"),
+        )
+    )
+
+
+def theil_sen_slope(
+    series: DataFrame, t_col: str = "t", value_col: str = "x"
+) -> DataFrame:
+    """Theil–Sen robust trend estimate over a (t, x) series: the MEDIAN of
+    all pairwise slopes (x_j - x_i)/(t_j - t_i), i < j — unlike the OLS
+    slope (``events_regression_slope``), up to ~29% of the points can be
+    arbitrary outliers without moving it.
+
+    The pair enumeration is quadratic IN THE SERIES LENGTH — which is the
+    day-grain aggregate (90 days -> ~4k pairs), not the fact table, so the
+    cross join is calendar-bounded at any corpus size. Returns one row
+    (slope, n_pairs)."""
+    a = series.select(
+        F.col(t_col).cast("double").alias("__t1"),
+        F.col(value_col).cast("double").alias("__x1"),
+    )
+    b = series.select(
+        F.col(t_col).cast("double").alias("__t2"),
+        F.col(value_col).cast("double").alias("__x2"),
+    )
+    slopes = (
+        a.join(b, F.col("__t2") > F.col("__t1"))
+        .select(
+            ((F.col("__x2") - F.col("__x1")) / (F.col("__t2") - F.col("__t1"))).alias(
+                "__slope"
+            )
+        )
+    )
+    return slopes.agg(
+        F.round(F.expr("percentile(__slope, 0.5)"), 6).alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )

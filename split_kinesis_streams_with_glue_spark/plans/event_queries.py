@@ -1476,3 +1476,88 @@ def events_burstiness(spark, sf_dir):
         F.col("d").cast("bigint").alias("n_days"),
         F.round(num / d / d / mean, 6).alias("fano"),
     )
+
+
+@query(
+    since=5,
+    name="events_acf",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT AVG(x) AS mu FROM s),
+    c AS (SELECT d, x - mu AS cdev FROM s CROSS JOIN m),
+    den AS (SELECT SUM(cdev * cdev) AS denom FROM c),
+    l AS (SELECT CAST(UNNEST(range(1, 8)) AS INTEGER) AS lag),
+    p AS (
+      SELECT l.lag, a.cdev * b.cdev AS prod
+      FROM c a CROSS JOIN l JOIN c b ON b.d = a.d + l.lag
+    )
+    SELECT lag, ROUND(SUM(prod) / (SELECT denom FROM den), 6) AS acf
+    FROM p GROUP BY lag
+    """,
+)
+def events_acf(spark, sf_dir):
+    """Sample autocorrelation of the daily event-count series at lags 1-7
+    (operators/timeseries.py autocorrelation): the weekly cycle planted in
+    the fixture surfaces as the lag-7 spike — the one-query seasonality
+    detector that tells a pipeline WHICH period its rollups should use.
+    All heavy work is the day-grain reduction; the ACF itself runs on the
+    calendar-bounded series via an equi-join on date_add (no global
+    window), with the mean/denominator as 1-row broadcasts."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return autocorrelation(series, "day", "x", max_lag=7)
+
+
+@query(
+    since=5,
+    name="events_theil_sen",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(d - (SELECT MIN(d) FROM s) AS DOUBLE) AS t, x FROM s
+    ),
+    p AS (
+      SELECT (b.x - a.x) / (b.t - a.t) AS slope
+      FROM t a JOIN t b ON b.t > a.t
+    )
+    SELECT ROUND(MEDIAN(slope), 6) AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p
+    """,
+)
+def events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of the daily event-count series
+    (operators/timeseries.py theil_sen_slope): the median of all pairwise
+    slopes — the outlier-proof companion to events_regression_slope (OLS),
+    unmoved by up to ~29% arbitrary spike days. The quadratic pair set is
+    over the CALENDAR (d days -> d(d-1)/2 pairs), not the corpus, so the
+    cross join is metadata-sized at any fact-table scale. Slopes are exact
+    rationals of integer counts/day-offsets, so the median is
+    engine-exact; both engines interpolate even-length medians the same
+    way."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    mind = s.agg(F.min("d").alias("__d0"))
+    series = s.crossJoin(F.broadcast(mind)).select(
+        F.datediff("d", "__d0").cast("double").alias("t"), "x"
+    )
+    return theil_sen_slope(series, "t", "x")

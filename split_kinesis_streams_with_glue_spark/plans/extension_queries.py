@@ -1711,3 +1711,141 @@ def dedup_triangle_count(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     edges = fuzzy_pairs(c, "c_name", id_col="c_custkey").select("d1", "d2")
     return triangle_count(edges)
+
+
+@query(
+    since=5,
+    name="quality_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS nw,
+             GREATEST(len(toks), 1) AS nw1,
+             (length(text) - len(toks) + 1) * 1.0
+               / GREATEST(len(toks), 1) AS mwl,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS nsym,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS nalpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(toks, s))) AS nstop,
+             GREATEST(len(lines), 1) AS nl1,
+             len(list_filter(lines,
+                 l -> regexp_matches(trim(l), '^[-*•]'))) AS nbullet,
+             len(list_filter(lines,
+                 l -> regexp_matches(trim(l), '\.\.\.$'))) AS nellip
+      FROM t
+    )
+    SELECT doc_id,
+           nw >= 50 AND nw <= 100000 AS rule_word_count,
+           mwl >= 3.0 AND mwl <= 10.0 AS rule_mean_word_len,
+           nsym * 1.0 / nw1 < 0.1 AS rule_symbol_ratio,
+           nalpha * 1.0 / nw1 > 0.8 AS rule_alpha_words,
+           nstop >= 2 AS rule_stopwords,
+           (nbullet * 1.0 / nl1 < 0.9 AND nellip * 1.0 / nl1 < 0.3)
+             AS rule_lines,
+           (nw >= 50 AND nw <= 100000)
+             AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (nsym * 1.0 / nw1 < 0.1)
+             AND (nalpha * 1.0 / nw1 > 0.8)
+             AND (nstop >= 2)
+             AND (nbullet * 1.0 / nl1 < 0.9 AND nellip * 1.0 / nl1 < 0.3)
+             AS keep
+    FROM m
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher quality gate (operators/text.py gopher_rules; Rae et al.
+    2021 §A1.1): the six standard pretraining document filters as
+    attributable per-rule booleans plus the conjunction — run before any
+    model-based scoring because it is a pure single-pass projection (token
+    and line arrays never leave the row; zero shuffles, zero UDFs)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "rule_lines",
+        "keep",
+    )
+
+
+@query(
+    since=5,
+    name="text_zipf_slope",
+    oracle=r"""
+    WITH words AS (
+      SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    c AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+    top AS (
+      SELECT c, rank FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank FROM c
+      ) WHERE rank <= 100
+    )
+    SELECT ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+             AS slope,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM top
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus term distribution (operators/text.py
+    zipf_slope): OLS slope of ln(freq) ~ ln(rank) over the top-100 terms.
+    Natural text sits near -1; duplicated or template-generated corpora
+    drift — a one-number corpus-health check. The top-k cut is
+    orderBy().limit() (distributed TakeOrderedAndProject), never a global
+    row_number over the vocabulary; the regression runs on the 100
+    survivors (covar_pop/var_pop — the same estimator as the oracle's
+    regr_slope)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import zipf_slope
+
+    return zipf_slope(load(spark, sf_dir, "documents"), k=100)
+
+
+@query(
+    since=5,
+    name="text_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+               AS nw,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS nb,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_words,
+           CAST(SUM(nb) AS BIGINT) AS n_tokens,
+           ROUND(SUM(nb) * 1.0 / GREATEST(SUM(nw), 1), 6) AS fertility,
+           ROUND(SUM(nc) * 1.0 / GREATEST(SUM(nb), 1), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility report (operators/text.py
+    tokenizer_fertility): corpus-level tokens-per-word and chars-per-token
+    by language — the standard multilingual efficiency audit (a language
+    at 2x fertility pays 2x sequence length for the same text, which is a
+    2x training-cost skew the sampler must know about). Sum/sum ratios so
+    short docs don't dominate; one scan, one shuffle on the language
+    key."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(load(spark, sf_dir, "documents"))

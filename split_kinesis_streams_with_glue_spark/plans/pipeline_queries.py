@@ -1512,3 +1512,83 @@ def stream_novelty_monitor(spark, sf_dir):
         monitor(b, epoch)
         monitor(b, epoch)  # replayed trigger must be a no-op
     return read_psi_metrics(spark, f"{base}/metrics")
+
+
+@query(
+    "stream_ewma_monitor",
+    since=5,
+    oracle="""
+    WITH b0 AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS m, COUNT(c_acctbal) AS n
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    b1 AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS m, COUNT(c_acctbal) AS n
+      FROM customer WHERE c_custkey % 3 = 1
+    ),
+    b2 AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS m, COUNT(c_acctbal) AS n
+      FROM customer
+    )
+    SELECT 0 AS epoch, ROUND(b0.m, 6) AS batch_mean, ROUND(b0.m, 6) AS ewma,
+           CAST(NULL AS DOUBLE) AS deviation, FALSE AS alarm,
+           CAST(b0.n AS BIGINT) AS n_rows
+    FROM b0
+    UNION ALL
+    SELECT 1, ROUND(b1.m, 6), ROUND(0.5 * b1.m + 0.5 * b0.m, 6),
+           ROUND(ABS(b1.m - b0.m), 6), ABS(b1.m - b0.m) > 50.0,
+           CAST(b1.n AS BIGINT)
+    FROM b0, b1
+    UNION ALL
+    SELECT 2, ROUND(b2.m, 6),
+           ROUND(0.5 * b2.m + 0.5 * (0.5 * b1.m + 0.5 * b0.m), 6),
+           ROUND(ABS(b2.m - (0.5 * b1.m + 0.5 * b0.m)), 6),
+           ABS(b2.m - (0.5 * b1.m + 0.5 * b0.m)) > 50.0,
+           CAST(b2.n AS BIGINT)
+    FROM b0, b1, b2
+    """,
+)
+def stream_ewma_monitor(spark, sf_dir):
+    """Level-shift monitoring at ingest (streaming/monitor.py
+    make_ewma_monitor): per micro-batch, the exact-DECIMAL batch mean of
+    c_acctbal scored against the EWMA of all previous batch means —
+    completing the ingest-monitor family (PSI = distribution, novelty =
+    identity, EWMA = level). alpha = 0.5 so every fold is an exact binary
+    operation on both engines; the oracle recomputes the three-epoch
+    recursion in closed form. Replayed triggers are no-ops (exercised
+    in-query); state commits versioned-slot / marker-last."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_ewma_monitor,
+        read_psi_metrics,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_ewma_")
+    cust = load(spark, sf_dir, "customer")
+    monitor = make_ewma_monitor(
+        "c_acctbal", f"{base}/metrics", f"{base}/state",
+        alpha=0.5, threshold=50.0,
+    )
+    k = F.col("c_custkey")
+    # modulo batches: non-empty at EVERY scale factor (range-based splits
+    # empty out at sf0.001, where c_custkey only reaches 150)
+    batches = [
+        cust.filter(k % 3 == 0),
+        cust.filter(k % 3 == 1),
+        cust,
+    ]
+    for epoch, b in enumerate(batches):
+        monitor(b, epoch)
+        monitor(b, epoch)  # replayed trigger must be a no-op
+    return read_psi_metrics(spark, f"{base}/metrics").select(
+        "epoch",
+        F.round("batch_mean", 6).alias("batch_mean"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("deviation", 6).alias("deviation"),
+        "alarm",
+        "n_rows",
+    )

@@ -1306,3 +1306,83 @@ def agg_correlation_matrix(spark, sf_dir):
         .unionByName(corr_row("quantity_discount", "sqd", "sq", "sd", "sqq", "sdd"))
         .unionByName(corr_row("price_discount", "spd", "sp", "sd", "spp", "sdd"))
     )
+
+
+@query(
+    since=5,
+    name="quality_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    f AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM f)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / total, 6) AS obs_frac,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS exp_frac
+    FROM f CROSS JOIN t
+    """,
+)
+def quality_benford_digits(spark, sf_dir):
+    """Benford first-digit audit of order totals
+    (operators/quality_checks.py benford_first_digit): observed
+    first-significant-digit frequencies against log10(1 + 1/d) — the
+    classic fabricated-feed detector for financial-style magnitudes. The
+    digit comes from the integer part's decimal STRING (engine-exact;
+    float log10 an ulp under a power of ten would misbin boundary
+    values). One aggregation pass; the 1-row total broadcasts; <= 9 output
+    rows."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        benford_first_digit,
+    )
+
+    return benford_first_digit(load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    since=5,
+    name="join_dpp_dates",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, value FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM f
+    WHERE EXTRACT(DAY FROM day) <= 5
+    GROUP BY day
+    """,
+)
+def join_dpp_dates(spark, sf_dir):
+    """Dynamic partition pruning end-to-end: the events table is laid out
+    Hive-partitioned by day (the standard fact layout), and a dim-side
+    selective filter (days-of-month 1-5) reaches the FACT SCAN through the
+    join at runtime — Catalyst plants a dynamicpruningexpression subquery
+    on the partition column, so the scan lists only the matching
+    partition directories instead of reading 100 TB and filtering after
+    the join. tests/test_plans.py asserts the pruning subquery is in the
+    physical plan; the oracle checks the join's semantics (the dim is
+    exactly the distinct qualifying days, so the join IS the filter)."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = tempfile.mkdtemp(prefix="sgs_dpp_") + "/events_by_day"
+    ev.select("event_id", "value", "day").write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("day")
+        .distinct()
+        .filter(F.dayofmonth("day") <= 5)  # the selective dim predicate
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

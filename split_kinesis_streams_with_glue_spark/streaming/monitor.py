@@ -196,3 +196,82 @@ def make_novelty_monitor(
                     fs.delete(st.getPath(), True)
 
     return monitor
+
+
+def make_ewma_monitor(
+    value_col: str,
+    metrics_path: str,
+    state_path: str,
+    alpha: float = 0.3,
+    threshold: float | None = None,
+    decimal_scale: int = 2,
+):
+    """Level-shift monitoring at ingest: per micro-batch, the batch mean of
+    ``value_col`` is scored against an exponentially weighted moving
+    average of all previous batch means — the third ingest monitor,
+    completing the family (PSI = distribution drift, Bloom novelty =
+    identity drift, EWMA = level drift: a fee change, a unit mix-up, a
+    constant-output producer show up on the trigger that introduced them).
+
+    ``threshold`` (absolute) arms the alarm: ``alarm = |batch_mean -
+    prev_ewma| > threshold`` (first epoch never alarms — there is no
+    baseline yet). The batch mean is computed as an exact DECIMAL sum
+    divided by the count, so it is engine- and partition-order-exact.
+
+    State is one (ewma, n_epochs) row, committed with the same
+    versioned-slot / marker-last protocol as ``make_novelty_monitor``:
+    stage to ``{state_path}/__v={epoch}``, overwrite the idempotent
+    ``{metrics_path}/epoch={epoch}`` partition, THEN write the marker —
+    a crash anywhere replays against the previous committed state and
+    reproduces the identical row."""
+    from split_kinesis_streams_with_glue_spark.streaming.markers import (
+        _fs as _fs_path,
+    )
+
+    marker = f"{metrics_path}/_last_epoch"
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = read_marker(spark, marker)
+        if last is not None and epoch_id <= last:
+            return
+        prev = None
+        if last is not None:
+            prev = spark.read.parquet(f"{state_path}/__v={int(last)}").collect()[0]
+        stats = batch_df.agg(
+            F.sum(F.col(value_col).cast(f"decimal(27,{decimal_scale})"))
+            .cast("double")
+            .alias("s"),
+            F.count(value_col).alias("n"),
+        ).collect()[0]
+        n = int(stats["n"])
+        batch_mean = (float(stats["s"]) / n) if n else None
+        if prev is None:
+            ewma = batch_mean
+            alarm = False
+            deviation = None
+        else:
+            prev_ewma = prev["ewma"]
+            if batch_mean is None:  # empty batch: carry the level forward
+                ewma, alarm, deviation = prev_ewma, False, None
+            else:
+                deviation = abs(batch_mean - prev_ewma)
+                ewma = alpha * batch_mean + (1.0 - alpha) * prev_ewma
+                alarm = threshold is not None and deviation > threshold
+        spark.createDataFrame(
+            [(ewma, int(epoch_id) + 1)], "ewma double, n_epochs int"
+        ).write.mode("overwrite").parquet(f"{state_path}/__v={int(epoch_id)}")
+        spark.createDataFrame(
+            [(batch_mean, ewma, deviation, bool(alarm), n)],
+            "batch_mean double, ewma double, deviation double, "
+            "alarm boolean, n_rows bigint",
+        ).write.mode("overwrite").parquet(f"{metrics_path}/epoch={int(epoch_id)}")
+        write_marker(spark, marker, epoch_id)  # commit point
+        fs, root, _ = _fs_path(spark, state_path)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("__v=") and name != f"__v={int(epoch_id)}":
+                    fs.delete(st.getPath(), True)
+
+    return monitor

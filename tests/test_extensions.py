@@ -1058,3 +1058,49 @@ def test_triangle_count_hand_checked(spark):
     assert triangle_count(e).collect()[0]["n_triangles"] == 4
     k3 = spark.createDataFrame([(7, 8), (7, 9), (8, 9)], ["d1", "d2"])
     assert triangle_count(k3).collect()[0]["n_triangles"] == 1
+
+
+def test_gopher_rules_each_rule_attributes(spark):
+    """Each Gopher rule fires on the document crafted to violate exactly
+    it (and the clean document passes everything)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and then " * 10
+    docs = [
+        (0, good),                                  # passes all
+        (1, "too short to keep"),                   # word count
+        (2, ("antidisestablishmentarianism " * 60) + "the of and that"),  # mean word len
+        (3, ("# " * 30) + good),                    # symbol ratio
+        (4, ("12345 " * 60) + "the of and be with"),  # alpha words
+        (5, "zz yy xx ww vv uu " * 20),             # stopwords
+        (6, "\n".join(["- bullet line item"] * 10) + "\nthe of and " + good),  # bullets
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=20).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["rule_word_count"] and not out[1]["keep"]
+    assert not out[2]["rule_mean_word_len"] and not out[2]["keep"]
+    assert not out[3]["rule_symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["rule_alpha_words"] and not out[4]["keep"]
+    assert not out[5]["rule_stopwords"] and not out[5]["keep"]
+    assert not out[6]["rule_lines"] and not out[6]["keep"]
+
+
+def test_zipf_slope_exact_tiny_corpus(spark):
+    """Slope equals the hand-computed OLS fit on a corpus with known term
+    frequencies (a: 8, b: 4, c: 2, d: 1)."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import zipf_slope
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    got = zipf_slope(df, k=10).collect()[0]
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    mx, my = sum(xs) / 4, sum(ys) / 4
+    want = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert got["n_terms"] == 4
+    assert abs(got["slope"] - want) < 1e-6

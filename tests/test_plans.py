@@ -381,6 +381,14 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # comes from approx_percentile boundaries + a comparison bucket —
     # documented trade-off, kept as the exact-NTILE surface exercise
     "window_ntile": {"unpartitioned-window"},
+    # --- round-5 queries ---
+    # crossJoin(broadcast(<1-row digit total>)) — bounded by design
+    "quality_benford_digits": {"cartesian-product"},
+    # crossJoins of the 1-row mean/denominator and the 7-row lag spine
+    # against the calendar-bounded day series; the isnotnull join filter
+    # applies to the DERIVED to_date(nanos-normalized ts) column, so there
+    # is nothing at the scan to push it into
+    "events_acf": {"cartesian-product", "unpushed-scan-filter"},
 }
 
 
@@ -442,3 +450,15 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """join_dpp_dates exists to prove dynamic partition pruning reaches the
+    fact scan: the physical plan must carry a dynamicpruningexpression in
+    the fact side's PartitionFilters — without it the query would scan
+    every partition and filter after the join (the 100 TB failure mode)."""
+    df = REGISTRY["join_dpp_dates"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamicpruningexpression in the plan — DPP did not fire"
+    )

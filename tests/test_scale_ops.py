@@ -809,3 +809,62 @@ def test_exact_quantile_twopass_edges(spark, sf_dir):
 
     const = li.withColumn("c", F.lit(42.0))
     assert exact_quantile_twopass(const, "c", 0.5).collect()[0]["value"] == 42.0
+
+
+def test_benford_first_digit_exact(spark):
+    """Digit extraction is string-exact: sub-1 magnitudes are excluded,
+    signs ignored, and boundary powers of ten bin correctly (the float
+    log10 failure mode the operator exists to avoid)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        benford_first_digit,
+    )
+
+    vals = [(1.5,), (19.2,), (950.0,), (0.4,), (-23.0,), (1000.0,), (999.999,)]
+    df = spark.createDataFrame(vals, "x double")
+    rows = {r["digit"]: r for r in benford_first_digit(df, "x").collect()}
+    # 1.5->1, 19.2->1, 950->9, 0.4 excluded, -23->2, 1000.0->1, 999.999->9
+    assert {d: rows[d]["n"] for d in rows} == {1: 3, 2: 1, 9: 2}
+    assert abs(rows[1]["obs_frac"] - 0.5) < 1e-9
+    assert abs(rows[1]["exp_frac"] - 0.30103) < 1e-5
+
+
+def test_autocorrelation_matches_definition(spark):
+    """ACF of a period-2 series equals the closed-form sample ACF (negative
+    at lag 1, positive at lag 2, magnitudes from the boundary-loss
+    formula)."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    xs = [10.0, 20.0] * 6  # 12 days alternating
+    days = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(days, "day date, x double")
+    got = {r["lag"]: r["acf"] for r in autocorrelation(df, "day", "x", max_lag=3).collect()}
+    mu = sum(xs) / len(xs)
+    den = sum((x - mu) ** 2 for x in xs)
+
+    def acf(k):
+        return sum(
+            (xs[i] - mu) * (xs[i + k] - mu) for i in range(len(xs) - k)
+        ) / den
+
+    for k in (1, 2, 3):
+        assert abs(got[k] - round(acf(k), 6)) < 1e-6
+    assert got[1] < 0 < got[2]
+
+
+def test_theil_sen_ignores_outlier(spark):
+    """A clean slope-2 line with one wild spike: OLS would move, the
+    median-of-slopes does not."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    pts = [(float(t), 2.0 * t) for t in range(12)]
+    pts[5] = (5.0, 1000.0)  # outlier day
+    df = spark.createDataFrame(pts, "t double, x double")
+    got = theil_sen_slope(df, "t", "x").collect()[0]
+    assert got["n_pairs"] == 12 * 11 // 2
+    assert abs(got["slope"] - 2.0) < 1e-9

@@ -469,3 +469,60 @@ def test_novelty_monitor_counts_replays_and_partial_failure(
 
     versions = [d for d in _os.listdir(state) if d.startswith("__v=")]
     assert versions == ["__v=2"], f"superseded state versions not GC'd: {versions}"
+
+
+def test_ewma_monitor_empty_batch_and_partial_failure(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """make_ewma_monitor: an empty batch carries the level forward without
+    alarming; a crash between the staged state and the marker commit
+    replays to the identical row (versioned-slot protocol, same as the
+    novelty monitor); replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    import split_kinesis_streams_with_glue_spark.streaming.monitor as mon
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    metrics, state = str(tmp_path / "m"), str(tmp_path / "s")
+    monitor = mon.make_ewma_monitor(
+        "c_acctbal", metrics, state, alpha=0.5, threshold=1e9
+    )
+    b0 = cust.filter(F.col("c_custkey") % 2 == 0)
+    b1 = cust.filter(F.lit(False))  # empty trigger
+    b2 = cust
+
+    monitor(b0, 0)
+    monitor(b0, 0)  # replay: no-op
+    monitor(b1, 1)
+
+    real = mon.write_marker
+    monkeypatch.setattr(
+        mon, "write_marker",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    try:
+        monitor(b2, 2)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(mon, "write_marker", real)
+    monitor(b2, 2)  # redelivery after the partial failure
+
+    rows = {r["epoch"]: r for r in mon.read_psi_metrics(spark, metrics).collect()}
+    assert set(rows) == {0, 1, 2}
+
+    def mean(df):
+        s = df.agg(
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double").alias("s"),
+            F.count("c_acctbal").alias("n"),
+        ).collect()[0]
+        return float(s["s"]) / int(s["n"])
+
+    m0, m2 = mean(b0), mean(b2)
+    assert abs(rows[0]["ewma"] - m0) < 1e-9 and not rows[0]["alarm"]
+    # empty batch: level carried, no alarm, no deviation
+    assert rows[1]["batch_mean"] is None
+    assert abs(rows[1]["ewma"] - m0) < 1e-9 and not rows[1]["alarm"]
+    assert rows[1]["deviation"] is None and rows[1]["n_rows"] == 0
+    # epoch 2 recomputed against the COMMITTED epoch-1 state after the crash
+    assert abs(rows[2]["ewma"] - (0.5 * m2 + 0.5 * m0)) < 1e-9
+    assert abs(rows[2]["deviation"] - abs(m2 - m0)) < 1e-9
