@@ -169,3 +169,47 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(e3, ["a", "c"])
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected (d1 < d2)
+    edge list: 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique. On a near-dup graph this separates true
+    duplicate FAMILIES (coefficient ≈ 1: everyone matches everyone) from
+    hub-like false-positive chains (high degree, low coefficient — the
+    signature of an over-broad blocking key worth tightening).
+
+    Same canonical-order two-join as ``triangle_count`` — each a<b<c
+    triangle found once, then credited to its three corners with one
+    explode; degrees are one unionAll + groupBy. No adjacency-list
+    materialization, no direction double-counting."""
+    deg = (
+        edges.select(F.col("d1").alias("node"))
+        .unionAll(edges.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = edges.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = edges.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    per_node = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        n_tri.cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.lit(2.0) * n_tri / (F.col("deg") * (F.col("deg") - 1)), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

@@ -489,3 +489,48 @@ def semantic_dedup(
     )
     doomed = pairs.select(F.col("d2").alias(id_col)).distinct()
     return corpus.join(doomed, id_col, "left_anti")
+
+
+def knn_classify(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    normalized: bool = True,
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an embedding
+    column: each query vector takes the modal label of its ``k`` most
+    similar training vectors (ties: higher vote count wins, then the
+    smaller label — fully deterministic). The label-propagation /
+    auto-labeling primitive of a training-data pipeline: a small
+    gold-labeled set annotates the rest of the corpus.
+
+    This is the EXACT brute-force baseline (``brute_force_topk``: query
+    set broadcast, one corpus scan, per-query partitioned window); at
+    corpus scale swap the neighbor source for ``ivf_topk`` — the vote is
+    the same two bounded aggregations either way. Returns
+    (query_id, pred_label, n_votes)."""
+    nn = brute_force_topk(
+        train, queries, k=k, id_col=id_col, vec_col=vec_col, normalized=normalized
+    )
+    labels = train.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("bigint").alias("__nl"),
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # argmax by (votes desc, label asc) via a struct max: negate the label
+    # so the lexicographic max realizes the smaller-label tiebreak
+    best = votes.groupBy("query_id").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("__nl")).alias("negl"))).alias("b")
+    )
+    return best.select(
+        F.col("query_id"),
+        (-F.col("b.negl")).cast("bigint").alias("pred_label"),
+        F.col("b.cnt").cast("bigint").alias("n_votes"),
+    )

@@ -157,3 +157,52 @@ def theil_sen_slope(
         F.round(F.expr("percentile(__slope, 0.5)"), 6).alias("slope"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     )
+
+
+def stl_decompose(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Classical seasonal decomposition of a daily series (the STL shape,
+    moving-average flavor): trend = centered ``trend_window``-day moving
+    average, seasonal = per-weekday mean of the detrended series centered
+    to sum to ~zero, residual = x − trend − seasonal. One query answers
+    "is this change trend, seasonality, or an anomaly?" — the residual is
+    what an alerting rule should watch, not the raw series.
+
+    Edge handling is the classical one: days whose centered window is
+    PARTIAL (the first/last half-window) get a NULL trend — a partial
+    average would bias the detrended series and leak trend into the
+    seasonal estimate — so their seasonal still comes from the weekday
+    means of the interior days, and their residual is NULL.
+
+    Everything runs over the DAY-GRAIN aggregate: the ordered trend
+    window and the final centering are global windows over a
+    calendar-bounded frame (documented allowance, like events_wma_trend);
+    the weekday means are a partitioned window. The weekday number is
+    rebuilt from epoch-day arithmetic so it is engine-portable
+    (1970-01-01 = Thursday = 4 in DuckDB's Sunday=0 numbering)."""
+    half = trend_window // 2
+    w_trend = Window.orderBy(day_col).rowsBetween(-half, half)
+    epoch_day = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+    whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    full = F.count(F.lit(1)).over(w_trend) == trend_window
+    out = (
+        series.withColumn(
+            "trend", F.when(full, F.avg(value_col).over(w_trend))
+        )
+        .withColumn("__dow", F.pmod(epoch_day + 4, F.lit(period)))
+        .withColumn("__det", F.col(value_col) - F.col("trend"))
+        .withColumn("__sraw", F.avg("__det").over(Window.partitionBy("__dow")))
+    )
+    seasonal = F.col("__sraw") - F.avg("__sraw").over(whole)
+    return out.select(
+        day_col,
+        value_col,
+        F.round("trend", 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.col(value_col) - F.col("trend") - seasonal, 6).alias("residual"),
+    )

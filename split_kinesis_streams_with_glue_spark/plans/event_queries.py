@@ -1561,3 +1561,48 @@ def events_theil_sen(spark, sf_dir):
         F.datediff("d", "__d0").cast("double").alias("t"), "x"
     )
     return theil_sen_slope(series, "t", "x")
+
+
+@query(
+    since=5,
+    name="events_stl_decompose",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT day, x,
+             CASE WHEN COUNT(*) OVER w = 7 THEN AVG(x) OVER w END AS trend
+      FROM s
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (SELECT *, x - trend AS det, dayofweek(day) AS dow FROM t),
+    sr AS (SELECT *, AVG(det) OVER (PARTITION BY dow) AS sraw FROM d),
+    c AS (SELECT *, sraw - AVG(sraw) OVER () AS seasonal FROM sr)
+    SELECT day, x,
+           ROUND(trend, 6) AS trend,
+           ROUND(seasonal, 6) AS seasonal,
+           ROUND(x - trend - seasonal, 6) AS residual
+    FROM c
+    """,
+)
+def events_stl_decompose(spark, sf_dir):
+    """Classical seasonal decomposition of the daily event-count series
+    (operators/timeseries.py stl_decompose): trend = centered 7-day
+    moving average, seasonal = centered per-weekday mean of the detrended
+    series, residual = the alerting signal (what's left after trend and
+    weekly cycle are explained). Completes the seasonality family:
+    events_seasonal_indices names the cycle, events_acf finds its period,
+    this splits every observation into the three components. All windows
+    run over the calendar-bounded day-grain aggregate (documented
+    allowance, like events_wma_trend)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        stl_decompose,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return stl_decompose(series, "day", "x")

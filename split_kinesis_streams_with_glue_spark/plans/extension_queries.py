@@ -1849,3 +1849,119 @@ def text_tokenizer_fertility(spark, sf_dir):
     )
 
     return tokenizer_fertility(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=5,
+    name="dedup_clustering_coeff",
+    oracle="""
+    WITH e AS (
+      SELECT a.c_custkey AS d1, b.c_custkey AS d2
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT d1 AS node FROM e UNION ALL SELECT d2 FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+      FROM e e1 JOIN e e2 ON e1.d2 = e2.d1
+      JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    ),
+    pn AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.node,
+           CAST(deg.deg AS BIGINT) AS deg,
+           CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.deg >= 2
+                THEN ROUND(2.0 * COALESCE(pn.n_tri, 0)
+                           / (deg.deg * (deg.deg - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN pn ON deg.node = pn.node
+    """,
+)
+def dedup_clustering_coeff(spark, sf_dir):
+    """Per-node clustering coefficient (operators/graph.py
+    clustering_coefficient) over the fuzzy-name similarity graph:
+    coefficient ≈ 1 marks true duplicate FAMILIES (neighborhoods that are
+    cliques); high-degree/low-coefficient nodes are the blocking-key
+    false-positive hubs worth tightening. Edges from symmetric-deletion
+    blocking (linear); triangles from the canonical-order two-join,
+    credited to their three corners with one explode. Oracle builds the
+    same graph quadratically."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import fuzzy_pairs
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    edges = fuzzy_pairs(c, "c_name", id_col="c_custkey").select("d1", "d2")
+    return clustering_coefficient(edges)
+
+
+@query(
+    since=5,
+    name="sim_knn_classify",
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    train AS (
+      SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+      FROM embeddings WHERE vec_id % 20 <> 0
+    ),
+    scored AS (
+      SELECT t.vec_id AS q, tr.label AS t_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY {_DOT.format(a='t', b='tr')} DESC, tr.vec_id
+             ) AS rk
+      FROM test t CROSS JOIN train tr
+    ),
+    v AS (
+      SELECT q, t_label, COUNT(*) AS cnt FROM scored WHERE rk <= 5
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT q, t_label, cnt,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY cnt DESC, t_label) AS r
+      FROM v
+    )
+    SELECT b.q AS vec_id, test.label AS true_label,
+           b.t_label AS pred_label, CAST(b.cnt AS BIGINT) AS n_votes
+    FROM b JOIN test ON test.vec_id = b.q
+    WHERE b.r = 1
+    """,
+)
+def sim_knn_classify(spark, sf_dir):
+    """kNN majority-vote labeling (operators/similarity.py knn_classify):
+    every 20th vector is held out and labeled from its 5 nearest
+    neighbors in the rest — the auto-labeling primitive (a small gold set
+    annotates the corpus). Exact brute-force neighbor baseline (query set
+    broadcast, one corpus scan, partitioned ranking window; the ANN
+    family is the at-scale swap-in). Deterministic: cosine folds are
+    bit-identical cross-engine on the unit-normalized fixture, ties break
+    by neighbor id then smaller label."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    preds = knn_classify(train, test, k=5)
+    truth = test.select(
+        F.col("vec_id"), F.col("label").cast("bigint").alias("true_label")
+    )
+    return truth.join(preds, truth["vec_id"] == preds["query_id"]).select(
+        "vec_id", "true_label", "pred_label", "n_votes"
+    )

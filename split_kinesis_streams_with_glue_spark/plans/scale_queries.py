@@ -1386,3 +1386,63 @@ def join_dpp_dates(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@query(
+    since=5,
+    name="quality_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_disc(c_acctbal, 0.01) AS lo,
+             quantile_disc(c_acctbal, 0.99) AS hi
+      FROM customer
+    ),
+    w AS (
+      SELECT LEAST(GREATEST(c_acctbal, lo), hi) AS v, c_acctbal, lo, hi
+      FROM customer CROSS JOIN q
+    )
+    SELECT CAST(MIN(lo) AS DOUBLE) AS p01,
+           CAST(MIN(hi) AS DOUBLE) AS p99,
+           CAST(SUM(CASE WHEN c_acctbal < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN c_acctbal > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+    FROM w
+    """,
+)
+def quality_winsorize(spark, sf_dir):
+    """Winsorized robust scaling: clip c_acctbal at the EXACT 1st/99th
+    percentiles (operators/profile.py exact_quantile_twopass — the
+    no-global-sort exact-quantile path, rank_limit forced so the
+    histogram refinement runs) and report the clip counts and the
+    DECIMAL-exact winsorized mean — the outlier-insensitive center a
+    feature pipeline should normalize against, composed entirely from
+    already-verified primitives."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        exact_quantile_twopass,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    lo = float(
+        exact_quantile_twopass(cust, "c_acctbal", 0.01, rank_limit=50).collect()[0][
+            "value"
+        ]
+    )
+    hi = float(
+        exact_quantile_twopass(cust, "c_acctbal", 0.99, rank_limit=50).collect()[0][
+            "value"
+        ]
+    )
+    x = F.col("c_acctbal")
+    v = F.least(F.greatest(x, F.lit(lo)), F.lit(hi))
+    return cust.agg(
+        F.lit(lo).alias("p01"),
+        F.lit(hi).alias("p99"),
+        F.sum(F.when(x < lo, 1).otherwise(0)).cast("bigint").alias("n_clipped_lo"),
+        F.sum(F.when(x > hi, 1).otherwise(0)).cast("bigint").alias("n_clipped_hi"),
+        F.round(
+            F.sum(v.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsorized_mean"),
+    )

@@ -1104,3 +1104,55 @@ def test_zipf_slope_exact_tiny_corpus(spark):
     )
     assert got["n_terms"] == 4
     assert abs(got["slope"] - want) < 1e-6
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """K3 plus a pendant: triangle nodes have coefficient 1 (within the
+    triangle) except the attachment point, whose neighborhood is no longer
+    a clique; the pendant (degree 1) is defined as 0."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # triangle 1-2-3, pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "d1 int, d2 int"
+    )
+    got = {r["node"]: r for r in clustering_coefficient(edges).collect()}
+    assert got[2]["clustering_coeff"] == 1.0 and got[2]["deg"] == 2
+    assert got[3]["clustering_coeff"] == 1.0
+    # node 1: deg 3, one triangle -> 2*1/(3*2) = 1/3
+    assert abs(got[1]["clustering_coeff"] - round(1 / 3, 6)) < 1e-9
+    assert got[4]["clustering_coeff"] == 0.0 and got[4]["n_triangles"] == 0
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Hand-built 2-d-style vectors: the query sits nearest three label-7
+    vectors and two label-3 vectors -> predicts 7 with 3 votes; a perfect
+    2-2 tie (k=4) resolves to the smaller label."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    train = spark.createDataFrame(
+        [
+            (1, v(1.00, 0.00), 7),
+            (2, v(0.99, 0.01), 7),
+            (3, v(0.98, 0.02), 7),
+            (4, v(0.50, 0.50), 3),
+            (5, v(0.45, 0.55), 3),
+            (6, v(0.00, 1.00), 9),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(100, v(1.0, 0.0), -1)], "vec_id int, embedding array<double>, label int"
+    )
+    got = knn_classify(train, q, k=5, normalized=False).collect()[0]
+    assert got["pred_label"] == 7 and got["n_votes"] == 3
+    tie = knn_classify(train, q, k=4, normalized=False).collect()[0]
+    # k=4 -> two 7s... nearest four are ids 1,2,3 (label 7) and 4 (label 3)
+    assert tie["pred_label"] == 7 and tie["n_votes"] == 3

@@ -389,6 +389,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # applies to the DERIVED to_date(nanos-normalized ts) column, so there
     # is nothing at the scan to push it into
     "events_acf": {"cartesian-product", "unpushed-scan-filter"},
+    # trend window + centering run over the calendar-bounded day series
+    # (same class as events_wma_trend)
+    "events_stl_decompose": {"unpartitioned-window"},
 }
 
 

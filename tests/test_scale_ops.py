@@ -868,3 +868,36 @@ def test_theil_sen_ignores_outlier(spark):
     got = theil_sen_slope(df, "t", "x").collect()[0]
     assert got["n_pairs"] == 12 * 11 // 2
     assert abs(got["slope"] - 2.0) < 1e-9
+
+
+def test_stl_decompose_reconstructs_and_centers(spark):
+    """trend + seasonal + residual == x on every day (reconstruction
+    identity), and a pure weekly square wave puts (almost) everything in
+    the seasonal component once the trend window spans whole periods."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        stl_decompose,
+    )
+
+    # 4 whole weeks: weekday pattern [0,0,0,0,0,70,70] repeated
+    xs = ([10.0] * 5 + [80.0] * 2) * 4
+    days = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), x) for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(days, "day date, x double")
+    rows = stl_decompose(df, "day", "x").collect()
+    # edge days (partial trend window) have NULL trend and residual
+    for r in rows:
+        if r["day"] < dt.date(2024, 1, 4) or r["day"] > dt.date(2024, 1, 25):
+            assert r["trend"] is None and r["residual"] is None
+        else:
+            assert abs(r["x"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-5
+    # interior days (full trend window): trend = weekly mean, and the
+    # seasonal component absorbs the square wave exactly (residual 0)
+    interior = [r for r in rows if dt.date(2024, 1, 4) <= r["day"] <= dt.date(2024, 1, 25)]
+    assert interior
+    weekly_mean = (10.0 * 5 + 80.0 * 2) / 7
+    for r in interior:
+        assert abs(r["trend"] - weekly_mean) < 1e-6
+        assert abs(r["residual"]) < 1e-6
