@@ -252,3 +252,23 @@ def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
             "exp_frac"
         ),
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Privacy audit beyond ``k_anonymity``: every quasi-identifier group
+    must contain at least ``l`` DISTINCT values of the sensitive
+    attribute — a group can be k-anonymous yet still leak ("all 10 rows
+    in this (zip, age) cell share one diagnosis"). Returns the VIOLATING
+    groups (quasi tuple + group size + distinct sensitive count); empty
+    means the table is l-diverse. One groupBy shuffle; output bounded by
+    the number of low-diversity groups."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(sensitive_col).cast("bigint").alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )

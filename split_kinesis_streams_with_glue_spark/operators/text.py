@@ -559,3 +559,58 @@ def tokenizer_fertility(
             ).alias("chars_per_token"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.5,
+) -> DataFrame:
+    """Interpolated bigram language-model score: per document, the mean
+    ``ln(lam·P(w2|w1) + (1−lam)·P(w2))`` over its token transitions, with
+    both distributions estimated from the corpus itself. One grade above
+    ``unigram_logprob`` as a typicality/quality ranking: boilerplate and
+    shuffled-word salad share unigram stats but not transitions.
+
+    Shape: ONE explode pass (with positions) feeds the bigram counts, the
+    unigram counts, and the scoring join; both vocab aggregates are
+    Zipf-small relative to the corpus, the corpus total is a broadcast
+    1-row aggregate; transitions join their counts by key (AQE broadcasts
+    what fits). Documents with < 2 tokens emit no row (no transitions to score). lam defaults to 0.5
+    so the interpolation is an exact binary operation cross-engine."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("__i", "w"),
+    )
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("__uc"))
+    total = pos.agg(F.count(F.lit(1)).alias("__t"))
+    bi = pos.alias("p1").join(
+        pos.alias("p2"),
+        (F.col(f"p1.{id_col}") == F.col(f"p2.{id_col}"))
+        & (F.col("p2.__i") == F.col("p1.__i") + 1),
+    ).select(
+        F.col(f"p1.{id_col}").alias(id_col),
+        F.col("p1.w").alias("w1"),
+        F.col("p2.w").alias("w2"),
+    )
+    bvocab = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__bc"))
+    p_bi = F.col("__bc") / F.col("__w1c")
+    p_uni = F.col("__uc") / F.col("__t")
+    w1c = uni.select(
+        F.col("w").alias("w1"), F.col("__uc").alias("__w1c")
+    )
+    return (
+        bi.join(bvocab, ["w1", "w2"])
+        .join(w1c, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "__uc"), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.round(
+                F.avg(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)), 6
+            ).alias("avg_bigram_logprob"),
+        )
+    )

@@ -1965,3 +1965,87 @@ def sim_knn_classify(spark, sf_dir):
     return truth.join(preds, truth["vec_id"] == preds["query_id"]).select(
         "vec_id", "true_label", "pred_label", "n_votes"
     )
+
+
+@query(
+    since=5,
+    name="text_bigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w[i] AS tkn
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w)
+    ),
+    uni AS (SELECT tkn, COUNT(*) AS uc FROM pos GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM pos),
+    bi AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bi GROUP BY 1, 2),
+    s AS (
+      SELECT bi.doc_id,
+             ln(0.5 * (bc.bcnt * 1.0 / u1.uc)
+                + 0.5 * (u2.uc * 1.0 / tot.t)) AS lp
+      FROM bi
+      JOIN bc USING (w1, w2)
+      JOIN uni u1 ON u1.tkn = bi.w1
+      JOIN uni u2 ON u2.tkn = bi.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(AVG(lp), 6) AS avg_bigram_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM typicality score (operators/text.py
+    bigram_logprob): mean ln(0.5·P(w2|w1) + 0.5·P(w2)) per document under
+    the corpus's own distributions — one grade above the unigram score
+    (boilerplate and shuffled-word salad share unigram stats but not
+    transitions). One positional-explode pass feeds bigram counts,
+    unigram counts, and the scoring join; lam = 0.5 keeps every
+    interpolation an exact binary op cross-engine."""
+    from split_kinesis_streams_with_glue_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+_COMPONENT_SIZES_SQL = (
+    "SELECT CAST(size AS BIGINT) AS size, "
+    "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM ("
+    "  SELECT cluster_id, COUNT(*) AS size FROM (" + _CLUSTER_SQL + ") b "
+    "  GROUP BY cluster_id"
+    ") s GROUP BY size"
+)
+
+
+@query(since=5, name="dedup_component_sizes", oracle=_COMPONENT_SIZES_SQL)
+def dedup_component_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution (how much of the corpus sits in
+    2-doc pairs vs 50-doc boilerplate families — the number that decides
+    whether near-dup removal is a trim or a massacre): connected
+    components over the Jaccard near-dup graph (the verified
+    dedup_clusters machinery), folded to (cluster size, #clusters). The
+    fold runs over the cluster-id frame, never re-scanning text."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    labeled = cluster_labels(d.select("doc_id"), pairs)
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(F.col("size").cast("bigint").alias("size"), "n_clusters")
+    )

@@ -1446,3 +1446,31 @@ def quality_winsorize(spark, sf_dir):
             F.sum(v.cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("winsorized_mean"),
     )
+
+
+@query(
+    since=5,
+    name="quality_l_diversity",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderstatus) < 3
+    """,
+)
+def quality_l_diversity(spark, sf_dir):
+    """l-diversity privacy audit (operators/quality_checks.py
+    l_diversity): beyond k-anonymity — a quasi-identifier group can
+    describe k rows yet still leak if they all share one sensitive value.
+    Returns groups whose sensitive attribute has < l distinct values
+    (here: customers whose orders span < 3 statuses). One groupBy
+    shuffle; output bounded by the violating-group count."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        l_diversity,
+    )
+
+    return l_diversity(
+        load(spark, sf_dir, "orders"), ["o_custkey"], "o_orderstatus", l=3
+    )

@@ -1156,3 +1156,24 @@ def test_knn_classify_majority_and_tiebreak(spark):
     tie = knn_classify(train, q, k=4, normalized=False).collect()[0]
     # k=4 -> two 7s... nearest four are ids 1,2,3 (label 7) and 4 (label 3)
     assert tie["pred_label"] == 7 and tie["n_votes"] == 3
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Two-doc corpus with hand-computable counts: transitions score
+    ln(0.5*P(w2|w1) + 0.5*P(w2)); a one-token doc emits no row."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import bigram_logprob
+
+    docs = [(0, "a b a b"), (1, "a b"), (2, "x")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # unigrams: a:3 b:3 x:1, total 7; bigrams: (a,b):3 (b,a):1
+    t = 7
+    lp_ab = math.log(0.5 * (3 / 3) + 0.5 * (3 / t))
+    lp_ba = math.log(0.5 * (1 / 3) + 0.5 * (3 / t))
+    assert got[0]["n_transitions"] == 3
+    assert abs(got[0]["avg_bigram_logprob"] - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-6
+    assert got[1]["n_transitions"] == 1
+    assert abs(got[1]["avg_bigram_logprob"] - round(lp_ab, 6)) < 1e-6
+    assert 2 not in got  # single-token doc: no transitions, no row

@@ -392,6 +392,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # trend window + centering run over the calendar-bounded day series
     # (same class as events_wma_trend)
     "events_stl_decompose": {"unpartitioned-window"},
+    # crossJoin(broadcast(<1-row corpus-total agg>)) — bounded by design
+    # (same shape as text_unigram_logprob)
+    "text_bigram_logprob": {"cartesian-product"},
 }
 
 

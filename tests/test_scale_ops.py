@@ -901,3 +901,20 @@ def test_stl_decompose_reconstructs_and_centers(spark):
     for r in interior:
         assert abs(r["trend"] - weekly_mean) < 1e-6
         assert abs(r["residual"]) < 1e-6
+
+
+def test_l_diversity_flags_low_diversity_groups(spark):
+    """k-anonymous but not l-diverse: the 3-row group sharing one
+    sensitive value is flagged; the diverse group is not."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        l_diversity,
+    )
+
+    rows = [
+        ("g1", "flu"), ("g1", "flu"), ("g1", "flu"),       # 3 rows, 1 value
+        ("g2", "flu"), ("g2", "cold"), ("g2", "covid"),    # diverse
+    ]
+    df = spark.createDataFrame(rows, "quasi string, diag string")
+    got = l_diversity(df, ["quasi"], "diag", l=2).collect()
+    assert len(got) == 1
+    assert got[0]["quasi"] == "g1" and got[0]["n"] == 3 and got[0]["n_sensitive"] == 1
