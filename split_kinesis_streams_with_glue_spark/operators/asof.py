@@ -123,3 +123,85 @@ def point_in_time_join(
             F.when(alive, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
         )
     return joined.select(*sel)
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: float,
+    right_cols: list[str] | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """Nearest-event as-of join with a tolerance: for each left row,
+    attach the right row (same key) whose timestamp is CLOSEST in either
+    direction, if any lies within ``tolerance_seconds``; ties at equal
+    distance resolve backward (the earlier right row). The
+    sensor-alignment / attribution primitive ``asof_join``'s
+    backward-only semantics can't express.
+
+    Same scale-first formulation as ``asof_join`` — tag + union, then ONE
+    window pass per key carrying BOTH the latest-preceding payload
+    (``last ... ignorenulls`` over the preceding frame) and the
+    earliest-following payload (``first`` over the following frame):
+    exactly one shuffle and one sort, no quadratic range-join fanout.
+    Distances compare in exact integer MICROSECONDS (a float-seconds
+    subtraction can flip a tie by an ulp). Assumes right timestamps are
+    unique per key (dedupe upstream otherwise, as with ``asof_join``'s
+    tie note). Output adds the suffixed right payload columns and
+    ``distance_us{suffix}`` (NULL when nothing is in tolerance)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__rt"),
+        *[F.col(c) for c in right_cols],
+    )
+    ptype = right.select(payload.alias("p")).schema["p"].dataType
+    l_tagged = left.select(
+        "*",
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(ptype).alias("__payload"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+    )
+    for c in left.columns:
+        if c != on:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    wb = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "__pb", F.last("__payload", ignorenulls=True).over(wb)
+    ).withColumn("__pf", F.first("__payload", ignorenulls=True).over(wf))
+    t_us = F.unix_micros(F.col("__t"))
+    bd = t_us - F.col("__pb.__rt")
+    fd = F.col("__pf.__rt") - t_us
+    tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+    back_ok = F.col("__pb").isNotNull() & (bd <= tol_us)
+    fwd_ok = F.col("__pf").isNotNull() & (fd <= tol_us)
+    use_back = back_ok & (~fwd_ok | (bd <= fd))
+    chosen = F.when(use_back, F.col("__pb")).when(fwd_ok, F.col("__pf"))
+    dist = F.when(use_back, bd).when(fwd_ok, fd)
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .withColumn("__chosen", chosen)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__chosen.{c}").alias(f"{c}{suffix}") for c in right_cols],
+            dist.cast("bigint").alias(f"distance_us{suffix}"),
+        )
+    )

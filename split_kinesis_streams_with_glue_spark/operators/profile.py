@@ -129,3 +129,69 @@ def exact_quantile_twopass(
     return df.sparkSession.createDataFrame(
         [(q, value, total)], "quantile double, value double, n bigint"
     )
+
+
+#: Poisson(1) cumulative distribution, P(X <= k) for k = 0..5 — the inverse-
+#: CDF thresholds for hash-derived bootstrap weights (beyond 5: weight 6,
+#: probability ~6e-5). Exact double literals, identical in the SQL oracle.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    b_reps: int = 100,
+    alpha: float = 0.05,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for SUM(value_col) — the
+    at-scale bootstrap (Chamandy et al., "Estimating uncertainty for
+    massive data streams", Google 2012): instead of materializing B
+    resamples, each row contributes to every replicate with a weight
+    drawn Poisson(1), so all B replicate sums accumulate in ONE pass with
+    map-side combine; n ~ Poisson means the resample size is random, which
+    converges to the classic bootstrap for large n.
+
+    Weights are DERIVED, not random: ``u = md5(key:rep)`` as a uniform in
+    [0,1) through the Poisson inverse CDF — deterministic across runs,
+    engines, partitionings (the repo's standard hash-randomness idiom), so
+    the whole CI is oracle-checkable. Replicate sums run in DECIMAL
+    (exact); the percentile interpolation over the B-row frame is the
+    only float step. Returns one row (point_sum, ci_lo, ci_hi, n_reps)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import _u32_frac
+
+    vdec = F.col(value_col).cast(f"decimal(18,{decimal_scale})")
+    reps = df.select(F.col(key_col), vdec.alias("__v")).withColumn(
+        "__rep", F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1)))
+    )
+    u = _u32_frac(
+        F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("__rep").cast("string"))
+    )
+    k = F.lit(6)
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POIS1_CDF[i]), i).otherwise(k)
+    sums = (
+        reps.select("__rep", (k * F.col("__v")).alias("__wv"))
+        .groupBy("__rep")
+        .agg(F.sum("__wv").cast("double").alias("__s"))
+    )
+    lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
+    # CIs round to 2 decimals (cents): the interpolation's double ULP at
+    # billion-scale sums (~5e-7) sits right at a 6-decimal boundary
+    ci = sums.agg(
+        F.round(F.expr(f"percentile(__s, {lo_q!r})"), 2).alias("ci_lo"),
+        F.round(F.expr(f"percentile(__s, {hi_q!r})"), 2).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+    point = df.agg(F.round(F.sum(vdec).cast("double"), 2).alias("point_sum"))
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_sum", "ci_lo", "ci_hi", "n_reps"
+    )

@@ -1606,3 +1606,62 @@ def events_stl_decompose(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("x")
     )
     return stl_decompose(series, "day", "x")
+
+
+@query(
+    since=5,
+    name="join_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts AS rts, value AS rvalue
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT l.event_id, r.rts, r.rvalue,
+             ABS(date_diff('microsecond', l.ts, r.rts)) AS d,
+             CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END AS dir
+      FROM l JOIN r ON l.user_id = r.user_id
+        AND r.rts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts + INTERVAL 1 HOUR
+    ),
+    best AS (
+      SELECT event_id, rvalue, d,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, dir) AS rk
+      FROM cand
+    )
+    SELECT l.event_id, l.user_id,
+           ROUND(b.rvalue, 6) AS click_value,
+           CAST(b.d AS BIGINT) AS distance_us_near
+    FROM l LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (event_id)
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-event as-of join with tolerance (operators/asof.py
+    asof_nearest): each purchase picks up the same user's CLOSEST click
+    within ±1 hour, either direction, ties backward — the
+    sensor-alignment / attribution primitive backward-only asof can't
+    express. One union + one window pass per key (both directions carried
+    in the same sort) — one shuffle, no range-join fanout; distances
+    compare in exact integer microseconds. The oracle is the quadratic
+    tolerance join ranked by (distance, direction)."""
+    from split_kinesis_streams_with_glue_spark.operators.asof import asof_nearest
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_nearest(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_seconds=3600, right_cols=["value"], suffix="_near",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_near", 6).alias("click_value"),
+        "distance_us_near",
+    )

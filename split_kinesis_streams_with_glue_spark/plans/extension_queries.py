@@ -2049,3 +2049,39 @@ def dedup_component_sizes(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
         .select(F.col("size").cast("bigint").alias("size"), "n_clusters")
     )
+
+
+_SOFT_DEDUP_SQL = (
+    "SELECT doc_id, CAST(size AS BIGINT) AS cluster_size, "
+    "ROUND(1.0 / size, 6) AS weight FROM ("
+    "  SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS size "
+    "  FROM (" + _CLUSTER_SQL + ") b"
+    ") s"
+)
+
+
+@query(since=5, name="sample_soft_dedup_weights", oracle=_SOFT_DEDUP_SQL)
+def sample_soft_dedup_weights(spark, sf_dir):
+    """Soft deduplication: weight every document by 1/|its near-dup
+    cluster| instead of dropping duplicates — the loss-reweighting
+    alternative (each duplicate FAMILY contributes one document's worth of
+    gradient, but no text is lost and the canonical-pick bias disappears).
+    Connected components over the verified near-dup graph, one partitioned
+    count window for sizes, one division — the weights feed straight into
+    ``weighted_sample`` / a loss-weight column."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    labeled = cluster_labels(d.select("doc_id"), pairs)
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return labeled.select(
+        "doc_id",
+        size.cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
+    )

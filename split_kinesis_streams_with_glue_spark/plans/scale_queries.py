@@ -1474,3 +1474,57 @@ def quality_l_diversity(spark, sf_dir):
     return l_diversity(
         load(spark, sf_dir, "orders"), ["o_custkey"], "o_orderstatus", l=3
     )
+
+
+@query(
+    since=5,
+    name="agg_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT CAST(UNNEST(range(0, 100)) AS INTEGER) AS rep),
+    u AS (
+      SELECT rep,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                      || CAST(rep AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders CROSS JOIN reps
+    ),
+    w AS (
+      SELECT rep,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS k,
+             v
+      FROM u
+    ),
+    sums AS (
+      SELECT rep, CAST(SUM(k * v) AS DOUBLE) AS s FROM w GROUP BY rep
+    )
+    SELECT (SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) FROM orders) AS point_sum,
+           ROUND(quantile_cont(s, 0.025), 2) AS ci_lo,
+           ROUND(quantile_cont(s, 0.975), 2) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_reps
+    FROM sums
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for total order revenue
+    (operators/profile.py poisson_bootstrap_ci; Chamandy et al. 2012):
+    the at-scale bootstrap — every row contributes to all 100 replicates
+    with a Poisson(1) weight in ONE map-side-combining pass; no resample
+    materialization, no per-replicate rescan. Weights derive from
+    md5(key:rep) through the Poisson inverse CDF (the repo's hash-
+    randomness idiom), so the whole CI is deterministic and
+    oracle-checkable; replicate sums run in DECIMAL."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        load(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", b_reps=100
+    )

@@ -72,3 +72,39 @@ def test_point_in_time_join_expiry_and_precreation(spark):
         for r in point_in_time_join(facts, hist, on="k", ts_col="ts").collect()
     }
     assert out == {1: None, 2: 10.0, 3: 11.0, 4: None, 5: 5.0, 6: None}
+
+
+def test_asof_nearest_directions_tolerance_and_tie(spark):
+    """Hand-built series: backward pick, forward pick, out-of-tolerance
+    NULL, and an exact-distance tie resolving backward."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.asof import asof_nearest
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", t(100)),  # nearest right: 95 (backward, d=5) vs 110 (d=10)
+            (2, "k", t(108)),  # nearest right: 110 (forward, d=2)
+            (3, "k", t(300)),  # nothing within 60s -> NULL
+            (4, "k", t(200)),  # tie: 195 and 205 both d=5 -> backward wins
+        ],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t(95), 9.5), ("k", t(110), 11.0), ("k", t(195), 19.5), ("k", t(205), 20.5)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: r
+        for r in asof_nearest(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            tolerance_seconds=60, right_cols=["v"],
+        ).collect()
+    }
+    assert got[1]["v_near"] == 9.5 and got[1]["distance_us_near"] == 5_000_000
+    assert got[2]["v_near"] == 11.0 and got[2]["distance_us_near"] == 2_000_000
+    assert got[3]["v_near"] is None and got[3]["distance_us_near"] is None
+    assert got[4]["v_near"] == 19.5  # backward wins the exact tie

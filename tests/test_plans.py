@@ -395,6 +395,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin(broadcast(<1-row corpus-total agg>)) — bounded by design
     # (same shape as text_unigram_logprob)
     "text_bigram_logprob": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row CI agg over the B-row replicate frame>))
+    "agg_bootstrap_ci": {"cartesian-product"},
 }
 
 

@@ -918,3 +918,23 @@ def test_l_diversity_flags_low_diversity_groups(spark):
     got = l_diversity(df, ["quasi"], "diag", l=2).collect()
     assert len(got) == 1
     assert got[0]["quasi"] == "g1" and got[0]["n"] == 3 and got[0]["n_sensitive"] == 1
+
+
+def test_poisson_bootstrap_ci_brackets_point_and_is_deterministic(spark):
+    """The 95% CI must bracket the point sum on well-behaved data, weights
+    must reproduce run-to-run (hash-derived), and the replicate count must
+    equal B."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1.0).alias("v")
+    )
+    a = poisson_bootstrap_ci(df, "k", "v", b_reps=80).collect()[0]
+    b = poisson_bootstrap_ci(df, "k", "v", b_reps=80).collect()[0]
+    assert a == b  # deterministic
+    assert a["n_reps"] == 80
+    assert a["ci_lo"] < a["point_sum"] < a["ci_hi"]
+    # CI width should be a few percent of the total, not degenerate
+    assert 0 < (a["ci_hi"] - a["ci_lo"]) < a["point_sum"]
