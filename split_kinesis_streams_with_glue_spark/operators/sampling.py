@@ -275,3 +275,51 @@ def cluster_safe_split(
         split_col,
         F.when(b < F.lit(t1), "train").when(b < F.lit(t2), "val").otherwise("test"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Optimal (Neyman) stratified-sample allocation: for a total budget of
+    ``budget`` rows, stratum h gets n_h = budget · N_h·σ_h / Σ(N_g·σ_g) —
+    minimizing the variance of the stratified mean estimator. The
+    design-of-experiments step BEFORE ``stratified_sample``: allocate by
+    within-stratum variability, not just size (a huge homogeneous stratum
+    needs few samples; a small volatile one needs many).
+
+    σ_h comes from DECIMAL-exact sufficient statistics (n, Σx, Σx²) in one
+    aggregation pass — the only float ops are the final sqrt/divisions,
+    identical order both engines. The value casts to DECIMAL(18,s) so the
+    square stays within 38 digits of precision in BOTH engines (a 27-digit
+    operand would overflow DuckDB's product width). Returns per-stratum
+    (N, sigma, allocation) with the allocation as a REAL number (callers
+    round with their preferred apportionment)."""
+    x = F.col(value_col).cast(f"decimal(18,{decimal_scale})")
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    sigma = F.sqrt((ss - s * s / n) / (n - 1))
+    weighted = stats.select(
+        stratum_col,
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.round(sigma, 6).alias("sigma"),
+        (n * sigma).alias("__w"),
+    )
+    total = weighted.agg(F.sum("__w").alias("__tw"))
+    return weighted.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        "n_rows",
+        "sigma",
+        F.round(F.lit(float(budget)) * F.col("__w") / F.col("__tw"), 6).alias(
+            "allocation"
+        ),
+    )

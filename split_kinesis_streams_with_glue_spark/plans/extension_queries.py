@@ -2085,3 +2085,82 @@ def sample_soft_dedup_weights(spark, sf_dir):
         size.cast("bigint").alias("cluster_size"),
         F.round(F.lit(1.0) / size, 6).alias("weight"),
     )
+
+
+@query(
+    since=5,
+    name="pipeline_dataset_card",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS toks,
+             (length(text)
+              - len(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) + 1) * 1.0
+               / GREATEST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                          w -> w <> '')), 1) AS mwl
+      FROM documents
+    ),
+    k AS (
+      SELECT *,
+             CASE WHEN len(toks) >= 20 AND len(toks) <= 100000
+                   AND mwl >= 3.0 AND mwl <= 10.0
+                   AND len(list_filter(['the','be','to','of','and','that',
+                                        'have','with'],
+                                       s -> list_contains(toks, s))) >= 2
+                  THEN 1 ELSE 0 END AS keep
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 6)
+             AS exact_dup_rate,
+           ROUND(SUM(keep) * 1.0 / COUNT(*), 6) AS quality_keep_rate,
+           ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS mean_chars
+    FROM k
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """One-query DATASET CARD — the documentation artifact every released
+    training corpus ships with (Datasheets for Datasets, Gebru et al.):
+    size (docs, tokens), language count, exact-duplicate rate
+    (fingerprint distinct-ratio), quality keep-rate (the Gopher gate's
+    content rules at the fixture's scale: word count >= 20, mean word
+    length, stopword presence), mean document length. Composes the
+    engine's own verified curation primitives into ONE single-pass
+    aggregate (fingerprint + token arrays are row-local expressions; the
+    only shuffle is the final global aggregate)."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        fingerprint,
+        whitespace_tokens,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.text import gopher_rules
+
+    d = load(spark, sf_dir, "documents")
+    g = gopher_rules(d, min_words=20)
+    keep = (
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_stopwords")
+    ).cast("int")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    return g.select(
+        "lang",
+        F.length("text").alias("__nc"),
+        fingerprint(F.col("text")).alias("__fp"),
+        F.size(toks).alias("__nt"),
+        keep.alias("__keep"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__fp") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.sum("__keep") / F.count(F.lit(1)), 6).alias("quality_keep_rate"),
+        F.round(F.sum("__nc") / F.count(F.lit(1)), 6).alias("mean_chars"),
+    )

@@ -1528,3 +1528,46 @@ def agg_bootstrap_ci(spark, sf_dir):
     return poisson_bootstrap_ci(
         load(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", b_reps=100
     )
+
+
+@query(
+    since=5,
+    name="sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT o_orderpriority, n,
+             SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / n) / (n - 1)) AS sigma
+      FROM s
+    ),
+    t AS (SELECT SUM(n * sigma) AS tw FROM w)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(sigma, 6) AS sigma,
+           ROUND(1000.0 * (n * sigma) / tw, 6) AS allocation
+    FROM w CROSS JOIN t
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Optimal stratified-sampling allocation (operators/sampling.py
+    neyman_allocation): a 1000-row budget split across order-priority
+    strata proportional to N_h·σ_h — the design step BEFORE
+    stratified_sample that minimizes estimator variance (big homogeneous
+    strata need few rows; small volatile ones need many). σ from
+    DECIMAL-exact sufficient statistics; only the final sqrt/divisions
+    are float, in identical order both engines."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice", budget=1000
+    )

@@ -397,6 +397,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "text_bigram_logprob": {"cartesian-product"},
     # crossJoin(broadcast(<1-row CI agg over the B-row replicate frame>))
     "agg_bootstrap_ci": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row total-weight agg over the strata frame>))
+    "sample_neyman_allocation": {"cartesian-product"},
 }
 
 

@@ -938,3 +938,19 @@ def test_poisson_bootstrap_ci_brackets_point_and_is_deterministic(spark):
     assert a["ci_lo"] < a["point_sum"] < a["ci_hi"]
     # CI width should be a few percent of the total, not degenerate
     assert 0 < (a["ci_hi"] - a["ci_lo"]) < a["point_sum"]
+
+
+def test_neyman_allocation_prefers_volatile_strata(spark):
+    """Two equal-size strata, one constant (sigma 0) and one volatile: the
+    whole budget goes to the volatile stratum; allocations sum to the
+    budget."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = [("flat", 100.0)] * 50 + [("wild", float(100 + 50 * (i % 7))) for i in range(50)]
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    got = {r["stratum"]: r for r in neyman_allocation(df, "stratum", "v", 200).collect()}
+    assert got["flat"]["sigma"] == 0.0 and got["flat"]["allocation"] == 0.0
+    assert abs(got["wild"]["allocation"] - 200.0) < 1e-6
+    assert got["flat"]["n_rows"] == got["wild"]["n_rows"] == 50
