@@ -148,3 +148,95 @@ def test_fuzzy_pairs_k2_matches_naive_levenshtein(spark, strings):
         if _lev(strings[i], strings[j]) <= 2
     }
     assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=8,
+        max_size=20,
+    )
+)
+def test_autocorrelation_bounded_and_matches_naive(spark, xs):
+    """Sample ACF agrees with the naive two-pass formula on arbitrary
+    series and stays within [-1, 1] (Cauchy-Schwarz over the overlap)."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    mu = sum(xs) / len(xs)
+    den = sum((x - mu) ** 2 for x in xs)
+    if den == 0:
+        return  # constant series: acf undefined (0/0), nothing to check
+    days = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), float(x))
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(days, "day date, x double")
+    got = {
+        r["lag"]: r["acf"] for r in autocorrelation(df, "day", "x", max_lag=3).collect()
+    }
+    for k in (1, 2, 3):
+        want = sum((xs[i] - mu) * (xs[i + k] - mu) for i in range(len(xs) - k)) / den
+        assert abs(got[k] - round(want, 6)) < 1e-4
+        assert -1.000001 <= got[k] <= 1.000001
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_theil_sen_matches_naive_median_of_slopes(spark, xs):
+    import statistics
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    pts = [(float(i), float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(pts, "t double, x double")
+    got = theil_sen_slope(df, "t", "x").collect()[0]
+    slopes = [
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    assert got["n_pairs"] == len(slopes)
+    assert abs(got["slope"] - round(statistics.median(slopes), 6)) < 1e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=0.5, max_value=10_000, allow_nan=False),
+        min_size=5,
+        max_size=30,
+    )
+)
+def test_winsorize_style_clip_bounds_benford_digits(spark, xs):
+    """benford_first_digit on arbitrary positive floats: digits are 1-9,
+    counts sum to the number of rows with |x| >= 1, and observed
+    fractions sum to ~1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        benford_first_digit,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    rows = benford_first_digit(df, "x").collect()
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    eligible = sum(1 for x in xs if abs(x) >= 1)
+    assert sum(r["n"] for r in rows) == eligible
+    if rows:
+        assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert str(int(abs(min(xs))))[0]  # sanity: digits derivable
+            assert r["n"] == sum(
+                1 for x in xs if abs(x) >= 1 and str(int(abs(x)))[0] == str(r["digit"])
+            )
