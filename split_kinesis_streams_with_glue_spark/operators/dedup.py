@@ -650,3 +650,52 @@ def ngram_novelty(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def idf_weighted_jaccard_pairs(
+    shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs: W(A,B) = Σ_{s∈A∩B} w(s) /
+    Σ_{s∈A∪B} w(s) with w(s) = ln(N/df(s)) — shared RARE shingles count
+    for much more than boilerplate ones, so two docs wrapping different
+    payloads in the same template stop scoring as near-dups (plain
+    Jaccard's classic false positive) while short quotes of distinctive
+    text still surface.
+
+    Shape mirrors the exact ``jaccard_pairs`` path: the IDF table is one
+    Zipf-small aggregate joined back onto the (id, shingle) frame; the
+    pair enumeration is the co-shingle self-join (use LSH candidates
+    upstream at corpus scale, exactly as with unweighted Jaccard); the
+    union weight folds from two per-doc totals and the intersection
+    weight (inclusion–exclusion) — no per-pair union materialization."""
+    nd = shingles.select("id").distinct().agg(F.count(F.lit(1)).alias("__nd"))
+    idf = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(nd))
+        .select("shingle", F.log(F.col("__nd") / F.col("__df")).alias("__w"))
+    )
+    weighted = shingles.join(idf, "shingle")
+    wsize = weighted.groupBy("id").agg(F.sum("__w").alias("__tw"))
+    a = weighted.select(F.col("id").alias("d1"), "shingle", "__w")
+    b = weighted.select(F.col("id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum("__w").alias("__iw"))
+    )
+    sa = wsize.select(F.col("id").alias("d1"), F.col("__tw").alias("__ta"))
+    sb = wsize.select(F.col("id").alias("d2"), F.col("__tw").alias("__tb"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("__iw") / (F.col("__ta") + F.col("__tb") - F.col("__iw"))).alias(
+                "wjaccard"
+            ),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+    )

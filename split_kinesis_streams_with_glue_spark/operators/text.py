@@ -614,3 +614,35 @@ def bigram_logprob(
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution
+    (nats) — the alphabet-level gibberish/encoding detector: natural
+    language sits in a narrow band, base64 blobs and key-mash noise sit
+    high, single-character padding sits near zero. Complements the
+    token-level quality scores (a doc can have plausible tokens built
+    from a broken byte stream).
+
+    One explode to (doc, char) — linear, ~chars rows — one count
+    aggregate, and the entropy folds per doc over its ≤|alphabet| rows.
+    Character extraction is the engine-portable regex ``[\\s\\S]`` (both
+    RE2 and Java regex match every char including newlines)."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[\s\S]"), 0)
+        ).alias("__ch"),
+    )
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy(id_col).agg(F.sum("__c").alias("__n"))
+    p = F.col("__c") / F.col("__n")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.first("__n").cast("bigint").alias("n_chars"),
+        )
+    )

@@ -2164,3 +2164,84 @@ def pipeline_dataset_card(spark, sf_dir):
         F.round(F.sum("__keep") / F.count(F.lit(1)), 6).alias("quality_keep_rate"),
         F.round(F.sum("__nc") / F.count(F.lit(1)), 6).alias("mean_chars"),
     )
+
+
+@query(
+    since=5,
+    name="dedup_idf_weighted",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM ds),
+    idf AS (
+      SELECT shingle, ln((SELECT nd FROM n) * 1.0 / COUNT(*)) AS w
+      FROM ds GROUP BY 1
+    ),
+    wsize AS (
+      SELECT doc_id, SUM(w) AS tw FROM ds JOIN idf USING (shingle) GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(idf.w) AS iw
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN idf ON idf.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, ROUND(iw / (sa.tw + sb.tw - iw), 6) AS wjaccard
+    FROM inter JOIN wsize sa ON sa.doc_id = d1 JOIN wsize sb ON sb.doc_id = d2
+    WHERE iw / (sa.tw + sb.tw - iw) >= 0.5
+    """,
+)
+def dedup_idf_weighted(spark, sf_dir):
+    """IDF-weighted Jaccard near-dup pairs (operators/dedup.py
+    idf_weighted_jaccard_pairs): rare shared shingles count more than
+    boilerplate, so same-template/different-payload docs stop
+    false-positiving while distinctive quotes still surface. Threshold
+    0.5 sits in the fixture's empty (0.2, 0.88) score gap — no
+    accumulation-order boundary risk. Oracle recomputes the same
+    weighting quadratically."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+        shingle_sets,
+    )
+
+    sh = shingle_sets(load(spark, sf_dir, "documents"))
+    out = idf_weighted_jaccard_pairs(sh, threshold=0.5)
+    return out.select("d1", "d2", F.round("wjaccard", 6).alias("wjaccard"))
+
+
+@query(
+    since=5,
+    name="text_char_entropy",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '[\s\S]')) AS c
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+    totals AS (SELECT doc_id, SUM(n) AS t FROM counts GROUP BY 1)
+    SELECT counts.doc_id,
+           ROUND(-SUM((n * 1.0 / t) * ln(n * 1.0 / t)), 6) AS char_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(MIN(t) AS BIGINT) AS n_chars
+    FROM counts JOIN totals USING (doc_id)
+    GROUP BY counts.doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document
+    (operators/text.py char_entropy): the alphabet-level gibberish /
+    broken-encoding detector complementing the token-level quality
+    scores — natural language sits in a narrow band, base64 blobs high,
+    padding near zero. One linear explode, entropy folded over each
+    doc's ≤|alphabet| rows."""
+    from split_kinesis_streams_with_glue_spark.operators.text import char_entropy
+
+    return char_entropy(load(spark, sf_dir, "documents"))

@@ -1592,3 +1592,62 @@ def stream_ewma_monitor(spark, sf_dir):
         "alarm",
         "n_rows",
     )
+
+
+@query(
+    "stream_quality_monitor",
+    since=5,
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '')) AS nw
+      FROM documents
+    )
+    SELECT 0 AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN nw >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN nw >= 30 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS keep_rate
+    FROM t WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nw >= 30 THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN nw >= 30 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+    FROM t WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nw >= 30 THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(CASE WHEN nw >= 30 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+    FROM t WHERE doc_id % 3 = 2
+    """,
+)
+def stream_quality_monitor(spark, sf_dir):
+    """Quality-gate monitoring at ingest (streaming/monitor.py
+    make_quality_monitor): per micro-batch pass rate of a keep rule (here
+    a word-count gate) appended as one idempotent metrics row — a
+    collapsing keep-rate is the earliest symptom of an upstream format
+    change. Completes the ingest-monitor family: PSI = values, novelty =
+    identities, EWMA = level, this = fitness-for-purpose. Replayed
+    triggers are no-ops (exercised in-query)."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        whitespace_tokens,
+    )
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_quality_monitor,
+        read_psi_metrics,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_qmon_")
+    docs = load(spark, sf_dir, "documents")
+    keep = F.size(whitespace_tokens(F.lower(F.col("text")))) >= 30
+    monitor = make_quality_monitor(keep, f"{base}/metrics")
+    for epoch in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == epoch)
+        monitor(b, epoch)
+        monitor(b, epoch)  # replayed trigger must be a no-op
+    return read_psi_metrics(spark, f"{base}/metrics").select(
+        "epoch", "n_rows", "n_keep", "keep_rate"
+    )

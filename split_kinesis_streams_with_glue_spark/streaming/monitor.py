@@ -275,3 +275,38 @@ def make_ewma_monitor(
                     fs.delete(st.getPath(), True)
 
     return monitor
+
+
+def make_quality_monitor(keep_expr, metrics_path: str):
+    """Quality-gate monitoring at ingest: per micro-batch, the pass rate
+    of a boolean keep expression (e.g. the Gopher rules' conjunction) is
+    recorded as one metrics row — a collapsing keep-rate is the earliest
+    visible symptom of an upstream format change or a producer bug, long
+    before any downstream consumer notices. Completes the ingest-monitor
+    family (PSI = values, novelty = identities, EWMA = level, this =
+    fitness-for-purpose).
+
+    Stateless — each epoch's rate depends only on its own batch — so the
+    replay contract is just the idempotent ``epoch=N`` metrics partition
+    (overwritten, never appended) plus the marker-last commit; a crash
+    anywhere replays to the identical row. ``keep_expr`` is any boolean
+    Column, evaluated batch-side in one aggregation pass."""
+    marker = f"{metrics_path}/_last_epoch"
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = read_marker(spark, marker)
+        if last is not None and epoch_id <= last:
+            return
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(keep_expr.cast("int")).alias("k"),
+        ).collect()[0]
+        n, k = int(row["n"]), int(row["k"] or 0)
+        rate = round(k / n, 6) if n else None
+        spark.createDataFrame(
+            [(n, k, rate)], "n_rows bigint, n_keep bigint, keep_rate double"
+        ).write.mode("overwrite").parquet(f"{metrics_path}/epoch={int(epoch_id)}")
+        write_marker(spark, marker, epoch_id)
+
+    return monitor

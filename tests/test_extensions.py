@@ -1177,3 +1177,50 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1]["n_transitions"] == 1
     assert abs(got[1]["avg_bigram_logprob"] - round(lp_ab, 6)) < 1e-6
     assert 2 not in got  # single-token doc: no transitions, no row
+
+
+def test_idf_weighted_jaccard_downweights_boilerplate(spark):
+    """Two docs sharing only a BOILERPLATE shingle (in every doc) score
+    far below two docs sharing a RARE shingle — the separation plain
+    Jaccard cannot make. Values match the hand-computed weighting."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    # shingles direct: 'bp' appears in all 4 docs (idf = ln(1) = 0);
+    # 'rare' in docs 3+4 only (idf = ln(2))
+    rows = [
+        (1, "bp"), (1, "u1"),
+        (2, "bp"), (2, "u2"),
+        (3, "bp"), (3, "rare"),
+        (4, "bp"), (4, "rare"),
+    ]
+    sh = spark.createDataFrame(rows, "id int, shingle string")
+    got = {
+        (r["d1"], r["d2"]): r["wjaccard"]
+        for r in idf_weighted_jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    # docs 1-2 share only bp (w=0): wjac = 0 / (w(u1)+w(u2)) = 0
+    assert got[(1, 2)] == 0.0
+    # docs 3-4 share bp (0) + rare (ln2); each total = ln2 -> wjac = 1
+    assert abs(got[(3, 4)] - 1.0) < 1e-9
+    # doc 1 vs 3: intersection bp (0) over ln4 (u1) + ln2 (rare) -> 0
+    assert got[(1, 3)] == 0.0
+
+
+def test_char_entropy_known_values(spark):
+    """Uniform two-char string -> ln 2; single-char string -> 0."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "abab"), (1, "aaaa"), (2, "abcd")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert abs(got[0]["char_entropy"] - round(math.log(2), 6)) < 1e-6
+    assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert abs(got[2]["char_entropy"] - round(math.log(4), 6)) < 1e-6
+    assert got[2]["n_chars"] == 4

@@ -399,6 +399,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "agg_bootstrap_ci": {"cartesian-product"},
     # crossJoin(broadcast(<1-row total-weight agg over the strata frame>))
     "sample_neyman_allocation": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row corpus-doc-count agg>)) feeding the IDF
+    "dedup_idf_weighted": {"cartesian-product"},
 }
 
 

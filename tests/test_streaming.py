@@ -526,3 +526,28 @@ def test_ewma_monitor_empty_batch_and_partial_failure(
     # epoch 2 recomputed against the COMMITTED epoch-1 state after the crash
     assert abs(rows[2]["ewma"] - (0.5 * m2 + 0.5 * m0)) < 1e-9
     assert abs(rows[2]["deviation"] - abs(m2 - m0)) < 1e-9
+
+
+def test_quality_monitor_rates_empty_batch_and_replay(spark, sf_dir, tmp_path):
+    """Keep-rate per epoch is exact; an empty batch records (0, 0, NULL);
+    replays are no-ops (idempotent epoch partition + marker)."""
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_quality_monitor,
+        read_psi_metrics,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = str(tmp_path / "m")
+    monitor = make_quality_monitor(F.col("c_acctbal") > 0, path)
+    b0 = cust.filter(F.col("c_custkey") % 2 == 0)
+    monitor(b0, 0)
+    monitor(b0, 0)  # replay
+    monitor(cust.filter(F.lit(False)), 1)  # empty trigger
+    rows = {r["epoch"]: r for r in read_psi_metrics(spark, path).collect()}
+    assert set(rows) == {0, 1}
+    want_k = b0.filter(F.col("c_acctbal") > 0).count()
+    assert rows[0]["n_rows"] == b0.count() and rows[0]["n_keep"] == want_k
+    assert rows[0]["keep_rate"] == round(want_k / b0.count(), 6)
+    assert rows[1]["n_rows"] == 0 and rows[1]["keep_rate"] is None
