@@ -646,3 +646,53 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             F.first("__n").cast("bigint").alias("n_chars"),
         )
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpus slices' unigram
+    distributions — the standard bounded-symmetric domain-shift measure
+    (0 = identical mix, ln 2 = disjoint vocabularies): is source A's
+    language distribution drifting from source B's, should they share a
+    sampling temperature, did a scrape change under one of them.
+
+    Exact from counts: one explode scan filtered to the two slices, one
+    (slice, term) aggregate, a full-outer term join (zero-filled — a term
+    absent from one side contributes only through the other's KL term,
+    which is the JS definition, no smoothing hack needed), and the fold
+    over the union vocabulary. Returns one row (jsd_nats, n_terms_a,
+    n_terms_b, n_terms_union)."""
+    words = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("__t"),
+        )
+    )
+    counts = words.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    a = counts.filter(F.col("__g") == group_a).select(
+        "__t", F.col("__c").alias("__ca")
+    )
+    b = counts.filter(F.col("__g") == group_b).select(
+        "__t", F.col("__c").alias("__cb")
+    )
+    na = words.filter(F.col("__g") == group_a).count()
+    nb = words.filter(F.col("__g") == group_b).count()
+    joined = a.join(b, "__t", "full_outer").select(
+        (F.coalesce("__ca", F.lit(0)) / F.lit(float(na))).alias("p"),
+        (F.coalesce("__cb", F.lit(0)) / F.lit(float(nb))).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    kl_p = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+    kl_q = F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    return joined.agg(
+        F.round(0.5 * F.sum(kl_p) + 0.5 * F.sum(kl_q), 6).alias("jsd_nats"),
+        F.sum((F.col("p") > 0).cast("int")).cast("bigint").alias("n_terms_a"),
+        F.sum((F.col("q") > 0).cast("int")).cast("bigint").alias("n_terms_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_union"),
+    )

@@ -1665,3 +1665,65 @@ def join_asof_nearest(spark, sf_dir):
         F.round("value_near", 6).alias("click_value"),
         "distance_us_near",
     )
+
+
+@query(
+    since=5,
+    name="events_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY 1),
+    alln AS (SELECT SUM(n) AS n_all FROM t)
+    SELECT t.from_type,
+           CAST(tot.n_from AS BIGINT) AS n_from,
+           ROUND(tot.n_from * 1.0 / (SELECT n_all FROM alln), 6) AS p_from,
+           ROUND(-SUM((n * 1.0 / n_from) * ln(n * 1.0 / n_from)), 6)
+             AS h_cond
+    FROM t JOIN tot USING (from_type)
+    GROUP BY t.from_type, tot.n_from
+    """,
+)
+def events_entropy_rate(spark, sf_dir):
+    """Per-state conditional entropy of the behavioral Markov chain
+    (follows events_markov_transitions' verified transition counts): for
+    each current event type, H(next | current) in nats plus the state's
+    occupancy p_from — the sequence-predictability profile (the
+    chain's entropy rate is Σ p_from·h_cond). A state whose h_cond
+    collapses means behavior after it became deterministic — a bot or an
+    instrumentation bug. One user-keyed window pass; everything after is
+    folds over the |types|²-row matrix."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    alln = t.agg(F.sum("n").alias("__n_all"))
+    p = F.col("n") / F.col("n_from")
+    return (
+        t.join(tot, "from_type")
+        .groupBy("from_type", "n_from")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("h_cond"))
+        .crossJoin(F.broadcast(alln))
+        .select(
+            "from_type",
+            F.col("n_from").cast("bigint").alias("n_from"),
+            F.round(F.col("n_from") / F.col("__n_all"), 6).alias("p_from"),
+            "h_cond",
+        )
+    )

@@ -2245,3 +2245,47 @@ def text_char_entropy(spark, sf_dir):
     from split_kinesis_streams_with_glue_spark.operators.text import char_entropy
 
     return char_entropy(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=5,
+    name="text_js_divergence",
+    oracle=r"""
+    WITH words AS (
+      SELECT source AS g,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS t
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (SELECT g, t, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    na AS (SELECT COUNT(*) AS n FROM words WHERE g = 'src0'),
+    nb AS (SELECT COUNT(*) AS n FROM words WHERE g = 'src1'),
+    j AS (
+      SELECT COALESCE(a.c, 0) * 1.0 / (SELECT n FROM na) AS p,
+             COALESCE(b.c, 0) * 1.0 / (SELECT n FROM nb) AS q
+      FROM (SELECT t, c FROM c WHERE g = 'src0') a
+      FULL OUTER JOIN (SELECT t, c FROM c WHERE g = 'src1') b USING (t)
+    )
+    SELECT ROUND(0.5 * SUM(CASE WHEN p > 0
+                                THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+                 + 0.5 * SUM(CASE WHEN q > 0
+                                  THEN q * ln(q / ((p + q) / 2)) ELSE 0 END),
+                 6) AS jsd_nats,
+           CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+           CAST(SUM(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_union
+    FROM j
+    """,
+)
+def text_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between two sources' unigram
+    distributions (operators/text.py js_divergence): the bounded
+    symmetric domain-shift measure (0 = identical mix, ln 2 = disjoint
+    vocabularies) a mixing/sampling policy should monitor per source.
+    Exact from counts — zero-filled full-outer vocab join, no smoothing
+    hack; one explode scan, aggregates Zipf-small."""
+    from split_kinesis_streams_with_glue_spark.operators.text import js_divergence
+
+    return js_divergence(
+        load(spark, sf_dir, "documents"), "source", "src0", "src1"
+    )

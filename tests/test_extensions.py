@@ -1224,3 +1224,30 @@ def test_char_entropy_known_values(spark):
     assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
     assert abs(got[2]["char_entropy"] - round(math.log(4), 6)) < 1e-6
     assert got[2]["n_chars"] == 4
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """JSD = 0 for identical unigram mixes, ln 2 for disjoint
+    vocabularies, and strictly between for partial overlap."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import js_divergence
+
+    docs = [
+        ("a", "x y z"), ("a", "x y z"),
+        ("b", "x y z"),              # identical mix to a
+        ("c", "p q r"),              # disjoint from a
+        ("d", "x y p"),              # partial overlap with a
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+
+    same = js_divergence(df, "source", "a", "b").collect()[0]
+    assert same["jsd_nats"] == 0.0
+    assert same["n_terms_union"] == 3
+
+    disj = js_divergence(df, "source", "a", "c").collect()[0]
+    assert abs(disj["jsd_nats"] - round(math.log(2), 6)) < 1e-6
+    assert disj["n_terms_union"] == 6
+
+    part = js_divergence(df, "source", "a", "d").collect()[0]
+    assert 0.0 < part["jsd_nats"] < math.log(2)

@@ -401,6 +401,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "sample_neyman_allocation": {"cartesian-product"},
     # crossJoin(broadcast(<1-row corpus-doc-count agg>)) feeding the IDF
     "dedup_idf_weighted": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row total-transitions agg>)) — bounded
+    "events_entropy_rate": {"cartesian-product"},
 }
 
 
