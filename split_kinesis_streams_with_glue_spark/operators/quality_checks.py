@@ -272,3 +272,84 @@ def l_diversity(
         )
         .filter(F.col("n_sensitive") < l)
     )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: X² = Σ (observed − expected)² / expected over the |A|×|B|
+    contingency table, expected = row_total·col_total/n. The classical
+    go/no-go companion to the mutual-information screen (same
+    contingency machinery, but with the calibrated test statistic and
+    degrees of freedom a reviewer asks for).
+
+    One groupBy builds the contingency table; marginals and the fold run
+    over the bounded |A|×|B| frame. Returns one row
+    (chi2, dof, n_rows)."""
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = joint.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    rb = joint.groupBy(col_b).agg(F.sum("__o").alias("__rb"))
+    n = joint.agg(F.sum("__o").alias("__n"))
+    e = F.col("__ra") * F.col("__rb") / F.col("__n")
+    scored = (
+        joint.join(ra, col_a)
+        .join(rb, col_b)
+        .crossJoin(F.broadcast(n))
+        .select(((F.col("__o") - e) * (F.col("__o") - e) / e).alias("__t"))
+    )
+    na = df.select(col_a).distinct().count()
+    nb = df.select(col_b).distinct().count()
+    return scored.agg(
+        F.round(F.sum("__t"), 6).alias("chi2"),
+        F.lit((na - 1) * (nb - 1)).cast("bigint").alias("dof"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+
+
+def ks_binned(
+    df: DataFrame,
+    col: str,
+    split_expr,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic: D = max over bin
+    edges of |CDF_a − CDF_b| for the rows where ``split_expr`` is
+    true/false — the classic distribution-shift test alongside PSI (KS is
+    sensitive to the single largest CDF gap; PSI to the aggregate
+    reweighting). Binned on a FIXED equi-width grid so the statistic is a
+    pure function of the values (the exact-KS max-over-order-statistics
+    needs a global sort; on bins every step is a fold over the
+    n_bins-row frame — the at-scale form).
+
+    Returns one row (ks_d, n_a, n_b)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    b = (
+        F.when(F.col(col) < lo, 0)
+        .when(F.col(col) >= hi, n_bins + 1)
+        .otherwise(F.floor((F.col(col) - lo) / width).cast("int") + 1)
+    )
+    binned = df.filter(F.col(col).isNotNull()).select(
+        b.alias("__bin"), split_expr.cast("int").alias("__is_a")
+    )
+    counts = binned.groupBy("__bin").agg(
+        F.sum("__is_a").alias("__ca"),
+        F.sum(1 - F.col("__is_a")).alias("__cb"),
+    )
+    tot = counts.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("__ca").over(w) / F.col("__na")).alias("__fa"),
+        (F.sum("__cb").over(w) / F.col("__nb")).alias("__fb"),
+        "__na",
+        "__nb",
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), 6).alias("ks_d"),
+        F.first("__na").cast("bigint").alias("n_a"),
+        F.first("__nb").cast("bigint").alias("n_b"),
+    )

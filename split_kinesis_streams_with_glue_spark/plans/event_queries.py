@@ -1727,3 +1727,45 @@ def events_entropy_rate(spark, sf_dir):
             "h_cond",
         )
     )
+
+
+@query(
+    since=5,
+    name="events_peak_days",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1
+    ),
+    n AS (
+      SELECT day, x,
+             LAG(x) OVER (ORDER BY day) AS prev,
+             LEAD(x) OVER (ORDER BY day) AS next
+      FROM s
+    )
+    SELECT day, CAST(x AS BIGINT) AS n_events
+    FROM n
+    WHERE prev IS NOT NULL AND next IS NOT NULL AND x > prev AND x > next
+    """,
+)
+def events_peak_days(spark, sf_dir):
+    """Local-maximum days of the event-volume series (strictly above both
+    calendar neighbors; series endpoints excluded — no one-sided
+    'peaks') — the campaign/incident spotter that feeds the CUSUM/STL
+    family. The window is over the calendar-bounded day aggregate
+    (documented allowance class)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = W.orderBy("day")
+    n = s.withColumn("prev", F.lag("x").over(w)).withColumn(
+        "next", F.lead("x").over(w)
+    )
+    return n.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("x") > F.col("prev"))
+        & (F.col("x") > F.col("next"))
+    ).select("day", F.col("x").cast("bigint").alias("n_events"))

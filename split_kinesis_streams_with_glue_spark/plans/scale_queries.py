@@ -1571,3 +1571,94 @@ def sample_neyman_allocation(spark, sf_dir):
     return neyman_allocation(
         load(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice", budget=1000
     )
+
+
+@query(
+    since=5,
+    name="quality_chi2_independence",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow
+      FROM events
+    ),
+    joint AS (SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2),
+    ra AS (SELECT event_type, SUM(o) AS ra FROM joint GROUP BY 1),
+    rb AS (SELECT dow, SUM(o) AS rb FROM joint GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM joint)
+    SELECT ROUND(SUM((o - ra * rb * 1.0 / n.n)
+                     * (o - ra * rb * 1.0 / n.n)
+                     / (ra * rb * 1.0 / n.n)), 6) AS chi2,
+           (SELECT CAST((COUNT(DISTINCT event_type) - 1)
+                        * (COUNT(DISTINCT dow) - 1) AS BIGINT) FROM e) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM joint JOIN ra USING (event_type) JOIN rb USING (dow) CROSS JOIN n
+    """,
+)
+def quality_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test between event type and
+    weekday (operators/quality_checks.py chi2_independence): the
+    calibrated go/no-go statistic on the same contingency machinery as
+    the mutual-information screen. Weekday rebuilt from epoch-day
+    arithmetic for engine portability. All heavy work is one contingency
+    aggregation; the fold runs over the bounded |A|x|B| frame."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_independence,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    e = ev.select(
+        "event_type", F.pmod(epoch_day, F.lit(7)).cast("int").alias("dow")
+    )
+    return chi2_independence(e, "event_type", "dow")
+
+
+@query(
+    since=5,
+    name="quality_ks_binned",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN c_acctbal < -1000.0 THEN 0
+                  WHEN c_acctbal >= 10000.0 THEN 21
+                  ELSE CAST(FLOOR((c_acctbal - (-1000.0)) / 550.0) AS INTEGER) + 1
+             END AS bin,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    c AS (
+      SELECT bin, SUM(is_a) AS ca, SUM(1 - is_a) AS cb FROM b GROUP BY 1
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+    cdf AS (
+      SELECT SUM(ca) OVER (ORDER BY bin) * 1.0 / t.na AS fa,
+             SUM(cb) OVER (ORDER BY bin) * 1.0 / t.nb AS fb,
+             t.na, t.nb
+      FROM c CROSS JOIN t
+    )
+    SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks_d,
+           CAST(MIN(na) AS BIGINT) AS n_a,
+           CAST(MIN(nb) AS BIGINT) AS n_b
+    FROM cdf
+    """,
+)
+def quality_ks_binned(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov statistic
+    (operators/quality_checks.py ks_binned): BUILDING-segment account
+    balances vs everyone else on a fixed 20-bin grid over [-1000,
+    10000) — the largest-CDF-gap drift test alongside PSI's aggregate
+    reweighting view. Fixed binning keeps the statistic a pure function
+    of the values and every post-aggregation step a fold over the
+    n_bins-row frame (the exact form needs a global sort)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        ks_binned,
+    )
+
+    return ks_binned(
+        load(spark, sf_dir, "customer"),
+        "c_acctbal",
+        F.col("c_mktsegment") == "BUILDING",
+        lo=-1000.0,
+        hi=10000.0,
+        n_bins=20,
+    )

@@ -403,6 +403,15 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "dedup_idf_weighted": {"cartesian-product"},
     # crossJoin(broadcast(<1-row total-transitions agg>)) — bounded
     "events_entropy_rate": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row contingency-total agg>)); the join's
+    # isnotnull filter applies to the DERIVED weekday (pmod of datediff
+    # of the nanos-normalized ts) — nothing at the scan to push into
+    "quality_chi2_independence": {"cartesian-product", "unpushed-scan-filter"},
+    # crossJoin(broadcast(<1-row group-totals agg>)); CDF window over the
+    # n_bins-row frame (same class as the PSI queries)
+    "quality_ks_binned": {"cartesian-product", "unpartitioned-window"},
+    # neighbor window over the calendar-bounded day aggregate
+    "events_peak_days": {"unpartitioned-window"},
 }
 
 

@@ -954,3 +954,41 @@ def test_neyman_allocation_prefers_volatile_strata(spark):
     assert got["flat"]["sigma"] == 0.0 and got["flat"]["allocation"] == 0.0
     assert abs(got["wild"]["allocation"] - 200.0) < 1e-6
     assert got["flat"]["n_rows"] == got["wild"]["n_rows"] == 50
+
+
+def test_chi2_independence_known_table(spark):
+    """2x2 contingency with a hand-computed X^2: [[30,10],[10,30]] ->
+    X^2 = 20, dof = 1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_independence,
+    )
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = chi2_independence(df, "u", "v").collect()[0]
+    assert got["dof"] == 1 and got["n_cells"] == 4
+    assert abs(got["chi2"] - 20.0) < 1e-6
+
+
+def test_ks_binned_identical_and_shifted(spark):
+    """Identical distributions -> D = 0; a hard shift -> D = 1 (the CDFs
+    never overlap inside the grid)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        ks_binned,
+    )
+
+    same = spark.createDataFrame(
+        [(float(i % 50), i % 2 == 0) for i in range(200)], "x double, a boolean"
+    )
+    got = ks_binned(same, "x", F.col("a"), lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert got["ks_d"] == 0.0 and got["n_a"] == got["n_b"] == 100
+
+    shifted = spark.createDataFrame(
+        [(float(i % 40), True) for i in range(100)]
+        + [(60.0 + float(i % 40), False) for i in range(100)],
+        "x double, a boolean",
+    )
+    got = ks_binned(shifted, "x", F.col("a"), lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert got["ks_d"] == 1.0
