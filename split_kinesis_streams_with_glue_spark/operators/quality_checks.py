@@ -322,7 +322,9 @@ def ks_binned(
     needs a global sort; on bins every step is a fold over the
     n_bins-row frame — the at-scale form).
 
-    Returns one row (ks_d, n_a, n_b)."""
+    Returns one row (ks_d, n_a, n_b); ``ks_d`` is NULL when either side
+    is empty (the statistic is undefined, and ANSI division would
+    throw)."""
     from pyspark.sql import Window
 
     width = (hi - lo) / n_bins
@@ -342,9 +344,15 @@ def ks_binned(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
     w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    # an empty side leaves the statistic undefined: NULL, never a
+    # division-by-zero (ANSI mode throws) or a fabricated 0
     cdf = counts.crossJoin(F.broadcast(tot)).select(
-        (F.sum("__ca").over(w) / F.col("__na")).alias("__fa"),
-        (F.sum("__cb").over(w) / F.col("__nb")).alias("__fb"),
+        F.when(F.col("__na") > 0, F.sum("__ca").over(w) / F.col("__na")).alias(
+            "__fa"
+        ),
+        F.when(F.col("__nb") > 0, F.sum("__cb").over(w) / F.col("__nb")).alias(
+            "__fb"
+        ),
         "__na",
         "__nb",
     )

@@ -307,7 +307,11 @@ def neyman_allocation(
     n = F.col("__n").cast("double")
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
-    sigma = F.sqrt((ss - s * s / n) / (n - 1))
+    # a singleton stratum has no sample variance: weight 0 (ANSI division
+    # by n-1 = 0 would throw)
+    sigma = F.when(
+        F.col("__n") > 1, F.sqrt((ss - s * s / n) / (n - 1))
+    ).otherwise(F.lit(0.0))
     weighted = stats.select(
         stratum_col,
         F.col("__n").cast("bigint").alias("n_rows"),

@@ -526,7 +526,12 @@ def zipf_slope(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     ).agg(
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+        # degenerate top-k (all-equal counts never happens past 1 term,
+        # but a 1-term corpus has var_pop 0): NULL, not a thrown division
+        F.when(
+            F.var_pop("x") != 0,
+            F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6),
+        ).alias("slope"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
 

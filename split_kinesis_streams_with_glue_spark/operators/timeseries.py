@@ -120,7 +120,11 @@ def autocorrelation(
         .crossJoin(F.broadcast(denom))
         .select(
             "lag",
-            F.round(F.col("__num") / F.col("__denom"), 6).alias("acf"),
+            # constant series: denominator 0, acf undefined -> NULL
+            F.when(
+                F.col("__denom") != 0,
+                F.round(F.col("__num") / F.col("__denom"), 6),
+            ).alias("acf"),
         )
     )
 

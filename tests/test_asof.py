@@ -108,3 +108,22 @@ def test_asof_nearest_directions_tolerance_and_tie(spark):
     assert got[2]["v_near"] == 11.0 and got[2]["distance_us_near"] == 2_000_000
     assert got[3]["v_near"] is None and got[3]["distance_us_near"] is None
     assert got[4]["v_near"] == 19.5  # backward wins the exact tie
+
+
+def test_asof_nearest_equal_time_right_qualifies_backward(spark):
+    """A right row at EXACTLY the left timestamp is a distance-0 backward
+    match (the <= tie convention asof_join documents), not a miss."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.asof import asof_nearest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, "k", t0)], "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t0, 42.0)], "k string, ts timestamp, v double"
+    )
+    got = asof_nearest(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        tolerance_seconds=1, right_cols=["v"],
+    ).collect()[0]
+    assert got["v_near"] == 42.0 and got["distance_us_near"] == 0

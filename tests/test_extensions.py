@@ -1251,3 +1251,17 @@ def test_js_divergence_identical_and_disjoint(spark):
 
     part = js_divergence(df, "source", "a", "d").collect()[0]
     assert 0.0 < part["jsd_nats"] < math.log(2)
+
+
+def test_gopher_rules_empty_and_whitespace_text(spark):
+    """Empty / whitespace-only documents: every ratio guard must hold (no
+    division by zero) and the document is rejected by the word-count
+    rule."""
+    from split_kinesis_streams_with_glue_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   \n  \n "), (2, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df.filter(F.col("text").isNotNull())).collect()}
+    for i in (0, 1):
+        assert not out[i]["rule_word_count"] and not out[i]["keep"]

@@ -992,3 +992,45 @@ def test_ks_binned_identical_and_shifted(spark):
     )
     got = ks_binned(shifted, "x", F.col("a"), lo=0.0, hi=100.0, n_bins=10).collect()[0]
     assert got["ks_d"] == 1.0
+
+
+def test_chi2_constant_column_is_zero_with_zero_dof(spark):
+    """A constant second column: dof = 0 and X^2 = 0 (observed ==
+    expected everywhere) — the degenerate case must not divide by a zero
+    expected count."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "x")] * 7, "u string, v string"
+    )
+    got = chi2_independence(df, "u", "v").collect()[0]
+    assert got["dof"] == 0 and got["chi2"] == 0.0
+
+
+def test_ks_binned_one_empty_side_yields_null(spark):
+    """With no rows on one side the statistic is undefined — the operator
+    must surface NULL, never a fabricated 0 or a crash."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        ks_binned,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), True) for i in range(20)], "x double, a boolean"
+    )
+    got = ks_binned(df, "x", F.col("a"), lo=0.0, hi=100.0, n_bins=10).collect()[0]
+    assert got["ks_d"] is None and got["n_b"] == 0
+
+
+def test_neyman_single_stratum_gets_whole_budget(spark):
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("only", float(i % 13)) for i in range(40)], "s string, v double"
+    )
+    got = neyman_allocation(df, "s", "v", 500).collect()
+    assert len(got) == 1
+    assert abs(got[0]["allocation"] - 500.0) < 1e-6
