@@ -701,3 +701,43 @@ def js_divergence(
         F.sum((F.col("q") > 0).cast("int")).cast("bigint").alias("n_terms_b"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms_union"),
     )
+
+
+def mattr(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 25) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010): mean of
+    distinct-token ratios over every ``window``-token sliding slice — the
+    lexical-diversity metric whose value does NOT shrink with document
+    length (plain TTR does, so it can't compare docs of different sizes;
+    ``repetition_scores``' type_token_ratio keeps the raw form for
+    Gopher-rule parity).
+
+    Pure row-local array HOFs — slice positions enumerated with
+    ``sequence``, each slice reduced with ``array_distinct`` — zero
+    shuffles beyond the projection. Docs shorter than ``window`` fall
+    back to their plain TTR (the standard convention), flagged by
+    ``full_windows = 0``."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    ratios = F.transform(
+        F.sequence(F.lit(1), n - window + 1),
+        lambda i: F.size(F.array_distinct(F.slice(toks, i, window)))
+        / F.lit(float(window)),
+    )
+    plain_ttr = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.when(
+            n >= window,
+            F.round(
+                F.aggregate(ratios, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(ratios),
+                6,
+            ),
+        )
+        .otherwise(F.round(plain_ttr, 6))
+        .alias("mattr"),
+        F.when(n >= window, n - window + 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("full_windows"),
+    )

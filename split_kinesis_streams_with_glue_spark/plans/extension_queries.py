@@ -2289,3 +2289,45 @@ def text_js_divergence(spark, sf_dir):
     return js_divergence(
         load(spark, sf_dir, "documents"), "source", "src0", "src1"
     )
+
+
+@query(
+    since=5,
+    name="text_mattr",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             len(list_distinct(w[i:i+24])) / 25.0 AS ratio
+      FROM t JOIN generate_series(1, 100000) s(i) ON i <= len(w) - 24
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(SUM(ratio) / COUNT(*), 6) AS mattr,
+             CAST(COUNT(*) AS BIGINT) AS full_windows
+      FROM r GROUP BY 1
+    )
+    SELECT t.doc_id,
+           COALESCE(agg.mattr,
+                    ROUND(len(list_distinct(w)) * 1.0
+                          / GREATEST(len(w), 1), 6)) AS mattr,
+           COALESCE(agg.full_windows, 0) AS full_windows
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_mattr(spark, sf_dir):
+    """Moving-Average Type-Token Ratio (operators/text.py mattr;
+    Covington & McFall 2010): lexical diversity that does not shrink with
+    document length — the comparable-across-sizes form of the raw TTR the
+    Gopher repetition metrics keep. Row-local array HOFs only (slice
+    enumeration + per-slice distinct); short docs fall back to plain TTR
+    with full_windows = 0. The Spark fold sums left-to-right exactly like
+    the oracle's ordered SUM over generate_series positions — ratios are
+    exact k/25 rationals, so the mean is engine-identical."""
+    from split_kinesis_streams_with_glue_spark.operators.text import mattr
+
+    return mattr(load(spark, sf_dir, "documents"))

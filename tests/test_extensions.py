@@ -1265,3 +1265,22 @@ def test_gopher_rules_empty_and_whitespace_text(spark):
     out = {r["doc_id"]: r for r in gopher_rules(df.filter(F.col("text").isNotNull())).collect()}
     for i in (0, 1):
         assert not out[i]["rule_word_count"] and not out[i]["keep"]
+
+
+def test_mattr_known_values_and_short_doc_fallback(spark):
+    """Window-25 MATTR on a 26-token doc with hand-computable slices, and
+    the plain-TTR fallback for docs under one window."""
+    from split_kinesis_streams_with_glue_spark.operators.text import mattr
+
+    # 26 tokens: 'a'*25 then 'b' -> two windows: [a*25] (1/25 distinct)
+    # and [a*24, b] (2/25 distinct) -> mattr = (1 + 2) / (2 * 25)
+    long_doc = " ".join(["a"] * 25 + ["b"])
+    short_doc = "x y x"  # fallback: plain TTR = 2/3
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in mattr(df).collect()}
+    assert got[0]["full_windows"] == 2
+    assert abs(got[0]["mattr"] - round(3 / 50, 6)) < 1e-9
+    assert got[1]["full_windows"] == 0
+    assert abs(got[1]["mattr"] - round(2 / 3, 6)) < 1e-9
