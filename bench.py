@@ -20,6 +20,13 @@ wobble with machine state. ``queries`` / ``value`` keep the original
 cold-run semantics for round-over-round comparability; ``queries_steady``
 reports each query's second run in the same session — the number that
 actually predicts at-scale throughput.
+
+Round-6 addition (round-5 verdict #5): single steady runs on this box
+swing ±20% (minhash ±35%) with machine state, which round-over-round
+comparison at a 2x bar cannot tolerate. Each query now runs cold once
+then THREE steady repeats; ``queries_steady`` carries the per-query
+MEDIAN and ``queries_steady_spread`` the [min, max], so a verdict can
+attribute any delta to code vs noise mechanically.
 """
 
 from __future__ import annotations
@@ -56,15 +63,21 @@ def main() -> None:
     # query doesn't pay session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    def run_once(fn) -> float:
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - start, 3)
+
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        for tab in (timings, steady):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            tab[name] = round(time.perf_counter() - start, 3)
+        timings[name] = run_once(fn)  # cold: includes codegen compile
+        reps = sorted(run_once(fn) for _ in range(3))
+        steady[name] = reps[1]  # median of 3
+        spread[name] = [reps[0], reps[2]]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_steady": steady,
+                "queries_steady_spread": spread,
                 "steady_total": round(sum(steady.values()), 3),
                 "sf": sf,
             }

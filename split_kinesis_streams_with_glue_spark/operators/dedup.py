@@ -687,15 +687,19 @@ def idf_weighted_jaccard_pairs(
     )
     sa = wsize.select(F.col("id").alias("d1"), F.col("__tw").alias("__ta"))
     sb = wsize.select(F.col("id").alias("d2"), F.col("__tw").alias("__tb"))
+    # the union weight is exactly 0 when every shared shingle appears in
+    # ALL N docs (w = ln(N/df) = 0 — e.g. two identical docs in a 2-doc
+    # corpus): 0/0 would error under ANSI mode, same degenerate-denominator
+    # class as the ks_binned/zipf_slope guards. Zero total weight carries
+    # no rarity evidence either way → score NULL, filtered out.
+    union_w = F.col("__ta") + F.col("__tb") - F.col("__iw")
     return (
         inter.join(sa, "d1")
         .join(sb, "d2")
         .select(
             "d1",
             "d2",
-            (F.col("__iw") / (F.col("__ta") + F.col("__tb") - F.col("__iw"))).alias(
-                "wjaccard"
-            ),
+            F.when(union_w > 0, F.col("__iw") / union_w).alias("wjaccard"),
         )
         .filter(F.col("wjaccard") >= threshold)
     )

@@ -284,7 +284,14 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
     One groupBy builds the contingency table; marginals and the fold run
     over the bounded |A|×|B| frame. Returns one row
-    (chi2, dof, n_rows)."""
+    (chi2, dof, n_rows).
+
+    NULL policy: rows with a NULL in EITHER column are excluded up front —
+    the classical test has no NULL category, and keeping them would make
+    the contingency domain (Spark's groupBy keeps NULL groups) disagree
+    with the dof computation (SQL COUNT(DISTINCT) drops NULLs), silently
+    miscalibrating the statistic cross-engine (round-5 ADVICE)."""
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
     ra = joint.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
     rb = joint.groupBy(col_b).agg(F.sum("__o").alias("__rb"))

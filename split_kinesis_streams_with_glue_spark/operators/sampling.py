@@ -318,12 +318,24 @@ def neyman_allocation(
         F.round(sigma, 6).alias("sigma"),
         (n * sigma).alias("__w"),
     )
-    total = weighted.agg(F.sum("__w").alias("__tw"))
+    total = weighted.agg(
+        F.sum("__w").alias("__tw"), F.sum("n_rows").alias("__tn")
+    )
+    # Σ N_g·σ_g = 0 (every stratum singleton or constant-valued) carries no
+    # variance signal to allocate by: ANSI division would throw, and any
+    # 0/0 convention is arbitrary — fall back to proportional-to-N
+    # allocation, the textbook degenerate case (round-5 ADVICE)
+    alloc = F.when(
+        F.col("__tw") > 0,
+        F.lit(float(budget)) * F.col("__w") / F.col("__tw"),
+    ).otherwise(
+        F.lit(float(budget))
+        * F.col("n_rows").cast("double")
+        / F.col("__tn").cast("double")
+    )
     return weighted.crossJoin(F.broadcast(total)).select(
         stratum_col,
         "n_rows",
         "sigma",
-        F.round(F.lit(float(budget)) * F.col("__w") / F.col("__tw"), 6).alias(
-            "allocation"
-        ),
+        F.round(alloc, 6).alias("allocation"),
     )

@@ -688,6 +688,16 @@ def js_divergence(
     )
     na = words.filter(F.col("__g") == group_a).count()
     nb = words.filter(F.col("__g") == group_b).count()
+    if na == 0 or nb == 0:
+        # a slice with no tokens has no unigram distribution to compare:
+        # dividing by its zero total would be an ANSI-mode error, and any
+        # numeric JSD would be arbitrary — report NULL with the term
+        # counts that ARE defined (round-5 ADVICE)
+        return df.sparkSession.createDataFrame(
+            [(None, a.count(), b.count(), a.count() + b.count())],
+            "jsd_nats double, n_terms_a bigint, n_terms_b bigint, "
+            "n_terms_union bigint",
+        )
     joined = a.join(b, "__t", "full_outer").select(
         (F.coalesce("__ca", F.lit(0)) / F.lit(float(na))).alias("p"),
         (F.coalesce("__cb", F.lit(0)) / F.lit(float(nb))).alias("q"),

@@ -53,11 +53,29 @@ New round-5 queries are appended AFTER the window, tagged ``since=5`` —
 the "brand-new queries may wait one round" exemption both rotation tests
 encode.
 
-ROUND-6 ROTATION PRECOMPUTE: after CORRECTNESS_r05 lands, the
-never-checked set should be exactly the ``since=5`` registrations; the
-50-slot window then takes those plus the 19 remaining round-1-only
-queries (and any round-5 red rows). Regenerate from the set-diff as
-usual — never hand-maintain the counts (rounds 2 and 4 both drifted).
+ROUND-6 WINDOW (derived by set-diff against CORRECTNESS_r01..r05):
+
+1. the 29 never-checked ``since=5`` registrations (the whole round-5
+   wave — judge-swept green at sf0.01, now needing driver rows);
+2. the 4 round-5 red rows — ``cdc_merge_verified``,
+   ``cdc_join_view_apply``, ``cdc_fingerprint_buckets``,
+   ``cdc_merkle_diff`` — judge-verified value-identical but red on the
+   driver hasher's engine-dependent canonicalization of raw DECIMAL
+   output columns. All four re-enter with checksums cast to BIGINT and
+   money to DOUBLE on BOTH sides (``decimal_money_math`` convention);
+3. ``cdc_join_view_symmetric`` — hashed green in r5 but emits the same
+   raw-DECIMAL class (the driver's decimal handling is value-dependent);
+   its output is now cast to DOUBLE, so the changed query re-enters;
+4. 16 of the 18 remaining round-1-only queries (staleness zeroing).
+   Deferred to round 7 for lack of slots: ``split_roundtrip_customer``
+   and ``catalog_sql_over_split`` — both exercise the split/catalog
+   machinery whose sibling queries went green in r4/r5
+   (``stream_split_customer``, ``formats_csv_roundtrip``).
+
+ROUND-7 ROTATION PRECOMPUTE: never-checked should be exactly the
+``since=6`` registrations; the window takes those, any round-6 reds,
+and the 2 deferred r1-only queries above. Regenerate from the set-diff
+as usual — never hand-maintain the counts (rounds 2 and 4 both drifted).
 """
 
 from __future__ import annotations
@@ -72,67 +90,72 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 43 oracle-backed round-4 operators that waited one round ---
-    # CDC derived-state family: merges, views, certificates
-    "cdc_merge_out_of_order",
+    # --- the 29 never-checked since=5 registrations (round-5 wave) ---
+    # streaming monitors (complete the PSI/novelty family)
+    "stream_ewma_monitor",
+    "stream_quality_monitor",
+    # text quality / diagnostics
+    "quality_gopher_rules",
+    "text_bigram_logprob",
+    "text_zipf_slope",
+    "text_tokenizer_fertility",
+    "text_char_entropy",
+    "text_js_divergence",
+    "text_mattr",
+    # dedup / similarity / graph
+    "dedup_clustering_coeff",
+    "dedup_component_sizes",
+    "dedup_idf_weighted",
+    "sim_knn_classify",
+    "sample_soft_dedup_weights",
+    "pipeline_dataset_card",
+    # time series
+    "events_acf",
+    "events_theil_sen",
+    "events_stl_decompose",
+    "events_entropy_rate",
+    "events_peak_days",
+    # joins at scale
+    "join_asof_nearest",
+    "join_dpp_dates",
+    # profile / sampling / audits
+    "agg_bootstrap_ci",
+    "sample_neyman_allocation",
+    "quality_winsorize",
+    "quality_l_diversity",
+    "quality_chi2_independence",
+    "quality_ks_binned",
+    "quality_benford_digits",
+    # --- round 5's 4 red rows: judge-verified value-identical, red only on
+    # the driver hasher's engine-dependent canonicalization of raw DECIMAL
+    # outputs. Re-enter with checksum→BIGINT / money→DOUBLE on BOTH sides
+    # (decimal_money_math convention) ---
     "cdc_merge_verified",
-    "cdc_scd2_incremental",
     "cdc_join_view_apply",
-    "cdc_join_view_symmetric",
     "cdc_fingerprint_buckets",
     "cdc_merkle_diff",
-    "join_point_in_time",
-    "pipeline_publish_group_atomic",
-    "pipeline_cdc_optimize",
-    # ingest monitors (exact per-epoch oracles, replay no-op in-query)
-    "stream_psi_monitor",
-    "stream_novelty_monitor",
-    "quality_psi_drift",
-    "quality_psi_categorical",
-    # dedup / text wave
-    "dedup_incremental_index",
-    "dedup_ppjoin_exact",
-    "dedup_containment_exact",
-    "dedup_repeated_passages",
-    "dedup_simhash_md5",
-    "dedup_semantic_contract",
-    "dedup_triangle_count",
-    "text_bm25_search",
-    "text_bpe_pairs",
-    "text_ngram_novelty",
-    "sim_random_projection",
-    # time-series family
-    "events_interpolate_gaps",
-    "events_regression_slope",
-    "events_hll_sliding_distinct",
-    "events_hll_intersection",
-    "events_cooccurrence_lift",
-    "events_markov_transitions",
-    "events_mutual_information",
-    "events_cusum_changepoint",
-    "events_holt_trend",
-    "events_seasonal_indices",
-    "events_burstiness",
-    # profile / aggregation tail + join contracts
-    "agg_distribution_stats",
-    "percentiles_exact_twopass",
-    "agg_equidepth_histogram",
-    "quality_mad_outliers",
-    "agg_correlation_matrix",
-    "join_cms_size_contract",
-    "join_bloom_prefilter",
-    # --- round 4's only red row: raw DECIMAL(38,2) output hashed
-    # differently across engines; re-enters with CAST AS DOUBLE both sides
-    # (repo convention, see decimal_money_math) ---
-    "agg_salted_skew",
-    # --- staleness re-verification: family heads last driver-checked in
-    # round 1 (the other 19 r1-only queries rotate in round 6) ---
-    "scan_limit",
-    "formats_csv_roundtrip",
-    "choice_resolution_totalprice",
-    "string_funcs",
-    "subquery_scalar",
-    "pandas_udf_revenue",
+    # --- same output class, green-by-luck in r5; output now cast to
+    # DOUBLE, so the changed query re-enters for a fresh row ---
+    "cdc_join_view_symmetric",
+    # --- staleness zeroing: 16 of the 18 queries whose only driver row is
+    # round 1 (split_roundtrip_customer + catalog_sql_over_split defer to
+    # round 7 — their machinery's siblings went green in r4/r5) ---
+    "array_contains_filter",
+    "array_hof_embedding_norm",
+    "cdc_scd2_customer",
+    "date_funcs",
+    "decimal_money_math",
+    "explode_words",
+    "formats_orc_roundtrip",
+    "from_json_struct",
+    "json_extract_props",
+    "math_funcs",
+    "schema_drift_merge",
+    "split_flatten_orders_ts",
+    "split_multi_table",
+    "split_stats_customer",
+    "subquery_correlated_exists",
+    "subquery_in",
 ]
 
 

@@ -133,7 +133,11 @@ def lint_plan(df: DataFrame) -> list[str]:
         wdepth = _depth(ln)
         subtree_bounded = False
         for j in range(i + 1, len(lines)):
-            if -1 < _depth(lines[j]) <= wdepth:
+            # marker-less lines (depth -1: AQE headers, '===' separators,
+            # reused-subquery sections) also end the subtree — without
+            # this the scan could run into an unrelated section and let
+            # ITS CollectLimit suppress a real finding (round-5 ADVICE)
+            if _depth(lines[j]) <= wdepth:
                 break  # left the window's subtree
             if bounded.search(lines[j]):
                 subtree_bounded = True

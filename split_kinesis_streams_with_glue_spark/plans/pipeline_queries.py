@@ -705,7 +705,7 @@ def pipeline_publish_gated(spark, sf_dir):
       FROM customer
     )
     SELECT bucket, count(*) AS n_rows,
-           CAST(SUM(h) AS DECIMAL(38,0)) AS checksum
+           CAST(SUM(h) AS BIGINT) AS checksum
     FROM r GROUP BY bucket
     """,
 )
@@ -714,13 +714,20 @@ def cdc_fingerprint_buckets(spark, sf_dir):
     (n_rows, checksum) summary whose md5 arithmetic must be BIT-EXACT
     cross-engine — the strongest oracle form available. The double
     c_acctbal is pre-cast to DECIMAL(12,2) so its string form is
-    engine-independent, per table_fingerprint's documented contract."""
+    engine-independent, per table_fingerprint's documented contract.
+
+    Output convention (round-5 verdict #1): the engine keeps checksums
+    DECIMAL(38,0) internally, but the query surface casts to BIGINT on
+    BOTH sides — the per-bucket sums of 48-bit hashes fit int64 at any
+    fixture SF, and the driver's hasher canonicalizes wide decimals
+    differently per engine even when values are identical."""
     from split_kinesis_streams_with_glue_spark.operators.diff import table_fingerprint
 
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal")
     )
-    return table_fingerprint(cust, ["c_custkey"], num_buckets=64)
+    fp = table_fingerprint(cust, ["c_custkey"], num_buckets=64)
+    return fp.withColumn("checksum", F.col("checksum").cast("bigint"))
 
 
 @query(
@@ -728,15 +735,16 @@ def cdc_fingerprint_buckets(spark, sf_dir):
     since=4,
     oracle="""
     SELECT 'delete' AS operation, c_custkey, c_name,
-           CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
     FROM customer WHERE c_custkey % 11 = 0
     UNION ALL
     SELECT 'update', c_custkey, c_name,
-           CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 50.25 AS DECIMAL(12,2))
+           CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 50.25 AS DECIMAL(12,2))
+                AS DOUBLE)
     FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 13 = 0
     UNION ALL
     SELECT 'insert', c_custkey + 2000000, c_name,
-           CAST(c_acctbal AS DECIMAL(12,2))
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
     FROM customer WHERE c_custkey % 17 = 0
     """,
 )
@@ -768,7 +776,10 @@ def cdc_merkle_diff(spark, sf_dir):
             )
         )
     )
-    return merkle_diff(cust, new, ["c_custkey"], num_buckets=128)
+    diff = merkle_diff(cust, new, ["c_custkey"], num_buckets=128)
+    # driver-surface convention (round-5 verdict #1): DECIMAL(12,2) is exact
+    # as DOUBLE at these magnitudes; raw decimals hash engine-dependently
+    return diff.withColumn("c_acctbal", F.col("c_acctbal").cast("double"))
 
 
 @query(
@@ -928,7 +939,7 @@ def join_point_in_time(spark, sf_dir):
              CAST(c_custkey AS VARCHAR) || chr(31) ||
              coalesce(c_name, chr(0)) || chr(31) ||
              coalesce(CAST(bal AS VARCHAR), chr(0))
-           ), 1, 12)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+           ), 1, 12)) AS BIGINT)) AS BIGINT) AS checksum
     FROM final
     """,
 )
@@ -964,7 +975,11 @@ def cdc_merge_verified(spark, sf_dir):
     )
     for epoch, phase in enumerate(["load", "update", "delete"]):
         merge(env.filter(op == phase), epoch)
-    return read_fingerprint(spark, f"{base}/fp")
+    # surface cast per round-5 verdict #1: the folded 48-bit-hash sum fits
+    # int64; raw DECIMAL(38,0) output hashes engine-dependently
+    return read_fingerprint(spark, f"{base}/fp").withColumn(
+        "checksum", F.col("checksum").cast("bigint")
+    )
 
 
 @query(
@@ -1053,8 +1068,8 @@ def pipeline_publish_group_atomic(spark, sf_dir):
     )
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))
-               + CAST(bal AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM final JOIN orders ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -1099,7 +1114,11 @@ def cdc_join_view_apply(spark, sf_dir):
     )
     for epoch, phase in enumerate(["load", "update", "delete"]):
         merge(env.filter(op == phase), epoch)
-    return read_join_view(spark, f"{base}/agg", ["c_mktsegment"])
+    # surface cast per round-5 verdict #1: the exact DECIMAL(18,2) fold is
+    # integer-cents < 2^53, so the double is bit-exact on both engines
+    return read_join_view(spark, f"{base}/agg", ["c_mktsegment"]).withColumn(
+        "total", F.col("total").cast("double")
+    )
 
 
 @query(
@@ -1122,8 +1141,8 @@ def cdc_join_view_apply(spark, sf_dir):
     )
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           SUM(CAST(price AS DECIMAL(18,2)) + CAST(bal AS DECIMAL(18,2)))
-             AS total
+           CAST(SUM(CAST(price AS DECIMAL(18,2)) + CAST(bal AS DECIMAL(18,2)))
+                AS DOUBLE) AS total
     FROM cf JOIN ofin ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -1171,7 +1190,12 @@ def cdc_join_view_symmetric(spark, sf_dir):
     rm(oenv.filter(op == "update"), 1)
     lm(cenv.filter(op == "delete"), 2)
     rm(oenv.filter(op == "delete"), 2)
-    return read_join_view(spark, f"{base}/agg", ["c_mktsegment"])
+    # surface cast per round-5 verdict #1 (same class as cdc_join_view_apply:
+    # this one happened to hash green in r5, but the driver's decimal
+    # canonicalization is value-dependent — don't rely on it)
+    return read_join_view(spark, f"{base}/agg", ["c_mktsegment"]).withColumn(
+        "total", F.col("total").cast("double")
+    )
 
 
 @query(

@@ -246,7 +246,12 @@ def make_ewma_monitor(
         ).collect()[0]
         n = int(stats["n"])
         batch_mean = (float(stats["s"]) / n) if n else None
-        if prev is None:
+        # prev['ewma'] is NULL when every epoch so far was empty — that is
+        # still "no baseline yet", not a level of None: seeding from it
+        # would TypeError on the first non-empty batch, and because state
+        # and marker commit before the crash the stream would replay into
+        # the same None forever (round-5 ADVICE)
+        if prev is None or prev["ewma"] is None:
             ewma = batch_mean
             alarm = False
             deviation = None

@@ -14,6 +14,7 @@ import datetime as _dt
 import math
 
 import duckdb
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -44,6 +45,37 @@ def _norm(v):
     if isinstance(v, bytes):
         return v.hex()
     return v
+
+
+def assert_driver_safe_schema(schema, name: str = "?") -> None:
+    """Driver-output-schema convention (round-5 verdict #3).
+
+    The driver's value hasher canonicalizes wide DECIMAL columns
+    differently per engine even when values are identical (burned a window
+    slot in rounds 3, 4 AND 5: r3 ``agg_listagg_ordered`` arrays, r4
+    ``agg_salted_skew``, r5 the cdc_fingerprint/merge_verified/join_view/
+    merkle quartet), and cannot hash list/array columns at all. So every
+    oracle-backed query must emit:
+
+    - NO DecimalType anywhere (cast checksums to BIGINT, money to DOUBLE —
+      exact at ≤ 2 decimal digits / integer-cents < 2^53);
+    - NO Array/Map/Struct top-level column (emit as ``to_json`` /
+      ``array_join`` text, or one scalar column per element).
+    """
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, (ArrayType, MapType, StructType)):
+            raise AssertionError(
+                f"[{name}] output column {f.name!r} is {t.simpleString()}: "
+                "the driver hasher cannot canonicalize nested values — emit "
+                "JSON text or scalar columns instead"
+            )
+        if isinstance(t, DecimalType):
+            raise AssertionError(
+                f"[{name}] output column {f.name!r} is {t.simpleString()}: "
+                "raw decimals hash engine-dependently — cast checksums to "
+                "BIGINT and money to DOUBLE on both sides"
+            )
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> None:

@@ -1210,6 +1210,76 @@ def test_idf_weighted_jaccard_downweights_boilerplate(spark):
     assert got[(1, 3)] == 0.0
 
 
+def test_idf_weighted_jaccard_all_shared_boilerplate_corpus(spark):
+    """Two identical docs in a 2-doc corpus: every shingle has df = N so
+    w = ln(N/df) = 0 and the union weight is exactly 0 — the 0/0 must
+    yield NULL (filtered, no ANSI division error), not a crash
+    (round-5 ADVICE)."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    rows = [(1, "s1"), (1, "s2"), (2, "s1"), (2, "s2")]
+    sh = spark.createDataFrame(rows, "id int, shingle string")
+    # zero total weight carries no rarity evidence: pair must NOT surface
+    assert idf_weighted_jaccard_pairs(sh, threshold=0.0).collect() == []
+
+
+def test_js_divergence_empty_slice_is_null(spark):
+    """A slice with no tokens has no unigram distribution: jsd_nats must
+    be NULL (not an ANSI division error), term counts still exact
+    (round-5 ADVICE)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import js_divergence
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("e", "   ")], "source string, text string"
+    )
+    row = js_divergence(df, "source", "a", "e").collect()[0]
+    assert row["jsd_nats"] is None
+    assert row["n_terms_a"] == 3 and row["n_terms_b"] == 0
+    assert row["n_terms_union"] == 3
+
+
+def test_neyman_allocation_all_constant_strata_falls_back_proportional(spark):
+    """Every stratum constant-valued -> sigma = 0 everywhere -> the Neyman
+    weight total is 0; allocation must fall back to proportional-to-N
+    instead of dividing by zero (round-5 ADVICE)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = [("a", 5.0)] * 3 + [("b", 7.0)] * 1
+    df = spark.createDataFrame(rows, "stratum string, v double")
+    got = {r["stratum"]: r for r in neyman_allocation(df, "stratum", "v", 100).collect()}
+    assert got["a"]["sigma"] == 0.0 and got["b"]["sigma"] == 0.0
+    assert abs(got["a"]["allocation"] - 75.0) < 1e-6
+    assert abs(got["b"]["allocation"] - 25.0) < 1e-6
+
+
+def test_chi2_independence_null_categories_excluded(spark):
+    """Rows with a NULL in either column are excluded up front, so the
+    contingency domain and the dof computation agree — and both match the
+    explicit no-NULL subset (round-5 ADVICE: Spark groupBy keeps NULL
+    groups but COUNT(DISTINCT) drops them, so keeping NULLs silently
+    miscalibrates the statistic)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_independence,
+    )
+
+    rows = [
+        ("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"), ("x", "p"),
+        (None, "p"), ("x", None), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    with_nulls = chi2_independence(df, "a", "b").collect()[0]
+    clean = chi2_independence(
+        df.filter(F.col("a").isNotNull() & F.col("b").isNotNull()), "a", "b"
+    ).collect()[0]
+    assert with_nulls == clean
+    assert with_nulls["dof"] == 1  # (2-1)*(2-1), NULL never a category
+    assert with_nulls["n_cells"] == 4
+
+
 def test_char_entropy_known_values(spark):
     """Uniform two-char string -> ln 2; single-char string -> 0."""
     import math

@@ -7,7 +7,7 @@ import os
 
 import pytest
 
-from tests.oracle_harness import compare, duckdb_conn
+from tests.oracle_harness import assert_driver_safe_schema, compare, duckdb_conn
 
 PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
@@ -32,6 +32,8 @@ def test_oracle_parity(spark, con, name):
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only check, like the driver's
         return
+    # covers the side-effecting queries test_output_schemas.py skips
+    assert_driver_safe_schema(df.schema, name)
     compare(df, con, spec.oracle, name)
 
 

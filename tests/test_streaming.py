@@ -528,6 +528,41 @@ def test_ewma_monitor_empty_batch_and_partial_failure(
     assert abs(rows[2]["deviation"] - abs(m2 - m0)) < 1e-9
 
 
+def test_ewma_monitor_first_epoch_empty_seeds_on_first_data(spark, sf_dir, tmp_path):
+    """A stream whose FIRST epoch is empty commits ewma=NULL state; the
+    first non-empty epoch must treat that as 'no baseline yet' and seed
+    from its own mean instead of crash-looping on None arithmetic
+    (round-5 ADVICE: state+marker are already committed, so a TypeError
+    here would replay forever)."""
+    from pyspark.sql import functions as F
+
+    import split_kinesis_streams_with_glue_spark.streaming.monitor as mon
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    metrics, state = str(tmp_path / "m"), str(tmp_path / "s")
+    monitor = mon.make_ewma_monitor(
+        "c_acctbal", metrics, state, alpha=0.5, threshold=0.0
+    )
+    monitor(cust.filter(F.lit(False)), 0)  # first epoch empty
+    monitor(cust.filter(F.lit(False)), 1)  # still empty: NULL carries
+    monitor(cust, 2)  # first data: seeds the baseline, never alarms
+    monitor(cust, 3)  # second data epoch scores against the seed
+
+    rows = {r["epoch"]: r for r in mon.read_psi_metrics(spark, metrics).collect()}
+    m = cust.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double").alias("s"),
+        F.count("c_acctbal").alias("n"),
+    ).collect()[0]
+    mean = float(m["s"]) / int(m["n"])
+    assert rows[0]["ewma"] is None and not rows[0]["alarm"]
+    assert rows[1]["ewma"] is None and not rows[1]["alarm"]
+    assert abs(rows[2]["ewma"] - mean) < 1e-9
+    assert not rows[2]["alarm"] and rows[2]["deviation"] is None
+    # identical batch → deviation 0, NOT > threshold=0 → still no alarm
+    assert abs(rows[3]["ewma"] - mean) < 1e-9 and not rows[3]["alarm"]
+    assert rows[3]["deviation"] == 0.0
+
+
 def test_quality_monitor_rates_empty_batch_and_replay(spark, sf_dir, tmp_path):
     """Keep-rate per epoch is exact; an empty batch records (0, 0, NULL);
     replays are no-ops (idempotent epoch partition + marker)."""
