@@ -368,3 +368,72 @@ def ks_binned(
         F.first("__na").cast("bigint").alias("n_a"),
         F.first("__nb").cast("bigint").alias("n_b"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, split_expr
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test: does the
+    ``split_expr``-true slice's ``value_col`` distribution stochastically
+    dominate the false slice's? The standard nonparametric companion to
+    the binned-KS / PSI drift checks — rank-based, so one corrupted
+    outlier can't swamp it the way a mean-shift test is swamped.
+
+    At-scale shape: ranks are NOT computed per row (a global sort of the
+    corpus). Instead one groupBy collapses the data to per-distinct-value
+    (count_a, count_b) — the only window runs over that value-histogram
+    frame, bounded by the number of DISTINCT values, with midranks exact
+    for ties: avg_rank(v) = cum_count(<v) + (count(v)+1)/2. U, the
+    normal approximation's mean/variance WITH the tie correction, and z
+    fold from that bounded frame. Returns one row
+    (u_statistic, z_score, n_a, n_b); z is NULL when either side is
+    empty or all values tie (variance 0 — the statistic is undefined)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("__v"), split_expr.cast("int").alias("__a"))
+        .groupBy("__v")
+        .agg(
+            F.sum("__a").alias("__ca"),
+            F.sum(1 - F.col("__a")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("__ca") + F.col("__cb")
+    ranked = counts.select(
+        "__ca",
+        "__cb",
+        t.alias("__t"),
+        (F.sum(t).over(w) - t + (t + 1) / 2).alias("__midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("__ca").cast("double").alias("na"),
+        F.sum("__cb").cast("double").alias("nb"),
+        F.sum(F.col("__ca") * F.col("__midrank")).alias("ra"),
+        # tie term in double: t^3 overflows int64 once a value ties ~2M rows
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    mean_u = F.col("na") * F.col("nb") / 2
+    var_u = (
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    return agg.select(
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), F.round(u, 6)).alias(
+            "u_statistic"
+        ),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0) & (var_u > 0),
+            F.round((u - mean_u) / F.sqrt(var_u), 6),
+        ).alias("z_score"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )

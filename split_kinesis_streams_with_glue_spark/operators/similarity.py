@@ -534,3 +534,54 @@ def knn_classify(
         (-F.col("b.negl")).cast("bigint").alias("pred_label"),
         F.col("b.cnt").cast("bigint").alias("n_votes"),
     )
+
+
+def centroid_purity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label cluster cohesion audit: each label's centroid (the mean
+    vector of its members) and the mean/min cosine of members to their own
+    centroid. The label-quality gate for auto-labeled data (e.g.
+    ``knn_classify`` output or any clustering): a label whose members
+    barely point at their own centroid is incoherent — split it, re-label
+    it, or drop it before it poisons a training mix.
+
+    Scale shape: one ``posexplode`` pass builds the (label, dim) → mean
+    table (bounded by n_labels × dim — kilobytes); it joins back by
+    (label, dim) for the member·centroid dot products, aggregated per
+    vector then per label. No vector ever crosses the wire whole except
+    in the original row; no driver-side collect; no UDF — the dot product
+    is a SUM over exploded lanes, which at 100 TB beats array-HOF row
+    math because it map-side combines. Returns (label, n_members,
+    mean_cos, min_cos), cosines vs the UNNORMALIZED centroid direction."""
+    lanes = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("__d", "__f"),
+    ).withColumn("__v", F.col("__f").cast("double"))
+    cent = lanes.groupBy("__lbl", "__d").agg(F.avg("__v").alias("__c"))
+    per_vec = (
+        lanes.join(cent, ["__lbl", "__d"])
+        .groupBy("__id", "__lbl")
+        .agg(
+            F.sum(F.col("__v") * F.col("__c")).alias("__dot"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__nv"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__nc"),
+        )
+    )
+    cos = F.when(
+        (F.col("__nv") > 0) & (F.col("__nc") > 0),
+        F.col("__dot") / F.sqrt(F.col("__nv") * F.col("__nc")),
+    )
+    return (
+        per_vec.select(F.col("__lbl").alias(label_col), cos.alias("__cos"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("__cos"), 6).alias("mean_cos"),
+            F.round(F.min("__cos"), 6).alias("min_cos"),
+        )
+    )

@@ -751,3 +751,89 @@ def mattr(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window:
         .cast("bigint")
         .alias("full_windows"),
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch Reading Ease (Flesch 1948): 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words) — the classic readability score, used in data
+    curation as a cheap complexity/difficulty signal for curriculum
+    ordering and for flagging degenerate text (word-salad and boilerplate
+    both land far outside the prose band).
+
+    Proxies, both standard for at-scale scoring: sentences = terminator
+    runs ([.!?]+), floored at 1 so unterminated text counts as one
+    sentence; syllables = vowel groups ([aeiouy]+) per word, the
+    dictionary-free approximation. Everything is regexp counts in one
+    projection — zero shuffles, zero UDFs, and the same counts are
+    expressible in any RE2 oracle. Empty/whitespace documents report
+    NULL (no words → no readability to speak of; ANSI-safe).
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch)."""
+    low = F.lower(F.col(text_col))
+    n_words = F.size(whitespace_tokens(low))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syl = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        F.when(n_words > 0, F.round(flesch, 6)).alias("flesch"),
+    )
+
+
+def script_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document writing-system composition: fractions of characters
+    that are ASCII letters, digits, CJK ideographs, whitespace, and
+    everything else. The language-ID sanity companion: a document tagged
+    ``en`` that is 40% CJK, or a "text" field that is mostly digits, is a
+    scrape artifact the n-gram language model scores garbage-in on.
+
+    Character-class counting via ``regexp_replace`` length deltas — one
+    codegen projection, no explode, no UDF; the same classes are
+    expressible as RE2 character ranges in an oracle. Empty documents
+    report zero counts and NULL fractions (ANSI-safe).
+
+    Returns (id, n_chars, frac_letter, frac_digit, frac_cjk, frac_space,
+    frac_other)."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def frac(pattern: str):
+        kept = n - F.length(F.regexp_replace(t, pattern, ""))
+        return F.when(n > 0, F.round(kept.cast("double") / n.cast("double"), 6))
+
+    f_letter = frac(r"[A-Za-z]")
+    f_digit = frac(r"[0-9]")
+    f_cjk = frac(r"[一-鿿]")
+    f_space = frac(r"\s")
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        f_letter.alias("frac_letter"),
+        f_digit.alias("frac_digit"),
+        f_cjk.alias("frac_cjk"),
+        f_space.alias("frac_space"),
+        F.when(
+            n > 0,
+            F.round(
+                F.lit(1.0)
+                - f_letter
+                - f_digit
+                - f_cjk
+                - f_space,
+                6,
+            ),
+        ).alias("frac_other"),
+    )

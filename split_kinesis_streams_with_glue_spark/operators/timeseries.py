@@ -210,3 +210,137 @@ def stl_decompose(
         F.round(seasonal, 6).alias("seasonal"),
         F.round(F.col(value_col) - F.col("trend") - seasonal, 6).alias("residual"),
     )
+
+
+def spearman_corr(
+    series: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation between two columns of a bounded series
+    frame: Pearson correlation of the midranks, with exact average ranks
+    for ties (rho = corr(rank(x), rank(y))). The monotonic-association
+    companion to the Pearson ``corr`` built-in — robust to outliers and to
+    any monotone rescaling, the standard screen for "does volume move
+    with value at all?" before fitting anything linear.
+
+    Ranking needs a total order, so this operator is deliberately scoped
+    to SERIES-GRAIN frames (a day-grain aggregate, a bin histogram, a
+    per-group summary) — calendar/bin-bounded, never data-sized; the two
+    rank windows are global-but-bounded (documented allowance class).
+    Midranks via the classic RANK() identity: midrank = rank +
+    (tie_count - 1)/2. Returns one row (spearman_rho, n); NULL rho when
+    either column is constant (zero variance — undefined)."""
+    ranked = series.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    for c in ("__x", "__y"):
+        w = Window.orderBy(c)
+        tie = Window.partitionBy(c)
+        ranked = ranked.withColumn(
+            f"__r{c}",
+            F.rank().over(w) + (F.count(F.lit(1)).over(tie) - 1) / 2.0,
+        )
+    # Pearson-of-ranks from sufficient statistics, NOT F.corr: under ANSI
+    # mode corr's internal division throws on a zero-variance (constant)
+    # column instead of yielding NULL — the guarded form is ANSI-safe and
+    # algebraically identical
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__r__x").alias("sx"),
+        F.sum("__r__y").alias("sy"),
+        F.sum(F.col("__r__x") * F.col("__r__y")).alias("sxy"),
+        F.sum(F.col("__r__x") * F.col("__r__x")).alias("sxx"),
+        F.sum(F.col("__r__y") * F.col("__r__y")).alias("syy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "spearman_rho"
+        ),
+        n.cast("bigint").alias("n"),
+    )
+
+
+def mann_kendall(
+    series: DataFrame, t_col: str = "t", value_col: str = "x"
+) -> DataFrame:
+    """Mann–Kendall trend test over a (t, x) series: S = Σ_{i<j}
+    sign(x_j − x_i), with the normal-approximation z using the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18
+    and the ±1 continuity correction. The nonparametric "is there ANY
+    monotone trend?" gate that pairs with ``theil_sen_slope`` (which
+    estimates the trend this test detects) — robust where an OLS-slope
+    t-test is wrecked by outliers or non-normal noise.
+
+    Same scale contract as Theil–Sen: the pair join is quadratic in the
+    SERIES length (calendar-bounded), never in the fact table. Returns
+    one row (s_statistic, z_score, n); z is NULL for n < 2 or an
+    all-tied series (variance 0)."""
+    a = series.select(
+        F.col(t_col).alias("__t1"), F.col(value_col).cast("double").alias("__x1")
+    )
+    b = series.select(
+        F.col(t_col).alias("__t2"), F.col(value_col).cast("double").alias("__x2")
+    )
+    s_agg = (
+        a.join(b, F.col("__t2") > F.col("__t1"))
+        .agg(F.sum(F.signum(F.col("__x2") - F.col("__x1"))).alias("s"))
+    )
+    ties = (
+        series.groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("tie_term"),
+            F.sum("__t").alias("n"),
+        )
+    )
+    joined = s_agg.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    # continuity correction: z = (S - sign(S)) / sqrt(Var), 0 when S = 0
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s)
+    ).when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s)).otherwise(0.0)
+    return joined.select(
+        F.col("s").cast("bigint").alias("s_statistic"),
+        F.when((n > 1) & (var_s > 0), F.round(z, 6)).alias("z_score"),
+        n.cast("bigint").alias("n"),
+    )
+
+
+def gini_lorenz(series: DataFrame, value_col: str) -> DataFrame:
+    """Gini coefficient of a non-negative series (Lorenz-curve area form):
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over the ascending order
+    statistics — the inequality measure for "how concentrated is volume
+    across days/sources/shards?". 0 = perfectly even, →1 = one unit
+    carries everything. Distinct from ``events_type_gini``'s gini
+    IMPURITY (1 − Σp², a diversity index); this is the econometric
+    concentration coefficient.
+
+    The ordering runs over a SERIES-GRAIN frame (days, sources, buckets —
+    bounded), not data rows; ties get deterministic order via the value
+    sort (the statistic is tie-order invariant: equal values contribute
+    identically whichever of the tied ranks they take). Returns one row
+    (gini, n); NULL when the total is 0 (undefined share structure)."""
+    w = Window.orderBy(F.col(value_col).cast("double"))
+    ranked = series.select(
+        F.col(value_col).cast("double").alias("__x"),
+        F.row_number().over(w).alias("__i"),
+    )
+    return ranked.agg(
+        F.when(
+            F.sum("__x") > 0,
+            F.round(
+                2.0 * F.sum(F.col("__i") * F.col("__x"))
+                / (F.count(F.lit(1)) * F.sum("__x"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ),
+        ).alias("gini"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -1769,3 +1769,146 @@ def events_peak_days(spark, sf_dir):
         & (F.col("x") > F.col("prev"))
         & (F.col("x") > F.col("next"))
     ).select("day", F.col("x").cast("bigint").alias("n_events"))
+
+
+@query(
+    since=6,
+    name="events_mann_kendall",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    sp AS (
+      SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS DOUBLE) AS s
+      FROM s a JOIN s b ON b.d > a.d
+    ),
+    ties AS (
+      SELECT SUM(t * (t - 1) * (2 * t + 5)) AS tie_term, SUM(t) AS n
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM s GROUP BY x) q
+    ),
+    j AS (SELECT * FROM sp CROSS JOIN ties)
+    SELECT CAST(s AS BIGINT) AS s_statistic,
+           CASE WHEN n > 1
+                 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0
+                THEN ROUND(
+                  (CASE WHEN s > 0 THEN s - 1
+                        WHEN s < 0 THEN s + 1 ELSE 0 END)
+                  / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18), 6)
+           END AS z_score,
+           CAST(n AS BIGINT) AS n
+    FROM j
+    """,
+)
+def events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test of the daily event-count series
+    (operators/timeseries.py mann_kendall): the nonparametric 'is there
+    ANY trend?' gate that pairs with events_theil_sen (which estimates
+    the slope this test detects) — sign-based, so spike days can't swamp
+    it the way they swamp the OLS slope's t-test. Pairwise work is
+    quadratic in the CALENDAR (30 days -> 435 sign pairs), never the
+    fact table; the tie correction folds from the value histogram. All
+    terms are exact integer counts in double, z's float ops in one fixed
+    order — engine-exact under ROUND 6."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return mann_kendall(s, "d", "x")
+
+
+@query(
+    since=6,
+    name="events_spearman_daily",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(27, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT RANK() OVER (ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY x) - 1) / 2 AS rx,
+             RANK() OVER (ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY y) - 1) / 2 AS ry
+      FROM s
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM r
+    )
+    SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS spearman_rho,
+           CAST(n AS BIGINT) AS n
+    FROM a
+    """,
+)
+def events_spearman_daily(spark, sf_dir):
+    """Spearman rank correlation between daily event VOLUME and daily
+    summed VALUE (operators/timeseries.py spearman_corr): does money move
+    with traffic monotonically at all — robust to outlier days and to any
+    monotone rescaling, the screen to run before trusting the Pearson
+    correlation matrix. Daily value totals are DECIMAL-exact before the
+    double cast, so both engines rank identical numbers; midranks use
+    the exact tie identity rank + (ties-1)/2. The two rank windows run
+    over the calendar-bounded day frame (documented allowance class)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        spearman_corr,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("y"),
+    )
+    return spearman_corr(s, "x", "y")
+
+
+@query(
+    since=6,
+    name="events_gini_daily",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(27, 6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i FROM s)
+    SELECT CASE WHEN SUM(x) > 0 THEN
+             ROUND(2 * SUM(i * x) / (COUNT(*) * SUM(x))
+                   - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6)
+           END AS gini,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r
+    """,
+)
+def events_gini_daily(spark, sf_dir):
+    """Gini concentration coefficient of daily summed value
+    (operators/timeseries.py gini_lorenz): how unevenly is volume spread
+    across the month — the Lorenz-curve statistic (0 = uniform, ->1 = one
+    day carries everything) that complements events_type_gini's gini
+    IMPURITY (a diversity index over categories, different statistic).
+    Daily totals are DECIMAL-exact before the double cast so both
+    engines order identical numbers; the single ordering window runs
+    over the calendar-bounded day frame (documented allowance class)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        gini_lorenz,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("x")
+    )
+    return gini_lorenz(s, "x")

@@ -2331,3 +2331,163 @@ def text_mattr(spark, sf_dir):
     from split_kinesis_streams_with_glue_spark.operators.text import mattr
 
     return mattr(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=6,
+    name="sim_centroid_purity",
+    oracle="""
+    WITH lanes AS (
+      SELECT CAST(label AS BIGINT) AS label, vec_id, d,
+             CAST(embedding[d] AS DOUBLE) AS v
+      FROM embeddings
+      JOIN generate_series(1, 100000) t(d) ON d <= len(embedding)
+    ),
+    cent AS (SELECT label, d, AVG(v) AS c FROM lanes GROUP BY 1, 2),
+    pv AS (
+      SELECT l.vec_id, l.label,
+             SUM(l.v * c.c) AS dot,
+             SUM(l.v * l.v) AS nv,
+             SUM(c.c * c.c) AS nc
+      FROM lanes l JOIN cent c ON c.label = l.label AND c.d = l.d
+      GROUP BY 1, 2
+    ),
+    cs AS (
+      SELECT label,
+             CASE WHEN nv > 0 AND nc > 0
+                  THEN dot / sqrt(nv * nc) END AS c
+      FROM pv
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(c), 6) AS mean_cos, ROUND(MIN(c), 6) AS min_cos
+    FROM cs GROUP BY label
+    """,
+)
+def sim_centroid_purity(spark, sf_dir):
+    """Per-label centroid-cohesion audit (operators/similarity.py
+    centroid_purity): each label's mean vector and its members'
+    mean/min cosine to it — the label-quality gate run over
+    auto-labeled data (knn_classify output, cluster assignments) before
+    a label is trusted in a training mix. One posexplode pass; the
+    centroid table is bounded (labels x dims) and joined back by
+    (label, lane) so the dot products map-side combine — no whole-vector
+    shuffle, no collect, no UDF."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        centroid_purity,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("bigint")
+    )
+    return centroid_purity(emb)
+
+
+@query(
+    since=6,
+    name="text_flesch_reading_ease",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             lower(text || repeat(' done.', CAST(doc_id % 4 AS INTEGER))) AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(t, '\s+'),
+                             w -> w <> '')) AS n_words,
+             greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(t, '[aeiouy]+')) AS n_syllables
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             ROUND(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+           END AS flesch
+    FROM m
+    """,
+)
+def text_flesch_reading_ease(spark, sf_dir):
+    """Flesch Reading Ease (operators/text.py flesch_reading_ease): the
+    classic readability score as a curriculum/degeneracy signal. The
+    fixture corpus has no sentence terminators, so the query plants a
+    deterministic tail of doc_id%4 '. done' sentences — same expression
+    in the oracle — to exercise the sentence-count path; the vowel-group
+    syllable proxy runs on the real text. One regexp-count projection,
+    zero shuffles/UDFs."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        flesch_reading_ease,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat(' done.', CAST(doc_id % 4 AS INT))"),
+        ),
+    )
+    return flesch_reading_ease(d)
+
+
+@query(
+    since=6,
+    name="text_script_mix",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' 数据样本 123' ELSE '' END
+               AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, length(t) AS n,
+             length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+               AS k_letter,
+             length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+               AS k_digit,
+             length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))
+               AS k_cjk,
+             length(t) - length(regexp_replace(t, '\s', '', 'g')) AS k_space
+      FROM aug
+    ),
+    f AS (
+      SELECT doc_id, n,
+             ROUND(CAST(k_letter AS DOUBLE) / n, 6) AS frac_letter,
+             ROUND(CAST(k_digit AS DOUBLE) / n, 6) AS frac_digit,
+             ROUND(CAST(k_cjk AS DOUBLE) / n, 6) AS frac_cjk,
+             ROUND(CAST(k_space AS DOUBLE) / n, 6) AS frac_space
+      FROM m WHERE n > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           frac_letter, frac_digit, frac_cjk, frac_space,
+           ROUND(1.0 - frac_letter - frac_digit - frac_cjk - frac_space, 6)
+             AS frac_other
+    FROM f
+    """,
+)
+def text_script_mix(spark, sf_dir):
+    """Writing-system composition audit (operators/text.py script_mix):
+    per-document fractions of ASCII letters / digits / CJK / whitespace /
+    other — the language-ID sanity check that catches scrape artifacts
+    (a doc tagged 'en' that is 40% CJK, a 'text' field that is mostly
+    digits). The ASCII-only fixture corpus gets a deterministic
+    ' 数据样本 123' tail on every third doc — same expression in the
+    oracle — so the CJK and digit lanes carry real signal. Character
+    classes count via regexp_replace length deltas in one codegen
+    projection."""
+    from split_kinesis_streams_with_glue_spark.operators.text import script_mix
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" 数据样本 123")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return script_mix(d)

@@ -1662,3 +1662,61 @@ def quality_ks_binned(spark, sf_dir):
         hi=10000.0,
         n_bins=20,
     )
+
+
+@query(
+    since=6,
+    name="quality_mann_whitney",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars AS v,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cb
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT ca, cb, ca + cb AS t,
+             SUM(ca + cb) OVER (ORDER BY v) - (ca + cb)
+               + (ca + cb + 1) / 2 AS midrank
+      FROM c
+    ),
+    a AS (
+      SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+             CAST(SUM(cb) AS DOUBLE) AS nb,
+             SUM(ca * midrank) AS ra,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS ties
+      FROM r
+    )
+    SELECT CASE WHEN na > 0 AND nb > 0
+                THEN ROUND(ra - na * (na + 1) / 2, 6) END AS u_statistic,
+           CASE WHEN na > 0 AND nb > 0
+                 AND na * nb / 12
+                     * ((na + nb + 1)
+                        - ties / ((na + nb) * (na + nb - 1))) > 0
+                THEN ROUND(
+                  (ra - na * (na + 1) / 2 - na * nb / 2)
+                  / sqrt(na * nb / 12
+                         * ((na + nb + 1)
+                            - ties / ((na + nb) * (na + nb - 1)))), 6)
+           END AS z_score,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM a
+    """,
+)
+def quality_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (operators/quality_checks.py
+    mann_whitney_u): do English documents run longer than non-English
+    ones in DISTRIBUTION, not just in means — the nonparametric
+    companion to quality_ks_binned (KS sees the largest CDF gap; U sees
+    stochastic dominance) that outliers can't swamp. At-scale shape: no
+    per-row ranking — one groupBy collapses the corpus to the distinct
+    value histogram; midranks, the tie-corrected variance, U and z all
+    fold from that bounded frame (the single window is over distinct
+    values, documented allowance class)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mann_whitney_u,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return mann_whitney_u(d, "n_chars", F.col("lang") == "en")

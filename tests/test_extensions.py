@@ -1354,3 +1354,131 @@ def test_mattr_known_values_and_short_doc_fallback(spark):
     assert abs(got[0]["mattr"] - round(3 / 50, 6)) < 1e-9
     assert got[1]["full_windows"] == 0
     assert abs(got[1]["mattr"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_spearman_corr_known_values(spark):
+    """Hand-checked: permutation ranks give corr of the ranks; a perfect
+    monotone map gives rho=1 whatever the scale."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        spearman_corr,
+    )
+
+    df = spark.createDataFrame([(1.0, 3.0), (2.0, 1.0), (3.0, 2.0)], "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert abs(r["spearman_rho"] - (-0.5)) < 1e-9 and r["n"] == 3
+
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 100.0), (5.0, 1e6)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0]["spearman_rho"] == 1.0
+
+    const = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], "x double, y double")
+    assert const.transform(lambda d: spearman_corr(d, "x", "y")).collect()[0][
+        "spearman_rho"
+    ] is None  # zero rank variance: undefined
+
+
+def test_mann_kendall_known_values(spark):
+    """Strictly increasing 5-point series: S = 10, z with the textbook
+    variance n(n-1)(2n+5)/18 and the -1 continuity correction."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 6)], "t int, x double"
+    )
+    r = mann_kendall(df, "t", "x").collect()[0]
+    assert r["s_statistic"] == 10 and r["n"] == 5
+    var = 5 * 4 * 15 / 18
+    assert abs(r["z_score"] - round(9 / math.sqrt(var), 6)) < 1e-9
+
+    flat = spark.createDataFrame([(1, 2.0), (2, 2.0), (3, 2.0)], "t int, x double")
+    rf = mann_kendall(flat, "t", "x").collect()[0]
+    assert rf["s_statistic"] == 0 and rf["z_score"] is None  # all tied: var 0
+
+
+def test_gini_lorenz_known_values(spark):
+    """Equal shares -> 0; one unit holding everything among 4 -> 0.75;
+    zero total -> NULL (undefined share structure)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        gini_lorenz,
+    )
+
+    eq = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "x double")
+    assert gini_lorenz(eq, "x").collect()[0]["gini"] == 0.0
+    conc = spark.createDataFrame([(0.0,), (0.0,), (0.0,), (1.0,)], "x double")
+    assert abs(gini_lorenz(conc, "x").collect()[0]["gini"] - 0.75) < 1e-9
+    zero = spark.createDataFrame([(0.0,), (0.0,)], "x double")
+    assert gini_lorenz(zero, "x").collect()[0]["gini"] is None
+
+
+def test_mann_whitney_known_values(spark):
+    """Fully separated 2-vs-2: U = 0, z = -2/sqrt(20/12); one empty side
+    leaves both statistics NULL."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], "v double, g string"
+    )
+    r = mann_whitney_u(df, "v", F.col("g") == "a").collect()[0]
+    assert r["u_statistic"] == 0.0 and r["n_a"] == 2 and r["n_b"] == 2
+    assert abs(r["z_score"] - round(-2 / math.sqrt(2 * 2 * 5 / 12), 6)) < 1e-9
+
+    one = spark.createDataFrame([(1.0, "a"), (2.0, "a")], "v double, g string")
+    ro = mann_whitney_u(one, "v", F.col("g") == "a").collect()[0]
+    assert ro["u_statistic"] is None and ro["z_score"] is None
+    assert ro["n_a"] == 2 and ro["n_b"] == 0
+
+
+def test_flesch_and_script_mix_known_values(spark):
+    """'the cat sat.' = 3 words / 1 sentence / 3 vowel-group syllables;
+    script mix counts each character class exactly."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        flesch_reading_ease,
+        script_mix,
+    )
+
+    df = spark.createDataFrame([(0, "the cat sat."), (1, "")], "doc_id int, text string")
+    fr = {r["doc_id"]: r for r in flesch_reading_ease(df).collect()}
+    assert fr[0]["n_words"] == 3 and fr[0]["n_sentences"] == 1
+    assert fr[0]["n_syllables"] == 3
+    assert abs(fr[0]["flesch"] - round(206.835 - 1.015 * 3 - 84.6 * 1, 6)) < 1e-9
+    assert fr[1]["n_words"] == 0 and fr[1]["flesch"] is None
+
+    sm = {r["doc_id"]: r for r in script_mix(
+        spark.createDataFrame([(0, "ab1 数"), (1, "")], "doc_id int, text string")
+    ).collect()}
+    assert sm[0]["n_chars"] == 5
+    assert abs(sm[0]["frac_letter"] - 0.4) < 1e-9
+    assert abs(sm[0]["frac_digit"] - 0.2) < 1e-9
+    assert abs(sm[0]["frac_cjk"] - 0.2) < 1e-9
+    assert abs(sm[0]["frac_space"] - 0.2) < 1e-9
+    assert sm[0]["frac_other"] == 0.0
+    assert sm[1]["n_chars"] == 0 and sm[1]["frac_letter"] is None
+
+
+def test_centroid_purity_known_values(spark):
+    """Identical members -> cosine 1 to their own centroid; an orthogonal
+    pair scores cos 45 degrees; a centroid that cancels to zero leaves the
+    cosine NULL (undefined direction)."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        centroid_purity,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),          # identical
+        (3, [1.0, 0.0], 1), (4, [0.0, 1.0], 1),          # orthogonal pair
+        (5, [1.0, 0.0], 2), (6, [-1.0, 0.0], 2),         # cancelling pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    got = {r["label"]: r for r in centroid_purity(df).collect()}
+    assert got[0]["mean_cos"] == 1.0 and got[0]["min_cos"] == 1.0
+    assert abs(got[1]["mean_cos"] - 0.707107) < 1e-6
+    assert got[2]["mean_cos"] is None and got[2]["n_members"] == 2

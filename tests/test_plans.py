@@ -412,6 +412,18 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "quality_ks_binned": {"cartesian-product", "unpartitioned-window"},
     # neighbor window over the calendar-bounded day aggregate
     "events_peak_days": {"unpartitioned-window"},
+    # --- round-6 queries ---
+    # crossJoin of the 1-row sign-sum agg with the 1-row tie-term agg;
+    # the join's isnotnull filter applies to the DERIVED day (to_date of
+    # the nanos-normalized ts) — nothing at the scan to push into (same
+    # classes as events_acf)
+    "events_mann_kendall": {"cartesian-product", "unpushed-scan-filter"},
+    # rank/order windows over the calendar-bounded day aggregate
+    "events_spearman_daily": {"unpartitioned-window"},
+    "events_gini_daily": {"unpartitioned-window"},
+    # midrank window over the distinct-value histogram frame (same class
+    # as quality_ks_binned's CDF window)
+    "quality_mann_whitney": {"unpartitioned-window"},
 }
 
 
