@@ -703,3 +703,58 @@ def idf_weighted_jaccard_pairs(
         )
         .filter(F.col("wjaccard") >= threshold)
     )
+
+
+def group_vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram-VOCABULARY Jaccard between document GROUPS
+    (sources/domains/snapshots): for every group pair, |V_a ∩ V_b| /
+    |V_a ∪ V_b| over the groups' distinct shingle vocabularies. The
+    source-level mirror detector: two crawl sources scraping the same
+    upstream show near-identical vocabularies long before any document
+    pair crosses a near-dup threshold — the curation signal for dropping
+    or down-weighting a whole redundant source, not just documents.
+
+    Shape mirrors ``jaccard_pairs`` one level up: one explode pass
+    collapses the corpus to the distinct (group, shingle) frame (the only
+    data-sized shuffle); the pair enumeration self-joins ON SHINGLE, so
+    the join is linear in the vocabulary with per-shingle fanout bounded
+    by the number of groups — never a document-pair blowup. Returns
+    (g1, g2, vocab_jaccard, n_inter) for every group pair sharing at
+    least one shingle."""
+    vocab = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            word_shingles(whitespace_tokens(F.lower(F.col(text_col))), n)
+        ).alias("__s"),
+    ).distinct()
+    sizes = vocab.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = vocab.select(F.col("__g").alias("g1"), "__s")
+    b = vocab.select(F.col("__g").alias("g2"), "__s")
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col("__g").alias("g1"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__g").alias("g2"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "g1")
+        .join(sb, "g2")
+        .select(
+            "g1",
+            "g2",
+            F.round(
+                F.col("__i")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+            F.col("__i").cast("bigint").alias("n_inter"),
+        )
+    )

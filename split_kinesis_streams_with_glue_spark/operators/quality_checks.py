@@ -437,3 +437,110 @@ def mann_whitney_u(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
     )
+
+
+def kruskal_wallis_h(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Kruskal–Wallis H: the k-sample generalization of the Mann–Whitney
+    rank-sum test — do ANY of the groups' value distributions differ?
+    The one-shot screen across all languages/sources at once, before
+    pairwise drill-down (mann_whitney_u), where running k² pairwise tests
+    would multiply the false-alarm rate.
+
+    Same at-scale shape as ``mann_whitney_u``: the corpus collapses to a
+    per-(distinct value, group) count frame; midranks come from one
+    window over the distinct-value histogram (bounded), per-group rank
+    sums fold from it, and H gets the standard tie correction
+    H' = H / (1 − Σ(t³−t)/(N³−N)). Returns one row
+    (h_statistic, dof, n); H is NULL when every value ties (correction
+    denominator 0 — the statistic is undefined) or fewer than 2 groups."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vt = counts.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    mid = vt.select(
+        "__v",
+        "__t",
+        (F.sum("__t").over(w) - F.col("__t") + (F.col("__t") + 1) / 2).alias(
+            "__midrank"
+        ),
+    )
+    per_group = (
+        counts.join(mid.select("__v", "__midrank"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__c") * F.col("__midrank")).alias("__r"),
+            F.sum("__c").cast("double").alias("__n"),
+        )
+    )
+    gsum = per_group.agg(
+        F.sum(F.col("__r") * F.col("__r") / F.col("__n")).alias("rr"),
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ties = mid.agg(
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("tie_term")
+    )
+    j = gsum.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h = 12.0 / (n * (n + 1)) * F.col("rr") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("tie_term") / (n * n * n - n)
+    return j.select(
+        F.when((F.col("k") > 1) & (corr > 0), F.round(h / corr, 6)).alias(
+            "h_statistic"
+        ),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        n.cast("bigint").alias("n"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram binning for a probabilistic classifier (e.g. a
+    document-quality or language-ID model feeding a filter threshold):
+    scores in [0, 1] bucket into ``n_bins`` equal-width bins; each bin
+    reports its count, mean predicted score (confidence), empirical
+    positive rate (accuracy), and |gap|. Σ (n_b/N)·gap_b is the Expected
+    Calibration Error — derivable from this frame in one fold, and the
+    per-bin view is the actionable artifact (WHERE is the model over-
+    confident?).
+
+    One groupBy on the bin index (map-side combining), fold over the
+    ≤ n_bins frame; scores exactly 1.0 land in the top bin. Returns
+    (bin, n, mean_score, frac_pos, gap) for non-empty bins."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    binned = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        b.alias("bin"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+            F.round(F.avg("__y"), 6).alias("frac_pos"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("frac_pos") - F.col("mean_score")), 6)
+        )
+    )

@@ -339,3 +339,33 @@ def neyman_allocation(
         "sigma",
         F.round(alloc, 6).alias("allocation"),
     )
+
+
+def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
+    """Kish effective sample size of a weighted corpus: ESS = (Σw)²/Σw²,
+    with the design effect n/ESS. The one-number audit for any
+    reweighting scheme (soft-dedup 1/cluster-size weights, DSIR
+    importance weights, temperature mixes): how many EQUAL-weight
+    documents is this weighted corpus statistically worth, and how much
+    variance did the weighting cost. ESS = n means the weights are doing
+    nothing; ESS ≪ n means a few heavy documents dominate every
+    estimate — cap or renormalize before training.
+
+    One aggregation pass with map-side combine (three sums). Returns one
+    row (n_rows, ess, design_effect); NULL when the weight mass is 0
+    (no sampling design to speak of; ANSI-safe)."""
+    agg = df.filter(F.col(weight_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col(weight_col).cast("double")).alias("__s"),
+        F.sum(
+            F.col(weight_col).cast("double") * F.col(weight_col).cast("double")
+        ).alias("__ss"),
+    )
+    ess = F.col("__s") * F.col("__s") / F.col("__ss")
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.when(F.col("__ss") > 0, F.round(ess, 6)).alias("ess"),
+        F.when(F.col("__ss") > 0, F.round(F.col("__n") / ess, 6)).alias(
+            "design_effect"
+        ),
+    )

@@ -344,3 +344,73 @@ def gini_lorenz(series: DataFrame, value_col: str) -> DataFrame:
         ).alias("gini"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+def kendall_tau_b(
+    series: DataFrame, x_col: str, y_col: str, key_col: str
+) -> DataFrame:
+    """Kendall's tau-b between two columns of a bounded series frame:
+    (C − D) / sqrt((n0 − t_x)(n0 − t_y)) over all pairs, with the tie
+    corrections in the denominator. The pairwise-concordance companion to
+    ``spearman_corr`` — tau has a direct probabilistic reading (P(agree)
+    − P(disagree)) and is the more robust of the two under heavy ties.
+
+    Same scale contract as Theil–Sen/Mann–Kendall: the pair join is
+    quadratic in the SERIES length (day-grain/bin-grain — bounded), never
+    the fact table; tie counts fold from per-column value histograms.
+    ``key_col`` (the day/bin key — unique per row) enumerates each
+    unordered pair exactly once; the statistic itself is key-order
+    invariant. Returns one row (tau_b, n_concordant, n_discordant, n);
+    NULL tau when either column is fully tied (denominator 0)."""
+    base = series.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(key_col).alias("__i"),
+    )
+    a = base.select(
+        F.col("__i").alias("__i1"),
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+    )
+    b = base.select(
+        F.col("__i").alias("__i2"),
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+    )
+    prod = F.signum(F.col("__x2") - F.col("__x1")) * F.signum(
+        F.col("__y2") - F.col("__y1")
+    )
+    cd = (
+        a.join(b, F.col("__i2") > F.col("__i1"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("d"),
+        )
+    )
+
+    def tie_pairs(col: str):
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+            .agg(
+                F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("tp"),
+                F.sum("__t").alias("n"),
+            )
+        )
+
+    tx = tie_pairs("__x").select(
+        F.col("tp").alias("tx"), F.col("n").alias("n")
+    )
+    ty = tie_pairs("__y").select(F.col("tp").alias("ty"))
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    denom = (n0 - F.col("tx")) * (n0 - F.col("ty"))
+    return j.select(
+        F.when(
+            denom > 0,
+            F.round((F.col("c") - F.col("d")) / F.sqrt(denom), 6),
+        ).alias("tau_b"),
+        F.col("c").cast("bigint").alias("n_concordant"),
+        F.col("d").cast("bigint").alias("n_discordant"),
+        F.col("n").cast("bigint").alias("n"),
+    )

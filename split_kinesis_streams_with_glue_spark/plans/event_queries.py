@@ -1912,3 +1912,61 @@ def events_gini_daily(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("x")
     )
     return gini_lorenz(s, "x")
+
+
+@query(
+    since=6,
+    name="events_kendall_tau",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(27, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ),
+    cd AS (
+      SELECT SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+               AS c,
+             SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+               AS dd
+      FROM s a JOIN s b ON b.d > a.d
+    ),
+    tx AS (
+      SELECT SUM(t * (t - 1) / 2) AS tx, SUM(t) AS n
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM s GROUP BY x) q
+    ),
+    ty AS (
+      SELECT SUM(t * (t - 1) / 2) AS ty
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM s GROUP BY y) q
+    ),
+    j AS (SELECT * FROM cd CROSS JOIN tx CROSS JOIN ty)
+    SELECT CASE WHEN (n * (n - 1) / 2 - tx) * (n * (n - 1) / 2 - ty) > 0
+                THEN ROUND((c - dd)
+                           / sqrt((n * (n - 1) / 2 - tx)
+                                  * (n * (n - 1) / 2 - ty)), 6)
+           END AS tau_b,
+           CAST(c AS BIGINT) AS n_concordant,
+           CAST(dd AS BIGINT) AS n_discordant,
+           CAST(n AS BIGINT) AS n
+    FROM j
+    """,
+)
+def events_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b between daily event volume and daily summed value
+    (operators/timeseries.py kendall_tau_b): the pairwise-concordance
+    companion to events_spearman_daily — tau reads directly as
+    P(concordant) − P(discordant) and degrades more gracefully under
+    heavy ties. Pair enumeration is quadratic in the CALENDAR (the day
+    key orders the pairs), tie corrections fold from per-column value
+    histograms; daily totals are DECIMAL-exact before the double cast so
+    both engines compare identical numbers."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        kendall_tau_b,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("y"),
+    )
+    return kendall_tau_b(s, "x", "y", "d")

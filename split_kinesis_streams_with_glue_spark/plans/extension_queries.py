@@ -2491,3 +2491,100 @@ def text_script_mix(spark, sf_dir):
         ),
     )
     return script_mix(d)
+
+
+@query(
+    since=6,
+    name="dedup_source_overlap",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    v AS (SELECT DISTINCT source, shingle FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS g1, b.source AS g2, COUNT(*) AS i
+      FROM v a JOIN v b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT g1, g2,
+           ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS vocab_jaccard,
+           CAST(i AS BIGINT) AS n_inter
+    FROM inter
+    JOIN sizes sa ON sa.source = g1
+    JOIN sizes sb ON sb.source = g2
+    """,
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Pairwise SOURCE-level shingle-vocabulary Jaccard
+    (operators/dedup.py group_vocab_overlap): the mirror-scrape detector —
+    two crawl sources feeding off the same upstream show near-identical
+    vocabularies long before any single document pair crosses a near-dup
+    threshold, and the fix (drop or down-weight the whole source) is a
+    curation decision no per-document pass surfaces. The self-join runs
+    ON SHINGLE with per-shingle fanout bounded by the number of sources —
+    a group-pair matrix, never a document-pair blowup."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        group_vocab_overlap,
+    )
+
+    return group_vocab_overlap(load(spark, sf_dir, "documents"), "source")
+
+
+_ESS_SQL = (
+    "WITH b AS (" + _CLUSTER_SQL + "), "
+    """
+    s AS (
+      SELECT CAST(1 AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY cluster_id) AS w
+      FROM b
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(w) AS sw,
+             SUM(w * w) AS sww
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN sww > 0 THEN ROUND(sw * sw / sww, 6) END AS ess,
+           CASE WHEN sww > 0 THEN ROUND(n / (sw * sw / sww), 6) END
+             AS design_effect
+    FROM a
+    """
+)
+
+
+@query(since=6, name="sample_ess_weights", oracle=_ESS_SQL)
+def sample_ess_weights(spark, sf_dir):
+    """Kish effective sample size of the soft-dedup weighting
+    (operators/sampling.py effective_sample_size over the
+    sample_soft_dedup_weights 1/cluster-size weights): how many
+    equal-weight documents the reweighted corpus is statistically worth,
+    and the design effect the weighting costs. The audit that closes the
+    soft-dedup loop — if ESS collapses, the near-dup graph is so dense
+    that reweighting (rather than dropping) was the wrong call. Weights
+    here are the UNROUNDED 1/size (the statistic, not the stored
+    artifact); one aggregation pass after the component labeling."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    labeled = cluster_labels(d.select("doc_id"), pairs)
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    weights = labeled.select((F.lit(1.0) / size).alias("weight"))
+    return effective_sample_size(weights, "weight")

@@ -1720,3 +1720,106 @@ def quality_mann_whitney(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return mann_whitney_u(d, "n_chars", F.col("lang") == "en")
+
+
+@query(
+    since=6,
+    name="quality_kruskal_wallis",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars AS v, lang AS g, COUNT(*) AS c
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, SUM(c) AS t FROM c GROUP BY 1),
+    mid AS (
+      SELECT v, t,
+             SUM(t) OVER (ORDER BY v) - t + (t + 1) / 2 AS midrank
+      FROM vt
+    ),
+    pg AS (
+      SELECT c.g, SUM(c.c * mid.midrank) AS r,
+             CAST(SUM(c.c) AS DOUBLE) AS ng
+      FROM c JOIN mid ON mid.v = c.v GROUP BY 1
+    ),
+    gs AS (
+      SELECT SUM(r * r / ng) AS rr, SUM(ng) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM pg
+    ),
+    ties AS (
+      SELECT SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_term FROM mid
+    ),
+    j AS (SELECT * FROM gs CROSS JOIN ties)
+    SELECT CASE WHEN k > 1
+                 AND 1.0 - tie_term / (n * n * n - n) > 0
+                THEN ROUND((12.0 / (n * (n + 1)) * rr - 3.0 * (n + 1))
+                           / (1.0 - tie_term / (n * n * n - n)), 6)
+           END AS h_statistic,
+           k - 1 AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM j
+    """,
+)
+def quality_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across all five languages' document-length
+    distributions (operators/quality_checks.py kruskal_wallis_h): the
+    k-sample generalization of quality_mann_whitney — one calibrated
+    statistic for 'does ANY language's length distribution differ?'
+    before pairwise drill-down multiplies the false-alarm rate. Same
+    at-scale shape: the corpus collapses to the (distinct value, group)
+    count frame; midranks, per-group rank sums, and the tie-corrected H
+    all fold from bounded frames."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        kruskal_wallis_h,
+    )
+
+    return kruskal_wallis_h(load(spark, sf_dir, "documents"), "n_chars", "lang")
+
+
+@query(
+    since=6,
+    name="quality_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN CAST(0.7 AS DOUBLE)
+                  ELSE CAST(0.15 AS DOUBLE) END
+               + (doc_id * 37 % 100) / CAST(500 AS DOUBLE) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9) AS bin, s, y
+      FROM scored
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(s), 6) AS mean_score,
+           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_pos,
+           ROUND(ABS(ROUND(AVG(CAST(y AS DOUBLE)), 6)
+                     - ROUND(AVG(s), 6)), 6) AS gap
+    FROM b GROUP BY 1
+    """,
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Reliability-diagram binning (operators/quality_checks.py
+    calibration_bins): per-bin count, mean predicted score, empirical
+    positive rate and |gap| — the calibration audit for any
+    quality/language classifier whose scores gate a filter threshold
+    (ECE is one fold over this frame; the per-bin view shows WHERE the
+    model is overconfident). The fixture has no model scores, so the
+    query plants a deterministic well-separated scorer for lang='en'
+    (base rate + a doc_id-keyed jitter, mirrored exactly in the oracle);
+    the binning/fold machinery under audit is the real thing. One
+    map-side-combining groupBy over <= n_bins groups."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        calibration_bins,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        (
+            F.when(F.col("lang") == "en", F.lit(0.7)).otherwise(F.lit(0.15))
+            + (F.col("doc_id") * 37 % 100) / F.lit(500.0)
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(d, "score", "label", n_bins=10)

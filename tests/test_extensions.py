@@ -1482,3 +1482,110 @@ def test_centroid_purity_known_values(spark):
     assert got[0]["mean_cos"] == 1.0 and got[0]["min_cos"] == 1.0
     assert abs(got[1]["mean_cos"] - 0.707107) < 1e-6
     assert got[2]["mean_cos"] is None and got[2]["n_members"] == 2
+
+
+def test_kruskal_wallis_known_values(spark):
+    """Three fully separated groups of 2: H = 12/(6*7) * (3^2/2 + 7^2/2 +
+    11^2/2) - 3*7 = 6.428571... (no ties); all-tied values -> NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        kruskal_wallis_h,
+    )
+
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b"), (5.0, "c"), (6.0, "c")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = kruskal_wallis_h(df, "v", "g").collect()[0]
+    h = 12 / (6 * 7) * (9 / 2 + 49 / 2 + 121 / 2) - 3 * 7
+    assert abs(r["h_statistic"] - round(h, 6)) < 1e-9
+    assert r["dof"] == 2 and r["n"] == 6
+
+    tied = spark.createDataFrame([(1.0, "a"), (1.0, "b")], "v double, g string")
+    assert kruskal_wallis_h(tied, "v", "g").collect()[0]["h_statistic"] is None
+
+
+def test_kendall_tau_b_known_values(spark):
+    """Perfect concordance -> 1; perfect reversal -> -1; the classic tied
+    example x=[1,2,3,3], y=[1,2,3,4]: C=5, D=0, tx=1 -> tau_b ~ 0.912871."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        kendall_tau_b,
+    )
+
+    up = spark.createDataFrame(
+        [(i, float(i), float(i * 2)) for i in range(4)], "k int, x double, y double"
+    )
+    assert kendall_tau_b(up, "x", "y", "k").collect()[0]["tau_b"] == 1.0
+
+    down = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(4)], "k int, x double, y double"
+    )
+    assert kendall_tau_b(down, "x", "y", "k").collect()[0]["tau_b"] == -1.0
+
+    tied = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 2.0, 2.0), (2, 3.0, 3.0), (3, 3.0, 4.0)],
+        "k int, x double, y double",
+    )
+    r = kendall_tau_b(tied, "x", "y", "k").collect()[0]
+    assert r["n_concordant"] == 5 and r["n_discordant"] == 0
+    assert abs(r["tau_b"] - round(5 / math.sqrt((6 - 1) * 6), 6)) < 1e-9
+
+    flat = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 1.0, 2.0)], "k int, x double, y double"
+    )
+    assert kendall_tau_b(flat, "x", "y", "k").collect()[0]["tau_b"] is None
+
+
+def test_calibration_bins_known_values(spark):
+    """Two bins with hand-set scores/labels: counts, confidences, accuracy
+    and gaps are exact; score 1.0 lands in the top bin."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        calibration_bins,
+    )
+
+    rows = [(0.12, 0), (0.18, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+    assert set(got) == {1, 9}
+    assert got[1]["n"] == 2 and abs(got[1]["mean_score"] - 0.15) < 1e-9
+    assert got[1]["frac_pos"] == 0.5 and abs(got[1]["gap"] - 0.35) < 1e-9
+    assert got[9]["n"] == 2 and got[9]["frac_pos"] == 1.0
+    assert abs(got[9]["mean_score"] - 0.975) < 1e-9
+
+
+def test_group_vocab_overlap_known_values(spark):
+    """Two sources sharing half their (tiny) shingle vocabularies score
+    Jaccard 1/3; disjoint sources produce no row."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        group_vocab_overlap,
+    )
+
+    rows = [
+        (1, "a b c d", "s1"),     # shingles: 'a b c', 'b c d'
+        (2, "a b c e", "s2"),     # shingles: 'a b c', 'b c e' -> shares 1 of 3
+        (3, "x y z w", "s3"),     # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {(r["g1"], r["g2"]): r for r in group_vocab_overlap(df, "source").collect()}
+    assert set(got) == {("s1", "s2")}
+    assert abs(got[("s1", "s2")]["vocab_jaccard"] - round(1 / 3, 6)) < 1e-9
+    assert got[("s1", "s2")]["n_inter"] == 1
+
+
+def test_effective_sample_size_known_values(spark):
+    """Equal weights -> ESS = n, deff = 1; one dominant weight collapses
+    ESS toward 1; zero mass -> NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    eq = spark.createDataFrame([(1.0,)] * 4, "w double")
+    r = effective_sample_size(eq, "w").collect()[0]
+    assert r["ess"] == 4.0 and r["design_effect"] == 1.0
+
+    dom = spark.createDataFrame([(100.0,), (1.0,), (1.0,)], "w double")
+    rd = effective_sample_size(dom, "w").collect()[0]
+    assert abs(rd["ess"] - round(102.0**2 / 10002.0, 6)) < 1e-9
+
+    zero = spark.createDataFrame([(0.0,), (0.0,)], "w double")
+    rz = effective_sample_size(zero, "w").collect()[0]
+    assert rz["ess"] is None and rz["design_effect"] is None

@@ -424,6 +424,13 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # midrank window over the distinct-value histogram frame (same class
     # as quality_ks_binned's CDF window)
     "quality_mann_whitney": {"unpartitioned-window"},
+    # crossJoins of the 1-row concordant/discordant agg with the two 1-row
+    # tie aggs; isnotnull filter on the DERIVED day — same classes as
+    # events_mann_kendall
+    "events_kendall_tau": {"cartesian-product", "unpushed-scan-filter"},
+    # crossJoin(broadcast(<1-row tie-term agg>)); midrank window over the
+    # distinct-value histogram (same classes as quality_mann_whitney)
+    "quality_kruskal_wallis": {"cartesian-product", "unpartitioned-window"},
 }
 
 
