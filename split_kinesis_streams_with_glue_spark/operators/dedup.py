@@ -758,3 +758,69 @@ def group_vocab_overlap(
             F.col("__i").cast("bigint").alias("n_inter"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF cosine-similar document pairs — the classic sparse-vector IR
+    similarity, complementing the set-based family: Jaccard sees shared
+    SHINGLES, embedding cosine sees dense semantics, TF-IDF cosine sees
+    shared RARE TERMS weighted by frequency — the measure that surfaces
+    'same topic, different phrasing' pairs the shingle family misses
+    while still discounting boilerplate vocabulary.
+
+    w(d, t) = tf(d, t) · ln(N/df(t)); cos = Σ w1·w2 / (‖w1‖·‖w2‖). Shape
+    mirrors ``idf_weighted_jaccard_pairs``: one tokenize pass to the
+    (doc, term, tf) frame, the Zipf-small IDF table joined back, per-doc
+    norms from one aggregate, and the pair enumeration self-joins ON TERM
+    (docs sharing no term never pair). Terms in every document carry
+    w = 0 — boilerplate can't create candidates. Use LSH/blocking
+    upstream at corpus scale, exactly as with the Jaccard path."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("__tf"))
+    nd = tf.select("id").distinct().agg(F.count(F.lit(1)).alias("__nd"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(nd))
+        .select("term", F.log(F.col("__nd") / F.col("__df")).alias("__idf"))
+    )
+    weighted = tf.join(idf, "term").select(
+        "id", "term", (F.col("__tf") * F.col("__idf")).alias("__w")
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    )
+    a = weighted.select(F.col("id").alias("d1"), "term", F.col("__w").alias("__w1"))
+    b = weighted.select(F.col("id").alias("d2"), "term", F.col("__w").alias("__w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("__w1") * F.col("__w2")).alias("__dot"))
+    )
+    na = norms.select(F.col("id").alias("d1"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col("id").alias("d2"), F.col("__norm").alias("__nb"))
+    # all-boilerplate documents have zero norm: cosine undefined -> NULL,
+    # filtered by the threshold (same degenerate-denominator guard class
+    # as idf_weighted_jaccard_pairs)
+    denom = F.col("__na") * F.col("__nb")
+    return (
+        dots.join(na, "d1")
+        .join(nb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.when(denom > 0, F.round(F.col("__dot") / denom, 6)).alias(
+                "tfidf_cosine"
+            ),
+        )
+        .filter(F.col("tfidf_cosine") >= threshold)
+    )

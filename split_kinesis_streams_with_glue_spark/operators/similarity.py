@@ -585,3 +585,46 @@ def centroid_purity(
             F.round(F.min("__cos"), 6).alias("min_cos"),
         )
     )
+
+
+def sample_diversity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalized: bool = True,
+) -> DataFrame:
+    """Diversity audit of an embedding SAMPLE: mean pairwise similarity
+    within the sample plus the members' mean cosine to the sample
+    centroid. The coverage check run on a candidate training subset —
+    two samples with the same size and quality scores can differ wildly
+    in redundancy (mean pairwise cosine near 1 = the sample keeps paying
+    for the same region), and a mean-centroid cosine near 1 says the
+    sample collapsed to one mode of the corpus.
+
+    By contract ``df`` IS the sample (pick it upstream with the
+    content-hash samplers — deterministic and engine-portable); the pair
+    enumeration is quadratic in the SAMPLE, never the corpus. Pairwise
+    sims are row-local array folds over the pair join; the centroid leg
+    reuses the bounded-lane shape of ``centroid_purity``. Returns one row
+    (n_sample, mean_pairwise_sim, mean_centroid_cos)."""
+    a = df.select(F.col(id_col).alias("__i1"), F.col(vec_col).alias("__v1"))
+    b = df.select(F.col(id_col).alias("__i2"), F.col(vec_col).alias("__v2"))
+    pair_sim = (
+        a.join(b, F.col("__i1") < F.col("__i2"))
+        .select(_sim(F.col("__v1"), F.col("__v2"), normalized).alias("__s"))
+        .agg(F.avg("__s").alias("__mps"))
+    )
+    cent = centroid_purity(
+        df.withColumn("__one", F.lit(0)),
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col="__one",
+    ).select(
+        F.col("n_members").alias("n_sample"),
+        F.col("mean_cos").alias("mean_centroid_cos"),
+    )
+    return cent.crossJoin(F.broadcast(pair_sim)).select(
+        "n_sample",
+        F.round("__mps", 6).alias("mean_pairwise_sim"),
+        "mean_centroid_cos",
+    )

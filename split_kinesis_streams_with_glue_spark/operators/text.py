@@ -837,3 +837,37 @@ def script_mix(
             ),
         ).alias("frac_other"),
     )
+
+
+def mojibake_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-artifact scan: per-document counts of U+FFFD replacement
+    characters (a decoder already gave up), C0/C1 control characters
+    (excluding tab/newline/CR — binary junk in a 'text' field), and the
+    classic UTF-8-read-as-Latin-1 mojibake marker 'Ã' (café→cafÃ©). The
+    quarantine triage a crawl pipeline runs before any text-quality
+    scoring — encoding damage upstream of the tokenizer poisons every
+    downstream metric silently.
+
+    Three regexp counts in one codegen projection, zero shuffles/UDFs;
+    all three classes are plain RE2 character classes, so the identical
+    scan drives an ANSI-SQL oracle. Returns (id, n_replacement,
+    n_control, n_mojibake, suspect)."""
+    t = F.col(text_col)
+
+    def cnt(pattern: str):
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0))).cast(
+            "bigint"
+        )
+
+    n_rep = cnt("�")
+    n_ctl = cnt(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    n_moj = cnt("Ã")
+    return df.select(
+        F.col(id_col),
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        n_moj.alias("n_mojibake"),
+        ((n_rep > 0) | (n_ctl > 0) | (n_moj > 0)).alias("suspect"),
+    )

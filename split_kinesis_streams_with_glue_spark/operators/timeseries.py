@@ -414,3 +414,41 @@ def kendall_tau_b(
         F.col("d").cast("bigint").alias("n_discordant"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def rolling_zscore(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    window: int = 7,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window anomaly score for a daily series: each day's value
+    against the mean/std of the PRECEDING ``window`` days (never itself —
+    a spike must not dilute its own baseline). The day-grain anomaly
+    detector that complements CUSUM (sequential drift) and STL residuals
+    (seasonality-aware): one number a paging rule can threshold.
+
+    z is NULL until a full baseline window exists and when the baseline
+    std is 0 (constant history — any deviation is 'infinitely' surprising
+    and the score is undefined; the flag still fires via the mean test).
+    Windows run over the calendar-bounded day frame (documented allowance
+    class). Returns (day, value, mean_prev, std_prev, z, anomaly)."""
+    w = Window.orderBy(day_col).rowsBetween(-window, -1)
+    base = series.select(
+        F.col(day_col),
+        F.col(value_col).cast("double").alias("__x"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.avg(F.col(value_col).cast("double")).over(w).alias("__m"),
+        F.stddev_samp(F.col(value_col).cast("double")).over(w).alias("__s"),
+    )
+    full = F.col("__n") == window
+    z = F.when(full & (F.col("__s") > 0), (F.col("__x") - F.col("__m")) / F.col("__s"))
+    return base.select(
+        day_col,
+        F.col("__x").alias(value_col),
+        F.when(full, F.round("__m", 6)).alias("mean_prev"),
+        F.when(full, F.round("__s", 6)).alias("std_prev"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("anomaly"),
+    )

@@ -1970,3 +1970,106 @@ def events_kendall_tau(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("y"),
     )
     return kendall_tau_b(s, "x", "y", "d")
+
+
+@query(
+    since=6,
+    name="events_rolling_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             COUNT(*) OVER win AS n,
+             AVG(x) OVER win AS m,
+             STDDEV_SAMP(x) OVER win AS sd
+      FROM s
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, x,
+           CASE WHEN n = 7 THEN ROUND(m, 6) END AS mean_prev,
+           CASE WHEN n = 7 THEN ROUND(sd, 6) END AS std_prev,
+           CASE WHEN n = 7 AND sd > 0
+                THEN ROUND((x - m) / sd, 6) END AS z,
+           COALESCE(CASE WHEN n = 7 AND sd > 0
+                         THEN ABS((x - m) / sd) > 2.0 END,
+                    FALSE) AS anomaly
+    FROM w
+    """,
+)
+def events_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly score of the daily event-count series
+    (operators/timeseries.py rolling_zscore): each day against the
+    mean/std of its PRECEDING 7 days (a spike never dilutes its own
+    baseline) — the day-grain pager-rule complement to CUSUM (sequential
+    drift) and the STL residual (seasonality-aware). z is NULL until a
+    full baseline exists or when the baseline is constant; the window
+    runs over the calendar-bounded day frame (documented allowance
+    class)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return rolling_zscore(s, "day", "x", window=7, threshold=2.0)
+
+
+@query(
+    since=6,
+    name="events_user_accretion",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY 1
+    ),
+    nw AS (SELECT d0 AS day, COUNT(*) AS new_users FROM f GROUP BY 1),
+    act AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS active_users
+      FROM events GROUP BY 1
+    )
+    SELECT act.day,
+           CAST(COALESCE(nw.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nw.new_users, 0))
+                OVER (ORDER BY act.day) AS BIGINT) AS cumulative_users,
+           CAST(act.active_users AS BIGINT) AS active_users
+    FROM act LEFT JOIN nw ON nw.day = act.day
+    """,
+)
+def events_user_accretion(spark, sf_dir):
+    """User-accretion curve: per day, first-ever-seen users, the
+    cumulative distinct-user count, and that day's active users — the
+    growth-vs-churn diagnostic (flat accretion + steady actives = a
+    stable cohort; the corpus analogue tracks new-document inflow per
+    source). First-touch is one per-user MIN aggregate; the day-grain
+    join and the cumulative window run over the calendar-bounded frame
+    (documented allowance class) — the fact table is scanned twice with
+    map-side combine, never windowed."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    nw = first.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    act = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    j = act.join(nw, "day", "left").select(
+        "day",
+        F.coalesce("new_users", F.lit(0)).alias("__nu"),
+        "active_users",
+    )
+    cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        F.col("__nu").cast("bigint").alias("new_users"),
+        F.sum("__nu").over(cum).cast("bigint").alias("cumulative_users"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+    )

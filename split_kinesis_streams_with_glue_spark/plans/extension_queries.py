@@ -2588,3 +2588,162 @@ def sample_ess_weights(spark, sf_dir):
     size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     weights = labeled.select((F.lit(1.0) / size).alias("weight"))
     return effective_sample_size(weights, "weight")
+
+
+@query(
+    since=6,
+    name="text_mojibake_scan",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' caf' || chr(195) || chr(169) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(t,
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT)
+             AS n_control,
+           CAST(len(regexp_extract_all(t, chr(195))) AS BIGINT) AS n_mojibake,
+           len(regexp_extract_all(t, chr(65533))) > 0
+             OR len(regexp_extract_all(t,
+                  '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) > 0
+             OR len(regexp_extract_all(t, chr(195))) > 0 AS suspect
+    FROM aug
+    """,
+)
+def text_mojibake_scan(spark, sf_dir):
+    """Encoding-artifact triage (operators/text.py mojibake_scan):
+    per-document counts of U+FFFD replacement chars, stray C0/C1 control
+    bytes, and the UTF-8-as-Latin-1 mojibake marker -- the quarantine
+    check that runs BEFORE text-quality scoring, because encoding damage
+    upstream of the tokenizer silently poisons every downstream metric.
+    The clean fixture corpus gets deterministic planted damage (mojibake
+    'caf\u00c3\u00a9' on %7, a replacement char on %11, a BEL control
+    on %13 -- mirrored via chr() in the oracle); the scan itself is
+    three RE2 classes in one codegen projection."""
+    from split_kinesis_streams_with_glue_spark.operators.text import mojibake_scan
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" caf\u00c3\u00a9")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\ufffd")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\u0007")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return mojibake_scan(d)
+
+
+@query(
+    since=6,
+    name="dedup_tfidf_cosine",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id AS id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT id) AS nd FROM tf),
+    idf AS (
+      SELECT term,
+             ln(CAST((SELECT nd FROM nd) AS DOUBLE) / COUNT(*)) AS idf
+      FROM tf GROUP BY term
+    ),
+    w AS (SELECT id, term, tf * idf AS w FROM tf JOIN idf USING (term)),
+    norms AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.id AS d1, b.id AS d2, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+    FROM dots
+    JOIN norms na ON na.id = d1
+    JOIN norms nb ON nb.id = d2
+    WHERE na.nrm * nb.nrm > 0
+      AND ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.9
+    """,
+)
+def dedup_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs at >= 0.9 (operators/dedup.py
+    tfidf_cosine_pairs): the sparse-vector IR similarity that completes
+    the family — Jaccard sees shared shingle SETS, embedding cosine sees
+    dense semantics, TF-IDF cosine sees shared rare TERMS with their
+    frequencies, surfacing same-topic/different-phrasing pairs while
+    boilerplate vocabulary (idf ~ 0) can't create candidates. Pair
+    enumeration self-joins ON TERM; at corpus scale the LSH/blocking
+    machinery prunes candidates exactly as on the Jaccard path."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    return tfidf_cosine_pairs(load(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@query(
+    since=6,
+    name="sim_sample_diversity",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    ps AS (
+      SELECT AVG({_DOT.format(a='a', b='b')}) AS mps
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    lanes AS (
+      SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS v
+      FROM s JOIN generate_series(1, 100000) t(d) ON d <= len(embedding)
+    ),
+    cent AS (SELECT d, AVG(v) AS c FROM lanes GROUP BY 1),
+    pv AS (
+      SELECT l.vec_id,
+             SUM(l.v * cent.c) AS dot,
+             SUM(l.v * l.v) AS nv,
+             SUM(cent.c * cent.c) AS nc
+      FROM lanes l JOIN cent ON cent.d = l.d
+      GROUP BY 1
+    ),
+    cc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+             ROUND(AVG(CASE WHEN nv > 0 AND nc > 0
+                            THEN dot / sqrt(nv * nc) END), 6)
+               AS mean_centroid_cos
+      FROM pv
+    )
+    SELECT n_sample, ROUND((SELECT mps FROM ps), 6) AS mean_pairwise_sim,
+           mean_centroid_cos
+    FROM cc
+    """,
+)
+def sim_sample_diversity(spark, sf_dir):
+    """Diversity audit of a deterministic 10% embedding sample
+    (operators/similarity.py sample_diversity): mean pairwise cosine
+    within the sample (near 1 = the sample pays repeatedly for one
+    region) plus mean cosine to the sample centroid (near 1 = collapsed
+    to a single mode) — the redundancy/coverage check run on a candidate
+    training subset before tokens are spent on it. Pair work is
+    quadratic in the SAMPLE only; the centroid leg rides the bounded
+    lane shape of centroid_purity."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        sample_diversity,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return sample_diversity(emb)

@@ -1589,3 +1589,106 @@ def test_effective_sample_size_known_values(spark):
     zero = spark.createDataFrame([(0.0,), (0.0,)], "w double")
     rz = effective_sample_size(zero, "w").collect()[0]
     assert rz["ess"] is None and rz["design_effect"] is None
+
+
+def test_rolling_zscore_known_values(spark):
+    """8 flat days then a spike: the spike day scores against the 7-day
+    flat baseline (std 0 -> z NULL, no anomaly flag without a defined z);
+    a noisy baseline yields the hand-computed z."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    flat = [(d0 + dt.timedelta(days=i), 10.0) for i in range(7)]
+    rows = flat + [(d0 + dt.timedelta(days=7), 100.0)]
+    df = spark.createDataFrame(rows, "day date, x double")
+    got = {r["day"]: r for r in rolling_zscore(df, "day", "x").collect()}
+    spike = got[d0 + dt.timedelta(days=7)]
+    assert spike["mean_prev"] == 10.0 and spike["std_prev"] == 0.0
+    assert spike["z"] is None and spike["anomaly"] is False
+    # first 7 days: baseline incomplete -> everything NULL, no flag
+    assert got[d0]["mean_prev"] is None and not got[d0]["anomaly"]
+
+    noisy = [(d0 + dt.timedelta(days=i), float(v)) for i, v in
+             enumerate([9, 11, 9, 11, 9, 11, 10])]
+    rows2 = noisy + [(d0 + dt.timedelta(days=7), 20.0)]
+    df2 = spark.createDataFrame(rows2, "day date, x double")
+    r = {r["day"]: r for r in rolling_zscore(df2, "day", "x").collect()}[
+        d0 + dt.timedelta(days=7)
+    ]
+    import statistics
+
+    base = [9, 11, 9, 11, 9, 11, 10]
+    z = (20 - statistics.mean(base)) / statistics.stdev(base)
+    assert abs(r["z"] - round(z, 6)) < 1e-6 and r["anomaly"]
+
+
+def test_mojibake_scan_known_values(spark):
+    """Each artifact class counts exactly; clean text is not suspect;
+    tab/newline are NOT control-flagged."""
+    from split_kinesis_streams_with_glue_spark.operators.text import mojibake_scan
+
+    rows = [
+        (0, "clean text\twith\ntabs"),
+        (1, "bad \ufffd\ufffd decode"),
+        (2, "caf\u00c3\u00a9 mojibake"),
+        (3, "bell\u0007null\u0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in mojibake_scan(df).collect()}
+    assert not got[0]["suspect"] and got[0]["n_control"] == 0
+    assert got[1]["n_replacement"] == 2 and got[1]["suspect"]
+    assert got[2]["n_mojibake"] == 1 and got[2]["suspect"]
+    assert got[3]["n_control"] == 2 and got[3]["suspect"]
+
+
+def test_tfidf_cosine_known_values(spark):
+    """Identical rare-term docs score 1; pairs sharing only zero-idf
+    boilerplate score 0; an all-boilerplate corpus (all norms 0) yields
+    no rows rather than an ANSI division error."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (1, "common rare1 rare1"),
+        (2, "common rare1 rare1"),   # identical weights -> cos 1
+        (3, "common other3"),        # shares only the zero-idf boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["d1"], r["d2"]): r["tfidf_cosine"]
+           for r in tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    # 'common' has df=3=N -> idf 0: pairs (1,3)/(2,3) share zero weight
+    assert got[(1, 3)] == 0.0 and got[(2, 3)] == 0.0
+
+    bp = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id int, text string"
+    )
+    assert tfidf_cosine_pairs(bp, threshold=0.0).collect() == []
+
+
+def test_sample_diversity_known_values(spark):
+    """Identical unit vectors: pairwise sim 1 and centroid cosine 1; an
+    orthogonal pair: pairwise 0, centroid cosine cos(45deg)."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        sample_diversity,
+    )
+
+    same = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    r = sample_diversity(same).collect()[0]
+    assert r["n_sample"] == 3
+    assert r["mean_pairwise_sim"] == 1.0 and r["mean_centroid_cos"] == 1.0
+
+    ortho = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<float>"
+    )
+    r2 = sample_diversity(ortho).collect()[0]
+    assert r2["mean_pairwise_sim"] == 0.0
+    assert abs(r2["mean_centroid_cos"] - 0.707107) < 1e-6

@@ -431,6 +431,15 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin(broadcast(<1-row tie-term agg>)); midrank window over the
     # distinct-value histogram (same classes as quality_mann_whitney)
     "quality_kruskal_wallis": {"cartesian-product", "unpartitioned-window"},
+    # trailing/cumulative windows over the calendar-bounded day aggregate
+    "events_rolling_zscore": {"unpartitioned-window"},
+    "events_user_accretion": {"unpartitioned-window"},
+    # crossJoin(broadcast(<1-row corpus-doc-count agg>)) feeding the IDF
+    # (same shape as dedup_idf_weighted)
+    "dedup_tfidf_cosine": {"cartesian-product"},
+    # crossJoin of the 1-row pairwise-mean agg onto the 1-row centroid
+    # summary — both bounded by design
+    "sim_sample_diversity": {"cartesian-product"},
 }
 
 
