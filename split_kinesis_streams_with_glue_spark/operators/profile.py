@@ -195,3 +195,64 @@ def poisson_bootstrap_ci(
     return point.crossJoin(F.broadcast(ci)).select(
         "point_sum", "ci_lo", "ci_hi", "n_reps"
     )
+
+
+def boxplot_stats(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group five-number summary with Tukey fences: quartiles (exact,
+    linear interpolation), IQR, whisker positions (the most extreme
+    values still inside 1.5·IQR), and the outlier count — the one-pass
+    distribution card per language/source that a corpus dashboard draws
+    directly, and the principled per-group outlier budget the MAD screen
+    complements.
+
+    Two passes: the quartile aggregate per group (exact ``percentile`` —
+    a per-group sort, acceptable because the grouping is low-cardinality
+    by contract; swap in ``exact_quantile_twopass`` per group when it
+    isn't), then the fence scan with the bounded quartile frame broadcast
+    back. Returns (group, n, q1, median, q3, iqr, lo_whisker,
+    hi_whisker, n_outliers)."""
+    v = F.col(value_col).cast("double")
+    q = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+    )
+    fences = q.select(
+        group_col,
+        "n",
+        "q1",
+        "median",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("__lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("__hi"),
+    )
+    scan = df.filter(v.isNotNull()).join(F.broadcast(fences), group_col)
+    return (
+        scan.groupBy(
+            group_col, "n", "q1", "median", "q3", "iqr", "__lo", "__hi"
+        )
+        .agg(
+            F.min(F.when(v >= F.col("__lo"), v)).alias("lo_whisker"),
+            F.max(F.when(v <= F.col("__hi"), v)).alias("hi_whisker"),
+            F.sum(
+                F.when((v < F.col("__lo")) | (v > F.col("__hi")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.round("q1", 6).alias("q1"),
+            F.round("median", 6).alias("median"),
+            F.round("q3", 6).alias("q3"),
+            F.round("iqr", 6).alias("iqr"),
+            "lo_whisker",
+            "hi_whisker",
+            "n_outliers",
+        )
+    )

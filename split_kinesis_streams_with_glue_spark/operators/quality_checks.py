@@ -544,3 +544,98 @@ def calibration_bins(
             "gap", F.round(F.abs(F.col("frac_pos") - F.col("mean_score")), 6)
         )
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) for a categorical sensitive
+    attribute: for every quasi-identifier group, the total-variation
+    distance between the group's sensitive-value distribution and the
+    GLOBAL one — the strictest of the release-privacy trio
+    (k-anonymity: groups big enough; l-diversity: enough distinct
+    sensitive values; t-closeness: the group's distribution reveals
+    nothing beyond the public marginal). Returns the VIOLATING groups
+    (tv_distance > t) with their size and distance; empty = the table is
+    t-close over those columns.
+
+    Shape: one contingency aggregation (quasi × sensitive), the global
+    marginal as a broadcast, the TV fold over the bounded contingency
+    frame — sensitive values ABSENT from a group still contribute |0 −
+    p(v)| via a right join onto the value marginal, which a naive
+    joint-only fold silently drops."""
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    joint = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gsize = joint.groupBy(*quasi_cols).agg(F.sum("__c").alias("__ng"))
+    marg = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__cv"))
+    tot = base.agg(F.count(F.lit(1)).alias("__n"))
+    # full (group × sensitive-value) domain, zero-filled
+    domain = gsize.crossJoin(F.broadcast(marg))
+    cells = domain.join(joint, [*quasi_cols, sensitive_col], "left").select(
+        *quasi_cols,
+        "__ng",
+        "__cv",
+        F.coalesce("__c", F.lit(0)).alias("__c"),
+    )
+    tv = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.first("__ng").alias("__ng"),
+            F.round(
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.col("__c") / F.col("__ng")
+                        - F.col("__cv") / F.col("__n")
+                    )
+                ),
+                6,
+            ).alias("tv_distance"),
+        )
+    )
+    return tv.filter(F.col("tv_distance") > t).select(
+        *quasi_cols,
+        F.col("__ng").cast("bigint").alias("n"),
+        "tv_distance",
+    )
+
+
+def chi2_residuals(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell standardized Pearson residuals (o − e)/sqrt(e) for the
+    ``col_a`` × ``col_b`` contingency table — the drill-down companion to
+    ``chi2_independence``: the omnibus X² says THAT the columns are
+    dependent; the residual matrix says WHICH cells carry it (|residual|
+    > 2 ≈ a cell off by more than noise). Same NULL policy and bounded
+    contingency machinery as the omnibus test; expected counts come from
+    the product of the marginals."""
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = joint.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    rb = joint.groupBy(col_b).agg(F.sum("__o").alias("__rb"))
+    n = joint.agg(F.sum("__o").alias("__n"))
+    # zero cells matter here (a BIG negative residual): full domain join
+    domain = ra.crossJoin(F.broadcast(rb))
+    cells = domain.join(joint, [col_a, col_b], "left").select(
+        col_a,
+        col_b,
+        "__ra",
+        "__rb",
+        F.coalesce("__o", F.lit(0)).alias("__o"),
+    )
+    e = F.col("__ra") * F.col("__rb") / F.col("__n")
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .select(
+            col_a,
+            col_b,
+            F.col("__o").cast("bigint").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("__o") - e) / F.sqrt(e), 6).alias("residual"),
+        )
+    )

@@ -63,14 +63,16 @@ ROUND-6 WINDOW (derived by set-diff against CORRECTNESS_r01..r05):
    driver hasher's engine-dependent canonicalization of raw DECIMAL
    output columns. All four re-enter with checksums cast to BIGINT and
    money to DOUBLE on BOTH sides (``decimal_money_math`` convention);
-3. ``cdc_join_view_symmetric`` — hashed green in r5 but emits the same
-   raw-DECIMAL class (the driver's decimal handling is value-dependent);
-   its output is now cast to DOUBLE, so the changed query re-enters;
-4. 16 of the 18 remaining round-1-only queries (staleness zeroing).
-   Deferred to round 7 for lack of slots: ``split_roundtrip_customer``
-   and ``catalog_sql_over_split`` — both exercise the split/catalog
-   machinery whose sibling queries went green in r4/r5
-   (``stream_split_customer``, ``formats_csv_roundtrip``).
+3. ``cdc_join_view_symmetric`` and ``cdc_rollup_apply`` — hashed green
+   in earlier rounds but emit the same raw-DECIMAL class (the driver's
+   decimal handling is value-dependent; the new output-schema guard
+   flagged both); their outputs are now cast to DOUBLE, so the changed
+   queries re-enter;
+4. 15 of the 18 remaining round-1-only queries (staleness zeroing).
+   Deferred to round 7 for lack of slots: ``split_roundtrip_customer``,
+   ``split_stats_customer`` and ``catalog_sql_over_split`` — all three
+   exercise the split/catalog machinery whose sibling queries went
+   green in r4/r5 (``stream_split_customer``, ``formats_csv_roundtrip``).
 
 ROUND-7 ROTATION PRECOMPUTE: never-checked should be exactly the
 ``since=6`` registrations; the window takes those, any round-6 reds,
@@ -134,12 +136,15 @@ _VERIFY_PRIORITY: list[str] = [
     "cdc_join_view_apply",
     "cdc_fingerprint_buckets",
     "cdc_merkle_diff",
-    # --- same output class, green-by-luck in r5; output now cast to
-    # DOUBLE, so the changed query re-enters for a fresh row ---
+    # --- same output class, green-by-luck in earlier rounds (the new
+    # output-schema guard flagged them); outputs now cast to DOUBLE, so
+    # the changed queries re-enter for fresh rows ---
     "cdc_join_view_symmetric",
-    # --- staleness zeroing: 16 of the 18 queries whose only driver row is
-    # round 1 (split_roundtrip_customer + catalog_sql_over_split defer to
-    # round 7 — their machinery's siblings went green in r4/r5) ---
+    "cdc_rollup_apply",
+    # --- staleness zeroing: 15 of the 18 queries whose only driver row is
+    # round 1 (split_roundtrip_customer, split_stats_customer +
+    # catalog_sql_over_split defer to round 7 — their machinery's
+    # siblings went green in r4/r5) ---
     "array_contains_filter",
     "array_hof_embedding_norm",
     "cdc_scd2_customer",
@@ -153,7 +158,6 @@ _VERIFY_PRIORITY: list[str] = [
     "schema_drift_merge",
     "split_flatten_orders_ts",
     "split_multi_table",
-    "split_stats_customer",
     "subquery_correlated_exists",
     "subquery_in",
 ]

@@ -541,9 +541,10 @@ def quality_k_anonymity(spark, sf_dir):
     name="cdc_rollup_apply",
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
-                                     WHEN c_custkey % 5 = 0 THEN 100.0
-                                     ELSE 0.0 END AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 200.0
+                                          WHEN c_custkey % 5 = 0 THEN 100.0
+                                          ELSE 0.0 END AS DECIMAL(18,2)))
+                AS DOUBLE) AS total
     FROM customer
     WHERE c_custkey % 7 <> 0
     GROUP BY c_mktsegment
@@ -617,7 +618,12 @@ def cdc_rollup_apply(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return read_rollup(spark, f"{base}/agg", ["c_mktsegment"])
+    # surface cast per round-5 verdict #1 (the schema guard flagged this
+    # sibling of cdc_join_view_apply): exact DECIMAL fold, integer-cents
+    # < 2^53, so the double is bit-exact on both engines
+    return read_rollup(spark, f"{base}/agg", ["c_mktsegment"]).withColumn(
+        "total", F.col("total").cast("double")
+    )
 
 
 @query(
@@ -1823,3 +1829,143 @@ def quality_calibration_bins(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("label"),
     )
     return calibration_bins(d, "score", "label", n_bins=10)
+
+
+@query(
+    since=6,
+    name="quality_t_closeness",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS g, c_nationkey AS v, COUNT(*) AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    gs AS (SELECT g, SUM(c) AS ng FROM j GROUP BY 1),
+    m AS (SELECT c_nationkey AS v, COUNT(*) AS cv FROM customer GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM customer),
+    dom AS (SELECT gs.g, gs.ng, m.v, m.cv FROM gs CROSS JOIN m),
+    cells AS (
+      SELECT dom.g, dom.ng, dom.cv, COALESCE(j.c, 0) AS c
+      FROM dom LEFT JOIN j ON j.g = dom.g AND j.v = dom.v
+    ),
+    tv AS (
+      SELECT g, CAST(MIN(ng) AS BIGINT) AS n,
+             ROUND(0.5 * SUM(ABS(c * 1.0 / ng
+                                 - cv * 1.0 / (SELECT n FROM n))), 6)
+               AS tv_distance
+      FROM cells GROUP BY g
+    )
+    SELECT g AS c_mktsegment, n, tv_distance
+    FROM tv WHERE tv_distance > 0.09
+    """,
+)
+def quality_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/quality_checks.py t_closeness):
+    market segments whose nation-mix distribution strays more than
+    t = 0.09 total-variation from the global marginal — completing the
+    release-privacy trio (k-anonymity: big enough; l-diversity: varied
+    enough; t-closeness: the group's sensitive distribution reveals
+    nothing beyond the public marginal). Values a group has ZERO of
+    still contribute to its distance via the zero-filled (group x value)
+    domain — the naive joint-only fold silently under-measures. All
+    frames are contingency-bounded."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        t_closeness,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    return t_closeness(cust, ["c_mktsegment"], "c_nationkey", t=0.09)
+
+
+@query(
+    since=6,
+    name="quality_chi2_residuals",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER)
+               AS dow
+      FROM events
+    ),
+    joint AS (SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2),
+    ra AS (SELECT event_type, SUM(o) AS ra FROM joint GROUP BY 1),
+    rb AS (SELECT dow, SUM(o) AS rb FROM joint GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM joint),
+    dom AS (SELECT ra.event_type, ra.ra, rb.dow, rb.rb FROM ra CROSS JOIN rb),
+    cells AS (
+      SELECT dom.event_type, dom.dow, dom.ra, dom.rb,
+             COALESCE(joint.o, 0) AS o
+      FROM dom LEFT JOIN joint
+        ON joint.event_type = dom.event_type AND joint.dow = dom.dow
+    )
+    SELECT event_type, dow, CAST(o AS BIGINT) AS observed,
+           ROUND(ra * rb * 1.0 / n.n, 6) AS expected,
+           ROUND((o - ra * rb * 1.0 / n.n)
+                 / sqrt(ra * rb * 1.0 / n.n), 6) AS residual
+    FROM cells CROSS JOIN n
+    """,
+)
+def quality_chi2_residuals(spark, sf_dir):
+    """Standardized Pearson residuals per (event type, weekday) cell
+    (operators/quality_checks.py chi2_residuals): the drill-down behind
+    quality_chi2_independence's omnibus X² — WHICH cells carry the
+    dependence (|residual| > 2 ≈ off by more than noise). Zero cells get
+    their big negative residuals via the full-domain join. Same
+    engine-portable weekday derivation; every frame is
+    contingency-bounded."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_residuals,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    e = ev.select(
+        "event_type", F.pmod(epoch_day, F.lit(7)).cast("int").alias("dow")
+    )
+    return chi2_residuals(e, "event_type", "dow")
+
+
+@query(
+    since=6,
+    name="quality_boxplot_langs",
+    oracle="""
+    WITH q AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.5) AS median,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    f AS (
+      SELECT lang, n, q1, median, q3, q3 - q1 AS iqr,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT f.lang, f.n,
+           ROUND(f.q1, 6) AS q1, ROUND(f.median, 6) AS median,
+           ROUND(f.q3, 6) AS q3, ROUND(f.iqr, 6) AS iqr,
+           MIN(CASE WHEN d.n_chars >= f.lo
+                    THEN CAST(d.n_chars AS DOUBLE) END) AS lo_whisker,
+           MAX(CASE WHEN d.n_chars <= f.hi
+                    THEN CAST(d.n_chars AS DOUBLE) END) AS hi_whisker,
+           CAST(SUM(CASE WHEN d.n_chars < f.lo OR d.n_chars > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f JOIN documents d ON d.lang = f.lang AND d.n_chars IS NOT NULL
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def quality_boxplot_langs(spark, sf_dir):
+    """Per-language five-number summary with Tukey fences
+    (operators/profile.py boxplot_stats): exact quartiles, IQR, the most
+    extreme values inside 1.5·IQR, and the outlier count — the
+    distribution card a corpus dashboard draws per language/source, and
+    the principled per-group outlier budget alongside the global MAD
+    screen. Exact interpolated percentiles per group (low-cardinality
+    grouping by contract; the iterative exact-quantile machinery is the
+    swap-in otherwise), then one fence scan with the bounded quartile
+    frame broadcast back."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        boxplot_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return boxplot_stats(d, "n_chars", "lang")

@@ -1692,3 +1692,69 @@ def test_sample_diversity_known_values(spark):
     r2 = sample_diversity(ortho).collect()[0]
     assert r2["mean_pairwise_sim"] == 0.0
     assert abs(r2["mean_centroid_cos"] - 0.707107) < 1e-6
+
+
+def test_t_closeness_known_values(spark):
+    """Hand-computed TV distances, including a sensitive value a group has
+    ZERO of (the joint-only fold would drop its contribution)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        t_closeness,
+    )
+
+    # global: x=3, y=1 -> p = (0.75, 0.25)
+    # g1: 2x, 1y -> (2/3, 1/3): TV = 0.5*(|2/3-3/4| + |1/3-1/4|) = 1/12
+    # g2: 1x, 0y -> (1, 0):     TV = 0.5*(0.25 + 0.25) = 0.25
+    rows = [("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "x")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {r["q"]: r for r in t_closeness(df, ["q"], "s", t=0.0).collect()}
+    assert abs(got["g1"]["tv_distance"] - round(1 / 12, 6)) < 1e-9
+    assert got["g2"]["tv_distance"] == 0.25 and got["g2"]["n"] == 1
+    # threshold filters: only g2 violates t = 0.2
+    tight = t_closeness(df, ["q"], "s", t=0.2).collect()
+    assert [r["q"] for r in tight] == ["g2"]
+
+
+def test_chi2_residuals_zero_cell(spark):
+    """A structurally missing cell gets its negative residual -sqrt(e)
+    from the full-domain join; residuals on a perfectly independent
+    table are 0."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_residuals,
+    )
+
+    # 2x2, cell (b, q) empty: o={a:(2p,2q... construct: a,p x2; a,q x2; b,p x2
+    rows = [("a", "p"), ("a", "p"), ("a", "q"), ("a", "q"), ("b", "p"), ("b", "p")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r["x"], r["y"]): r for r in chi2_residuals(df, "x", "y").collect()}
+    assert len(got) == 4
+    bq = got[("b", "q")]
+    # e = rb_q * ra_b / n = 2*2/6 = 2/3; residual = (0 - 2/3)/sqrt(2/3)
+    import math
+
+    assert bq["observed"] == 0
+    assert abs(bq["expected"] - round(2 / 3, 6)) < 1e-9
+    assert abs(bq["residual"] - round(-(2 / 3) / math.sqrt(2 / 3), 6)) < 1e-6
+
+    indep = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")], "x string, y string"
+    )
+    for r in chi2_residuals(indep, "x", "y").collect():
+        assert r["residual"] == 0.0
+
+
+def test_boxplot_stats_known_values(spark):
+    """Hand-checked quartiles/fences on a small group with one clear
+    outlier; whiskers are the most extreme IN-fence values."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        boxplot_stats,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = boxplot_stats(df, "v", "g").collect()[0]
+    # percentile (linear, (n-1)p): q1 = 2.0, med = 3.0, q3 = 4.0, iqr = 2
+    assert r["q1"] == 2.0 and r["median"] == 3.0 and r["q3"] == 4.0
+    assert r["iqr"] == 2.0
+    # fences [-1, 7]: outlier 100; whiskers 1.0 and 4.0
+    assert r["lo_whisker"] == 1.0 and r["hi_whisker"] == 4.0
+    assert r["n_outliers"] == 1 and r["n"] == 5

@@ -440,6 +440,11 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin of the 1-row pairwise-mean agg onto the 1-row centroid
     # summary — both bounded by design
     "sim_sample_diversity": {"cartesian-product"},
+    # contingency-domain crossJoins (groups x sensitive-values,
+    # marginal x marginal) plus 1-row total broadcasts — all bounded by
+    # the category counts, never data rows
+    "quality_t_closeness": {"cartesian-product"},
+    "quality_chi2_residuals": {"cartesian-product"},
 }
 
 
