@@ -871,3 +871,47 @@ def mojibake_scan(
         n_moj.alias("n_mojibake"),
         ((n_rep > 0) | (n_ctl > 0) | (n_moj > 0)).alias("suspect"),
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Church–Gale term burstiness: tf(t)/df(t) — the mean occurrence
+    count of a term WITHIN the documents that contain it. Uniformly
+    sprinkled function words score ~1; template/boilerplate/keyword-stuffed
+    terms repeat many times inside their documents and score high — the
+    cheap detector for terms worth a repetition filter that plain
+    frequency ranking buries under stopwords.
+
+    One tokenize pass → per-(doc, term) counts with map-side combine →
+    one vocabulary-grain aggregate; the top-``k`` cut is
+    ``orderBy().limit()`` (TakeOrderedAndProject — distributed, never a
+    global row_number over the vocabulary), ties broken by term for
+    determinism. ``min_df`` drops one-document terms whose burstiness is
+    just their own tf. Returns (term, tf, df, burstiness)."""
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    per_doc = words.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    stats = per_doc.groupBy("__t").agg(
+        F.sum("__c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .select(
+            F.col("__t").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("tf") / F.col("df").cast("double"), 6).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("term"))
+        .limit(k)
+    )

@@ -452,3 +452,36 @@ def rolling_zscore(
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("anomaly"),
     )
+
+
+def hodges_lehmann(
+    series: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """Hodges–Lehmann pseudo-median of a bounded series: the median of
+    all Walsh averages (x_i + x_j)/2 over i ≤ j — the robust LOCATION
+    estimate that pairs with Theil–Sen (robust slope) and the rank tests
+    (robust comparison): ~29% arbitrary outliers move it nowhere, yet on
+    clean symmetric data it is ~95% as efficient as the mean (the plain
+    median is ~64%).
+
+    Same scale contract as the other pairwise operators: the Walsh-pair
+    enumeration is quadratic in the SERIES length (day-grain — bounded),
+    never the fact table; ``key_col`` (unique per row) enumerates each
+    unordered pair once — pairing on VALUE comparison would double-count
+    tied values. i = j contributes the values themselves. Returns one
+    row (hl_estimate, n_pairs)."""
+    a = series.select(
+        F.col(key_col).alias("__k1"), F.col(value_col).cast("double").alias("__x1")
+    )
+    b = series.select(
+        F.col(key_col).alias("__k2"), F.col(value_col).cast("double").alias("__x2")
+    )
+    pairs = a.join(b, F.col("__k2") > F.col("__k1")).select(
+        ((F.col("__x1") + F.col("__x2")) / 2).alias("__w")
+    )
+    selfs = series.select(F.col(value_col).cast("double").alias("__w"))
+    walsh = pairs.unionByName(selfs)
+    return walsh.agg(
+        F.round(F.expr("percentile(__w, 0.5)"), 6).alias("hl_estimate"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )

@@ -2073,3 +2073,89 @@ def events_user_accretion(spark, sf_dir):
         F.sum("__nu").over(cum).cast("bigint").alias("cumulative_users"),
         F.col("active_users").cast("bigint").alias("active_users"),
     )
+
+
+@query(
+    since=6,
+    name="events_hodges_lehmann",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT (a.x + b.x) / 2 AS w FROM s a JOIN s b ON b.d > a.d
+      UNION ALL
+      SELECT x FROM s
+    )
+    SELECT ROUND(MEDIAN(w), 6) AS hl_estimate,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM w
+    """,
+)
+def events_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann pseudo-median of the daily event-count series
+    (operators/timeseries.py hodges_lehmann): the median of all Walsh
+    averages — the robust LOCATION estimate completing the robust trio
+    (Theil-Sen = slope, Mann-Kendall/Mann-Whitney = tests, HL = level):
+    outlier days move it nowhere, yet it keeps ~95% of the mean's
+    efficiency on clean data (the plain median keeps ~64%). Walsh pairs
+    enumerate by the day key (value-comparison pairing would
+    double-count tied days), quadratic in the CALENDAR only."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hodges_lehmann,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return hodges_lehmann(s, "x", "d")
+
+
+@query(
+    since=6,
+    name="events_funnel_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    lat AS (
+      SELECT epoch_us(t3) - epoch_us(t1) AS us
+      FROM s3 JOIN s1 USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(us, 0.5) / 1e6, 6) AS p50_seconds,
+           ROUND(quantile_cont(us, 0.9) / 1e6, 6) AS p90_seconds,
+           ROUND(MAX(us) / 1e6, 6) AS max_seconds
+    FROM lat
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """Conversion-latency distribution for the view->click->purchase
+    funnel (operators/funnel.py funnel_latency): for users completing
+    all steps in order (same greedy first-touch walk as events_funnel),
+    the first-step-to-completion time as count/median/p90/max seconds —
+    the abandonment-window number the step-count funnel can't give.
+    Latencies compare in exact integer microseconds; the percentile
+    runs over the per-USER converted frame, with the iterative
+    exact-quantile machinery the documented swap-in at extreme user
+    counts."""
+    from split_kinesis_streams_with_glue_spark.operators.funnel import (
+        funnel_latency,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_latency(ev, ["view", "click", "purchase"])

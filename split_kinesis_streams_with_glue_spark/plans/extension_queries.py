@@ -2747,3 +2747,89 @@ def sim_sample_diversity(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     return sample_diversity(emb)
+
+
+@query(
+    since=6,
+    name="text_term_burstiness",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id AS id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w <> '')) AS t
+      FROM documents
+    ),
+    pd AS (SELECT id, t, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    st AS (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS tf,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM pd GROUP BY 1
+    )
+    SELECT t AS term, tf, df,
+           ROUND(tf / CAST(df AS DOUBLE), 6) AS burstiness
+    FROM st WHERE df >= 5
+    ORDER BY ROUND(tf / CAST(df AS DOUBLE), 6) DESC, term
+    LIMIT 50
+    """,
+)
+def text_term_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness top-50 (operators/text.py
+    term_burstiness): tf/df — how many times a term repeats WITHIN the
+    documents containing it. Function words sprinkle uniformly (~1);
+    template/boilerplate/stuffed terms clump high — the repetition-filter
+    candidate list that plain frequency ranking buries under stopwords.
+    The top-k cut is orderBy().limit() (TakeOrderedAndProject), ordered
+    on the ROUNDED score + term so the boundary is deterministic
+    cross-engine."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        term_burstiness,
+    )
+
+    return term_burstiness(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=6,
+    name="pipeline_source_scorecard",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    w -> w <> ''))) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(1.0 - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)),
+                                          '\s+', ' ', 'g')))
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pipeline_source_scorecard(spark, sf_dir):
+    """Per-SOURCE curation scorecard: document count, whitespace-token
+    volume, mean length, language spread, and the within-source
+    exact-duplicate rate (1 − distinct fingerprints / docs) — the
+    source-grain drill-down of pipeline_dataset_card, and the table a
+    curation meeting actually reads when deciding which source to cap,
+    clean, or drop. One grouped aggregation pass; the fingerprint is the
+    repo-standard normalized-text md5, engine-portable by construction."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        fingerprint,
+        whitespace_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(whitespace_tokens(F.lower(F.col("text")))))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(fingerprint(F.col("text")))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -2334,3 +2334,49 @@ def subquery_lateral_topn(spark, sf_dir):
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@query(
+    "agg_mode_segment",
+    since=6,
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey) AS rn
+      FROM c
+    )
+    SELECT c_mktsegment,
+           CAST(c_nationkey AS BIGINT) AS mode_nationkey,
+           CAST(n AS BIGINT) AS n_rows
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_segment(spark, sf_dir):
+    """Deterministic per-group MODE (most frequent nation per market
+    segment): SQL's MODE() leaves ties implementation-defined, so the
+    argmax is explicit — (count desc, smaller key) via a struct max over
+    the bounded contingency frame, the same deterministic-argmax idiom
+    as knn_classify's vote. Completes the SQL aggregate surface next to
+    the percentile/histogram family."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = c.groupBy("c_mktsegment").agg(
+        F.max(
+            F.struct(
+                F.col("n"), (-F.col("c_nationkey")).alias("negk")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "c_mktsegment",
+        (-F.col("b.negk")).cast("bigint").alias("mode_nationkey"),
+        F.col("b.n").cast("bigint").alias("n_rows"),
+    )

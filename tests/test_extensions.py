@@ -1758,3 +1758,82 @@ def test_boxplot_stats_known_values(spark):
     # fences [-1, 7]: outlier 100; whiskers 1.0 and 4.0
     assert r["lo_whisker"] == 1.0 and r["hi_whisker"] == 4.0
     assert r["n_outliers"] == 1 and r["n"] == 5
+
+
+def test_hodges_lehmann_known_values(spark):
+    """[1,2,9]: Walsh averages {1, 1.5, 2, 5, 5.5, 9} -> HL = 3.5 (median
+    interpolates 2 and 5); robust: the outlier 9 barely moves it vs the
+    mean 4. Tied values pair by key, not value (no double count)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hodges_lehmann,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 9.0)], "k int, x double"
+    )
+    r = hodges_lehmann(df, "x", "k").collect()[0]
+    assert r["n_pairs"] == 6 and r["hl_estimate"] == 3.5
+
+    tied = spark.createDataFrame([(0, 5.0), (1, 5.0)], "k int, x double")
+    rt = hodges_lehmann(tied, "x", "k").collect()[0]
+    assert rt["n_pairs"] == 3 and rt["hl_estimate"] == 5.0
+
+
+def test_term_burstiness_known_values(spark):
+    """A term repeating 3x in each containing doc scores 3; a uniformly
+    sprinkled term scores 1; min_df drops rare terms."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        term_burstiness,
+    )
+
+    rows = [(i, "even the " + "spam spam spam " if i % 2 == 0 else "even the x")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["term"]: r for r in term_burstiness(df, min_df=3, k=10).collect()}
+    assert got["spam"]["burstiness"] == 3.0 and got["spam"]["df"] == 3
+    assert got["even"]["burstiness"] == 1.0 and got["even"]["df"] == 6
+    assert got["x"]["df"] == 3 and got["x"]["burstiness"] == 1.0
+    # min_df prunes: raising it past x/spam's 3 containing docs drops both
+    pruned = {r["term"] for r in term_burstiness(df, min_df=4, k=10).collect()}
+    assert pruned == {"even", "the"}
+
+
+def test_funnel_latency_known_values(spark):
+    """Two users convert with 60 s and 120 s view->purchase spans; a user
+    with steps out of order does not convert."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.funnel import (
+        funnel_latency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, "view", s(0)), (1, "click", s(30)), (1, "purchase", s(60)),
+        (2, "view", s(0)), (2, "click", s(10)), (2, "purchase", s(120)),
+        (3, "click", s(0)), (3, "view", s(10)), (3, "purchase", s(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    r = funnel_latency(df, ["view", "click", "purchase"]).collect()[0]
+    assert r["n_converted"] == 2
+    assert r["p50_seconds"] == 90.0  # median of {60, 120}
+    assert r["max_seconds"] == 120.0
+
+
+def test_mode_argmax_deterministic_tiebreak(spark):
+    """agg_mode_segment's struct-max argmax: equal counts resolve to the
+    SMALLER key, matching the oracle's (n DESC, key) row_number."""
+    from pyspark.sql import functions as F
+
+    c = spark.createDataFrame(
+        [("s", 7, 2), ("s", 3, 2), ("s", 5, 1)], "g string, k int, n int"
+    )
+    best = c.groupBy("g").agg(
+        F.max(F.struct(F.col("n"), (-F.col("k")).alias("negk"))).alias("b")
+    )
+    row = best.select((-F.col("b.negk")).alias("k"), "b.n").collect()[0]
+    assert row["k"] == 3 and row["n"] == 2  # tie on n=2 -> smaller key wins

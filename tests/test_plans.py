@@ -445,6 +445,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # the category counts, never data rows
     "quality_t_closeness": {"cartesian-product"},
     "quality_chi2_residuals": {"cartesian-product"},
+    # isnotnull filter on the DERIVED day (to_date of the nanos-normalized
+    # ts) feeding the Walsh self-union — same class as events_acf
+    "events_hodges_lehmann": {"unpushed-scan-filter"},
 }
 
 
