@@ -213,3 +213,24 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+def degree_distribution(edges: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:
+    """Degree histogram of an undirected pair frame: (degree, n_nodes).
+    The one-glance shape diagnostic for a similarity graph — a clean
+    dedup graph is dominated by degree 1-2 chains and small cliques; a
+    heavy tail of high-degree nodes means a blocking key (or boilerplate
+    shingle) is manufacturing hub false-positives that the clustering
+    coefficient then has to discriminate away. Symmetrize, one degree
+    aggregate, one bounded histogram aggregate; isolated nodes are not in
+    the edge list and so not in the histogram (their count is
+    |corpus| − Σ n_nodes)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+    )

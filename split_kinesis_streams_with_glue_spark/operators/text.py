@@ -915,3 +915,52 @@ def term_burstiness(
         .orderBy(F.col("burstiness").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def ngram_coverage(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k n-gram mass coverage: what fraction of ALL n-gram occurrences
+    the k most frequent n-grams account for. The one-number boilerplate
+    dial — natural prose puts a few percent of its bigram mass in the
+    top-100; template farms and scraped navigation push it toward 1 —
+    complementing per-document repetition scores with the CORPUS-level
+    view that decides whether a source needs passage-dedup at all.
+
+    One positional explode (occurrences, not distinct) → one vocabulary
+    aggregate; the top-k cut is orderBy().limit() with (count desc,
+    ngram) determinism, and the coverage fold runs over the k survivor
+    rows. Returns one row (n_occurrences, n_distinct, topk_coverage)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    grams = df.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__g")
+    )
+    counts = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").cast("bigint").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    top = (
+        counts.orderBy(F.col("__c").desc(), F.col("__g"))
+        .limit(k)
+        .agg(F.sum("__c").alias("__topk"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_occurrences",
+        "n_distinct",
+        F.round(
+            F.col("__topk") / F.col("n_occurrences").cast("double"), 6
+        ).alias("topk_coverage"),
+    )

@@ -485,3 +485,61 @@ def hodges_lehmann(
         F.round(F.expr("percentile(__w, 0.5)"), 6).alias("hl_estimate"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     )
+
+
+def interarrival_cv(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Inter-arrival-time coefficient of variation per key group: gaps
+    between consecutive events within each (user, type, ...) stream, then
+    per-FIRST-key-column mean gap and CV = std/mean. The burstiness
+    diagnostic at the event grain (the Fano factor works on daily
+    counts): CV ≈ 1 is Poisson-like arrivals, CV ≫ 1 is bursts/batch
+    flushes, CV ≪ 1 is a scheduler's heartbeat — each implying a
+    different ingest-buffer sizing.
+
+    Gaps come from a lag window PARTITIONED by the full key tuple
+    (scales — never a global window) in exact integer microseconds; the
+    variance folds from DECIMAL-exact sufficient statistics (Σg fits
+    int64 but Σg² does not fit a double's 53-bit mantissa, so doubles
+    would drift with partition order) and only the final sqrt/divisions
+    run in float, in one fixed order. Returns per-group (key, n_gaps,
+    mean_gap_s, cv); CV is NULL for < 2 gaps or a zero mean."""
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.withColumn("__us", us)
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .filter(F.col("__gap").isNotNull())
+    )
+    stats = gaps.groupBy(key_cols[0]).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("__gap").cast("decimal(38,0)")).alias("__s"),
+        # cast BEFORE multiplying: a month-long gap in µs squares past
+        # int64, and ANSI mode throws on long overflow
+        F.sum(
+            F.col("__gap").cast("decimal(19,0)")
+            * F.col("__gap").cast("decimal(19,0)")
+        ).alias("__ss"),
+    )
+    n = F.col("n_gaps").cast("double")
+    num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("__ss")
+        - F.col("__s") * F.col("__s")
+    ).cast("double")
+    s = F.col("__s").cast("double")
+    mean = s / n
+    # sample std: sqrt((n*ss - s^2) / (n*(n-1)))
+    cv = F.sqrt(num / (n * (n - 1))) / mean
+    return stats.select(
+        key_cols[0],
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.when((F.col("n_gaps") > 1) & (s > 0), F.round(cv, 6)).alias("cv"),
+    )

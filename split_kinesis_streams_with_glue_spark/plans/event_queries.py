@@ -2159,3 +2159,94 @@ def events_funnel_latency(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return funnel_latency(ev, ["view", "click", "purchase"])
+
+
+@query(
+    since=6,
+    name="events_interarrival_cv",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(gap AS HUGEINT)) AS s,
+             SUM(CAST(gap AS HUGEINT) * gap) AS ss
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean_gap_s,
+           CASE WHEN n > 1 AND s > 0 THEN
+             ROUND(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (n - 1)))
+                   / (CAST(s AS DOUBLE) / n), 6)
+           END AS cv
+    FROM s
+    """,
+)
+def events_interarrival_cv(spark, sf_dir):
+    """Per-type inter-arrival coefficient of variation
+    (operators/timeseries.py interarrival_cv): gaps between consecutive
+    events within each (user, type) stream — CV ≈ 1 is Poisson-like
+    arrival, ≫ 1 is bursts/batch flushes, ≪ 1 a heartbeat; each implies
+    a different ingest-buffer sizing. The burstiness diagnostic at the
+    EVENT grain (the Fano factor sees daily counts). Lag windows
+    partition by the key tuple (scales); Σgap² exceeds a double's 53-bit
+    mantissa, so the variance folds from DECIMAL/HUGEINT-exact sums with
+    only the final sqrt/divisions in float."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        interarrival_cv,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return interarrival_cv(
+        ev, ["event_type", "user_id"], order_tiebreak="event_id"
+    )
+
+
+@query(
+    since=6,
+    name="events_session_stats",
+    oracle="""
+    WITH base AS (""" + _SESSIONIZE_SQL + """)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(quantile_cont(n_events, 0.5), 6) AS p50_events,
+           ROUND(quantile_cont(session_end_es - session_start_es, 0.5), 6)
+             AS p50_duration_s,
+           ROUND(quantile_cont(session_end_es - session_start_es, 0.9), 6)
+             AS p90_duration_s
+    FROM base
+    """,
+)
+def events_session_stats(spark, sf_dir):
+    """Session-grain distribution card on top of the sessionization
+    machinery (events_sessionize's exact frame): session count, median
+    events per session, median and p90 duration — the engagement-shape
+    numbers a 'sessions' table exists to answer, and the sizing input
+    for the stateful streaming session operator's state bounds. The
+    percentile runs over the SESSION frame (already one row per
+    session), with the iterative exact-quantile machinery the documented
+    swap-in at extreme session counts."""
+    from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY
+
+    sess = REGISTRY["events_sessionize"].fn(spark, sf_dir)
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 6).alias("p50_events"),
+        F.round(
+            F.expr(
+                "percentile(session_end_es - session_start_es, 0.5)"
+            ),
+            6,
+        ).alias("p50_duration_s"),
+        F.round(
+            F.expr(
+                "percentile(session_end_es - session_start_es, 0.9)"
+            ),
+            6,
+        ).alias("p90_duration_s"),
+    )

@@ -2833,3 +2833,48 @@ def pipeline_source_scorecard(spark, sf_dir):
             6,
         ).alias("dup_rate"),
     )
+
+
+@query(
+    since=6,
+    name="text_ngram_coverage",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT w[i] || ' ' || w[i+1] AS g
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 1
+    ),
+    c AS (SELECT g, COUNT(*) AS c FROM g GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM c
+    ),
+    top AS (
+      SELECT SUM(c) AS topk
+      FROM (SELECT c FROM c ORDER BY c DESC, g LIMIT 100) s
+    )
+    SELECT n_occurrences, n_distinct,
+           ROUND(topk / CAST(n_occurrences AS DOUBLE), 6) AS topk_coverage
+    FROM tot CROSS JOIN top
+    """,
+)
+def text_ngram_coverage(spark, sf_dir):
+    """Top-100 bigram mass coverage (operators/text.py ngram_coverage):
+    what fraction of ALL bigram occurrences the 100 most frequent
+    bigrams carry — the corpus-level boilerplate dial (prose: a few
+    percent; template farms: toward 1) that decides whether a source
+    needs passage-dedup at all, complementing the per-document
+    repetition scores. Occurrence explode (not distinct) → vocabulary
+    aggregate → TakeOrderedAndProject top-k with (count desc, ngram)
+    determinism → fold over the 100 survivors."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        ngram_coverage,
+    )
+
+    return ngram_coverage(load(spark, sf_dir, "documents"))

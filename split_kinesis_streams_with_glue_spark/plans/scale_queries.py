@@ -1969,3 +1969,60 @@ def quality_boxplot_langs(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return boxplot_stats(d, "n_chars", "lang")
+
+
+@query(
+    since=6,
+    name="dedup_degree_distribution",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM pairs
+            UNION SELECT d2, d1 FROM pairs),
+    deg AS (SELECT a, COUNT(*) AS degree FROM sym GROUP BY 1)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def dedup_degree_distribution(spark, sf_dir):
+    """Degree histogram of the exact 3-shingle near-dup graph
+    (operators/graph.py degree_distribution): the one-glance shape
+    diagnostic — clean dedup graphs live at degree 1-2; a heavy
+    high-degree tail means a blocking key or boilerplate shingle is
+    manufacturing hub false-positives (the clustering coefficient then
+    discriminates family vs hub node-by-node; this is the corpus-level
+    alarm that tells you to look). Symmetrize + two bounded
+    aggregates."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        degree_distribution,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    return degree_distribution(pairs)

@@ -1837,3 +1837,72 @@ def test_mode_argmax_deterministic_tiebreak(spark):
     )
     row = best.select((-F.col("b.negk")).alias("k"), "b.n").collect()[0]
     assert row["k"] == 3 and row["n"] == 2  # tie on n=2 -> smaller key wins
+
+
+def test_degree_distribution_known_values(spark):
+    """A triangle + a pendant: degrees {a:3, b:2, c:2, d:1} -> histogram
+    {3:1, 2:2, 1:1}; duplicate/reversed edges collapse."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        degree_distribution,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("b", "a")],
+        "d1 string, d2 string",
+    )
+    got = {r["degree"]: r["n_nodes"] for r in degree_distribution(edges).collect()}
+    assert got == {3: 1, 2: 2, 1: 1}
+
+
+def test_ngram_coverage_known_values(spark):
+    """4 bigram occurrences, top-1 covers 0.5; docs shorter than n yield
+    no grams and an empty corpus yields NULL coverage (not an error)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        ngram_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d"), (2, "x")], "doc_id int, text string"
+    )
+    # bigrams: doc0 -> 'a b','b a','a b'; doc1 -> 'c d'; doc2 -> none
+    r = ngram_coverage(df, n=2, k=1).collect()[0]
+    assert r["n_occurrences"] == 4 and r["n_distinct"] == 3
+    assert r["topk_coverage"] == 0.5  # 'a b' x2 of 4
+
+
+def test_interarrival_cv_known_values(spark):
+    """Perfectly regular 10 s heartbeat -> cv 0; a single gap -> cv NULL;
+    gaps never cross user streams."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        interarrival_cv,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = (
+        [(1, "hb", i, s(10 * i)) for i in range(5)]      # user 1: regular
+        + [(2, "hb", 10, s(0)), (2, "hb", 11, s(1000))]  # user 2: one gap
+        + [(3, "one", 20, s(0)), (3, "one", 21, s(5))]
+    )
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, event_id int, ts timestamp"
+    )
+    got = {r["event_type"]: r for r in interarrival_cv(
+        df, ["event_type", "user_id"], order_tiebreak="event_id"
+    ).collect()}
+    # hb: user1 gaps 4x10s + user2 gap 1000s -> mean (40+1000)/5 = 208
+    assert got["hb"]["n_gaps"] == 5
+    assert abs(got["hb"]["mean_gap_s"] - 208.0) < 1e-9
+    assert got["hb"]["cv"] is not None and got["hb"]["cv"] > 1.5  # bursty
+    assert got["one"]["n_gaps"] == 1 and got["one"]["cv"] is None
+
+    reg = interarrival_cv(
+        df.filter(F.col("user_id") == 1), ["event_type", "user_id"],
+        order_tiebreak="event_id",
+    ).collect()[0]
+    assert reg["cv"] == 0.0  # perfectly regular

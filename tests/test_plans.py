@@ -448,6 +448,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # isnotnull filter on the DERIVED day (to_date of the nanos-normalized
     # ts) feeding the Walsh self-union — same class as events_acf
     "events_hodges_lehmann": {"unpushed-scan-filter"},
+    # crossJoin of the 1-row corpus totals with the 1-row top-k mass agg
+    "text_ngram_coverage": {"cartesian-product"},
 }
 
 
