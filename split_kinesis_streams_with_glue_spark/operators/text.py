@@ -964,3 +964,67 @@ def ngram_coverage(
             F.col("__topk") / F.col("n_occurrences").cast("double"), 6
         ).alias("topk_coverage"),
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    min_support: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over document
+    co-occurrence: PMI(a, b) = ln(N·df(a,b) / (df(a)·df(b))) for term
+    pairs appearing together in ≥ ``min_support`` documents. The
+    collocation extractor (multi-word entities, domain phrases) whose
+    output seeds phrase-aware tokenization — raw co-occurrence counts
+    rank stopword pairs first; PMI surfaces the pairs that are GLUED, not
+    merely common.
+
+    One tokenize pass to the distinct (doc, term) frame; the pair join is
+    per-document (quadratic in a document's distinct vocabulary — bounded
+    by document length, never corpus size); document frequencies join
+    back from the vocabulary aggregate; top-k by (rounded PMI desc, pair)
+    via orderBy().limit(). Returns (t1, t2, n_pairs, pmi)."""
+    dt = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(whitespace_tokens(F.lower(F.col(text_col))))
+        ).alias("__t"),
+    )
+    n_docs = df.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    dfreq = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    a = dt.select("__id", F.col("__t").alias("t1"))
+    b = dt.select("__id", F.col("__t").alias("t2"))
+    co = (
+        a.join(b, "__id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_support)
+    )
+    d1 = dfreq.select(F.col("__t").alias("t1"), F.col("__df").alias("__d1"))
+    d2 = dfreq.select(F.col("__t").alias("t2"), F.col("__df").alias("__d2"))
+    scored = (
+        co.join(d1, "t1")
+        .join(d2, "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.log(
+                    F.col("__n")
+                    * F.col("n_pairs")
+                    / (F.col("__d1") * F.col("__d2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("t1"), F.col("t2")
+    ).limit(k)

@@ -2250,3 +2250,113 @@ def events_session_stats(spark, sf_dir):
             6,
         ).alias("p90_duration_s"),
     )
+
+
+@query(
+    since=6,
+    name="events_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT n, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    pre AS (SELECT list(n ORDER BY i) AS xs FROM d),
+    base AS (
+      SELECT xs, len(xs) AS L,
+             list_sum(list_transform(range(1, 8), j -> xs[j])) / 7 AS s0
+      FROM pre
+    ),
+    init AS (
+      SELECT xs, L, s0 AS s, CAST(0.0 AS DOUBLE) AS b,
+             list_transform(range(1, 8), j -> xs[j] - s0) AS c,
+             7 AS t
+      FROM base
+    ),
+    r AS (
+      SELECT xs, L, s, b, c, t FROM init
+      UNION ALL
+      SELECT xs, L, ns,
+             0.25 * (ns - s) + 0.75 * b,
+             list_transform(range(1, 8),
+               j -> CASE WHEN j = (t % 7) + 1
+                         THEN 0.25 * (xs[t + 1] - ns) + 0.75 * c[j]
+                         ELSE c[j] END),
+             t + 1
+      FROM (
+        SELECT xs, L, s, b, c, t,
+               0.5 * (xs[t + 1] - c[(t % 7) + 1]) + 0.5 * (s + b) AS ns
+        FROM r WHERE t < L
+      ) q
+    ),
+    last AS (
+      SELECT s, b, c, t, row_number() OVER (ORDER BY t DESC) AS rn FROM r
+    )
+    SELECT ROUND(s, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(c[(t % 7) + 1], 6) AS next_seasonal,
+           ROUND(s + b + c[(t % 7) + 1], 6) AS forecast_1
+    FROM last WHERE rn = 1
+    """,
+)
+def events_holt_winters(spark, sf_dir):
+    """Holt-Winters additive TRIPLE exponential smoothing of daily event
+    volume (7-day season; alpha=0.5, beta=gamma=0.25 — binary-exact
+    factors): the level+trend+seasonal recursion that completes the
+    WMA/EWMA/Holt smoothing ladder — the one-step forecast now carries
+    the weekday shape, so Monday isn't an 'anomaly' every week. Classic
+    init (level = first-week mean, trend 0, seasonals = first-week
+    deviations); the fold is a struct accumulator with the 7-slot
+    seasonal array rebuilt per step via an indexed transform — all
+    row-local array HOFs over the calendar-bounded day series, mirrored
+    step-for-step by the recursive-CTE oracle. Reports the final state
+    and the one-step forecast."""
+    m = 7
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "n"))), lambda x: x["n"]
+    )
+    per = daily.agg(vals.alias("__vals"))
+    pre = F.slice(F.col("__vals"), 1, m)
+    s0 = F.aggregate(pre, F.lit(0.0), lambda a, x: a + x) / m
+    state = per.select(
+        "__vals",
+        F.struct(
+            s0.alias("s"),
+            F.lit(0.0).alias("b"),
+            F.transform(pre, lambda x: x - s0).alias("c"),
+            F.lit(m).alias("t"),
+        ).alias("__z"),
+    )
+
+    def step(acc, x):
+        idx = F.pmod(acc["t"], F.lit(m)) + 1  # 1-based seasonal slot
+        cprev = F.element_at(acc["c"], idx)
+        s = F.lit(0.5) * (x - cprev) + F.lit(0.5) * (acc["s"] + acc["b"])
+        b = F.lit(0.25) * (s - acc["s"]) + F.lit(0.75) * acc["b"]
+        cnew = F.lit(0.25) * (x - s) + F.lit(0.75) * cprev
+        c = F.transform(
+            acc["c"], lambda v, j: F.when(j + 1 == idx, cnew).otherwise(v)
+        )
+        return F.struct(
+            s.alias("s"), b.alias("b"), c.alias("c"), (acc["t"] + 1).alias("t")
+        )
+
+    folded = F.aggregate(
+        F.slice(
+            F.col("__vals"), m + 1, F.greatest(F.size("__vals") - m, F.lit(0))
+        ),
+        F.col("__z"),
+        step,
+    )
+    nxt = F.element_at(folded["c"], F.pmod(folded["t"], F.lit(m)) + 1)
+    return state.select(
+        F.round(folded["s"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(nxt, 6).alias("next_seasonal"),
+        F.round(folded["s"] + folded["b"] + nxt, 6).alias("forecast_1"),
+    )

@@ -2878,3 +2878,44 @@ def text_ngram_coverage(spark, sf_dir):
     )
 
     return ngram_coverage(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=6,
+    name="text_pmi_pairs",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w <> '')) AS t
+      FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dfreq AS (SELECT t, COUNT(*) AS df FROM dt GROUP BY 1),
+    co AS (
+      SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_pairs
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT t1, t2, CAST(n_pairs AS BIGINT) AS n_pairs,
+             ROUND(ln((SELECT n FROM n) * n_pairs
+                      / CAST(d1.df * d2.df AS DOUBLE)), 6) AS pmi
+      FROM co
+      JOIN dfreq d1 ON d1.t = t1
+      JOIN dfreq d2 ON d2.t = t2
+    )
+    SELECT t1, t2, n_pairs, pmi FROM scored
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+)
+def text_pmi_pairs(spark, sf_dir):
+    """Top-20 PMI collocations (operators/text.py pmi_pairs): term pairs
+    glued together across documents — the phrase/entity extractor whose
+    output seeds phrase-aware tokenization; raw co-occurrence ranking
+    surfaces stopword pairs, PMI surfaces the genuinely associated ones.
+    Pair join per-document (bounded by doc vocabulary), top-k via
+    TakeOrderedAndProject on the rounded score with pair tiebreak."""
+    from split_kinesis_streams_with_glue_spark.operators.text import pmi_pairs
+
+    return pmi_pairs(load(spark, sf_dir, "documents"))

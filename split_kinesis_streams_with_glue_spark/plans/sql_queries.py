@@ -2380,3 +2380,29 @@ def agg_mode_segment(spark, sf_dir):
         (-F.col("b.negk")).cast("bigint").alias("mode_nationkey"),
         F.col("b.n").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "agg_conditional_surface",
+    since=6,
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (c_acctbal < 0) AS BIGINT) AS n_negative,
+           bool_and(c_acctbal > -1000.0) AS all_above_floor,
+           bool_or(c_acctbal > 9000.0) AS any_vip,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_conditional_surface(spark, sf_dir):
+    """Conditional/boolean aggregate surface — count_if, every/bool_and,
+    any/bool_or per group: the SQL:2023 boolean aggregates a dashboard
+    filter bar compiles to, rounding out the aggregate family next to
+    mode/percentiles/histograms. One map-side-combining pass."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("c_acctbal") < 0).cast("bigint").alias("n_negative"),
+        F.bool_and(F.col("c_acctbal") > -1000.0).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000.0).alias("any_vip"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -1906,3 +1906,76 @@ def test_interarrival_cv_known_values(spark):
         order_tiebreak="event_id",
     ).collect()[0]
     assert reg["cv"] == 0.0  # perfectly regular
+
+
+def test_holt_winters_seasonal_reconstruction(spark):
+    """A pure 14-day periodic signal (period 7, zero trend): after one
+    full pass the forecast predicts the next weekday's value closely,
+    and the trend stays near 0."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY
+
+    # exercise via the registered query machinery on a synthetic frame is
+    # overkill here — fold the same step function directly
+    from pyspark.sql import functions as F
+
+    m = 7
+    season = [10.0, 12.0, 15.0, 11.0, 9.0, 20.0, 25.0]
+    xs = season * 4  # 28 days, no trend
+    df = spark.createDataFrame([(xs,)], "vals array<double>")
+    pre = F.slice(F.col("vals"), 1, m)
+    s0 = F.aggregate(pre, F.lit(0.0), lambda a, x: a + x) / m
+    zero = F.struct(
+        s0.alias("s"), F.lit(0.0).alias("b"),
+        F.transform(pre, lambda x: x - s0).alias("c"), F.lit(m).alias("t"),
+    )
+
+    def step(acc, x):
+        idx = F.pmod(acc["t"], F.lit(m)) + 1
+        cprev = F.element_at(acc["c"], idx)
+        s = F.lit(0.5) * (x - cprev) + F.lit(0.5) * (acc["s"] + acc["b"])
+        b = F.lit(0.25) * (s - acc["s"]) + F.lit(0.75) * acc["b"]
+        cnew = F.lit(0.25) * (x - s) + F.lit(0.75) * cprev
+        c = F.transform(
+            acc["c"], lambda v, j: F.when(j + 1 == idx, cnew).otherwise(v)
+        )
+        return F.struct(
+            s.alias("s"), b.alias("b"), c.alias("c"), (acc["t"] + 1).alias("t")
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("vals"), m + 1, F.size("vals") - m), zero, step
+    )
+    nxt = F.element_at(folded["c"], F.pmod(folded["t"], F.lit(m)) + 1)
+    r = df.select(
+        folded["s"].alias("s"), folded["b"].alias("b"),
+        (folded["s"] + folded["b"] + nxt).alias("f1"),
+    ).collect()[0]
+    mean = sum(season) / m
+    assert abs(r["s"] - mean) < 1.0        # level converges to the mean
+    assert abs(r["b"]) < 0.5               # no trend in the signal
+    assert abs(r["f1"] - season[0]) < 1.5  # day 29 is a slot-1 day (10.0)
+
+
+def test_pmi_pairs_known_values(spark):
+    """A glued pair (always together) outranks a common-but-independent
+    pair; min_support prunes rare pairs."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import pmi_pairs
+
+    rows = (
+        [(i, "alpha beta filler%d" % i) for i in range(5)]      # glued pair
+        + [(10 + i, "alpha gamma") for i in range(3)]           # partial
+        + [(20 + i, "beta delta") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["t1"], r["t2"]): r for r in pmi_pairs(df, min_support=3, k=10).collect()}
+    # alpha: df 8, beta: df 8, together 5 of 11 docs
+    ab = got[("alpha", "beta")]
+    assert ab["n_pairs"] == 5
+    assert abs(ab["pmi"] - round(math.log(11 * 5 / 64), 6)) < 1e-9
+    # fillers appear once each: pruned by min_support
+    assert all(not t1.startswith("filler") and not t2.startswith("filler")
+               for t1, t2 in got)

@@ -450,6 +450,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "events_hodges_lehmann": {"unpushed-scan-filter"},
     # crossJoin of the 1-row corpus totals with the 1-row top-k mass agg
     "text_ngram_coverage": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row corpus-doc-count agg>)) feeding the PMI
+    "text_pmi_pairs": {"cartesian-product"},
 }
 
 
