@@ -369,3 +369,40 @@ def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
             "design_effect"
         ),
     )
+
+
+def exact_k_sample(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """EXACT-size deterministic uniform sample: the ``k`` rows with the
+    smallest content-hash keys. The fraction-based samplers
+    (``hash_split``/``stratified_sample``) give a binomially-varying
+    size; evaluation sets, benchmark slices, and quota contracts need
+    exactly k — and the same k, in any engine, on any partitioning, on
+    re-ingestion (the reservoir-sampling use case without its
+    order-dependence). Ties on the 16-byte hash are broken by the hash's
+    full text via the second sort key.
+
+    One ``orderBy().limit(k)`` — a distributed TakeOrderedAndProject
+    carrying k rows per partition then k total, never a global sort."""
+    return (
+        df.withColumn("__key", F.md5(F.col(text_col)))
+        .orderBy(F.col("__key"), F.col(text_col))
+        .limit(k)
+        .drop("__key")
+    )
+
+
+def kfold_assign(
+    df: DataFrame, n_folds: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic k-fold assignment by content hash: fold =
+    md5-uniform bucket of the text, so folds are stable across runs,
+    engines and re-partitioning, and duplicate texts always share a fold
+    (no cross-validation leakage through near-copies of the same
+    document). Pure projection — the cross-validation companion to
+    ``hash_split``'s train/val/test."""
+    u48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    return df.withColumn("fold", (u48 % n_folds).cast("int"))

@@ -2919,3 +2919,148 @@ def text_pmi_pairs(spark, sf_dir):
     from split_kinesis_streams_with_glue_spark.operators.text import pmi_pairs
 
     return pmi_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=6,
+    name="sample_exact_k",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             md5(text) AS k, text
+      FROM documents
+      ORDER BY k, text LIMIT 64
+    ) t
+    """,
+)
+def sample_exact_k(spark, sf_dir):
+    """Exact-size deterministic uniform sample (operators/sampling.py
+    exact_k_sample): the 64 documents with the smallest content-hash
+    keys — the eval-slice/quota primitive the fraction-based samplers
+    can't give (their size varies binomially), stable across engines,
+    partitionings and re-ingestion, duplicate-safe by construction. The
+    cut is orderBy().limit(): a distributed TakeOrderedAndProject, never
+    a global sort."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    return exact_k_sample(load(spark, sf_dir, "documents"), k=64).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    since=6,
+    name="sample_kfold_counts",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 5
+                AS INTEGER) AS fold,
+           lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def sample_kfold_counts(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment
+    (operators/sampling.py kfold_assign) summarized as per-(fold, lang)
+    counts — the balance check run before trusting CV numbers: folds
+    come from the content hash (stable, engine-portable, duplicate-safe
+    so near-copies can't leak across folds), and a language badly
+    skewed across folds shows here before it biases a validation
+    score."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    d = kfold_assign(load(spark, sf_dir, "documents"), n_folds=5)
+    return d.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@query(
+    since=6,
+    name="dedup_lsh_tuning_curve",
+    oracle="""
+    SELECT t,
+           ROUND(1.0 - pow(1.0 - pow(t, 4.0), 32.0), 6) AS p_candidate_b32_r4,
+           ROUND(1.0 - pow(1.0 - pow(t, 8.0), 16.0), 6) AS p_candidate_b16_r8,
+           ROUND(1.0 - pow(1.0 - pow(t, 16.0), 8.0), 6) AS p_candidate_b8_r16
+    FROM (SELECT CAST(x AS DOUBLE) / 20 AS t
+          FROM generate_series(1, 19) g(x)) s
+    """,
+)
+def dedup_lsh_tuning_curve(spark, sf_dir):
+    """MinHash-LSH banding S-curves: candidate probability
+    1 − (1 − t^r)^b at Jaccard t for the three (bands, rows) splits of a
+    128-lane signature — the tuning table that justifies the engine's
+    default banding (the b=32/r=4 column crosses ~0.5 near t ≈ 0.35,
+    matching the 0.5-threshold dedup family's verify step catching the
+    tail). Pure closed-form arithmetic over a generated spine; no table
+    scan — the advisor query a user runs BEFORE committing to an index
+    layout."""
+    t = (F.col("id").cast("double") / 20).alias("t")
+    base = spark.range(1, 20).select(t)
+
+    def curve(r, b):
+        return F.round(
+            1.0 - F.pow(1.0 - F.pow(F.col("t"), F.lit(float(r))), F.lit(float(b))),
+            6,
+        )
+
+    return base.select(
+        "t",
+        curve(4, 32).alias("p_candidate_b32_r4"),
+        curve(8, 16).alias("p_candidate_b16_r8"),
+        curve(16, 8).alias("p_candidate_b8_r16"),
+    )
+
+
+@query(
+    since=6,
+    name="sample_split_balance_contract",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN substr(md5(text), 1, 4) < 'cccd' THEN 'train'
+                  WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang
+      FROM documents
+    ),
+    c AS (SELECT split, lang, COUNT(*) AS n FROM s GROUP BY 1, 2),
+    sp AS (SELECT split, SUM(n) AS ns FROM c GROUP BY 1),
+    lg AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt FROM c)
+    SELECT c.split, c.lang, CAST(c.n AS BIGINT) AS n,
+           ROUND(sp.ns * lg.nl * 1.0 / tot.nt, 6) AS expected,
+           ROUND((c.n - sp.ns * lg.nl * 1.0 / tot.nt)
+                 / sqrt(sp.ns * lg.nl * 1.0 / tot.nt), 6) AS residual
+    FROM c JOIN sp USING (split) JOIN lg USING (lang) CROSS JOIN tot
+    """,
+)
+def sample_split_balance_contract(spark, sf_dir):
+    """Train/val/test × language balance contract: the content-hash split
+    (operators/sampling.py hash_split, 80/10/10) crossed with language,
+    each cell carrying its expected count under independence and the
+    standardized residual — the check that the split didn't confound
+    language (any |residual| ≫ 2 means a language leaked preferentially
+    into one split and every per-language eval number is suspect).
+    Composition of the verified splitter with the chi2_residuals cell
+    machinery; all frames contingency-bounded."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_residuals,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        hash_split,
+    )
+
+    d = hash_split(load(spark, sf_dir, "documents"))
+    out = chi2_residuals(d, "split", "lang")
+    return out.select(
+        "split",
+        "lang",
+        F.col("observed").alias("n"),
+        "expected",
+        "residual",
+    )

@@ -1979,3 +1979,32 @@ def test_pmi_pairs_known_values(spark):
     # fillers appear once each: pruned by min_support
     assert all(not t1.startswith("filler") and not t2.startswith("filler")
                for t1, t2 in got)
+
+
+def test_exact_k_and_kfold_determinism(spark):
+    """exact_k_sample returns exactly k rows and the SAME rows under a
+    different partitioning; kfold_assign gives duplicates the same fold
+    and covers all folds."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        exact_k_sample,
+        kfold_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(100)],
+        "doc_id int, text string",
+    )
+    s1 = sorted(r["doc_id"] for r in exact_k_sample(df, 10).collect())
+    s2 = sorted(
+        r["doc_id"] for r in exact_k_sample(df.repartition(7), 10).collect()
+    )
+    assert len(s1) == 10 and s1 == s2
+
+    dup = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id int, text string",
+    )
+    folds = {r["doc_id"]: r["fold"] for r in kfold_assign(dup, 5).collect()}
+    assert folds[1] == folds[2]  # duplicate-safe: no cross-fold leakage
+    big = kfold_assign(df, 5).groupBy("fold").count().collect()
+    assert {r["fold"] for r in big} == {0, 1, 2, 3, 4}

@@ -452,6 +452,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "text_ngram_coverage": {"cartesian-product"},
     # crossJoin(broadcast(<1-row corpus-doc-count agg>)) feeding the PMI
     "text_pmi_pairs": {"cartesian-product"},
+    # contingency-domain crossJoins via the chi2_residuals machinery
+    # (same class as quality_chi2_residuals)
+    "sample_split_balance_contract": {"cartesian-product"},
 }
 
 
