@@ -628,3 +628,86 @@ def sample_diversity(
         F.round("__mps", 6).alias("mean_pairwise_sim"),
         "mean_centroid_cos",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    normalized: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the ``k``
+    most similar corpus vectors carrying a DIFFERENT label — the
+    'confusable but wrong' examples that make a contrastive/triplet
+    objective learn anything (random negatives are trivially separable
+    and teach nothing). The filter must run BEFORE the ranking —
+    ``brute_force_topk`` then a label filter would silently return fewer
+    (or zero) negatives whenever a query's true neighborhood is pure.
+
+    Same scale shape as the exact kNN path: the query set broadcasts,
+    one corpus scan scores everything, the per-query window ranks only
+    different-label candidates; swap the neighbor source for the ANN
+    family at corpus scale. Returns (query_id, neighbor_id,
+    neighbor_label, sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlbl"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("qlbl"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            _sim(F.col("qvec"), F.col("cvec"), normalized).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def norm_audit(
+    df: DataFrame, vec_col: str = "embedding", tol: float = 1e-3
+) -> DataFrame:
+    """Embedding-norm audit: L2-norm distribution plus the count of
+    vectors off unit norm by more than ``tol``. The one-row precondition
+    check for this module's ``normalized=True`` fast path (cosine == dot)
+    — an upstream model change that stops normalizing silently corrupts
+    every similarity, dedup threshold and ANN recall contract downstream;
+    this query is the tripwire. One row-local array fold per vector, one
+    aggregate."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = df.select(norm.alias("__n"))
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.min("__n"), 6).alias("min_norm"),
+        F.round(F.avg("__n"), 6).alias("mean_norm"),
+        F.round(F.max("__n"), 6).alias("max_norm"),
+        F.sum((F.abs(F.col("__n") - 1.0) > tol).cast("int"))
+        .cast("bigint")
+        .alias("n_off_unit"),
+    )

@@ -3064,3 +3064,249 @@ def sample_split_balance_contract(spark, sf_dir):
         "expected",
         "residual",
     )
+
+
+@query(
+    since=6,
+    name="sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             ROUND({_DOT.format(a='q', b='c')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_DOT.format(a='q', b='c')} DESC, c.vec_id
+             ) AS rank
+      FROM q JOIN c ON c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, neighbor_id, neighbor_label, sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    for every 25th vector, the 3 most similar DIFFERENT-label vectors —
+    the confusable-but-wrong examples a contrastive objective needs
+    (random negatives are trivially separable). The label filter runs
+    BEFORE the per-query ranking, so pure neighborhoods still yield k
+    negatives; broadcast queries, one corpus scan, ANN swap-in at
+    scale."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("bigint")
+    )
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") % 25 == 0), k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    since=6,
+    name="sim_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)))) AS nm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(MIN(nm), 6) AS min_norm,
+           ROUND(AVG(nm), 6) AS mean_norm,
+           ROUND(MAX(nm), 6) AS max_norm,
+           CAST(SUM(CASE WHEN ABS(nm - 1.0) > 0.001 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_off_unit
+    FROM n
+    """,
+)
+def sim_norm_audit(spark, sf_dir):
+    """Embedding-norm tripwire (operators/similarity.py norm_audit): the
+    similarity family's normalized=True fast path assumes unit vectors
+    (cosine == dot); an upstream embedder change that stops normalizing
+    silently corrupts every similarity, dedup threshold and recall
+    contract. One row: norm distribution + off-unit count — the
+    precondition check to schedule next to ingest."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        norm_audit,
+    )
+
+    return norm_audit(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    since=6,
+    name="sim_knn_margin",
+    oracle=f"""
+    WITH test AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    train AS (
+      SELECT vec_id, embedding, CAST(label AS BIGINT) AS label
+      FROM embeddings WHERE vec_id % 20 <> 0
+    ),
+    scored AS (
+      SELECT t.vec_id AS q, tr.label AS t_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY {_DOT.format(a='t', b='tr')} DESC, tr.vec_id
+             ) AS rk
+      FROM test t CROSS JOIN train tr
+    ),
+    v AS (
+      SELECT q, t_label, COUNT(*) AS cnt FROM scored WHERE rk <= 5
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT q, t_label, cnt,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY cnt DESC, t_label) AS rn
+      FROM v
+    )
+    SELECT a.q AS query_id, a.t_label AS pred_label,
+           CAST(a.cnt AS BIGINT) AS n_votes,
+           ROUND((a.cnt - COALESCE(b.cnt, 0)) / 5.0, 6) AS margin
+    FROM r a LEFT JOIN r b ON b.q = a.q AND b.rn = 2
+    WHERE a.rn = 1
+    """,
+)
+def sim_knn_margin(spark, sf_dir):
+    """Auto-label confidence margins: for each held-out vector, the kNN
+    vote margin (winner votes − runner-up votes)/k on the same 5-NN vote
+    as sim_knn_classify — margin 1.0 is a unanimous neighborhood, margin
+    near 0 a coin flip that a quality gate should route to human review
+    or drop. The standard accept-threshold signal for kNN auto-labeling;
+    two bounded aggregations over the verified neighbor machinery."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    nn = brute_force_topk(train, test, k=5)
+    labels = train.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("bigint").alias("t_label"),
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "t_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("t_label")
+    )
+    ranked = votes.withColumn("rn", F.row_number().over(w))
+    top = ranked.filter(F.col("rn") == 1).select(
+        F.col("query_id"), F.col("t_label").alias("pred_label"),
+        F.col("cnt").alias("__c1"),
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("query_id"), F.col("cnt").alias("__c2")
+    )
+    return top.join(second, "query_id", "left").select(
+        "query_id",
+        "pred_label",
+        F.col("__c1").cast("bigint").alias("n_votes"),
+        F.round(
+            (F.col("__c1") - F.coalesce(F.col("__c2"), F.lit(0))) / 5.0, 6
+        ).alias("margin"),
+    )
+
+
+#: the CTE chain of _CLUSTER_SQL (everything before its final SELECT) —
+#: reused by the cluster-diameter audit, which needs the membership AND the
+#: pairwise-jaccard intermediates
+_CLUSTER_CTES = _CLUSTER_SQL[: _CLUSTER_SQL.rindex("SELECT d.doc_id")]
+
+
+@query(
+    since=6,
+    name="dedup_cluster_diameter",
+    oracle=_CLUSTER_CTES
+    + """,
+    memb AS (
+      SELECT d.doc_id, COALESCE(lab.lbl, d.doc_id) AS cid
+      FROM documents d LEFT JOIN lab ON d.doc_id = lab.n
+    ),
+    csize AS (
+      SELECT cid, COUNT(*) AS size FROM memb GROUP BY 1 HAVING COUNT(*) > 1
+    ),
+    cand AS (
+      SELECT a.cid, a.doc_id AS d1, b.doc_id AS d2
+      FROM memb a JOIN memb b ON a.cid = b.cid AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT i.d1, i.d2, i.ix * 1.0 / (sa.n + sb.n - i.ix) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.d1
+      JOIN sizes sb ON sb.doc_id = i.d2
+    )
+    SELECT c.cid AS cluster_id, CAST(s.size AS BIGINT) AS size,
+           ROUND(MIN(COALESCE(jac.j, 0.0)), 6) AS min_jaccard
+    FROM cand c
+    JOIN csize s ON s.cid = c.cid
+    LEFT JOIN jac ON jac.d1 = c.d1 AND jac.d2 = c.d2
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cluster_diameter(spark, sf_dir):
+    """Transitive-chaining audit of the near-dup clusters: per multi-doc
+    cluster, the MINIMUM pairwise Jaccard across ALL member pairs — the
+    connected-components weak spot made visible (a—b and b—c above
+    threshold can chain a—c at near-zero similarity into one 'duplicate
+    family'; min ≪ threshold means the cluster is a chain, not a clique,
+    and a canonical-survivor pick would delete non-duplicates). Member
+    pairs that share NO shingle score 0 via the left join — the inner
+    intersection join alone would silently skip exactly the weakest
+    links this audit exists to find. Pair work is intra-cluster only."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d)
+    pairs = jaccard_pairs(sh, 0.5).select("d1", "d2")
+    labeled = cluster_labels(d.select("doc_id"), pairs)
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    memb = labeled.withColumn("__size", size).filter(F.col("__size") > 1)
+    a = memb.select(
+        F.col("cluster_id"), F.col("__size"), F.col("doc_id").alias("d1")
+    )
+    b = memb.select(F.col("cluster_id"), F.col("doc_id").alias("d2"))
+    cand = a.join(b, "cluster_id").filter(F.col("d1") < F.col("d2"))
+    scores = jaccard_pairs(sh, 0.0, candidates=cand.select("d1", "d2"))
+    return (
+        cand.join(scores, ["d1", "d2"], "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.first("__size").cast("bigint").alias("size"),
+            F.round(F.min(F.coalesce(F.col("jaccard"), F.lit(0.0))), 6).alias(
+                "min_jaccard"
+            ),
+        )
+    )

@@ -2008,3 +2008,80 @@ def test_exact_k_and_kfold_determinism(spark):
     assert folds[1] == folds[2]  # duplicate-safe: no cross-fold leakage
     big = kfold_assign(df, 5).groupBy("fold").count().collect()
     assert {r["fold"] for r in big} == {0, 1, 2, 3, 4}
+
+
+def test_hard_negatives_label_filter_precedes_ranking(spark):
+    """A query whose 2 nearest neighbors share its label must still get
+    k different-label negatives (filter-then-rank, not rank-then-filter);
+    the nearest different-label vector ranks first."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),              # query
+        (1, [0.99, 0.14], 0),            # same label, closest
+        (2, [0.98, 0.2], 0),             # same label
+        (3, [0.9, 0.43], 1),             # different: the true hard negative
+        (4, [0.0, 1.0], 1),              # different, far
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    q = df.filter(F.col("vec_id") == 0)
+    out = hard_negatives(df, q, k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == [(3, 1), (4, 2)]  # same-label 1 and 2 never appear
+
+
+def test_norm_audit_flags_off_unit(spark):
+    """Unit vectors pass; a scaled vector is counted and moves max."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        norm_audit,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [2.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    r = norm_audit(df).collect()[0]
+    assert r["n_vectors"] == 3 and r["n_off_unit"] == 1
+    assert r["max_norm"] == 2.0 and r["min_norm"] == 1.0
+
+
+def test_cluster_diameter_exposes_chaining(spark):
+    """a~b and b~c are near-dups but a and c share NOTHING: the cluster's
+    min pairwise jaccard must be 0 (the left-join zero-fill — an inner
+    intersection join would skip exactly that pair)."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    rows = [
+        (1, "p q r s t u"),          # a: shingles from p..u
+        (2, "p q r s t u x y z w"),  # b: supersets a, also has x..w
+        (3, "t u x y z w"),          # c: b's tail — every shingle in b
+    ]
+    # engineer: jaccard(a,b) and (b,c) >= 0.3; (a,c) share no 3-shingle
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = shingle_sets(df)
+    pairs = jaccard_pairs(sh, 0.3).select("d1", "d2")
+    got_pairs = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs
+
+    labeled = cluster_labels(df.select("doc_id"), pairs)
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    memb = labeled.withColumn("__size", size).filter(F.col("__size") > 1)
+    a = memb.select("cluster_id", "__size", F.col("doc_id").alias("d1"))
+    b = memb.select("cluster_id", F.col("doc_id").alias("d2"))
+    cand = a.join(b, "cluster_id").filter(F.col("d1") < F.col("d2"))
+    scores = jaccard_pairs(sh, 0.0, candidates=cand.select("d1", "d2"))
+    out = (
+        cand.join(scores, ["d1", "d2"], "left")
+        .groupBy("cluster_id")
+        .agg(F.min(F.coalesce(F.col("jaccard"), F.lit(0.0))).alias("mj"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["mj"] == 0.0  # the a-c chain exposed
