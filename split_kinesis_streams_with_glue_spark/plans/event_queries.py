@@ -2360,3 +2360,82 @@ def events_holt_winters(spark, sf_dir):
         F.round(nxt, 6).alias("next_seasonal"),
         F.round(folded["s"] + folded["b"] + nxt, 6).alias("forecast_1"),
     )
+
+
+@query(
+    since=6,
+    name="events_forecast_backtest",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             lag(x, 1) OVER (ORDER BY day) AS p_naive,
+             lag(x, 7) OVER (ORDER BY day) AS p_snaive,
+             AVG(x) OVER (ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS p_ma7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nb
+      FROM s
+    ),
+    scored AS (SELECT * FROM w WHERE p_snaive IS NOT NULL AND nb = 7)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           ROUND(AVG(ABS(x - p_naive)), 6) AS mae_naive,
+           ROUND(AVG(ABS(x - p_snaive)), 6) AS mae_seasonal_naive,
+           ROUND(AVG(ABS(x - p_ma7)), 6) AS mae_ma7,
+           CASE WHEN ROUND(AVG(ABS(x - p_snaive)), 6)
+                     <= least(ROUND(AVG(ABS(x - p_naive)), 6),
+                              ROUND(AVG(ABS(x - p_ma7)), 6))
+                THEN 'seasonal_naive'
+                WHEN ROUND(AVG(ABS(x - p_naive)), 6)
+                     <= ROUND(AVG(ABS(x - p_ma7)), 6)
+                THEN 'naive'
+                ELSE 'ma7' END AS best_model
+    FROM scored
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """One-step-ahead forecast backtest over the daily series: MAE of the
+    three standard baselines — naive (yesterday), seasonal-naive (same
+    weekday last week), trailing 7-day mean — scored on the days where
+    all three are defined. The model-selection gate the smoothing family
+    (WMA/EWMA/Holt/Holt-Winters) must beat before anyone trusts its
+    forecast in an alerting rule; seasonal-naive winning is itself the
+    cheapest seasonality proof. Windows over the calendar-bounded day
+    frame; the winner CASE compares the ROUNDED MAEs with a fixed
+    preference order, deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    wo = W.orderBy("day")
+    wb = W.orderBy("day").rowsBetween(-7, -1)
+    scored = (
+        s.withColumn("p_naive", F.lag("x", 1).over(wo))
+        .withColumn("p_snaive", F.lag("x", 7).over(wo))
+        .withColumn("p_ma7", F.avg("x").over(wb))
+        .withColumn("nb", F.count(F.lit(1)).over(wb))
+        .filter(F.col("p_snaive").isNotNull() & (F.col("nb") == 7))
+    )
+    mae = lambda p: F.round(F.avg(F.abs(F.col("x") - F.col(p))), 6)  # noqa: E731
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        mae("p_naive").alias("mae_naive"),
+        mae("p_snaive").alias("mae_seasonal_naive"),
+        mae("p_ma7").alias("mae_ma7"),
+    )
+    best = (
+        F.when(
+            F.col("mae_seasonal_naive")
+            <= F.least(F.col("mae_naive"), F.col("mae_ma7")),
+            "seasonal_naive",
+        )
+        .when(F.col("mae_naive") <= F.col("mae_ma7"), "naive")
+        .otherwise("ma7")
+    )
+    return agg.withColumn("best_model", best)

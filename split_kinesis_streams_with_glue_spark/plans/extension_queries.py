@@ -3310,3 +3310,61 @@ def dedup_cluster_diameter(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    since=6,
+    name="text_lang_confusion",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, w -> list_contains(['der','die','und','ist','das','ein'], w))) AS score_de,
+        len(list_filter(toks, w -> list_contains(['the','and','of','to','is','a'], w))) AS score_en,
+        len(list_filter(toks, w -> list_contains(['el','la','y','es','los','una'], w))) AS score_es,
+        len(list_filter(toks, w -> list_contains(['le','la','et','est','les','une'], w))) AS score_fr,
+        len(list_filter(toks, w -> list_contains(['的','是','了','在','和','有'], w))) AS score_zh
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+                  WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+                  WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+                  WHEN score_fr >= score_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM s
+    ),
+    c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1)
+    SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n * 1.0 / tot.nl, 6) AS frac_of_true
+    FROM c JOIN tot USING (lang)
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the engine's own marker-lexicon
+    classifier (text_language_id — same scoring, same alphabetical
+    argmax) evaluated against the fixture's labeled ``lang``, as (true,
+    predicted, count, fraction-of-true) cells — the eval harness shape
+    every classifier in the quality family plugs into, and the direct
+    measurement of WHERE the cheap lexicon fails (its diagonal is what
+    justifies - or revokes - using pred_lang in routing decisions).
+    Composition of the verified language_id operator with one
+    contingency aggregation."""
+    from split_kinesis_streams_with_glue_spark.operators.text import language_id
+
+    d = load(spark, sf_dir, "documents")
+    p = language_id(d).select("lang", "pred_lang")
+    c = p.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("__n"))
+    tot = c.groupBy("lang").agg(F.sum("__n").alias("__nl"))
+    return c.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__n") / F.col("__nl").cast("double"), 6).alias(
+            "frac_of_true"
+        ),
+    )

@@ -2026,3 +2026,82 @@ def dedup_degree_distribution(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
     return degree_distribution(pairs)
+
+
+@query(
+    since=6,
+    name="quality_outlier_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT c_acctbal AS v FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    st AS (
+      SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3,
+             MEDIAN(v) AS med, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+      FROM s
+    ),
+    mad AS (
+      SELECT MEDIAN(ABS(v - (SELECT MEDIAN(v) FROM s))) AS mad FROM s
+    ),
+    f AS (
+      SELECT v,
+             (v < (SELECT q1 FROM st) - 1.5 * ((SELECT q3 FROM st) - (SELECT q1 FROM st))
+              OR v > (SELECT q3 FROM st) + 1.5 * ((SELECT q3 FROM st) - (SELECT q1 FROM st)))
+               AS iqr_flag,
+             ABS(v - (SELECT mu FROM st)) > 3.0 * (SELECT sd FROM st) AS z_flag,
+             ABS(v - (SELECT med FROM st))
+               > 3.0 * 1.4826 * (SELECT mad FROM mad) AS mad_flag
+      FROM s
+    )
+    SELECT CAST(SUM(CASE WHEN iqr_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr,
+           CAST(SUM(CASE WHEN z_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+           CAST(SUM(CASE WHEN mad_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_mad,
+           CAST(SUM(CASE WHEN iqr_flag AND z_flag AND mad_flag
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_three,
+           CAST(SUM(CASE WHEN iqr_flag OR z_flag OR mad_flag
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+    FROM f
+    """,
+)
+def quality_outlier_overlap(spark, sf_dir):
+    """Outlier-rule agreement meta-audit: the three standard screens —
+    Tukey 1.5-IQR fences, 3-sigma z-score, 3-scaled-MAD robust z — run
+    over the same column with their flag counts and overlap. Rules that
+    wildly disagree mean the distribution violates somebody's assumption
+    (heavy tails break sigma; discreteness breaks MAD), and the n_any vs
+    n_all_three gap is the contested zone a human should sample before
+    choosing the production gate. All statistics exact (interpolated
+    quantiles + moments), two passes, bounded frames."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    st = cust.agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("med"),
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+    )
+    med_stage = cust.crossJoin(F.broadcast(st))
+    mad = med_stage.agg(
+        F.expr("percentile(abs(c_acctbal - med), 0.5)").alias("mad")
+    )
+    v = F.col("c_acctbal")
+    iqr = F.col("q3") - F.col("q1")
+    iqr_flag = (v < F.col("q1") - 1.5 * iqr) | (v > F.col("q3") + 1.5 * iqr)
+    z_flag = F.abs(v - F.col("mu")) > 3.0 * F.col("sd")
+    mad_flag = F.abs(v - F.col("med")) > 3.0 * 1.4826 * F.col("mad")
+    flagged = med_stage.crossJoin(F.broadcast(mad)).select(
+        iqr_flag.alias("i"), z_flag.alias("z"), mad_flag.alias("m")
+    )
+    return flagged.agg(
+        F.sum(F.col("i").cast("int")).cast("bigint").alias("n_iqr"),
+        F.sum(F.col("z").cast("int")).cast("bigint").alias("n_z"),
+        F.sum(F.col("m").cast("int")).cast("bigint").alias("n_mad"),
+        F.sum((F.col("i") & F.col("z") & F.col("m")).cast("int"))
+        .cast("bigint")
+        .alias("n_all_three"),
+        F.sum((F.col("i") | F.col("z") | F.col("m")).cast("int"))
+        .cast("bigint")
+        .alias("n_any"),
+    )

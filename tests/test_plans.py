@@ -455,6 +455,10 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # contingency-domain crossJoins via the chi2_residuals machinery
     # (same class as quality_chi2_residuals)
     "sample_split_balance_contract": {"cartesian-product"},
+    # crossJoins of the 1-row quantile/moment stats and 1-row MAD aggs
+    "quality_outlier_overlap": {"cartesian-product"},
+    # lag/trailing windows over the calendar-bounded day aggregate
+    "events_forecast_backtest": {"unpartitioned-window"},
 }
 
 
