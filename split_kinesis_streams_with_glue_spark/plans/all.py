@@ -74,10 +74,11 @@ ROUND-6 WINDOW (derived by set-diff against CORRECTNESS_r01..r05):
    exercise the split/catalog machinery whose sibling queries went
    green in r4/r5 (``stream_split_customer``, ``formats_csv_roundtrip``).
 
-ROUND-7 ROTATION PRECOMPUTE: never-checked should be exactly the
+ROUND-7 ROTATION PRECOMPUTE: never-checked should be exactly the 44
 ``since=6`` registrations; the window takes those, any round-6 reds,
-and the 2 deferred r1-only queries above. Regenerate from the set-diff
-as usual — never hand-maintain the counts (rounds 2 and 4 both drifted).
+and the 3 deferred r1-only queries above (44 + 3 = 47, leaving 3 slots
+for reds or staleness picks). Regenerate from the set-diff as usual —
+never hand-maintain the counts (rounds 2 and 4 both drifted).
 """
 
 from __future__ import annotations
