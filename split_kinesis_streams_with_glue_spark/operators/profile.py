@@ -77,8 +77,6 @@ def exact_quantile_twopass(
 
     Returns one row: (quantile, value, n).
     """
-    from pyspark.sql import Window
-
     total = df.filter(F.col(col).isNotNull()).count()
     if total == 0:
         return df.sparkSession.createDataFrame(
@@ -86,17 +84,35 @@ def exact_quantile_twopass(
         )
     kn = q * total
     k = max(1, int(kn) if kn == int(kn) else int(kn) + 1)
+    value = _kth_smallest(df, col, k, n_bins, rank_limit)
+    return df.sparkSession.createDataFrame(
+        [(q, value, total)], "quantile double, value double, n bigint"
+    )
+
+
+def _kth_smallest(
+    df: DataFrame,
+    col: str,
+    k: int,
+    n_bins: int = 1024,
+    rank_limit: int = 1_000_000,
+) -> float:
+    """The k-th smallest non-null value of ``col`` by the iterative
+    bin-refinement of ``exact_quantile_twopass`` (its extracted core, so
+    order-statistic consumers — e.g. the distribution-free median CI —
+    can address a RANK directly instead of round-tripping through a
+    float quantile whose q*n can land an ulp off the intended k)."""
+    from pyspark.sql import Window
+
     cand = df.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("v")
     )
-    value = None
     for _ in range(6):
         agg = cand.agg(
             F.count(F.lit(1)).alias("c"), F.min("v").alias("mn"), F.max("v").alias("mx")
         ).collect()[0]  # 1-row metadata aggregate
         if agg["mn"] == agg["mx"]:
-            value = float(agg["mn"])
-            break
+            return float(agg["mn"])
         if int(agg["c"]) <= rank_limit:
             break
         lo_, hi_ = float(agg["mn"]), float(agg["mx"])
@@ -120,14 +136,10 @@ def exact_quantile_twopass(
         # floor((v - lo)/width) by an ulp at bin edges, stranding a value
         # the rank bookkeeping counted
         cand = cand.filter(b == tb)
-    if value is None:
-        value = float(
-            cand.withColumn("r", F.row_number().over(Window.orderBy("v")))
-            .filter(F.col("r") == k)
-            .collect()[0]["v"]
-        )
-    return df.sparkSession.createDataFrame(
-        [(q, value, total)], "quantile double, value double, n bigint"
+    return float(
+        cand.withColumn("r", F.row_number().over(Window.orderBy("v")))
+        .filter(F.col("r") == k)
+        .collect()[0]["v"]
     )
 
 
@@ -255,4 +267,40 @@ def boxplot_stats(
             "hi_whisker",
             "n_outliers",
         )
+    )
+
+
+def median_ci(
+    df: DataFrame, col: str, z: float = 1.96
+) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN via order
+    statistics (the binomial/normal-approximation rank bounds: l =
+    floor((n − z·sqrt(n))/2), u = ceil(1 + (n + z·sqrt(n))/2), clamped to
+    [1, n]) — the error bar every median in a report should carry, with
+    NO distributional assumption (the bootstrap answers the same
+    question for sums). The interval endpoints are exact order
+    statistics fetched by RANK through the iterative bin-refinement
+    (``_kth_smallest``), so no global sort happens at any n; three rank
+    lookups total. Returns one row (n, median, ci_lo, ci_hi, rank_lo,
+    rank_hi)."""
+    import math
+
+    total = df.filter(F.col(col).isNotNull()).count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "n bigint, median double, ci_lo double, ci_hi double, "
+            "rank_lo bigint, rank_hi bigint",
+        )
+    half = z * math.sqrt(total)
+    lo_k = max(1, int(math.floor((total - half) / 2)))
+    hi_k = min(total, int(math.ceil(1 + (total + half) / 2)))
+    med_k = (total + 1) // 2 if total % 2 == 1 else total // 2
+    med = _kth_smallest(df, col, int(med_k))
+    lo = _kth_smallest(df, col, lo_k)
+    hi = _kth_smallest(df, col, hi_k)
+    return df.sparkSession.createDataFrame(
+        [(total, med, lo, hi, lo_k, hi_k)],
+        "n bigint, median double, ci_lo double, ci_hi double, "
+        "rank_lo bigint, rank_hi bigint",
     )

@@ -3368,3 +3368,71 @@ def text_lang_confusion(spark, sf_dir):
             "frac_of_true"
         ),
     )
+
+
+@query(
+    since=6,
+    name="quality_duplicate_impact",
+    oracle=r"""
+    WITH doubled AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, source FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source, text,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM doubled
+    ),
+    keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY 1),
+    m AS (
+      SELECT fp.source, fp.text, (fp.doc_id = keep.kid) AS kept
+      FROM fp JOIN keep USING (f)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0
+                    ELSE len(list_filter(string_split_regex(lower(text),
+                             '\s+'), w -> w <> '')) END) AS BIGINT)
+             AS tokens_dropped,
+           ROUND(1.0 - SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS frac_dropped
+    FROM m GROUP BY source
+    """,
+)
+def quality_duplicate_impact(spark, sf_dir):
+    """Per-source dedup impact statement: on the doubled corpus (the
+    dedup_exact_doubled fixture construction), how many documents and
+    how much TOKEN mass exact dedup would remove from each source — the
+    'what does this pass actually delete' table a curation review signs
+    off on, at the grain decisions happen (a source losing half its
+    tokens is a mirror; one losing 1% has ordinary reposts). Min-id
+    survivor fingerprint window (exact_dedup's policy, kept-flag form) +
+    one grouped fold."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        fingerprint,
+        whitespace_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    w = Window.partitionBy("__fp")
+    flagged = (
+        doubled.withColumn("__fp", fingerprint(F.col("text")))
+        .withColumn("kept", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+    ntok = F.size(whitespace_tokens(F.lower(F.col("text"))))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~F.col("kept"), ntok).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+        F.round(
+            1.0 - F.sum(F.col("kept").cast("int")) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_dropped"),
+    )

@@ -2105,3 +2105,112 @@ def quality_outlier_overlap(spark, sf_dir):
         .cast("bigint")
         .alias("n_any"),
     )
+
+
+@query(
+    since=6,
+    name="agg_median_ci",
+    oracle="""
+    WITH s AS (
+      SELECT c_acctbal AS v FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n FROM s),
+    k AS (
+      SELECT n,
+             GREATEST(1, CAST(FLOOR((n - 1.96 * sqrt(n)) / 2) AS BIGINT))
+               AS lo_k,
+             LEAST(n, CAST(CEIL(1 + (n + 1.96 * sqrt(n)) / 2) AS BIGINT))
+               AS hi_k,
+             CASE WHEN n % 2 = 1 THEN (n + 1) // 2 ELSE n // 2 END AS med_k
+      FROM n
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM s)
+    SELECT CAST(k.n AS BIGINT) AS n,
+           (SELECT v FROM r WHERE rk = k.med_k) AS median,
+           (SELECT v FROM r WHERE rk = k.lo_k) AS ci_lo,
+           (SELECT v FROM r WHERE rk = k.hi_k) AS ci_hi,
+           CAST(k.lo_k AS BIGINT) AS rank_lo,
+           CAST(k.hi_k AS BIGINT) AS rank_hi
+    FROM k
+    """,
+)
+def agg_median_ci(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the median of
+    c_acctbal (operators/profile.py median_ci): the classical
+    order-statistic rank bounds l = floor((n − 1.96√n)/2), u =
+    ceil(1 + (n + 1.96√n)/2) — the error bar every reported median
+    should carry, assuming NOTHING about the distribution (the
+    Poisson-bootstrap CI is the sums-side counterpart). Endpoints are
+    exact order statistics fetched BY RANK through the iterative
+    bin-refinement core (no global sort at any n; addressing rank
+    directly also dodges the q·n ulp trap a float quantile round-trip
+    carries)."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import median_ci
+
+    return median_ci(load(spark, sf_dir, "customer"), "c_acctbal")
+
+
+@query(
+    since=6,
+    name="cdc_churn_summary",
+    oracle="""
+    WITH base AS (SELECT COUNT(*) AS n FROM customer)
+    SELECT op AS operation, CAST(cnt AS BIGINT) AS n_changes,
+           ROUND(cnt * 1.0 / (SELECT n FROM base), 6) AS churn_rate
+    FROM (
+      SELECT 'delete' AS op, COUNT(*) AS cnt FROM customer
+      WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT 'update', COUNT(*) FROM customer
+      WHERE c_custkey % 11 <> 0 AND c_custkey % 13 = 0
+      UNION ALL
+      SELECT 'insert', COUNT(*) FROM customer
+      WHERE c_custkey % 17 = 0
+    ) t
+    """,
+)
+def cdc_churn_summary(spark, sf_dir):
+    """Churn summary of the anti-entropy diff: the merkle_diff change
+    feed (same planted %11 deletes / %13 updates / %17 inserts as
+    cdc_merkle_diff) folded to per-operation counts and rates against
+    the base-table size — the one-glance 'how much actually changed'
+    number replication monitoring alarms on, and the sanity bound for
+    the fingerprint machinery (dirty buckets should track churn, not
+    table size). Diff localization and the fold are both
+    bucket/operation-bounded."""
+    from split_kinesis_streams_with_glue_spark.operators.diff import merkle_diff
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal")
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 13 == 0,
+                (F.col("c_acctbal") + F.lit(50.25).cast("decimal(12,2)")).cast(
+                    "decimal(12,2)"
+                ),
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 17 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 2_000_000
+            )
+        )
+    )
+    diff = merkle_diff(cust, new, ["c_custkey"], num_buckets=128)
+    base = cust.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        diff.groupBy("operation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_changes"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "operation",
+            "n_changes",
+            F.round(F.col("n_changes") / F.col("__n").cast("double"), 6).alias(
+                "churn_rate"
+            ),
+        )
+    )

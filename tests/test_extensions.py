@@ -2085,3 +2085,19 @@ def test_cluster_diameter_exposes_chaining(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["mj"] == 0.0  # the a-c chain exposed
+
+
+def test_median_ci_known_values(spark):
+    """n=25 with values 1..25: median 13; rank bounds floor((25-9.8)/2)=7
+    and ceil(1+(25+9.8)/2)=19 -> CI [7, 19]; an outlier-heavy tail moves
+    the CI bound, not the median."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import median_ci
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 26)], "v double")
+    r = median_ci(df, "v").collect()[0]
+    assert r["n"] == 25 and r["median"] == 13.0
+    assert r["rank_lo"] == 7 and r["rank_hi"] == 19
+    assert r["ci_lo"] == 7.0 and r["ci_hi"] == 19.0
+
+    empty = spark.createDataFrame([], "v double")
+    assert median_ci(empty, "v").collect() == []

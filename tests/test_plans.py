@@ -457,6 +457,10 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "sample_split_balance_contract": {"cartesian-product"},
     # crossJoins of the 1-row quantile/moment stats and 1-row MAD aggs
     "quality_outlier_overlap": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row base-size agg>)); the planted-change
+    # modulo predicates and the md5 dirty-bucket semi-join filter are
+    # functions of a column — same classes as cdc_merkle_diff
+    "cdc_churn_summary": {"cartesian-product", "unpushed-scan-filter"},
     # lag/trailing windows over the calendar-bounded day aggregate
     "events_forecast_backtest": {"unpartitioned-window"},
 }
