@@ -240,3 +240,114 @@ def test_winsorize_style_clip_bounds_benford_digits(spark, xs):
             assert r["n"] == sum(
                 1 for x in xs if abs(x) >= 1 and str(int(abs(x)))[0] == str(r["digit"])
             )
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_spearman_matches_naive_rank_pearson(spark, pts):
+    """spearman_corr must equal Pearson over naive midranks computed in
+    Python, and be exactly +/-1 on any strictly monotone map."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        spearman_corr,
+    )
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = spearman_corr(df, "x", "y").collect()[0]["spearman_rho"]
+
+    def midranks(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            out.append(less + (ties + 1) / 2)
+        return out
+
+    rx = midranks([x for x, _ in pts])
+    ry = midranks([y for _, y in pts])
+    n = len(pts)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        assert got is None
+    else:
+        want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+        assert abs(got - round(want, 6)) < 1e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=0, max_value=1000, allow_nan=False),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_gini_lorenz_matches_naive_and_bounds(spark, vals):
+    """gini_lorenz must match the naive sorted-rank formula and lie in
+    [0, 1 - 1/n] for non-negative data (NULL when the total is 0)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        gini_lorenz,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = gini_lorenz(df, "x").collect()[0]["gini"]
+    n, tot = len(vals), sum(vals)
+    if tot <= 0:
+        assert got is None
+        return
+    sv = sorted(vals)
+    want = 2 * sum((i + 1) * v for i, v in enumerate(sv)) / (n * tot) - (n + 1) / n
+    assert abs(got - round(want, 6)) < 1e-6
+    assert -1e-9 <= got <= 1 - 1 / n + 1e-9
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_mann_whitney_u_matches_naive(spark, rows):
+    """mann_whitney_u's histogram-midrank U must equal the naive
+    all-pairs count U = #(a>b) + 0.5*#(a==b), and lie in [0, na*nb]."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mann_whitney_u,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(v), bool(g)) for v, g in rows], "v double, g boolean"
+    )
+    got = mann_whitney_u(df, "v", F.col("g")).collect()[0]
+    a = [v for v, g in rows if g]
+    b = [v for v, g in rows if not g]
+    if not a or not b:
+        assert got["u_statistic"] is None
+        return
+    want = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    assert abs(got["u_statistic"] - round(want, 6)) < 1e-6
+    assert -1e-9 <= got["u_statistic"] <= len(a) * len(b) + 1e-9
