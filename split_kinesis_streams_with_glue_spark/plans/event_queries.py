@@ -2439,3 +2439,48 @@ def events_forecast_backtest(spark, sf_dir):
         .otherwise("ma7")
     )
     return agg.withColumn("best_model", best)
+
+
+@query(
+    since=6,
+    name="events_freshness_audit",
+    oracle="""
+    WITH ref AS (SELECT MAX(ts) AS now_ts FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(last_seen AS TIMESTAMP) AS last_seen,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND((epoch_us((SELECT now_ts FROM ref))
+                  - epoch_us(last_seen)) / 1e6, 6) AS staleness_s,
+           (epoch_us((SELECT now_ts FROM ref)) - epoch_us(last_seen))
+             > CAST(3600 AS BIGINT) * 1000000 AS stale
+    FROM per
+    """,
+)
+def events_freshness_audit(spark, sf_dir):
+    """Per-type freshness audit: each event type's last-seen timestamp
+    and its staleness against the stream's own high-water mark (the max
+    event time — a deterministic 'now' that makes the audit replayable
+    and oracle-checkable, unlike wall clock), flagging types silent for
+    over an hour. The dead-producer tripwire: a type that stops
+    arriving is invisible to every value/volume monitor (its rows
+    simply aren't there) — freshness is the only signal, and it pairs
+    with the novelty monitor (new keys appearing vs old types going
+    quiet). Staleness compares in exact integer microseconds; two
+    map-side-combining aggregates."""
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("__now"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("__n")
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return per.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.col("last_seen").cast("timestamp").alias("last_seen"),
+        F.col("__n").cast("bigint").alias("n_events"),
+        F.round((us("__now") - us("last_seen")) / 1e6, 6).alias("staleness_s"),
+        ((us("__now") - us("last_seen")) > 3600 * 1_000_000).alias("stale"),
+    )

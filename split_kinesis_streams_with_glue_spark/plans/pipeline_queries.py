@@ -1675,3 +1675,69 @@ def stream_quality_monitor(spark, sf_dir):
     return read_psi_metrics(spark, f"{base}/metrics").select(
         "epoch", "n_rows", "n_keep", "keep_rate"
     )
+
+
+@query(
+    "stream_opsmix_monitor",
+    since=6,
+    oracle="""
+    SELECT 0 AS epoch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_load,
+           CAST(0 AS BIGINT) AS n_insert, CAST(0 AS BIGINT) AS n_update,
+           CAST(0 AS BIGINT) AS n_delete,
+           CAST(0.0 AS DOUBLE) AS delete_frac, FALSE AS alarm
+    FROM customer
+    UNION ALL
+    -- the generator emits TWO update sub-phases in one epoch:
+    -- %5 (+100, seq 1) and %10 (+200, seq 2) envelope rows
+    SELECT 1,
+           CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), FALSE
+    FROM customer
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(1.0 AS DOUBLE), TRUE
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def stream_opsmix_monitor(spark, sf_dir):
+    """Operation-mix monitoring at ingest (streaming/monitor.py
+    make_opsmix_monitor): per micro-batch CDC operation counts and the
+    delete fraction, alarming when deletes dominate — the delete-storm
+    tripwire (retention-job fat-finger, source truncation, replayed
+    tombstones) firing on the trigger that carried it. The CDC fixture's
+    load/update/delete phases drive three epochs: the pure-delete epoch
+    must alarm, the others must not; replayed triggers are no-ops
+    (exercised in-query). Fifth member of the ingest-monitor family."""
+    import tempfile
+
+    from split_kinesis_streams_with_glue_spark.streaming.monitor import (
+        make_opsmix_monitor,
+        read_psi_metrics,
+    )
+
+    base = tempfile.mkdtemp(prefix="sgs_opsmix_")
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    monitor = make_opsmix_monitor(op, f"{base}/metrics", delete_alarm_frac=0.5)
+    for epoch, phase in enumerate(["load", "update", "delete"]):
+        b = env.filter(op == phase)
+        monitor(b, epoch)
+        monitor(b, epoch)  # replayed trigger must be a no-op
+    return read_psi_metrics(spark, f"{base}/metrics").select(
+        "epoch",
+        "n_rows",
+        "n_load",
+        "n_insert",
+        "n_update",
+        "n_delete",
+        "delete_frac",
+        "alarm",
+    )

@@ -315,3 +315,58 @@ def make_quality_monitor(keep_expr, metrics_path: str):
         write_marker(spark, marker, epoch_id)
 
     return monitor
+
+
+def make_opsmix_monitor(
+    op_col, metrics_path: str, delete_alarm_frac: float = 0.5
+):
+    """Operation-mix monitoring at ingest: per micro-batch, the CDC
+    operation counts (load/insert/update/delete) and the delete fraction,
+    with an alarm when deletes dominate — the delete-storm tripwire (a
+    fat-fingered retention job, a source table truncation, a replication
+    loop replaying deletes) that fires on the trigger that carried it,
+    epochs before any table-size monitor notices. The fifth
+    ingest-monitor: PSI = values, novelty = identities, EWMA = level,
+    quality = fitness, this = CHANGE-SHAPE.
+
+    Stateless like the quality monitor — one aggregation pass per batch,
+    the idempotent overwritten ``epoch=N`` partition, marker-last commit;
+    a crash anywhere replays to the identical row. ``op_col`` is any
+    string Column (e.g. ``F.col('metadata.operation')``)."""
+    marker = f"{metrics_path}/_last_epoch"
+
+    def monitor(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = read_marker(spark, marker)
+        if last is not None and epoch_id <= last:
+            return
+        op = op_col
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((op == "load").cast("int")).alias("nl"),
+            F.sum((op == "insert").cast("int")).alias("ni"),
+            F.sum((op == "update").cast("int")).alias("nu"),
+            F.sum((op == "delete").cast("int")).alias("nd"),
+        ).collect()[0]
+        n = int(row["n"])
+        nd = int(row["nd"] or 0)
+        frac = round(nd / n, 6) if n else None
+        alarm = bool(n and nd / n > delete_alarm_frac)
+        spark.createDataFrame(
+            [
+                (
+                    n,
+                    int(row["nl"] or 0),
+                    int(row["ni"] or 0),
+                    int(row["nu"] or 0),
+                    nd,
+                    frac,
+                    alarm,
+                )
+            ],
+            "n_rows bigint, n_load bigint, n_insert bigint, n_update bigint, "
+            "n_delete bigint, delete_frac double, alarm boolean",
+        ).write.mode("overwrite").parquet(f"{metrics_path}/epoch={int(epoch_id)}")
+        write_marker(spark, marker, epoch_id)
+
+    return monitor

@@ -461,6 +461,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # modulo predicates and the md5 dirty-bucket semi-join filter are
     # functions of a column — same classes as cdc_merkle_diff
     "cdc_churn_summary": {"cartesian-product", "unpushed-scan-filter"},
+    # crossJoin(broadcast(<1-row high-water-mark agg>)) — bounded
+    "events_freshness_audit": {"cartesian-product"},
     # lag/trailing windows over the calendar-bounded day aggregate
     "events_forecast_backtest": {"unpartitioned-window"},
 }

@@ -586,3 +586,34 @@ def test_quality_monitor_rates_empty_batch_and_replay(spark, sf_dir, tmp_path):
     assert rows[0]["n_rows"] == b0.count() and rows[0]["n_keep"] == want_k
     assert rows[0]["keep_rate"] == round(want_k / b0.count(), 6)
     assert rows[1]["n_rows"] == 0 and rows[1]["keep_rate"] is None
+
+
+def test_opsmix_monitor_alarm_replay_and_empty(spark, sf_dir, tmp_path):
+    """Delete-dominated batch alarms, mixed batch does not, empty batch
+    records (0, NULL, no alarm); replays are no-ops (idempotent epoch
+    partition + marker-last)."""
+    from pyspark.sql import functions as F
+
+    import split_kinesis_streams_with_glue_spark.streaming.monitor as mon
+    from split_kinesis_streams_with_glue_spark.envelope import generate_cdc_envelopes
+
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    metrics = str(tmp_path / "m")
+    monitor = mon.make_opsmix_monitor(op, metrics, delete_alarm_frac=0.5)
+
+    mixed = env  # all phases: deletes are a minority
+    deletes = env.filter(op == "delete")
+    empty = env.filter(F.lit(False))
+
+    monitor(mixed, 0)
+    monitor(mixed, 0)  # replay: no-op
+    monitor(deletes, 1)
+    monitor(empty, 2)
+
+    rows = {r["epoch"]: r for r in mon.read_psi_metrics(spark, metrics).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert not rows[0]["alarm"] and rows[0]["n_delete"] < rows[0]["n_rows"]
+    assert rows[1]["alarm"] and rows[1]["delete_frac"] == 1.0
+    assert rows[2]["n_rows"] == 0 and rows[2]["delete_frac"] is None
+    assert rows[2]["alarm"] is False
