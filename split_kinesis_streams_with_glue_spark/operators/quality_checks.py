@@ -639,3 +639,38 @@ def chi2_residuals(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.round((F.col("__o") - e) / F.sqrt(e), 6).alias("residual"),
         )
     )
+
+
+def functional_dependency(
+    df: DataFrame, determinant: str, dependent: str
+) -> DataFrame:
+    """Functional-dependency check A → B (does each determinant value map
+    to exactly one dependent value?): the classical data-profiling
+    primitive behind key discovery, denormalization safety ("can I fold
+    this dim column into the fact?"), and silent-corruption detection (a
+    violated FD that held last snapshot means two sources merged
+    inconsistently). Returns one row (determinant, dependent,
+    n_keys, n_violating_keys, max_variants, holds) — violating keys are
+    determinant values carrying ≥ 2 distinct dependent values.
+
+    One (A, B) distinct-pair aggregate then a bounded per-A fold; NULL
+    determinants are excluded (no key to functionally depend on), NULL
+    dependents count as a variant (A → NULL-sometimes is a violation
+    worth seeing)."""
+    per_key = (
+        df.filter(F.col(determinant).isNotNull())
+        .select(determinant, dependent)
+        .distinct()
+        .groupBy(determinant)
+        .agg(F.count(F.lit(1)).alias("__variants"))
+    )
+    return per_key.agg(
+        F.lit(determinant).alias("determinant"),
+        F.lit(dependent).alias("dependent"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum((F.col("__variants") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_violating_keys"),
+        F.max("__variants").cast("bigint").alias("max_variants"),
+        (F.max("__variants") <= 1).alias("holds"),
+    )

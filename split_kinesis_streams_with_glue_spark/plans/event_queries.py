@@ -2484,3 +2484,45 @@ def events_freshness_audit(spark, sf_dir):
         F.round((us("__now") - us("last_seen")) / 1e6, 6).alias("staleness_s"),
         ((us("__now") - us("last_seen")) > 3600 * 1_000_000).alias("stale"),
     )
+
+
+@query(
+    since=6,
+    name="events_dow_hour_profile",
+    oracle="""
+    WITH c AS (
+      SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER)
+               AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS tot, MAX(n) AS mx FROM c)
+    SELECT dow, hour, CAST(n AS BIGINT) AS n_events,
+           ROUND(n * 1.0 / t.tot, 6) AS frac,
+           n = t.mx AS is_peak
+    FROM c CROSS JOIN t
+    """,
+)
+def events_dow_hour_profile(spark, sf_dir):
+    """Weekday x hour load heatmap: the 168-cell traffic profile with
+    each cell's share and the peak cell flagged — what capacity planning,
+    maintenance-window picking and the hopping-window sizing decisions
+    actually read; the two-dimensional refinement of
+    events_seasonal_indices' per-weekday means. Engine-portable weekday
+    from epoch-day arithmetic; one map-side-combining aggregate, the
+    share/peak fold over the bounded cell frame."""
+    ev = load(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    c = ev.groupBy(
+        F.pmod(epoch_day, F.lit(7)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    t = c.agg(F.sum("__n").alias("__tot"), F.max("__n").alias("__mx"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hour",
+        F.col("__n").cast("bigint").alias("n_events"),
+        F.round(F.col("__n") / F.col("__tot").cast("double"), 6).alias("frac"),
+        (F.col("__n") == F.col("__mx")).alias("is_peak"),
+    )

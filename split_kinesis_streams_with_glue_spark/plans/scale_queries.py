@@ -2214,3 +2214,55 @@ def cdc_churn_summary(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    since=6,
+    name="quality_functional_deps",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'n_nationkey' AS determinant, 'n_regionkey' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+             CAST(MAX(v) AS BIGINT) AS max_variants,
+             MAX(v) <= 1 AS holds
+      FROM (
+        SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS v
+        FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 1
+      ) q
+    ),
+    fd2 AS (
+      SELECT 'c_nationkey', 'c_mktsegment',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(v) AS BIGINT),
+             MAX(v) <= 1
+      FROM (
+        SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS v
+        FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
+      ) q
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+    """,
+)
+def quality_functional_deps(spark, sf_dir):
+    """Functional-dependency profile (operators/quality_checks.py
+    functional_dependency): does nation→region hold (it must — n_nationkey
+    is a key) and does customer-nation→segment hold (it must NOT — the mix
+    is the point)? The key-discovery / denormalization-safety /
+    silent-merge-corruption primitive of classical data profiling: an FD
+    that held last snapshot and broke today means two sources merged
+    inconsistently. One distinct-pair aggregate + bounded fold per
+    candidate."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        functional_dependency,
+    )
+
+    nat = functional_dependency(
+        load(spark, sf_dir, "nation"), "n_nationkey", "n_regionkey"
+    )
+    cust = functional_dependency(
+        load(spark, sf_dir, "customer"), "c_nationkey", "c_mktsegment"
+    )
+    return nat.unionByName(cust)

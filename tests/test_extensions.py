@@ -2101,3 +2101,25 @@ def test_median_ci_known_values(spark):
 
     empty = spark.createDataFrame([], "v double")
     assert median_ci(empty, "v").collect() == []
+
+
+def test_functional_dependency_known_values(spark):
+    """A holds with a NULL-dependent variant counted; violating keys and
+    max variants are exact; NULL determinants are excluded."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        functional_dependency,
+    )
+
+    rows = [
+        ("a", "x"), ("a", "x"),          # clean key
+        ("b", "x"), ("b", "y"),          # 2 variants
+        ("c", "z"), ("c", None),         # NULL dependent IS a variant
+        (None, "q"),                     # NULL determinant: excluded
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = functional_dependency(df, "k", "v").collect()[0]
+    assert r["n_keys"] == 3 and r["n_violating_keys"] == 2
+    assert r["max_variants"] == 2 and r["holds"] is False
+
+    clean = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, v string")
+    assert functional_dependency(clean, "k", "v").collect()[0]["holds"] is True

@@ -463,6 +463,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "cdc_churn_summary": {"cartesian-product", "unpushed-scan-filter"},
     # crossJoin(broadcast(<1-row high-water-mark agg>)) — bounded
     "events_freshness_audit": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row total/max agg over the 168-cell frame>))
+    "events_dow_hour_profile": {"cartesian-product"},
     # lag/trailing windows over the calendar-bounded day aggregate
     "events_forecast_backtest": {"unpartitioned-window"},
 }
