@@ -3436,3 +3436,77 @@ def quality_duplicate_impact(spark, sf_dir):
             6,
         ).alias("frac_dropped"),
     )
+
+
+@query(
+    since=6,
+    name="pipeline_training_manifest",
+    oracle=(
+        "WITH sd AS ("
+        + _SOFT_DEDUP_SQL
+        + r"""),
+    m AS (
+      SELECT d.doc_id,
+             CASE WHEN substr(md5(d.text), 1, 4) < 'cccd' THEN 'train'
+                  WHEN substr(md5(d.text), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(CAST(('0x' || substr(md5(d.text), 1, 12)) AS BIGINT) % 5
+                  AS INTEGER) AS fold,
+             len(list_filter(string_split_regex(lower(d.text), '\s+'),
+                 w -> w <> '')) >= 30 AS keep,
+             sd.weight
+      FROM documents d JOIN sd ON sd.doc_id = d.doc_id
+    )
+    SELECT split, fold, keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(weight), 6) AS sum_weight
+    FROM m GROUP BY 1, 2, 3
+    """
+    ),
+)
+def pipeline_training_manifest(spark, sf_dir):
+    """The capstone composition: one query assembles the TRAINING
+    MANIFEST a downstream trainer consumes — content-hash train/val/test
+    split x duplicate-safe 5-fold assignment x quality gate (word-count
+    keep rule) x soft-dedup 1/cluster-size loss weights — summarized per
+    (split, fold, keep) cell with document counts and total weight. This
+    is the 'switch to this repo and run your pipeline' proof: four
+    independently-verified subsystems (sampling, dedup graph, quality,
+    weighting) composed in a single plan with one corpus scan feeding
+    hash projections, the near-dup component labeling joined back by id,
+    and a bounded cell fold. Any imbalance a trainer would trip over —
+    a fold hoarding weight, a split losing its keeps — is one SELECT
+    away."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        whitespace_tokens,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        hash_split,
+        kfold_assign,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    labeled = cluster_labels(d.select("doc_id"), pairs)
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    weights = labeled.select(
+        "doc_id", F.round(F.lit(1.0) / size, 6).alias("weight")
+    )
+    manifest = (
+        kfold_assign(hash_split(d), n_folds=5)
+        .withColumn(
+            "keep", F.size(whitespace_tokens(F.lower(F.col("text")))) >= 30
+        )
+        .join(weights, "doc_id")
+    )
+    return manifest.groupBy("split", "fold", "keep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("weight"), 6).alias("sum_weight"),
+    )
