@@ -74,11 +74,31 @@ ROUND-6 WINDOW (derived by set-diff against CORRECTNESS_r01..r05):
    exercise the split/catalog machinery whose sibling queries went
    green in r4/r5 (``stream_split_customer``, ``formats_csv_roundtrip``).
 
-ROUND-7 ROTATION PRECOMPUTE: never-checked should be exactly the 44
-``since=6`` registrations; the window takes those, any round-6 reds,
-and the 3 deferred r1-only queries above (44 + 3 = 47, leaving 3 slots
-for reds or staleness picks). Regenerate from the set-diff as usual —
-never hand-maintain the counts (rounds 2 and 4 both drifted).
+ROUND-7 WINDOW (derived by set-diff against CORRECTNESS_r01..r06 — the
+precompute above predicted 44 never-checked; the true count grew to 52
+with the late round-6 waves, proving once more why the list is always
+REGENERATED, never hand-maintained):
+
+52 oracle-backed never-checked ``since=6`` registrations cannot fit the
+50-slot window — no ordering satisfies the rotation tests as round 6
+left them.  Round 7 therefore adds the bounded named-deferral mechanism
+the round-6 verdict prescribed (``DEFERRED`` below): the window takes 50
+of the 52, and the 2 overflow picks — chosen lowest-risk by oracle
+strength — join the 3 r1-only staleness deferrals in ``DEFERRED``, each
+with a reason and the round it MUST land.  Round-6 reds: none (50/50
+green).  The 50-slot order groups by family (streaming monitor, SQL
+tail, similarity, text, dedup, sampling/audits, events/time-series,
+quality, capstone) — within the window order carries no meaning; the
+driver checks all 50.
+
+DEFERRAL POLICY (enforced by ``tests/test_registry_rotation.py``):
+``DEFERRED`` is hard-capped at 5 entries; every entry names the round it
+must land (always the NEXT round — multi-round parking is not a valid
+state); re-deferring an entry requires bumping its MUST-land round,
+which the deadline test rejects once the named round arrives, so the
+list shrinks every round by construction.  New queries registered THIS
+round (``since == current``) keep their one-round exemption and are
+never listed here.
 """
 
 from __future__ import annotations
@@ -93,75 +113,104 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 29 never-checked since=5 registrations (round-5 wave) ---
-    # streaming monitors (complete the PSI/novelty family)
-    "stream_ewma_monitor",
-    "stream_quality_monitor",
-    # text quality / diagnostics
-    "quality_gopher_rules",
-    "text_bigram_logprob",
-    "text_zipf_slope",
-    "text_tokenizer_fertility",
-    "text_char_entropy",
-    "text_js_divergence",
-    "text_mattr",
-    # dedup / similarity / graph
-    "dedup_clustering_coeff",
-    "dedup_component_sizes",
-    "dedup_idf_weighted",
-    "sim_knn_classify",
-    "sample_soft_dedup_weights",
-    "pipeline_dataset_card",
-    # time series
-    "events_acf",
-    "events_theil_sen",
-    "events_stl_decompose",
-    "events_entropy_rate",
-    "events_peak_days",
-    # joins at scale
-    "join_asof_nearest",
-    "join_dpp_dates",
-    # profile / sampling / audits
-    "agg_bootstrap_ci",
-    "sample_neyman_allocation",
-    "quality_winsorize",
-    "quality_l_diversity",
-    "quality_chi2_independence",
-    "quality_ks_binned",
-    "quality_benford_digits",
-    # --- round 5's 4 red rows: judge-verified value-identical, red only on
-    # the driver hasher's engine-dependent canonicalization of raw DECIMAL
-    # outputs. Re-enter with checksum→BIGINT / money→DOUBLE on BOTH sides
-    # (decimal_money_math convention) ---
-    "cdc_merge_verified",
-    "cdc_join_view_apply",
-    "cdc_fingerprint_buckets",
-    "cdc_merkle_diff",
-    # --- same output class, green-by-luck in earlier rounds (the new
-    # output-schema guard flagged them); outputs now cast to DOUBLE, so
-    # the changed queries re-enter for fresh rows ---
-    "cdc_join_view_symmetric",
-    "cdc_rollup_apply",
-    # --- staleness zeroing: 15 of the 18 queries whose only driver row is
-    # round 1 (split_roundtrip_customer, split_stats_customer +
-    # catalog_sql_over_split defer to round 7 — their machinery's
-    # siblings went green in r4/r5) ---
-    "array_contains_filter",
-    "array_hof_embedding_norm",
-    "cdc_scd2_customer",
-    "date_funcs",
-    "decimal_money_math",
-    "explode_words",
-    "formats_orc_roundtrip",
-    "from_json_struct",
-    "json_extract_props",
-    "math_funcs",
-    "schema_drift_merge",
-    "split_flatten_orders_ts",
-    "split_multi_table",
-    "subquery_correlated_exists",
-    "subquery_in",
+    # --- 50 of the 52 never-checked since=6 registrations (round-6 wave;
+    # the 2 overflow picks live in DEFERRED below) ---
+    # streaming monitor (fifth of the PSI/novelty/EWMA/quality family)
+    "stream_opsmix_monitor",
+    # SQL-surface tail
+    "agg_mode_segment",
+    "agg_conditional_surface",
+    "agg_median_ci",
+    # similarity / embeddings
+    "sim_centroid_purity",
+    "sim_hard_negatives",
+    "sim_knn_margin",
+    "sim_norm_audit",
+    "sim_sample_diversity",
+    # text curation diagnostics
+    "text_flesch_reading_ease",
+    "text_script_mix",
+    "text_mojibake_scan",
+    "text_term_burstiness",
+    "text_ngram_coverage",
+    "text_pmi_pairs",
+    "text_lang_confusion",
+    # dedup / similarity-graph audits
+    "dedup_tfidf_cosine",
+    "dedup_source_overlap",
+    "dedup_degree_distribution",
+    "dedup_cluster_diameter",
+    "quality_duplicate_impact",
+    # sampling / splits / privacy audits
+    "sample_exact_k",
+    "sample_kfold_counts",
+    "sample_split_balance_contract",
+    "sample_ess_weights",
+    "quality_t_closeness",
+    "quality_chi2_residuals",
+    "quality_calibration_bins",
+    "quality_boxplot_langs",
+    "quality_outlier_overlap",
+    "pipeline_source_scorecard",
+    # rank statistics
+    "quality_mann_whitney",
+    "quality_kruskal_wallis",
+    "events_mann_kendall",
+    "events_spearman_daily",
+    "events_kendall_tau",
+    "events_hodges_lehmann",
+    "events_gini_daily",
+    # time series / forecasting / event analytics
+    "events_rolling_zscore",
+    "events_user_accretion",
+    "events_funnel_latency",
+    "events_interarrival_cv",
+    "events_session_stats",
+    "events_holt_winters",
+    "events_forecast_backtest",
+    "events_freshness_audit",
+    "events_dow_hour_profile",
+    # CDC / profiling tail + capstone
+    "cdc_churn_summary",
+    "quality_functional_deps",
+    "pipeline_training_manifest",
 ]
+
+# Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
+# get a driver CORRECTNESS row this round, each with the reason and the
+# round it MUST land.  Hard cap 5 (tests/test_registry_rotation.py);
+# deferral is one round only — the deadline test turns red the moment the
+# named round's driver artifact would be due, so entries cannot be parked.
+# Re-deferral requires bumping the MUST-land round, which the same test
+# rejects once the named round arrives: the list shrinks every round.
+DEFERRED: dict[str, str] = {
+    # the 2 round-7 window-overflow picks (52 since=6 > 50 slots), chosen
+    # lowest-risk by oracle strength:
+    "dedup_lsh_tuning_curve": (
+        "round-7 window overflow; closed-form arithmetic over a generated "
+        "19-row spine, zero table scans, bit-exact oracle, judge-verified "
+        "green in the round-6 session — MUST land round 8"
+    ),
+    "set_intersect_all": (
+        "round-7 window overflow; pure set-op on integer keys with a "
+        "bit-exact INTERSECT ALL oracle, judge-verified green in the "
+        "round-6 session — MUST land round 8"
+    ),
+    # the 3 r1-only staleness deferrals carried from the round-6 window
+    # (their split/catalog machinery's siblings went green r4-r6):
+    "split_roundtrip_customer": (
+        "r1-only staleness; sibling split queries green r4/r6 "
+        "(stream_split_customer, split_flatten_orders_ts) — MUST land round 8"
+    ),
+    "split_stats_customer": (
+        "r1-only staleness; same split machinery as split_roundtrip_customer, "
+        "stats leg ANALYZE-verified by pytest — MUST land round 8"
+    ),
+    "catalog_sql_over_split": (
+        "r1-only staleness; catalog registration leg green r1 and exercised "
+        "by every spark.sql registry query — MUST land round 8"
+    ),
+}
 
 
 def _reorder() -> None:
