@@ -674,6 +674,14 @@ def idf_weighted_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("__df"))
         .crossJoin(F.broadcast(nd))
         .select("shingle", F.log(F.col("__nd") / F.col("__df")).alias("__w"))
+        # a shingle in EVERY document has w = ln(N/N) = 0: it contributes
+        # nothing to any score but would pair every doc with every doc in
+        # the self-join below — the exact candidate explosion this
+        # weighting exists to dodge (round-6 verdict #2). Dropping it here
+        # changes no output: intersections and per-doc totals both gain 0
+        # from a zero-weight term. The filter runs on the Zipf-small
+        # vocabulary frame, not the corpus.
+        .filter(F.col("__w") > 0)
     )
     weighted = shingles.join(idf, "shingle")
     wsize = weighted.groupBy("id").agg(F.sum("__w").alias("__tw"))
@@ -791,6 +799,13 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("__df"))
         .crossJoin(F.broadcast(nd))
         .select("term", F.log(F.col("__nd") / F.col("__df")).alias("__idf"))
+        # idf = 0 terms (present in EVERY doc) carry w = tf·0 = 0: they
+        # move no dot product and no norm, but left in they join every
+        # doc against every doc on that term — N²/2 candidate rows from
+        # one universal token (round-6 verdict #2). Filter on the
+        # Zipf-small vocabulary frame so "boilerplate can't create
+        # candidates" is true in the PLAN, not just in the scores.
+        .filter(F.col("__idf") > 0)
     )
     weighted = tf.join(idf, "term").select(
         "id", "term", (F.col("__tf") * F.col("__idf")).alias("__w")

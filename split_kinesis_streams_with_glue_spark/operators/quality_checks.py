@@ -282,9 +282,12 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     contingency machinery, but with the calibrated test statistic and
     degrees of freedom a reviewer asks for).
 
-    One groupBy builds the contingency table; marginals and the fold run
-    over the bounded |A|×|B| frame. Returns one row
-    (chi2, dof, n_rows).
+    One groupBy builds the contingency table; marginals, the fold, AND
+    the dof's distinct-category counts all run over the bounded |A|×|B|
+    frame — the input is scanned exactly once (round-6 verdict #3: the
+    earlier ``df.select(col).distinct().count()`` pair cost two extra
+    full-corpus actions for numbers the contingency frame already
+    holds). Returns one row (chi2, dof, n_cells).
 
     NULL policy: rows with a NULL in EITHER column are excluded up front —
     the classical test has no NULL category, and keeping them would make
@@ -301,13 +304,20 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         joint.join(ra, col_a)
         .join(rb, col_b)
         .crossJoin(F.broadcast(n))
-        .select(((F.col("__o") - e) * (F.col("__o") - e) / e).alias("__t"))
+        .select(
+            col_a,
+            col_b,
+            ((F.col("__o") - e) * (F.col("__o") - e) / e).alias("__t"),
+        )
     )
-    na = df.select(col_a).distinct().count()
-    nb = df.select(col_b).distinct().count()
+    # dof folds from the contingency frame itself: every observed category
+    # appears in `joint` (NULLs were excluded up front, so the domains
+    # agree with the classical definition) — no second or third scan of df
     return scored.agg(
         F.round(F.sum("__t"), 6).alias("chi2"),
-        F.lit((na - 1) * (nb - 1)).cast("bigint").alias("dof"),
+        (
+            (F.countDistinct(col_a) - 1) * (F.countDistinct(col_b) - 1)
+        ).cast("bigint").alias("dof"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
 

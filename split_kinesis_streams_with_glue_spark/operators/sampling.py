@@ -398,11 +398,40 @@ def kfold_assign(
 ) -> DataFrame:
     """Deterministic k-fold assignment by content hash: fold =
     md5-uniform bucket of the text, so folds are stable across runs,
-    engines and re-partitioning, and duplicate texts always share a fold
-    (no cross-validation leakage through near-copies of the same
-    document). Pure projection — the cross-validation companion to
-    ``hash_split``'s train/val/test."""
+    engines and re-partitioning, and EXACT-duplicate texts always share
+    a fold (same bytes => same hash => same fold). NEAR-copies — different
+    bytes, high Jaccard — hash independently and CAN straddle folds; when
+    the corpus carries near-dups and the CV score must not be inflated by
+    paraphrase leakage, use ``cluster_safe_kfold`` below, which keys the
+    fold on the near-dup CLUSTER id instead of the member text. Pure
+    projection — the cross-validation companion to ``hash_split``'s
+    train/val/test."""
     u48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast(
         "bigint"
     )
     return df.withColumn("fold", (u48 % n_folds).cast("int"))
+
+
+def cluster_safe_kfold(
+    df: DataFrame,
+    edges: DataFrame,
+    n_folds: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every member of a near-duplicate
+    CLUSTER lands in the same fold, so cross-validation never scores a
+    model on a paraphrase of its own training fold. ``kfold_assign``
+    pins only EXACT duplicates (fold = hash of the member's own text);
+    this is the cross-validation mirror of ``cluster_safe_split`` — the
+    fold keys on the cluster id (connected components over the near-dup
+    pair graph, min-id labeled), so near-copies inherit ONE assignment
+    by construction, not by hash luck. Cost: the components iteration
+    over the pair graph (already computed for dedup); the fold itself
+    stays a pure projection over the labeled frame."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+
+    labeled = cluster_labels(df, edges, id_col)
+    u48 = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    return labeled.withColumn("fold", (u48 % n_folds).cast("int"))

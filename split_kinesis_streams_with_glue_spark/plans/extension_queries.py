@@ -2965,10 +2965,12 @@ def sample_kfold_counts(spark, sf_dir):
     """Deterministic 5-fold cross-validation assignment
     (operators/sampling.py kfold_assign) summarized as per-(fold, lang)
     counts — the balance check run before trusting CV numbers: folds
-    come from the content hash (stable, engine-portable, duplicate-safe
-    so near-copies can't leak across folds), and a language badly
-    skewed across folds shows here before it biases a validation
-    score."""
+    come from the content hash (stable, engine-portable, and
+    EXACT-duplicate-safe — identical texts share a fold by construction;
+    near-copies hash independently, so a corpus with near-dups should
+    use cluster_safe_kfold, which keys folds on the near-dup cluster
+    id), and a language badly skewed across folds shows here before it
+    biases a validation score."""
     from split_kinesis_streams_with_glue_spark.operators.sampling import (
         kfold_assign,
     )
@@ -3467,7 +3469,9 @@ def quality_duplicate_impact(spark, sf_dir):
 def pipeline_training_manifest(spark, sf_dir):
     """The capstone composition: one query assembles the TRAINING
     MANIFEST a downstream trainer consumes — content-hash train/val/test
-    split x duplicate-safe 5-fold assignment x quality gate (word-count
+    split x exact-duplicate-safe 5-fold assignment (content-hash folds
+    pin identical texts together; swap in cluster_safe_kfold when
+    near-copies must also share a fold) x quality gate (word-count
     keep rule) x soft-dedup 1/cluster-size loss weights — summarized per
     (split, fold, keep) cell with document counts and total weight. This
     is the 'switch to this repo and run your pipeline' proof: four

@@ -1180,9 +1180,10 @@ def test_bigram_logprob_hand_computed(spark):
 
 
 def test_idf_weighted_jaccard_downweights_boilerplate(spark):
-    """Two docs sharing only a BOILERPLATE shingle (in every doc) score
-    far below two docs sharing a RARE shingle — the separation plain
-    Jaccard cannot make. Values match the hand-computed weighting."""
+    """Docs sharing only a BOILERPLATE shingle (in every doc) never pair
+    at all — the zero-weight term is pruned before the self-join — while
+    docs sharing a RARE shingle score by the hand-computed weighting:
+    the separation plain Jaccard cannot make."""
     import math
 
     from split_kinesis_streams_with_glue_spark.operators.dedup import (
@@ -1202,12 +1203,15 @@ def test_idf_weighted_jaccard_downweights_boilerplate(spark):
         (r["d1"], r["d2"]): r["wjaccard"]
         for r in idf_weighted_jaccard_pairs(sh, threshold=0.0).collect()
     }
-    # docs 1-2 share only bp (w=0): wjac = 0 / (w(u1)+w(u2)) = 0
-    assert got[(1, 2)] == 0.0
     # docs 3-4 share bp (0) + rare (ln2); each total = ln2 -> wjac = 1
     assert abs(got[(3, 4)] - 1.0) < 1e-9
-    # doc 1 vs 3: intersection bp (0) over ln4 (u1) + ln2 (rare) -> 0
-    assert got[(1, 3)] == 0.0
+    # docs sharing ONLY the zero-weight boilerplate shingle are not
+    # CANDIDATES at all (round-6 verdict #2: w = 0 terms are filtered
+    # before the self-join, so a universal shingle cannot enumerate
+    # N^2/2 pairs it contributes nothing to)
+    assert (1, 2) not in got and (1, 3) not in got
+    # the only surviving pairs are the ones sharing a weighted shingle
+    assert set(got) == {(3, 4)}
 
 
 def test_idf_weighted_jaccard_all_shared_boilerplate_corpus(spark):
@@ -1647,8 +1651,8 @@ def test_mojibake_scan_known_values(spark):
 
 def test_tfidf_cosine_known_values(spark):
     """Identical rare-term docs score 1; pairs sharing only zero-idf
-    boilerplate score 0; an all-boilerplate corpus (all norms 0) yields
-    no rows rather than an ANSI division error."""
+    boilerplate never become candidates; an all-boilerplate corpus
+    yields no rows rather than an ANSI division error."""
     from split_kinesis_streams_with_glue_spark.operators.dedup import (
         tfidf_cosine_pairs,
     )
@@ -1662,8 +1666,10 @@ def test_tfidf_cosine_known_values(spark):
     got = {(r["d1"], r["d2"]): r["tfidf_cosine"]
            for r in tfidf_cosine_pairs(df, threshold=0.0).collect()}
     assert got[(1, 2)] == 1.0
-    # 'common' has df=3=N -> idf 0: pairs (1,3)/(2,3) share zero weight
-    assert got[(1, 3)] == 0.0 and got[(2, 3)] == 0.0
+    # 'common' has df=3=N -> idf 0: it is filtered BEFORE the self-join
+    # (round-6 verdict #2), so pairs (1,3)/(2,3) — which share nothing
+    # else — never become candidates, instead of surfacing with score 0
+    assert set(got) == {(1, 2)}
 
     bp = spark.createDataFrame(
         [(1, "a b"), (2, "a b")], "doc_id int, text string"

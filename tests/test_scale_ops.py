@@ -1034,3 +1034,74 @@ def test_neyman_single_stratum_gets_whole_budget(spark):
     got = neyman_allocation(df, "s", "v", 500).collect()
     assert len(got) == 1
     assert abs(got[0]["allocation"] - 500.0) < 1e-6
+
+
+def test_cluster_safe_kfold_near_copies_share_a_fold(spark):
+    """Round-6 verdict #2: ``kfold_assign`` pins only EXACT duplicates —
+    near-copies (different bytes, Jaccard ~0.95) hash independently and
+    CAN straddle folds. This plants such a pair (chosen so the content
+    hashes demonstrably land in different folds), shows the hole, and
+    asserts ``cluster_safe_kfold`` closes it: the near-dup edge welds the
+    pair into one cluster and the cluster-id fold is shared by
+    construction."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        cluster_safe_kfold,
+        kfold_assign,
+    )
+
+    words = ["tok%d" % i for i in range(80)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["alpha"])  # one word differs: J ~ 0.95
+    rows = [(1, base), (2, near), (3, "an unrelated little document here")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+
+    pairs = jaccard_pairs(shingle_sets(d), 0.9).select("d1", "d2")
+    assert [(r["d1"], r["d2"]) for r in pairs.collect()] == [(1, 2)]
+
+    # the hole: content-hash folds differ for the planted near-copies
+    naive = {r["doc_id"]: r["fold"] for r in kfold_assign(d).collect()}
+    assert naive[1] != naive[2]
+
+    # the fix: cluster-keyed folds agree for every cluster member
+    safe = cluster_safe_kfold(d, pairs)
+    got = {r["doc_id"]: r for r in safe.collect()}
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1
+    assert got[1]["fold"] == got[2]["fold"]
+    assert all(0 <= r["fold"] < 5 for r in got.values())
+    # invariant form: no cluster straddles folds
+    straddle = (
+        safe.groupBy("cluster_id")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+
+def test_chi2_independence_builds_lazily_in_one_plan(spark):
+    """Round-6 verdict #3: dof used to come from two extra
+    ``df.select(col).distinct().count()`` actions — two additional
+    full-corpus scans fired eagerly at BUILD time. The dof now folds
+    from the bounded contingency frame inside the single aggregate, so
+    constructing the result DataFrame must launch no Spark job at all,
+    and the values (including dof) are unchanged."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        chi2_independence,
+    )
+
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"), ("z", "p")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    spark.sparkContext.setJobGroup("chi2-build", "lazy-build check")
+    out = chi2_independence(df, "a", "b")
+    built_jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "chi2-build"
+    )
+    spark.sparkContext.setJobGroup("chi2-collect", "")
+    assert list(built_jobs) == [], "building chi2_independence ran Spark jobs"
+    row = out.collect()[0]
+    assert row["dof"] == 2  # (3-1)*(2-1)
+    assert row["n_cells"] == 5
