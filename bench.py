@@ -21,6 +21,12 @@ cold-run semantics for round-over-round comparability; ``queries_steady``
 reports each query's second run in the same session — the number that
 actually predicts at-scale throughput.
 
+Round-7 addition (round-6 verdict #6): three heavyweights from the
+round-4/6 waves (CDC verified merge, Mann-Whitney rank statistics, the
+training-manifest capstone) join the measured set. ``value`` /
+``steady_total`` keep the ORIGINAL nine-query totals for round-over-round
+comparability; ``value_widened`` / ``steady_total_widened`` cover all 12.
+
 Round-6 addition (round-5 verdict #5): single steady runs on this box
 swing ±20% (minhash ±35%) with machine state, which round-over-round
 comparison at a 2x bar cannot tolerate. Each query now runs cold once
@@ -46,6 +52,17 @@ HEADLINE = [
     "sim_pairs_topk",            # all-pairs embedding cosine
     "events_sessionize",         # gaps-and-islands sessionization
     "stream_split_customer",     # Structured Streaming end-to-end
+    # round-7 widening (round-6 verdict #6): the original nine are
+    # round-1 vintage and no longer span the engine — these three cover
+    # the CDC-derived-state, rank-statistics, and capstone-composition
+    # families users actually hit. Kept in a separate list so the
+    # round-over-round comparison of the original nine stays clean.
+]
+
+HEADLINE_R7 = [
+    "cdc_merge_verified",        # CDC merge + per-key verification checksums
+    "quality_mann_whitney",      # rank statistics via distinct-value histogram
+    "pipeline_training_manifest",  # split x fold x gate x soft-dedup capstone
 ]
 
 
@@ -72,14 +89,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_R7:
         fn = registry[name].fn
         timings[name] = run_once(fn)  # cold: includes codegen compile
         reps = sorted(run_once(fn) for _ in range(3))
         steady[name] = reps[1]  # median of 3
         spread[name] = [reps[0], reps[2]]
 
-    total = round(sum(timings.values()), 3)
+    # `value` keeps the ORIGINAL nine-query cold total so the headline
+    # metric stays comparable across every BENCH_r*.json; the widened
+    # set reports alongside it
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -89,7 +109,11 @@ def main() -> None:
                 "queries": timings,
                 "queries_steady": steady,
                 "queries_steady_spread": spread,
-                "steady_total": round(sum(steady.values()), 3),
+                "steady_total": round(
+                    sum(steady[n] for n in HEADLINE), 3
+                ),
+                "value_widened": round(sum(timings.values()), 3),
+                "steady_total_widened": round(sum(steady.values()), 3),
                 "sf": sf,
             }
         )

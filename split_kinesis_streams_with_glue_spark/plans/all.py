@@ -99,6 +99,13 @@ which the deadline test rejects once the named round arrives, so the
 list shrinks every round by construction.  New queries registered THIS
 round (``since == current``) keep their one-round exemption and are
 never listed here.
+
+REGISTRY-ADDITION BAR (round-6 verdict #7): at ~300 queries against a
+50-slot window, every addition displaces a re-verification.  A new query
+must prove a NEW OPERATOR or a NEW PLAN SHAPE — another composition of
+already-verified primitives does not qualify.  Each round's additions are
+bounded (≤ 15) and each names, in its docstring, the operator/shape it
+exists to prove.
 """
 
 from __future__ import annotations
