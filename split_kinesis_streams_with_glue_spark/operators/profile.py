@@ -304,3 +304,46 @@ def median_ci(
         "n bigint, median double, ci_lo double, ci_hi double, "
         "rank_lo bigint, rank_hi bigint",
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
+    """Join/shuffle-key skew advisor: the diagnostic a user runs BEFORE a
+    big join to decide between plain shuffle, AQE skew handling, and
+    explicit salting. Collapses the table to the per-key frequency frame
+    (one groupBy — the only data-sized shuffle), then folds one summary
+    row: row/key counts, mean and max per-key frequency, the skew ratio
+    max/mean (how many times its fair share the hottest key holds), the
+    frequency mass of the ``top`` hottest keys (hot-SET concentration —
+    one mild key is salvageable, ten are a repartition problem), and the
+    recommended salt factor ceil(max/mean) — the replication count that
+    levels the hottest key to an average-sized shuffle partition
+    (SURVEY §2.5's salted-join pattern consumes exactly this number).
+
+    The top-``top`` mass comes from a TakeOrderedAndProject over the
+    per-key frame (k rows per partition, never a global sort) broadcast
+    back onto the 1-row summary."""
+    freq = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    summary = freq.agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("__c").cast("bigint").alias("max_per_key"),
+    )
+    top_mass = (
+        freq.orderBy(F.col("__c").desc(), F.col(key_col))
+        .limit(top)
+        .agg(F.sum("__c").cast("bigint").alias("__top_mass"))
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    ratio = F.col("max_per_key").cast("double") / mean
+    return summary.crossJoin(F.broadcast(top_mass)).select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        F.round(mean, 6).alias("mean_per_key"),
+        F.round(ratio, 6).alias("skew_ratio"),
+        F.round(
+            F.col("__top_mass").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.ceil(ratio).cast("bigint").alias("salt_factor"),
+    )

@@ -435,3 +435,41 @@ def cluster_safe_kfold(
         F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 12), 16, 10
     ).cast("bigint")
     return labeled.withColumn("fold", (u48 % n_folds).cast("int"))
+
+
+def priority_sample(
+    df: DataFrame, k: int, weight_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic weighted EXACT-k sample by priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    q = w / u with u uniform on (0, 1], and the k highest-priority rows
+    form the sample — heavy rows are proportionally favored while the
+    sample size is exactly k (``weighted_sample``'s PPS filter only hits
+    k in expectation; ``exact_k_sample`` is exact but unweighted — this
+    is the missing exact-AND-weighted corner).
+
+    Determinism and cross-engine exactness shape the arithmetic: u comes
+    from 48 bits of the CONTENT md5 (duplicate-stable, engine-portable),
+    and the priority is the single IEEE division
+    ``w * 2^48 / (u48 + 1)`` — multiplication and division of exactly-
+    representable integers, correctly rounded identically by every IEEE
+    engine, so the top-k CUT is bit-reproducible (the Efraimidis-
+    Spirakis u^(1/w) key needs pow/ln, whose last-ulp behavior is
+    libm-dependent — same reason the PPS sampler avoids them). Ties are
+    impossible short of an md5 collision but the sort still carries the
+    text as a second key. One orderBy().limit(k): a distributed
+    TakeOrderedAndProject carrying k rows per partition, never a global
+    sort."""
+    u48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    prio = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(1 << 48))
+        / (u48 + F.lit(1)).cast("double")
+    )
+    return (
+        df.withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(text_col))
+        .limit(k)
+    )

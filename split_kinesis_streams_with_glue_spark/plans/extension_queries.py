@@ -3514,3 +3514,37 @@ def pipeline_training_manifest(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.sum("weight"), 6).alias("sum_weight"),
     )
+
+
+@query(
+    since=7,
+    name="sample_priority_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars, ROUND(priority, 6) AS priority
+    FROM (
+      SELECT doc_id, lang, n_chars, text,
+             CAST(n_chars AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+             / CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) + 1
+                    AS DOUBLE) AS priority
+      FROM documents
+    ) q
+    ORDER BY priority DESC, text LIMIT 50
+    """,
+)
+def sample_priority_weighted(spark, sf_dir):
+    """NEW OPERATOR (round 7): priority sampling (operators/sampling.py
+    priority_sample) — Duffield-Lund-Thorup weighted EXACT-k selection,
+    the corner the sampling family lacked (weighted_sample is weighted
+    but binomially sized; exact_k_sample is exact-k but unweighted).
+    Length-weighted 50-document sample: priority = n_chars * 2^48 /
+    (md5_48(text) + 1), top-50 by priority — all integer-derived IEEE
+    arithmetic, so the cut is bit-reproducible in any engine, and the
+    plan is a TakeOrderedAndProject (k rows per partition, no global
+    sort)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    return priority_sample(
+        load(spark, sf_dir, "documents"), k=50, weight_col="n_chars"
+    ).select("doc_id", "lang", "n_chars", F.round("priority", 6).alias("priority"))

@@ -2266,3 +2266,40 @@ def quality_functional_deps(spark, sf_dir):
         load(spark, sf_dir, "customer"), "c_nationkey", "c_mktsegment"
     )
     return nat.unionByName(cust)
+
+
+@query(
+    since=7,
+    name="join_skew_advisor",
+    oracle="""
+    WITH freq AS (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+    s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_per_key
+          FROM freq),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS top_mass
+          FROM (SELECT c FROM freq ORDER BY c DESC, o_custkey LIMIT 10) x)
+    SELECT n_rows, n_keys, max_per_key,
+           ROUND(n_rows / CAST(n_keys AS DOUBLE), 6) AS mean_per_key,
+           ROUND(max_per_key / (n_rows / CAST(n_keys AS DOUBLE)), 6)
+             AS skew_ratio,
+           ROUND(top_mass / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+           CAST(CEIL(max_per_key / (n_rows / CAST(n_keys AS DOUBLE)))
+                AS BIGINT) AS salt_factor
+    FROM s, t
+    """,
+)
+def join_skew_advisor(spark, sf_dir):
+    """NEW OPERATOR (round 7): join-key skew advisor
+    (operators/profile.py key_skew_profile) — the pre-join diagnostic
+    that turns "this shuffle might be skewed" into numbers: per-key
+    frequency summary of orders.o_custkey with the skew ratio (hottest
+    key vs fair share), top-10 hot-key mass, and the recommended salt
+    factor the salted-join pattern (join_salted_skew) consumes. One
+    groupBy shuffle + a 1-row fold + a TakeOrderedAndProject for the
+    hot set — linear at any scale."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey", top=10)

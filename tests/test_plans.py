@@ -467,6 +467,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "events_dow_hour_profile": {"cartesian-product"},
     # lag/trailing windows over the calendar-bounded day aggregate
     "events_forecast_backtest": {"unpartitioned-window"},
+    # --- round-7 queries ---
+    # crossJoin(broadcast(<1-row top-10 hot-key-mass agg>)) — bounded
+    "join_skew_advisor": {"cartesian-product"},
 }
 
 

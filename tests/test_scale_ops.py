@@ -1105,3 +1105,51 @@ def test_chi2_independence_builds_lazily_in_one_plan(spark):
     row = out.collect()[0]
     assert row["dof"] == 2  # (3-1)*(2-1)
     assert row["n_cells"] == 5
+
+
+def test_priority_sample_exact_k_weighted_and_partition_invariant(spark):
+    """Priority sampling (DLT): exactly k rows, matches the brute-force
+    Python computation of the same md5-derived priorities, certainly
+    includes a row whose weight dwarfs the rest, and is invariant to
+    physical partitioning."""
+    import hashlib
+
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, "doc %d body" % i, 100 + i) for i in range(40)]
+    rows.append((99, "the whale", 10**9))  # w >> everything else
+    df = spark.createDataFrame(rows, "doc_id int, text string, w long")
+
+    def prio(text, w):
+        u48 = int(hashlib.md5(text.encode()).hexdigest()[:12], 16)
+        return w * float(1 << 48) / (u48 + 1)
+
+    expect = sorted(rows, key=lambda r: (-prio(r[1], r[2]), r[1]))[:10]
+    got = priority_sample(df, k=10, weight_col="w").collect()
+    assert len(got) == 10
+    assert {r["doc_id"] for r in got} == {r[0] for r in expect}
+    assert 99 in {r["doc_id"] for r in got}
+    got8 = priority_sample(df.repartition(8), k=10, weight_col="w").collect()
+    assert {r["doc_id"] for r in got8} == {r[0] for r in expect}
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """10 rows over 4 keys, hottest holds 6: mean 2.5, skew ratio 2.4,
+    salt factor ceil(2.4) = 3; top-10 covers everything."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 6 + [("a",), ("b",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    [r] = key_skew_profile(df, "k", top=10).collect()
+    assert r["n_rows"] == 10 and r["n_keys"] == 4 and r["max_per_key"] == 6
+    assert abs(r["mean_per_key"] - 2.5) < 1e-9
+    assert abs(r["skew_ratio"] - 2.4) < 1e-9
+    assert r["top10_share"] == 1.0
+    assert r["salt_factor"] == 3
+    # top-2 hot-set mass: 6 + 2 of 10
+    [r2] = key_skew_profile(df, "k", top=2).collect()
+    assert abs(r2["top10_share"] - 0.8) < 1e-9
