@@ -2303,3 +2303,104 @@ def join_skew_advisor(spark, sf_dir):
     )
 
     return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey", top=10)
+
+
+@query(
+    since=7,
+    name="dedup_record_linkage",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
+    ),
+    rec AS (
+      SELECT doc_id, CAST(lang AS VARCHAR) AS lang,
+             CAST(source AS VARCHAR) AS source,
+             CAST(n_chars // 100 AS VARCHAR) AS len_bucket
+      FROM documents
+    ),
+    agr AS (
+      SELECT COUNT(*) AS p,
+             SUM(CASE WHEN a.lang IS NOT DISTINCT FROM b.lang
+                 THEN 1 ELSE 0 END) AS ag_lang,
+             SUM(CASE WHEN a.source IS NOT DISTINCT FROM b.source
+                 THEN 1 ELSE 0 END) AS ag_source,
+             SUM(CASE WHEN a.len_bucket IS NOT DISTINCT FROM b.len_bucket
+                 THEN 1 ELSE 0 END) AS ag_len
+      FROM pairs j
+      JOIN rec a ON a.doc_id = j.d1
+      JOIN rec b ON b.doc_id = j.d2
+    ),
+    mr AS (
+      SELECT p, 'lang' AS feature, ag_lang AS agree FROM agr
+      UNION ALL SELECT p, 'source', ag_source FROM agr
+      UNION ALL SELECT p, 'len_bucket', ag_len FROM agr
+    ),
+    hist AS (
+      SELECT feature, v, COUNT(*) AS c FROM (
+        SELECT 'lang' AS feature, lang AS v FROM rec
+        UNION ALL SELECT 'source', source FROM rec
+        UNION ALL SELECT 'len_bucket', len_bucket FROM rec
+      ) s GROUP BY 1, 2
+    ),
+    up AS (SELECT feature, SUM(c) AS n, SUM(c * (c - 1)) AS ss
+           FROM hist GROUP BY 1)
+    SELECT mr.feature,
+           CAST(p AS BIGINT) AS n_pairs,
+           ROUND((2 * agree + 1) / (2 * (p + 1)), 6) AS m_prob,
+           ROUND(ss / (n * (n - 1)), 6) AS u_prob,
+           CASE WHEN ss > 0 THEN ROUND(log2(
+             ((2 * agree + 1) / (2 * (p + 1))) / (ss / (n * (n - 1)))
+           ), 6) END AS weight_agree,
+           CASE WHEN n * (n - 1) - ss > 0 THEN ROUND(log2(
+             ((2 * (p - agree) + 1) / (2 * (p + 1)))
+             / ((n * (n - 1) - ss) / (n * (n - 1)))
+           ), 6) END AS weight_disagree
+    FROM mr JOIN up ON mr.feature = up.feature
+    """,
+)
+def dedup_record_linkage(spark, sf_dir):
+    """NEW OPERATOR (round 7): Fellegi-Sunter probabilistic record
+    linkage (operators/linkage.py linkage_feature_weights) — the
+    entity-resolution layer above the dedup stack. Per comparison
+    feature (lang, source, 100-char length bucket) it estimates m =
+    P(agree | match) from the verified near-dup pairs (the unsupervised
+    match proxy), u = P(agree | random pair) EXACTLY from the value
+    histogram (sum c(c-1)/N(N-1) — no pair sampling), and emits the
+    log2 agreement/disagreement weights a linkage scorer sums per
+    candidate pair. One corpus scan for all features (stack-explode +
+    groupBy), the pair frame joined twice, bounded |features|-row
+    output."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.linkage import (
+        linkage_feature_weights,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    rec = d.withColumn("len_bucket", F.expr("n_chars DIV 100"))
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    return linkage_feature_weights(
+        rec, pairs, ["lang", "source", "len_bucket"]
+    )

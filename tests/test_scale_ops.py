@@ -1153,3 +1153,49 @@ def test_key_skew_profile_hand_computed(spark):
     # top-2 hot-set mass: 6 + 2 of 10
     [r2] = key_skew_profile(df, "k", top=2).collect()
     assert abs(r2["top10_share"] - 0.8) < 1e-9
+
+
+def test_linkage_feature_weights_hand_computed(spark):
+    """Fellegi-Sunter weights on a 5-record, 3-pair fixture covering the
+    edges: null<=>null agreement counts as agreement, u = 0 (all-distinct
+    feature) nulls the agreement weight, u = 1 (constant feature) nulls
+    the disagreement weight. Hand computation:
+    x: hist {a:2, b:1, null:2} -> u = 4/20 = 0.2; pairs agree 2/3 ->
+       m = (2*2+1)/(2*4) = 0.625; w+ = log2(0.625/0.2) = 1.643856,
+       w- = log2(0.375/0.8) = -1.093109.
+    y (all distinct): u = 0, m = 1/8 -> w+ NULL, w- = log2(0.875).
+    z (constant):     u = 1, m = 7/8 -> w+ = log2(0.875), w- NULL."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.linkage import (
+        linkage_feature_weights,
+    )
+
+    rec = spark.createDataFrame(
+        [
+            (1, "a", "p", "k"),
+            (2, "a", "q", "k"),
+            (3, "b", "r", "k"),
+            (4, None, "s", "k"),
+            (5, None, "t", "k"),
+        ],
+        "doc_id int, x string, y string, z string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5), (3, 4)], "d1 int, d2 int"
+    )
+    got = {
+        r["feature"]: r
+        for r in linkage_feature_weights(rec, pairs, ["x", "y", "z"]).collect()
+    }
+    x = got["x"]
+    assert x["n_pairs"] == 3
+    assert abs(x["m_prob"] - 0.625) < 1e-9 and abs(x["u_prob"] - 0.2) < 1e-9
+    assert abs(x["weight_agree"] - round(math.log2(3.125), 6)) < 1e-9
+    assert abs(x["weight_disagree"] - round(math.log2(0.375 / 0.8), 6)) < 1e-9
+    y = got["y"]
+    assert y["u_prob"] == 0.0 and y["weight_agree"] is None
+    assert abs(y["weight_disagree"] - round(math.log2(0.875), 6)) < 1e-9
+    z = got["z"]
+    assert z["u_prob"] == 1.0 and z["weight_disagree"] is None
+    assert abs(z["weight_agree"] - round(math.log2(0.875), 6)) < 1e-9
