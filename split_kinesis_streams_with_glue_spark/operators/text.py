@@ -1028,3 +1028,60 @@ def pmi_pairs(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("t1"), F.col("t2")
     ).limit(k)
+
+
+def weighted_log_odds(
+    df: DataFrame,
+    label_col: str,
+    target: str,
+    text_col: str = "text",
+    a0: int = 100,
+    k: int = 15,
+) -> DataFrame:
+    """Weighted log-odds-ratio with informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words") — WHICH terms distinguish
+    the target class from the rest of the corpus, with the two failure
+    modes of the naive alternatives fixed: raw log-odds explodes on rare
+    terms, plain frequency difference is dominated by stopwords. The
+    corpus-wide term distribution is the prior (alpha_t = a0*y_t/n), so
+    a term needs evidence PROPORTIONAL to its overall rate to score, and
+    the z-standardization (delta / sqrt(1/(y_kt+a_t) + 1/(y_rt+a_t)))
+    downweights low-count noise.
+
+    Cross-engine determinism: every count is an exact integer, alpha_t
+    is one IEEE division, and the delta/variance expressions keep an
+    identical association order to their SQL mirror, so only the final
+    ln/sqrt differ in the last ulp (absorbed by rounding). Top-k is
+    ordered by the ROUNDED |z| with the term as tiebreak, so the cut is
+    reproducible; the plan is one tokenize pass, one term aggregate, a
+    1-row total broadcast, and a TakeOrderedAndProject."""
+    tokens = df.select(
+        (F.col(label_col) == target).cast("int").alias("__ink"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("__w"),
+    )
+    tc = tokens.groupBy("__w").agg(
+        F.sum("__ink").alias("__yk"), F.count(F.lit(1)).alias("__yt")
+    )
+    tot = tc.agg(F.sum("__yk").alias("__nk"), F.sum("__yt").alias("__n"))
+    yk = F.col("__yk")
+    yr = F.col("__yt") - F.col("__yk")
+    nk = F.col("__nk")
+    nr = F.col("__n") - F.col("__nk")
+    alpha = (F.lit(a0) * F.col("__yt")) / F.col("__n")
+    delta = F.log((yk + alpha) / ((nk + F.lit(a0) - yk) - alpha)) - F.log(
+        (yr + alpha) / ((nr + F.lit(a0) - yr) - alpha)
+    )
+    var = F.lit(1) / (yk + alpha) + F.lit(1) / (yr + alpha)
+    z = delta / F.sqrt(var)
+    scored = tc.crossJoin(F.broadcast(tot)).select(
+        F.col("__w").alias("term"),
+        yk.cast("bigint").alias("y_target"),
+        yr.cast("bigint").alias("y_rest"),
+        F.round(z, 6).alias("zscore"),
+        F.round(F.abs(z), 6).alias("__az"),
+    )
+    return (
+        scored.orderBy(F.col("__az").desc(), F.col("term"))
+        .limit(k)
+        .drop("__az")
+    )

@@ -3548,3 +3548,53 @@ def sample_priority_weighted(spark, sf_dir):
     return priority_sample(
         load(spark, sf_dir, "documents"), k=50, weight_col="n_chars"
     ).select("doc_id", "lang", "n_chars", F.round("priority", 6).alias("priority"))
+
+
+@query(
+    since=7,
+    name="text_label_logodds",
+    oracle=r"""
+    WITH tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ink,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    tc AS (SELECT w, SUM(ink) AS yk, COUNT(*) AS yt FROM tok GROUP BY w),
+    tot AS (SELECT SUM(yk) AS nk, SUM(yt) AS n FROM tc),
+    sc AS (
+      SELECT w AS term, yk, yt - yk AS yr,
+             ln((yk + (100 * yt) / n)
+                / ((nk + 100 - yk) - (100 * yt) / n))
+             - ln(((yt - yk) + (100 * yt) / n)
+                  / (((n - nk) + 100 - (yt - yk)) - (100 * yt) / n)) AS delta,
+             1 / (yk + (100 * yt) / n)
+             + 1 / ((yt - yk) + (100 * yt) / n) AS var
+      FROM tc, tot
+    )
+    SELECT term, CAST(yk AS BIGINT) AS y_target,
+           CAST(yr AS BIGINT) AS y_rest,
+           ROUND(delta / sqrt(var), 6) AS zscore
+    FROM sc
+    ORDER BY ROUND(abs(delta / sqrt(var)), 6) DESC, term
+    LIMIT 15
+    """,
+)
+def text_label_logodds(spark, sf_dir):
+    """NEW OPERATOR (round 7): weighted log-odds with informative
+    Dirichlet prior (operators/text.py weighted_log_odds; Monroe,
+    Colaresi & Quinn 2008) — the 15 terms most distinctive of the 'en'
+    slice vs the rest of the corpus, z-standardized so rare-term noise
+    and stopword mass both drop out. The class-profiling companion the
+    TF-IDF/burstiness family lacked: those rank terms WITHIN a corpus,
+    this contrasts labeled SLICES (the 'what does this source/language
+    actually contain' audit). One tokenize pass, one term aggregate, a
+    1-row total broadcast, TakeOrderedAndProject cut on the rounded
+    statistic."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        weighted_log_odds,
+    )
+
+    return weighted_log_odds(
+        load(spark, sf_dir, "documents"), "lang", "en", a0=100, k=15
+    )

@@ -2129,3 +2129,40 @@ def test_functional_dependency_known_values(spark):
 
     clean = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, v string")
     assert functional_dependency(clean, "k", "v").collect()[0]["holds"] is True
+
+
+def test_weighted_log_odds_hand_computed(spark):
+    """Monroe weighted log-odds on a 5-token corpus (a0=5), checked
+    against the formula computed independently in Python: the
+    class-exclusive terms ('y' only in A, 'z' only in B) outscore the
+    shared term 'x', with signs pointing at their class."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        weighted_log_odds,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "x z")], "lang string, text string"
+    )
+    got = {
+        r["term"]: r
+        for r in weighted_log_odds(df, "lang", "A", a0=5, k=10).collect()
+    }
+
+    def expect(yk, yt, nk=3, n=5, a0=5):
+        a = a0 * yt / n
+        yr, nr = yt - yk, n - nk
+        delta = math.log((yk + a) / ((nk + a0 - yk) - a)) - math.log(
+            (yr + a) / ((nr + a0 - yr) - a)
+        )
+        return round(delta / math.sqrt(1 / (yk + a) + 1 / (yr + a)), 6)
+
+    assert got["x"]["y_target"] == 2 and got["x"]["y_rest"] == 1
+    assert abs(got["x"]["zscore"] - expect(2, 3)) < 1e-9
+    assert abs(got["y"]["zscore"] - expect(1, 1)) < 1e-9
+    assert abs(got["z"]["zscore"] - expect(0, 1)) < 1e-9
+    assert got["y"]["zscore"] > 0 > got["z"]["zscore"]
+    assert abs(got["z"]["zscore"]) > abs(got["y"]["zscore"]) > abs(
+        got["x"]["zscore"]
+    )

@@ -470,6 +470,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # --- round-7 queries ---
     # crossJoin(broadcast(<1-row top-10 hot-key-mass agg>)) — bounded
     "join_skew_advisor": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row corpus token-total agg>)) — bounded
+    # (same shape as text_unigram_logprob)
+    "text_label_logodds": {"cartesian-product"},
 }
 
 
