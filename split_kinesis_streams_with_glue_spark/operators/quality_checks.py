@@ -684,3 +684,87 @@ def functional_dependency(
         F.max("__variants").cast("bigint").alias("max_variants"),
         (F.max("__variants") <= 1).alias("holds"),
     )
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg,
+    JRSS-B 1995) over a family of hypotheses: rank the p-values
+    ascending, find the largest rank k with p_(k) <= k*alpha/m, and
+    reject hypotheses 1..k — the multiple-testing correction that keeps
+    the EXPECTED false-discovery fraction below alpha, where
+    Bonferroni's familywise bound would throw away most real signals
+    once a profiler tests hundreds of slices at once.
+
+    Input is one row per hypothesis (a bounded family frame — slices,
+    features, monitors — never raw data). alpha is carried as the
+    RATIONAL alpha_num/alpha_den so the critical value
+    rank*alpha_num / (alpha_den*m) is a single IEEE division of exact
+    integers — the pass/fail comparison is engine-exact as long as the
+    caller's p-values are deterministic (round them). The step-up "max
+    passing rank" folds through a 1-row aggregate broadcast back; the
+    ranking window is global but runs over the hypothesis family, whose
+    size is structurally independent of the data volume.
+
+    Returns the input plus bh_rank, bh_crit, selected."""
+    from pyspark.sql import Window
+
+    m_frame = df.agg(F.count(F.lit(1)).alias("__m"))
+    w = Window.orderBy(F.col(p_col).asc(), F.col(tiebreak_col).asc())
+    ranked = (
+        df.crossJoin(F.broadcast(m_frame))
+        .withColumn("bh_rank", F.row_number().over(w))
+        .withColumn(
+            "bh_crit",
+            F.round(
+                (F.col("bh_rank") * F.lit(alpha_num)).cast("double")
+                / (F.lit(alpha_den) * F.col("__m")).cast("double"),
+                6,
+            ),
+        )
+    )
+    kstar = ranked.agg(
+        F.max(
+            F.when(F.col(p_col) <= F.col("bh_crit"), F.col("bh_rank"))
+        ).alias("__kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .withColumn(
+            "selected", F.col("bh_rank") <= F.coalesce(F.col("__kstar"), F.lit(0))
+        )
+        .drop("__m", "__kstar")
+    )
+
+
+def normal_p_two_sided(z):
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) via the Abramowitz &
+    Stegun 7.1.26 polynomial (|error| < 7.5e-8 — far inside the 6-decimal
+    rounding every oracle-facing p-value carries). Pure elementary
+    arithmetic in a FIXED Horner association order, so the identical
+    expression evaluates bit-identically (up to exp's last ulp) in any
+    engine — the portable route to p-values where neither Spark nor the
+    oracle engine exposes erf/CDF functions."""
+    import math
+
+    az = F.abs(z)
+    t = F.lit(1) / (F.lit(1) + F.lit(0.2316419) * az)
+    pdf = F.exp(-(az * az) / F.lit(2)) / F.sqrt(F.lit(2) * F.lit(math.pi))
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    return F.lit(2) * pdf * poly

@@ -3598,3 +3598,104 @@ def text_label_logodds(spark, sf_dir):
     return weighted_log_odds(
         load(spark, sf_dir, "documents"), "lang", "en", a0=100, k=15
     )
+
+
+@query(
+    since=7,
+    name="quality_bh_fdr",
+    oracle="""
+    WITH s AS (SELECT lang, COUNT(*) AS nl, SUM(n_chars) AS sl
+               FROM documents GROUP BY 1),
+    c AS (SELECT COUNT(*) AS n, SUM(n_chars) AS s,
+                 SUM(n_chars * n_chars) AS ss
+          FROM documents),
+    zf AS (
+      SELECT lang, nl,
+             (sl / nl - s / n)
+             / (sqrt((ss - s * s / n) / n) / sqrt(nl)) AS z
+      FROM s, c
+    ),
+    pf AS (
+      SELECT lang, nl, z,
+             2 * (exp(-(abs(z) * abs(z)) / 2) / sqrt(2 * pi()))
+               * ((1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(z)))
+                  * (CAST(0.319381530 AS DOUBLE)
+                     + (1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(z)))
+                     * (CAST(-0.356563782 AS DOUBLE)
+                        + (1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(z)))
+                        * (CAST(1.781477937 AS DOUBLE)
+                           + (1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(z)))
+                           * (CAST(-1.821255978 AS DOUBLE)
+                              + (1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(z)))
+                              * CAST(1.330274429 AS DOUBLE)))))) AS p_raw
+      FROM zf
+    ),
+    hyp AS (SELECT lang, CAST(nl AS BIGINT) AS n_docs,
+                   ROUND(z, 6) AS zscore, ROUND(p_raw, 6) AS p_value
+            FROM pf),
+    m AS (SELECT COUNT(*) AS m FROM hyp),
+    r AS (SELECT hyp.*, ROW_NUMBER() OVER (ORDER BY p_value, lang) AS bh_rank,
+                 m
+          FROM hyp, m),
+    r2 AS (SELECT *, ROUND((bh_rank * 1) / (10 * m), 6) AS bh_crit FROM r),
+    k AS (SELECT MAX(CASE WHEN p_value <= bh_crit THEN bh_rank END) AS kstar
+          FROM r2)
+    SELECT lang, n_docs, zscore, p_value,
+           CAST(bh_rank AS BIGINT) AS bh_rank, bh_crit,
+           bh_rank <= COALESCE(kstar, 0) AS selected
+    FROM r2, k
+    """,
+)
+def quality_bh_fdr(spark, sf_dir):
+    """NEW OPERATOR (round 7): Benjamini-Hochberg step-up FDR control
+    (operators/quality_checks.py benjamini_hochberg) over a family of
+    per-language mean-length z-tests — the multiple-testing layer every
+    slice-profiling audit needs once it tests many slices at once
+    (chi2_residuals, benford, KS all emit per-slice statistics; testing
+    20 slices at alpha=0.1 false-alarms twice by design — BH caps the
+    expected false-discovery FRACTION instead). p-values come from the
+    portable Abramowitz-Stegun 7.1.26 normal CDF (no erf in either
+    engine), rounded before ranking so the step-up cut is
+    engine-exact; the critical values are single integer divisions.
+    Plan: one grouped pass + 1-row corpus moments broadcast + the
+    bounded-family ranking window + the 1-row step-up fold."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        benjamini_hochberg,
+        normal_p_two_sided,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nl"), F.sum("n_chars").alias("sl")
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    z = (
+        F.col("sl") / F.col("nl") - F.col("s") / F.col("n")
+    ) / (
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+        )
+        / F.sqrt(F.col("nl"))
+    )
+    hyp = s.crossJoin(F.broadcast(c)).select(
+        "lang",
+        F.col("nl").cast("bigint").alias("n_docs"),
+        F.round(z, 6).alias("zscore"),
+        F.round(normal_p_two_sided(z), 6).alias("p_value"),
+    )
+    out = benjamini_hochberg(hyp, "p_value", "lang", alpha_num=1, alpha_den=10)
+    return out.select(
+        "lang",
+        "n_docs",
+        "zscore",
+        "p_value",
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        "bh_crit",
+        "selected",
+    )

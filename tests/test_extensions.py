@@ -2166,3 +2166,58 @@ def test_weighted_log_odds_hand_computed(spark):
     assert abs(got["z"]["zscore"]) > abs(got["y"]["zscore"]) > abs(
         got["x"]["zscore"]
     )
+
+
+def test_benjamini_hochberg_step_up_property(spark):
+    """The defining BH behavior: a hypothesis that FAILS its own
+    per-rank threshold is still selected when a LATER rank passes
+    (step-up), and everything above k* is rejected. alpha = 3/10, m = 3:
+    criticals [0.1, 0.2, 0.3]; p = [0.15, 0.19, 0.31] -> rank 2 passes
+    (0.19 <= 0.2), so ranks 1 AND 2 are selected despite 0.15 > 0.1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        benjamini_hochberg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.15), ("b", 0.19), ("c", 0.31)], "h string, p double"
+    )
+    got = {
+        r["h"]: r
+        for r in benjamini_hochberg(
+            df, "p", "h", alpha_num=3, alpha_den=10
+        ).collect()
+    }
+    assert got["a"]["bh_rank"] == 1 and got["a"]["selected"]
+    assert got["b"]["bh_rank"] == 2 and got["b"]["selected"]
+    assert got["c"]["bh_rank"] == 3 and not got["c"]["selected"]
+    assert abs(got["b"]["bh_crit"] - 0.2) < 1e-9
+    # nothing passes -> nothing selected (kstar NULL -> coalesce 0)
+    none = benjamini_hochberg(
+        spark.createDataFrame([("a", 0.9), ("b", 0.95)], "h string, p double"),
+        "p",
+        "h",
+    ).collect()
+    assert all(not r["selected"] for r in none)
+
+
+def test_normal_p_two_sided_matches_scipy_free_reference(spark):
+    """A&S 7.1.26 against math.erfc ground truth: |error| < 7.5e-8 at
+    z in {0.5, 1.0, 1.96, 3.0}."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        normal_p_two_sided,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.0,), (1.96,), (3.0,)], "z double"
+    )
+    got = {
+        round(r["z"], 2): r["p"]
+        for r in df.select(
+            "z", normal_p_two_sided(F.col("z")).alias("p")
+        ).collect()
+    }
+    for z in [0.5, 1.0, 1.96, 3.0]:
+        exact = 2 * (0.5 * math.erfc(z / math.sqrt(2)))
+        assert abs(got[round(z, 2)] - exact) < 1.5e-7

@@ -473,6 +473,11 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin(broadcast(<1-row corpus token-total agg>)) — bounded
     # (same shape as text_unigram_logprob)
     "text_label_logodds": {"cartesian-product"},
+    # crossJoins of the 1-row corpus moments / family-size / step-up-rank
+    # aggs; the BH ranking window runs over the hypothesis FAMILY (one
+    # row per language), whose size is structurally independent of the
+    # data volume — same bounded-global-window class as quality_psi_drift
+    "quality_bh_fdr": {"cartesian-product", "unpartitioned-window"},
 }
 
 
