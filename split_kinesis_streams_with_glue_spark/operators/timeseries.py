@@ -543,3 +543,69 @@ def interarrival_cv(
         F.round(mean / 1e6, 6).alias("mean_gap_s"),
         F.when((F.col("n_gaps") > 1) & (s > 0), F.round(cv, 6)).alias("cv"),
     )
+
+
+def isotonic_fit(
+    series: DataFrame, key_col: str, num_col: str, den_col: str
+) -> DataFrame:
+    """Weighted isotonic (monotone nondecreasing) regression over a
+    BOUNDED ordered series — the best least-squares monotone
+    approximation of y_k = num_k/den_k with weights den_k (Robertson,
+    Wright & Dykstra 1988). The shape-constrained smoother the trend
+    family lacked: calibration curves, dose-response-style
+    quality-vs-keep-rate curves, and "this metric should only grow"
+    trend extraction all need the closest MONOTONE fit, not a linear or
+    moving-average one.
+
+    Implemented via the minimax characterization
+    ``fit_k = max_{i<=k} min_{j>=k} avg(i..j)`` rather than the
+    sequential pool-adjacent-violators walk: PAVA's stack is inherently
+    serial, but the minimax form is three set-oriented steps — prefix
+    sums over the series, the O(D^2) (i, j) segment-average frame, a
+    suffix-min window per start index, and a per-k max fold. Quadratic
+    in the SERIES length only (calendar-grain, never event-grain — the
+    same documented contract as mann_kendall/hodges_lehmann), and every
+    segment average is one IEEE division of exact integer sums, so the
+    whole fit is engine-exact before the final rounding.
+
+    ``num_col``/``den_col`` must be exact integers (pre-scale decimals
+    to cents upstream). Returns (key_col, n, mean, fit) with mean/fit as
+    RAW doubles in num/den units — callers rescale and round."""
+    w_ord = Window.orderBy(key_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    base = series.select(
+        F.col(key_col),
+        F.col(num_col).alias("__sv"),
+        F.col(den_col).alias("__nv"),
+        F.row_number().over(w_ord).alias("__k"),
+        F.sum(num_col).over(w_cum).alias("__cs"),
+        F.sum(den_col).over(w_cum).alias("__cn"),
+    )
+    i = base.select(
+        F.col("__k").alias("__i"),
+        (F.col("__cs") - F.col("__sv")).alias("__Si0"),
+        (F.col("__cn") - F.col("__nv")).alias("__Ni0"),
+    )
+    j = base.select(
+        F.col("__k").alias("__j"),
+        F.col("__cs").alias("__Sj"),
+        F.col("__cn").alias("__Nj"),
+    )
+    avg = (F.col("__Sj") - F.col("__Si0")) / (F.col("__Nj") - F.col("__Ni0"))
+    w_suff = (
+        Window.partitionBy("__i")
+        .orderBy(F.col("__j").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    amin = (
+        i.join(j, F.col("__i") <= F.col("__j"))
+        .select("__i", "__j", avg.alias("__avg"))
+        .select("__i", "__j", F.min("__avg").over(w_suff).alias("__A"))
+    )
+    fit = amin.groupBy("__j").agg(F.max("__A").alias("__fit"))
+    return base.join(fit, base["__k"] == fit["__j"]).select(
+        key_col,
+        F.col("__nv").cast("bigint").alias("n"),
+        (F.col("__sv") / F.col("__nv")).alias("mean"),
+        F.col("__fit").alias("fit"),
+    )

@@ -2526,3 +2526,67 @@ def events_dow_hour_profile(spark, sf_dir):
         F.round(F.col("__n") / F.col("__tot").cast("double"), 6).alias("frac"),
         (F.col("__n") == F.col("__mx")).alias("is_peak"),
     )
+
+
+@query(
+    since=7,
+    name="events_isotonic_trend",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT day, sc, n,
+             ROW_NUMBER() OVER (ORDER BY day) AS k,
+             SUM(sc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs,
+             SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cn
+      FROM s
+    ),
+    p AS (
+      SELECT i.k AS i, j.k AS j,
+             (j.cs - (i.cs - i.sc)) / (j.cn - (i.cn - i.n)) AS avgij
+      FROM b i JOIN b j ON i.k <= j.k
+    ),
+    a AS (
+      SELECT i, j, MIN(avgij) OVER (PARTITION BY i ORDER BY j DESC
+                    ROWS UNBOUNDED PRECEDING) AS A
+      FROM p
+    ),
+    f AS (SELECT j AS k, MAX(A) AS fit FROM a GROUP BY 1)
+    SELECT b.day, CAST(b.n AS BIGINT) AS n_events,
+           ROUND(b.sc / b.n / 100, 6) AS day_mean,
+           ROUND(f.fit / 100, 6) AS fit_value
+    FROM b JOIN f ON f.k = b.k
+    """,
+)
+def events_isotonic_trend(spark, sf_dir):
+    """NEW OPERATOR (round 7): weighted isotonic regression
+    (operators/timeseries.py isotonic_fit) — the best monotone
+    nondecreasing approximation of the daily mean event value, weighted
+    by event counts, via the minimax characterization fit_k =
+    max_{i<=k} min_{j>=k} avg(i..j) (set-oriented; PAVA's serial stack
+    has no distributed form). Values aggregate as exact integer cents,
+    so every segment average is one IEEE division and the fit is
+    engine-exact before rounding; pair work is quadratic in the
+    CALENDAR only (same documented contract as mann_kendall). The
+    shape-constrained smoother for calibration and
+    'should-only-grow' metrics."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        isotonic_fit,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = isotonic_fit(s, "day", "sc", "n")
+    return out.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.round(F.col("mean") / 100, 6).alias("day_mean"),
+        F.round(F.col("fit") / 100, 6).alias("fit_value"),
+    )

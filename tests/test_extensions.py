@@ -2221,3 +2221,63 @@ def test_normal_p_two_sided_matches_scipy_free_reference(spark):
     for z in [0.5, 1.0, 1.96, 3.0]:
         exact = 2 * (0.5 * math.erfc(z / math.sqrt(2)))
         assert abs(got[round(z, 2)] - exact) < 1.5e-7
+
+
+def _naive_pava(nums, dens):
+    """Reference pool-adjacent-violators in exact Fraction arithmetic:
+    fit the weighted series y_i = nums[i]/dens[i] (weight dens[i]) by
+    merging adjacent blocks while they violate monotonicity; each point
+    gets its block's pooled average."""
+    from fractions import Fraction
+
+    blocks = []  # (num_sum, den_sum, n_points)
+    for s, w in zip(nums, dens):
+        blocks.append((Fraction(s), Fraction(w), 1))
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            s2, w2, c2 = blocks.pop()
+            s1, w1, c1 = blocks.pop()
+            blocks.append((s1 + s2, w1 + w2, c1 + c2))
+    out = []
+    for s, w, c in blocks:
+        out.extend([s / w] * c)
+    return out
+
+
+def test_isotonic_fit_matches_naive_pava(spark):
+    """The minimax-form distributed isotonic fit equals the sequential
+    PAVA reference (exact Fraction arithmetic) on a series with two
+    violation pools, and the fit is monotone nondecreasing."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        isotonic_fit,
+    )
+
+    # (key, num, den): y = num/den with weight den
+    rows = [
+        (1, 10, 2),   # 5.0
+        (2, 3, 1),    # 3.0  <- violates, pools with 5.0
+        (3, 8, 2),    # 4.0  <- pools again: (10+3+8)/(2+1+2) = 4.2
+        (4, 9, 2),    # 4.5
+        (5, 4, 1),    # 4.0  <- pools with 4.5: 13/3 ~ 4.333
+        (6, 50, 5),   # 10.0
+    ]
+    df = spark.createDataFrame(rows, "k int, num long, den long")
+    got = {
+        r["k"]: r for r in isotonic_fit(df, "k", "num", "den").collect()
+    }
+    expect = _naive_pava(
+        [10, 3, 8, 9, 4, 50], [2, 1, 2, 2, 1, 5]
+    )
+    for k in range(1, 7):
+        assert abs(got[k]["fit"] - float(expect[k - 1])) < 1e-12, (
+            k,
+            got[k]["fit"],
+            float(expect[k - 1]),
+        )
+    fits = [got[k]["fit"] for k in range(1, 7)]
+    assert fits == sorted(fits)
+    # hand values: pool1 = 21/5 = 4.2, pool2 = 13/3, last = 10
+    assert abs(got[1]["fit"] - 4.2) < 1e-12
+    assert abs(got[4]["fit"] - 13 / 3) < 1e-12
+    assert got[6]["fit"] == 10.0

@@ -478,6 +478,10 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # row per language), whose size is structurally independent of the
     # data volume — same bounded-global-window class as quality_psi_drift
     "quality_bh_fdr": {"cartesian-product", "unpartitioned-window"},
+    # ordinal + prefix-sum windows over the calendar-bounded day
+    # aggregate (same class as events_wma_trend); the O(D^2) minimax
+    # pair frame is quadratic in the CALENDAR only
+    "events_isotonic_trend": {"unpartitioned-window"},
 }
 
 

@@ -351,3 +351,34 @@ def test_mann_whitney_u_matches_naive(spark, rows):
     )
     assert abs(got["u_statistic"] - round(want, 6)) < 1e-6
     assert -1e-9 <= got["u_statistic"] <= len(a) * len(b) + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_isotonic_fit_equals_sequential_pava(spark, pts):
+    """The minimax-form distributed isotonic fit is pointwise equal to
+    the sequential pool-adjacent-violators reference (exact Fraction
+    arithmetic) for arbitrary short weighted integer series, and always
+    monotone nondecreasing."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        isotonic_fit,
+    )
+    from tests.test_extensions import _naive_pava
+
+    rows = [(k, s, w) for k, (s, w) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "k int, num long, den long")
+    got = {r["k"]: r["fit"] for r in isotonic_fit(df, "k", "num", "den").collect()}
+    expect = _naive_pava([s for s, _ in pts], [w for _, w in pts])
+    for k in range(len(pts)):
+        assert abs(got[k] - float(expect[k])) < 1e-9
+    fits = [got[k] for k in range(len(pts))]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
