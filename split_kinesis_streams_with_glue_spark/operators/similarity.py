@@ -711,3 +711,114 @@ def norm_audit(
         .cast("bigint")
         .alias("n_off_unit"),
     )
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 6,
+) -> DataFrame:
+    """Top principal component of an embedding column by FIXED-count
+    power iteration — the embedding-quality lens the audit family
+    lacked: the dominant variance direction and its explained-variance
+    share tell a curator whether a corpus' embeddings carry one
+    overwhelming axis (a length/formatting artifact eats the geometry;
+    ANN recall and cosine thresholds quietly degrade) or spread healthy
+    variance. Pairs with ``norm_audit`` (scale pathologies) and
+    ``sample_diversity`` (mean-pairwise geometry).
+
+    Shape, stage by stage, all DataFrame ops (no driver-side linear
+    algebra, no collect):
+    - the (id, pos, value) explode self-joins ON ID and partially
+      aggregates to the d x d raw-moment frame — n·d² products with
+      map-side combine, the one data-sized stage (the classical
+      sufficient-statistics pass; at extreme n, per-partition Gram
+      folds via mapInPandas drop the join constant but not the
+      asymptotics);
+    - covariance = moments/n − outer(mean/n) on the bounded d² frame;
+    - ``n_iters`` unrolled Jacobi-free iterations v ← C·v / ‖C·v‖, each
+      a d²-row join + d-row aggregate + 1-row norm broadcast. The
+      iteration count is FIXED so the whole computation is a
+      deterministic dataflow — oracle-checkable as unrolled SQL CTEs,
+      no convergence test, no data-dependent control flow (same design
+      as the fixed-round PageRank/connected-components operators).
+    - Rayleigh quotient λ = vᵀCv and trace(C) fold from the same
+      bounded frames.
+
+    The start vector is the exact dyadic 1/8·1 (deterministic sign);
+    float sums across engines differ in the last ulp but power
+    iteration is contractive toward the dominant eigenvector, so the
+    differences do not amplify — outputs round to 6 decimals.
+
+    Returns d rows: (pos, loading, eigenvalue, explained_share)."""
+    x = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__xv"),
+    ).select("__id", "__p", F.col("__xv").cast("double").alias("__xv"))
+    cnt = df.agg(F.count(F.lit(1)).alias("__cnt"))
+    mean = x.groupBy("__p").agg(F.sum("__xv").alias("__sx"))
+    xa = x.select("__id", F.col("__p").alias("__pa"), F.col("__xv").alias("__va"))
+    xb = x.select("__id", F.col("__p").alias("__pb"), F.col("__xv").alias("__vb"))
+    moments = (
+        xa.join(xb, "__id")
+        .groupBy("__pa", "__pb")
+        .agg(F.sum(F.col("__va") * F.col("__vb")).alias("__spq"))
+    )
+    cov = (
+        moments.join(
+            mean.select(F.col("__p").alias("__pa"), F.col("__sx").alias("__sa")),
+            "__pa",
+        )
+        .join(
+            mean.select(F.col("__p").alias("__pb"), F.col("__sx").alias("__sb")),
+            "__pb",
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "__pa",
+            "__pb",
+            (
+                F.col("__spq") / F.col("__cnt")
+                - (F.col("__sa") / F.col("__cnt"))
+                * (F.col("__sb") / F.col("__cnt"))
+            ).alias("__c"),
+        )
+    )
+    v = mean.select("__p", F.lit(0.125).alias("__v"))
+    for _ in range(n_iters):
+        w = (
+            cov.join(
+                v.select(F.col("__p").alias("__pb"), "__v"), "__pb"
+            )
+            .groupBy("__pa")
+            .agg(F.sum(F.col("__c") * F.col("__v")).alias("__w"))
+        )
+        nm = w.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm"))
+        v = w.crossJoin(F.broadcast(nm)).select(
+            F.col("__pa").alias("__p"),
+            (F.col("__w") / F.col("__nm")).alias("__v"),
+        )
+    wf = (
+        cov.join(v.select(F.col("__p").alias("__pb"), "__v"), "__pb")
+        .groupBy("__pa")
+        .agg(F.sum(F.col("__c") * F.col("__v")).alias("__w"))
+    )
+    lam = (
+        v.join(wf.select(F.col("__pa").alias("__p"), "__w"), "__p")
+        .agg(F.sum(F.col("__v") * F.col("__w")).alias("__lam"))
+    )
+    tr = cov.filter(F.col("__pa") == F.col("__pb")).agg(
+        F.sum("__c").alias("__tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("__p").cast("int").alias("pos"),
+            # + 0.0 canonicalizes a rounded -0.0 to +0.0 in both engines
+            (F.round("__v", 6) + F.lit(0.0)).alias("loading"),
+            F.round("__lam", 6).alias("eigenvalue"),
+            F.round(F.col("__lam") / F.col("__tr"), 6).alias("explained_share"),
+        )
+    )

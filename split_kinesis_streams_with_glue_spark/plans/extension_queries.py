@@ -3699,3 +3699,70 @@ def quality_bh_fdr(spark, sf_dir):
         "bh_crit",
         "selected",
     )
+
+
+def _pca_power_oracle(n_iters: int = 6) -> str:
+    """Unrolled power-iteration oracle: the SAME fixed dataflow as
+    top_principal_component, one CTE triple (matvec, norm, normalize)
+    per iteration. Generated by loop so the iteration count stays in
+    one place; the result is a static ANSI-SQL string."""
+    parts = [
+        """
+    WITH x AS (
+      SELECT vec_id AS id, i - 1 AS p, CAST(embedding[i] AS DOUBLE) AS vx
+      FROM embeddings
+      JOIN generate_series(1, 100000) g(i) ON i <= len(embedding)
+    ),
+    cnt AS (SELECT COUNT(*) AS nn FROM embeddings),
+    mean AS (SELECT p, SUM(vx) AS sx FROM x GROUP BY p),
+    sp AS (SELECT a.p AS pa, b.p AS pb, SUM(a.vx * b.vx) AS spq
+           FROM x a JOIN x b ON a.id = b.id GROUP BY 1, 2),
+    cov AS (SELECT pa, pb, spq / nn - (sa.sx / nn) * (sb.sx / nn) AS c
+            FROM sp JOIN mean sa ON sa.p = pa JOIN mean sb ON sb.p = pb, cnt),
+    v0 AS (SELECT p, CAST(0.125 AS DOUBLE) AS vv FROM mean)"""
+    ]
+    prev = "v0"
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f""",
+    w{t} AS (SELECT pa AS p, SUM(c * {prev}.vv) AS w
+             FROM cov JOIN {prev} ON {prev}.p = cov.pb GROUP BY 1),
+    nm{t} AS (SELECT sqrt(SUM(w * w)) AS nm FROM w{t}),
+    v{t} AS (SELECT p, w / nm AS vv FROM w{t}, nm{t})"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f""",
+    wf AS (SELECT pa AS p, SUM(c * {prev}.vv) AS w
+           FROM cov JOIN {prev} ON {prev}.p = cov.pb GROUP BY 1),
+    lam AS (SELECT SUM({prev}.vv * wf.w) AS lam
+            FROM {prev} JOIN wf ON wf.p = {prev}.p),
+    tr AS (SELECT SUM(c) AS tr FROM cov WHERE pa = pb)
+    SELECT {prev}.p AS pos,
+           ROUND({prev}.vv, 6) + CAST(0 AS DOUBLE) AS loading,
+           ROUND(lam, 6) AS eigenvalue,
+           ROUND(lam / tr, 6) AS explained_share
+    FROM {prev}, lam, tr"""
+    )
+    return "".join(parts)
+
+
+@query(since=7, name="sim_pca_power_iteration", oracle=_pca_power_oracle(6))
+def sim_pca_power_iteration(spark, sf_dir):
+    """NEW OPERATOR (round 7): top principal component of the embedding
+    corpus by fixed-count power iteration (operators/similarity.py
+    top_principal_component) — a NEW PLAN SHAPE for the registry:
+    iterative dense linear algebra as a deterministic unrolled
+    dataflow (d x d covariance from one sufficient-statistics pass, six
+    matvec/normalize rounds on bounded d-row frames, Rayleigh-quotient
+    eigenvalue), oracle-checked against the identical unrolled SQL. The
+    embedding-geometry audit: a dominant axis hoarding variance
+    (explained_share near 1) means a formatting artifact eats the
+    metric and ANN recall quietly degrades."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    return top_principal_component(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id", n_iters=6
+    )

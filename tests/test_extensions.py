@@ -2281,3 +2281,40 @@ def test_isotonic_fit_matches_naive_pava(spark):
     assert abs(got[1]["fit"] - 4.2) < 1e-12
     assert abs(got[4]["fit"] - 13 / 3) < 1e-12
     assert got[6]["fit"] == 10.0
+
+
+def test_top_principal_component_known_eigenvectors(spark):
+    """Two hand-solvable 2-D corpora: an axis-aligned one (top PC = e0,
+    lambda = 2.5, share = 1) and a diagonal one (top PC = (1,1)/sqrt(2),
+    lambda = 5). Power iteration converges exactly in one step for
+    both, so six fixed iterations land on the algebraic answer."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    axis = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (1, [-2.0, 0.0]), (2, [1.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        r["pos"]: r for r in top_principal_component(axis, n_iters=6).collect()
+    }
+    assert abs(abs(got[0]["loading"]) - 1.0) < 1e-9
+    assert got[1]["loading"] == 0.0
+    assert abs(got[0]["eigenvalue"] - 2.5) < 1e-6
+    assert abs(got[0]["explained_share"] - 1.0) < 1e-9
+
+    diag = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [-1.0, -1.0]), (2, [2.0, 2.0]), (3, [-2.0, -2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        r["pos"]: r for r in top_principal_component(diag, n_iters=6).collect()
+    }
+    s = 1 / math.sqrt(2)
+    assert abs(got[0]["loading"] - round(s, 6)) < 1e-9
+    assert abs(got[1]["loading"] - round(s, 6)) < 1e-9
+    assert abs(got[0]["eigenvalue"] - 5.0) < 1e-6
+    assert abs(got[0]["explained_share"] - 1.0) < 1e-9

@@ -482,6 +482,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # aggregate (same class as events_wma_trend); the O(D^2) minimax
     # pair frame is quadratic in the CALENDAR only
     "events_isotonic_trend": {"unpartitioned-window"},
+    # crossJoins of the 1-row corpus-count / per-iteration norm /
+    # Rayleigh-quotient / trace aggregates — all bounded by design
+    "sim_pca_power_iteration": {"cartesian-product"},
 }
 
 
