@@ -609,3 +609,58 @@ def isotonic_fit(
         (F.col("__sv") / F.col("__nv")).alias("mean"),
         F.col("__fit").alias("fit"),
     )
+
+
+def kaplan_meier(durations: DataFrame, dur_col: str, event_col: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator (Kaplan & Meier,
+    JASA 1958) over right-censored durations — the survival-analysis
+    entry the event family lacked: "what fraction of users is still
+    active after t days", honestly accounting for users whose outcome
+    is not yet known (censored), which a naive retention ratio silently
+    treats as churned.
+
+    Input is one row per subject: an integer duration and a 0/1 event
+    flag (1 = the terminal event was OBSERVED, 0 = censored). The
+    corpus collapses to the per-duration frame first (one groupBy — the
+    only data-sized shuffle); at-risk counts are a suffix sum and the
+    product limit S(t) = prod_{t'<=t} (1 - d/n) folds as
+    exp(sum ln(1-d/n)) over the bounded duration frame, with an exact
+    zero-factor flag so a step to zero survival never routes through
+    ln(0) (engine-divergent: NULL in Spark, -inf in DuckDB). Every
+    factor is one IEEE division of integer counts; only ln/exp differ
+    in the last ulp (absorbed by rounding).
+
+    Returns one row per distinct duration (t, n_at_risk, n_events,
+    survival), censored-only durations included (d = 0 — survival
+    unchanged, at-risk still drops)."""
+    byt = durations.groupBy(F.col(dur_col).alias("__t")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(event_col)).alias("__d"),
+    )
+    w_suff = Window.orderBy(F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = byt.select(
+        "__t", "__d", F.sum("__c").over(w_suff).alias("__n")
+    )
+    factor = F.lit(1) - F.col("__d") / F.col("__n")
+    w_pref = Window.orderBy(F.col("__t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fin = r.select(
+        "__t",
+        "__d",
+        "__n",
+        F.max(F.when(factor == 0, 1).otherwise(0)).over(w_pref).alias("__zf"),
+        F.sum(F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0)))
+        .over(w_pref)
+        .alias("__ls"),
+    )
+    return fin.select(
+        F.col("__t").cast("int").alias("t"),
+        F.col("__n").cast("bigint").alias("n_at_risk"),
+        F.col("__d").cast("bigint").alias("n_events"),
+        F.when(F.col("__zf") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("__ls"), 6))
+        .alias("survival"),
+    )

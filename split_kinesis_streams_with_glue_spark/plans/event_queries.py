@@ -2590,3 +2590,74 @@ def events_isotonic_trend(spark, sf_dir):
         F.round(F.col("mean") / 100, 6).alias("day_mean"),
         F.round(F.col("fit") / 100, 6).alias("fit_value"),
     )
+
+
+@query(
+    since=7,
+    name="events_survival_km",
+    oracle="""
+    WITH dy AS (SELECT user_id, event_type,
+                       CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+                FROM events),
+    u AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l,
+                 MIN(CASE WHEN event_type = 'error' THEN day END) AS e
+          FROM dy GROUP BY 1),
+    d0 AS (SELECT CASE WHEN e IS NOT NULL THEN e - f ELSE l - f END AS dur,
+                  CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS ev
+           FROM u),
+    byt AS (SELECT dur, COUNT(*) AS c, SUM(ev) AS d FROM d0 GROUP BY 1),
+    r AS (SELECT dur, d,
+                 SUM(c) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+          FROM byt),
+    s AS (SELECT dur, d, n, 1 - d / n AS factor FROM r),
+    fin AS (SELECT dur, d, n,
+                   MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER w AS zf,
+                   SUM(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+                     OVER w AS ls
+            FROM s
+            WINDOW w AS (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(dur AS INTEGER) AS t, CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN zf = 1 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND(exp(ls), 6) END AS survival
+    FROM fin
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """NEW OPERATOR (round 7): Kaplan-Meier product-limit survival
+    (operators/timeseries.py kaplan_meier) — time from each user's
+    first event to their first ERROR event, right-censored at the last
+    observed day for users who never error (none in this uniform
+    fixture, so the curve steps all the way to zero and exercises the
+    exact d=n terminal edge; censoring itself is pinned by the
+    operator's unit tests). The survival-analysis family opener: S(t) =
+    fraction of users still error-free after t days, the honest version
+    of a time-to-failure ratio under incomplete observation. One
+    per-user aggregate, one per-duration aggregate, suffix/prefix folds
+    over the bounded duration frame."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    dy = ev.select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    u = dy.groupBy("user_id").agg(
+        F.min("day").alias("f"),
+        F.max("day").alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("day"))
+        ).alias("e"),
+    )
+    d0 = u.select(
+        F.when(
+            F.col("e").isNotNull(), F.datediff("e", "f")
+        )
+        .otherwise(F.datediff("l", "f"))
+        .alias("dur"),
+        F.col("e").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(d0, "dur", "ev")

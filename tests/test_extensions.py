@@ -2318,3 +2318,31 @@ def test_top_principal_component_known_eigenvectors(spark):
     assert abs(got[1]["loading"] - round(s, 6)) < 1e-9
     assert abs(got[0]["eigenvalue"] - 5.0) < 1e-6
     assert abs(got[0]["explained_share"] - 1.0) < 1e-9
+
+
+def test_kaplan_meier_textbook_censoring(spark):
+    """Classic product-limit hand computation with interleaved
+    censoring: durations (1,e) (2,c) (3,e) (4,e) (5,c) ->
+    S = [0.8, 0.8, 0.533333, 0.266667, 0.266667]; a censored duration
+    drops the at-risk count without stepping the curve. Second corpus
+    checks the exact d=n terminal: survival 0.0 via the zero-factor
+    flag, never ln(0)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 1), (5, 0)], "dur int, ev int"
+    )
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1]["n_at_risk"] == 5 and got[1]["n_events"] == 1
+    assert abs(got[1]["survival"] - 0.8) < 1e-9
+    assert got[2]["n_events"] == 0 and abs(got[2]["survival"] - 0.8) < 1e-9
+    assert abs(got[3]["survival"] - round(0.8 * 2 / 3, 6)) < 1e-6
+    assert abs(got[4]["survival"] - round(0.8 * 2 / 3 * 0.5, 6)) < 2e-6
+    assert got[5]["survival"] == got[4]["survival"]
+
+    term = spark.createDataFrame([(1, 1), (2, 1)], "dur int, ev int")
+    got = {r["t"]: r for r in kaplan_meier(term, "dur", "ev").collect()}
+    assert abs(got[1]["survival"] - 0.5) < 1e-9
+    assert got[2]["survival"] == 0.0

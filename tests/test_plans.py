@@ -485,6 +485,10 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoins of the 1-row corpus-count / per-iteration norm /
     # Rayleigh-quotient / trace aggregates — all bounded by design
     "sim_pca_power_iteration": {"cartesian-product"},
+    # at-risk suffix sum + product-limit prefix fold over the bounded
+    # distinct-duration frame (same bounded-global-window class as the
+    # PSI/CDF queries)
+    "events_survival_km": {"unpartitioned-window"},
 }
 
 
