@@ -784,6 +784,14 @@ def top_principal_component(
                 * (F.col("__sb") / F.col("__cnt"))
             ).alias("__c"),
         )
+        # the covariance frame is d^2 rows but its PARENT is the n*d^2
+        # corpus pass; every iteration below references it, so without a
+        # materialization point the plan recomputes that pass per matvec
+        # (7 corpus scans). Lazy local checkpoint = compute once on first
+        # use, same values (identical single evaluation), no job at
+        # build time — the same lineage-truncation pattern as
+        # connected_components
+        .localCheckpoint(eager=False)
     )
     v = mean.select("__p", F.lit(0.125).alias("__v"))
     for _ in range(n_iters):
