@@ -347,3 +347,81 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
         ).alias("top10_share"),
         F.ceil(ratio).cast("bigint").alias("salt_factor"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    n_bins: int = 1024,
+    weight_limit: int = 1_000_000_000,
+) -> float:
+    """Exact weighted quantile at the rational ``q_num/q_den`` — the
+    smallest value v with cumulative weight(x <= v) >= q*W. The
+    weighted mirror of ``_kth_smallest``: once every document carries a
+    loss weight (soft-dedup 1/cluster-size, DSIR importance, temperature
+    mixes), the corpus' length/quality profile must be read through
+    those weights — the EFFECTIVE median document is not the raw median
+    document.
+
+    ``weight_col`` must be exact INTEGER weights (pre-scale fractional
+    weights to micro-units upstream): the target then reduces to an
+    integer rank TT = ceil(q_num*W / q_den), every comparison is integer
+    arithmetic, and the selected value is bit-identical in any engine —
+    no float cumulative-sum boundary can flip it.
+
+    Same at-scale shape as the rank machinery: iterative bin refinement
+    while the candidate WEIGHT mass exceeds ``weight_limit`` (each round
+    is one bounded histogram of weight sums + one metadata aggregate;
+    never a global sort), then one cumulative window over the bounded
+    survivor frame."""
+    from pyspark.sql import Window
+
+    cand = df.filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    total = cand.agg(F.sum("w").alias("tw")).collect()[0]  # 1-row metadata
+    tt = (q_num * int(total["tw"]) + q_den - 1) // q_den
+    for _ in range(6):
+        agg = cand.agg(
+            F.sum("w").alias("tw"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).collect()[0]  # 1-row metadata aggregate
+        if agg["mn"] == agg["mx"]:
+            return float(agg["mn"])
+        if int(agg["tw"]) <= weight_limit:
+            break
+        lo_, hi_ = float(agg["mn"]), float(agg["mx"])
+        width = (hi_ - lo_) / n_bins
+        b = F.least(
+            F.lit(n_bins - 1), F.floor((F.col("v") - lo_) / width).cast("int")
+        )
+        hist = cand.select(b.alias("bin"), "w").groupBy("bin").agg(
+            F.sum("w").alias("cnt")
+        )
+        w_ = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        located = (
+            hist.withColumn("before", F.coalesce(F.sum("cnt").over(w_), F.lit(0)))
+            .filter((F.col("before") < tt) & (F.col("before") + F.col("cnt") >= tt))
+            .collect()[0]
+        )  # bounded: the n_bins-row frame
+        tb, before = int(located["bin"]), int(located["before"])
+        tt -= before
+        # narrow with the IDENTICAL binning expression (ulp-at-edges care,
+        # same as _kth_smallest)
+        cand = cand.filter(b == tb)
+    byv = cand.groupBy("v").agg(F.sum("w").alias("wv"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    return float(
+        byv.withColumn("cw", F.sum("wv").over(wc))
+        .filter(F.col("cw") >= tt)
+        .orderBy("v")
+        .limit(1)
+        .collect()[0]["v"]
+    )

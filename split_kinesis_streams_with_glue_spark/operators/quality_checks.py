@@ -768,3 +768,56 @@ def normal_p_two_sided(z):
         )
     )
     return F.lit(2) * pdf * poly
+
+
+def cochran_armitage_trend(
+    df: DataFrame, score_col: str, success_col: str
+) -> DataFrame:
+    """Cochran–Armitage test for TREND in proportions across ORDERED
+    groups (Cochran 1954; Armitage 1955): with integer scores s_i,
+    group sizes n_i and success counts r_i,
+
+        T   = Σ s_i r_i − R·(Σ s_i n_i)/N
+        Var = (R/N)(1 − R/N)·(Σ s_i² n_i − (Σ s_i n_i)²/N)
+        z   = T/√Var
+
+    — the question chi² independence cannot ask: not "does the rate
+    differ somewhere" but "does it RISE OR FALL with the ordering"
+    (quality rate vs length bucket, error rate vs load decile). The
+    direction comes for free in z's sign.
+
+    The corpus collapses to the per-score group frame in one groupBy;
+    the statistic folds from six integer sums in a single aggregate —
+    every input to the float expressions is exact, and the expression
+    structure is mirrored verbatim in the SQL oracle. z and p are NULL
+    when Var = 0 (no successes, all successes, or one group — no trend
+    is definable). p via ``normal_p_two_sided``.
+
+    Returns one row: (n_rows, n_success, n_groups, z, p_value)."""
+    s = F.col("__s")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(success_col).cast("bigint")).alias("__r"),
+    )
+    a = g.agg(
+        F.sum("__n").alias("__tn"),
+        F.sum("__r").alias("__tr"),
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum(s * F.col("__r")).alias("__sr"),
+        F.sum(s * F.col("__n")).alias("__sn"),
+        F.sum(s * s * F.col("__n")).alias("__ssn"),
+    )
+    t_stat = F.col("__sr") - F.col("__tr") * F.col("__sn") / F.col("__tn")
+    var = (
+        (F.col("__tr") / F.col("__tn"))
+        * (F.lit(1) - F.col("__tr") / F.col("__tn"))
+        * (F.col("__ssn") - F.col("__sn") * F.col("__sn") / F.col("__tn"))
+    )
+    z = F.when(var > 0, t_stat / F.sqrt(var))
+    return a.select(
+        F.col("__tn").cast("bigint").alias("n_rows"),
+        F.col("__tr").cast("bigint").alias("n_success"),
+        F.col("__ng").cast("bigint").alias("n_groups"),
+        F.round(z, 6).alias("z"),
+        F.round(normal_p_two_sided(z), 6).alias("p_value"),
+    )

@@ -3766,3 +3766,134 @@ def sim_pca_power_iteration(spark, sf_dir):
     return top_principal_component(
         load(spark, sf_dir, "embeddings"), "embedding", "vec_id", n_iters=6
     )
+
+
+@query(
+    since=7,
+    name="sample_weighted_median",
+    oracle=(
+        "WITH sd AS ("
+        + _SOFT_DEDUP_SQL
+        + """),
+    j AS (SELECT d.n_chars AS v,
+                 CAST(round(1000000 / sd.cluster_size) AS BIGINT) AS w
+          FROM documents d JOIN sd ON sd.doc_id = d.doc_id),
+    g AS (SELECT v, SUM(w) AS wv FROM j GROUP BY v),
+    t AS (SELECT SUM(wv) AS tw FROM g),
+    nd AS (SELECT COUNT(*) AS n FROM j),
+    c AS (SELECT v, SUM(wv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+          FROM g)
+    SELECT nd.n AS n_docs, t.tw AS w_total,
+           (SELECT CAST(MIN(v) AS BIGINT) FROM c, t WHERE cw * 4 >= tw * 1)
+             AS wp25,
+           (SELECT CAST(MIN(v) AS BIGINT) FROM c, t WHERE cw * 2 >= tw * 1)
+             AS wp50,
+           (SELECT CAST(MIN(v) AS BIGINT) FROM c, t WHERE cw * 4 >= tw * 3)
+             AS wp75
+    FROM nd, t
+    """
+    ),
+)
+def sample_weighted_median(spark, sf_dir):
+    """NEW OPERATOR (round 7): exact weighted quantiles
+    (operators/profile.py weighted_quantile) — the document-length
+    quartiles of the EFFECTIVE corpus, where every document counts by
+    its soft-dedup loss weight (1/cluster-size, in exact integer
+    micro-units) instead of once. Once training reweights documents,
+    every profile statistic must be read through the weights: a corpus
+    whose duplicates are all long reads shorter the moment dedup
+    weighting lands, and the raw median hides that. Integer weights
+    reduce the quantile to an exact rank (TT = ceil(q*W/den)) resolved
+    by the same bin-refinement machinery as _kth_smallest — bounded
+    histograms of weight sums, never a global sort, bit-identical cut
+    in any engine."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import cluster_labels
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        weighted_quantile,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingle_sets(d), 0.5).select("d1", "d2")
+    labeled = cluster_labels(d.select("doc_id"), pairs)
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    wts = labeled.select(
+        "doc_id",
+        F.round(F.lit(1000000) / size).cast("bigint").alias("w"),
+    )
+    j = d.select("doc_id", "n_chars").join(wts, "doc_id")
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("tw")
+    ).collect()[0]
+    qs = [
+        int(weighted_quantile(j, "n_chars", "w", num, den))
+        for num, den in [(1, 4), (1, 2), (3, 4)]
+    ]
+    return spark.createDataFrame(
+        [(int(stats["n"]), int(stats["tw"]), qs[0], qs[1], qs[2])],
+        "n_docs bigint, w_total bigint, wp25 bigint, wp50 bigint, wp75 bigint",
+    )
+
+
+@query(
+    since=7,
+    name="quality_trend_test",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars // 100 AS s, COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS r
+      FROM documents GROUP BY 1
+    ),
+    a AS (SELECT SUM(n) AS tn, SUM(r) AS tr, COUNT(*) AS ng,
+                 SUM(s * r) AS sr, SUM(s * n) AS sn,
+                 SUM(s * s * n) AS ssn
+          FROM g),
+    zc AS (
+      SELECT tn, tr, ng,
+             CASE WHEN (tr / tn) * (1 - tr / tn)
+                       * (ssn - sn * sn / tn) > 0
+                  THEN (sr - tr * sn / tn)
+                       / sqrt((tr / tn) * (1 - tr / tn)
+                              * (ssn - sn * sn / tn)) END AS z
+      FROM a
+    ),
+    ac AS (SELECT tn, tr, ng, z,
+                  1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(z)) AS tt,
+                  exp(-(abs(z) * abs(z)) / 2) / sqrt(2 * pi()) AS pdf
+           FROM zc)
+    SELECT CAST(tn AS BIGINT) AS n_rows, CAST(tr AS BIGINT) AS n_success,
+           CAST(ng AS BIGINT) AS n_groups, ROUND(z, 6) AS z,
+           ROUND(2 * pdf
+                 * (tt * (CAST(0.319381530 AS DOUBLE)
+                    + tt * (CAST(-0.356563782 AS DOUBLE)
+                      + tt * (CAST(1.781477937 AS DOUBLE)
+                        + tt * (CAST(-1.821255978 AS DOUBLE)
+                          + tt * CAST(1.330274429 AS DOUBLE)))))),
+                 6) AS p_value
+    FROM ac
+    """,
+)
+def quality_trend_test(spark, sf_dir):
+    """NEW OPERATOR (round 7): Cochran-Armitage trend test
+    (operators/quality_checks.py cochran_armitage_trend) — does the
+    share of English documents RISE OR FALL with document length
+    (100-char buckets as ordered scores)? The directional question chi2
+    independence cannot ask, and the one a curation pipeline needs
+    before length-filtering a multilingual corpus (a monotone
+    lang-length confound means any length gate silently shifts the
+    language mix). One groupBy to the per-score frame, six integer
+    sums in a single fold, portable A&S p-value."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage_trend,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").alias("bucket"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return cochran_armitage_trend(d, "bucket", "is_en")

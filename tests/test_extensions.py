@@ -2346,3 +2346,66 @@ def test_kaplan_meier_textbook_censoring(spark):
     got = {r["t"]: r for r in kaplan_meier(term, "dur", "ev").collect()}
     assert abs(got[1]["survival"] - 0.5) < 1e-9
     assert got[2]["survival"] == 0.0
+
+
+def test_weighted_quantile_hand_computed_and_refinement(spark):
+    """Values 1..10 with weights 1..10 (W = 55): the rank targets are
+    TT = ceil(q*55/den) -> p25 at 5 (cum 15 >= 14), median at 7
+    (cum 28 >= 28, the exact-boundary case), p75 at 9 (cum 45 >= 42).
+    A tiny weight_limit forces the bin-refinement loop through the same
+    answers; zero/NULL weights are excluded."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(v, v) for v in range(1, 11)] + [(99, 0)], "v int, w int"
+    )
+    assert weighted_quantile(df, "v", "w", 1, 4) == 5.0
+    assert weighted_quantile(df, "v", "w", 1, 2) == 7.0
+    assert weighted_quantile(df, "v", "w", 3, 4) == 9.0
+    # force the refinement path (candidate weight mass 55 > limit 5)
+    for num, den, want in [(1, 4, 5.0), (1, 2, 7.0), (3, 4, 9.0)]:
+        assert (
+            weighted_quantile(df, "v", "w", num, den, n_bins=4, weight_limit=5)
+            == want
+        )
+    # unit weights degrade to the plain quantile (median of 1..10 -> 5)
+    u = spark.createDataFrame([(v, 1) for v in range(1, 11)], "v int, w int")
+    assert weighted_quantile(u, "v", "w", 1, 2) == 5.0
+
+
+def test_cochran_armitage_hand_computed(spark):
+    """Scores 0/1/2 with success counts 1/5/9 of 10 each: T = 8,
+    Var = 5, z = 8/sqrt(5) = 3.577709, p ~ 3.47e-4 — a strong rising
+    trend with the positive sign. All-success and single-group inputs
+    have Var = 0 -> NULL z and p."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage_trend,
+    )
+
+    rows = []
+    for s, r in [(0, 1), (1, 5), (2, 9)]:
+        rows += [(s, 1)] * r + [(s, 0)] * (10 - r)
+    df = spark.createDataFrame(rows, "s int, ok int")
+    [got] = cochran_armitage_trend(df, "s", "ok").collect()
+    assert got["n_rows"] == 30 and got["n_success"] == 15
+    assert got["n_groups"] == 3
+    assert abs(got["z"] - round(8 / math.sqrt(5), 6)) < 1e-9
+    exact = 2 * 0.5 * math.erfc((8 / math.sqrt(5)) / math.sqrt(2))
+    # output is rounded to 6 decimals: tolerance = half-step + A&S error
+    assert abs(got["p_value"] - exact) < 6.5e-7
+    # falling trend flips the sign
+    rows = []
+    for s, r in [(0, 9), (1, 5), (2, 1)]:
+        rows += [(s, 1)] * r + [(s, 0)] * (10 - r)
+    [neg] = cochran_armitage_trend(
+        spark.createDataFrame(rows, "s int, ok int"), "s", "ok"
+    ).collect()
+    assert abs(neg["z"] + got["z"]) < 1e-9
+    # degenerate: every row a success -> Var = 0 -> NULL
+    allok = spark.createDataFrame([(0, 1), (1, 1), (2, 1)], "s int, ok int")
+    [d] = cochran_armitage_trend(allok, "s", "ok").collect()
+    assert d["z"] is None and d["p_value"] is None
