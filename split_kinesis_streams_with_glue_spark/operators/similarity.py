@@ -830,3 +830,95 @@ def top_principal_component(
             F.round(F.col("__lam") / F.col("__tr"), 6).alias("explained_share"),
         )
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` items maximizing
+    ``lam*rel(c) − (1−lam)*max_{s∈S} sim(c, s)`` — relevant to the
+    query but NOT redundant with what is already selected. The
+    diverse-subset primitive the retrieval family lacked: top-k by
+    similarity alone returns k paraphrases; MMR returns k relevant but
+    mutually-distinct items (few-shot example pools, eval-set
+    selection, dedup-aware retrieval).
+
+    Greedy selection is inherently sequential, so the k rounds unroll
+    into a deterministic dataflow (the fixed-iteration pattern shared
+    with ``top_principal_component``): each round anti-joins the
+    selected ids out, broadcasts the ≤k selected vectors against the
+    candidate pool for the max-similarity term, and takes the arg-max
+    via a TakeOrderedAndProject on the ROUNDED score with the id as
+    tiebreak — reproducible in any engine because ``dot`` is the same
+    left-to-right double fold the SQL oracle spells out. MMR is a
+    RE-RANKER: run it on a retrieved candidate set (top-N from
+    ANN/BM25), never the raw corpus — cost is k passes over the
+    candidate pool.
+
+    ``query`` is a 1-row frame carrying ``vec_col``. Returns k rows
+    (step, id, relevance, mmr_score)."""
+    q = query.select(F.col(vec_col).alias("__qv"))
+    cand = candidates.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__cv")
+    ).crossJoin(F.broadcast(q)).select(
+        "__id", "__cv", dot("__cv", "__qv").alias("__rel")
+    )
+    lam_c = F.lit(lam)
+    picks: list[DataFrame] = []
+    for step in range(1, k + 1):
+        if not picks:
+            scored = cand.select(
+                "__id", "__cv", "__rel", (lam_c * F.col("__rel")).alias("__score")
+            )
+        else:
+            sel = picks[0]
+            for p in picks[1:]:
+                sel = sel.unionByName(p)
+            sel_ids = sel.select("__id")
+            sel_vecs = sel.select(F.col("__cv").alias("__sv"))
+            remaining = cand.join(sel_ids, "__id", "left_anti")
+            scored = (
+                remaining.crossJoin(F.broadcast(sel_vecs))
+                .groupBy("__id")
+                .agg(
+                    F.first("__cv").alias("__cv"),
+                    F.first("__rel").alias("__rel"),
+                    F.max(dot("__cv", "__sv")).alias("__ms"),
+                )
+                .select(
+                    "__id",
+                    "__cv",
+                    "__rel",
+                    (
+                        lam_c * F.col("__rel")
+                        - (F.lit(1.0) - lam_c) * F.col("__ms")
+                    ).alias("__score"),
+                )
+            )
+        pick = (
+            scored.orderBy(
+                F.round("__score", 6).desc(), F.col("__id").asc()
+            )
+            .limit(1)
+            .select(
+                F.lit(step).alias("__step"), "__id", "__cv", "__rel", "__score"
+            )
+            .localCheckpoint(eager=False)  # 1-row frame; truncates the
+            # per-round lineage so round t's plan doesn't re-nest rounds 1..t-1
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("__step").cast("int").alias("step"),
+        F.col("__id").alias(id_col),
+        F.round("__rel", 6).alias("relevance"),
+        F.round("__score", 6).alias("mmr_score"),
+    )

@@ -3897,3 +3897,74 @@ def quality_trend_test(spark, sf_dir):
         (F.col("lang") == "en").cast("int").alias("is_en"),
     )
     return cochran_armitage_trend(d, "bucket", "is_en")
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle: per round, one max-similarity CTE
+    against the selected-so-far union and one rounded-argmax pick —
+    the same deterministic dataflow as operators/similarity.mmr_select,
+    with the module's double-fold dot idiom."""
+    d_aq = _DOT.format(a="a", b="q")
+    d_rs = _DOT.format(a="r", b="s")
+    parts = [
+        f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT a.vec_id AS id, a.embedding AS embedding,
+                 {d_aq} AS rel
+          FROM embeddings a, q
+          WHERE a.vec_id <> 0),
+    p1 AS (SELECT 1 AS step, id, embedding, rel, 0.5 * rel AS score
+           FROM c ORDER BY ROUND(0.5 * rel, 6) DESC, id LIMIT 1)"""
+    ]
+    for t in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT id, embedding FROM p{i}" for i in range(1, t)
+        )
+        parts.append(
+            f""",
+    sel{t} AS ({sel}),
+    m{t} AS (SELECT r.id, r.embedding, r.rel, MAX({d_rs}) AS ms
+             FROM c r, sel{t} s
+             WHERE r.id NOT IN (SELECT id FROM sel{t})
+             GROUP BY 1, 2, 3),
+    p{t} AS (SELECT {t} AS step, id, embedding, rel,
+                    0.5 * rel - 0.5 * ms AS score
+             FROM m{t}
+             ORDER BY ROUND(0.5 * rel - 0.5 * ms, 6) DESC, id LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, id, rel, score FROM p{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(step AS INTEGER) AS step, id AS vec_id,
+           ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score
+    FROM ({union}) u
+    """
+    )
+    return "".join(parts)
+
+
+@query(since=7, name="sim_mmr_select", oracle=_mmr_oracle(5))
+def sim_mmr_select(spark, sf_dir):
+    """NEW OPERATOR (round 7): Maximal Marginal Relevance selection
+    (operators/similarity.py mmr_select; Carbonell & Goldstein 1998) —
+    5 embeddings relevant to the query vector (vec_id 0) but mutually
+    non-redundant, via the unrolled greedy dataflow (anti-join the
+    selected out, broadcast the <=k selected vectors for the
+    max-similarity penalty, rounded-argmax TakeOrderedAndProject per
+    round). The diverse-subset primitive plain top-k lacks: top-k
+    returns k paraphrases, MMR returns k distinct relevant items —
+    few-shot pools, eval slices, dedup-aware retrieval. A re-ranker by
+    contract: feed it a retrieved candidate set, never the raw
+    corpus."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+    )

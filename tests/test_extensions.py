@@ -2409,3 +2409,42 @@ def test_cochran_armitage_hand_computed(spark):
     allok = spark.createDataFrame([(0, 1), (1, 1), (2, 1)], "s int, ok int")
     [d] = cochran_armitage_trend(allok, "s", "ok").collect()
     assert d["z"] is None and d["p_value"] is None
+
+
+def test_mmr_select_skips_the_duplicate(spark):
+    """The defining MMR behavior, hand-computed in 3-D: candidates are
+    C (rel 0.9), A = exact duplicate of C, and B (rel 0.7, sim to C
+    0.63). Plain top-2 by relevance returns {C, A} — a pair of
+    duplicates. MMR (lambda 0.5) picks C first (tie with its duplicate
+    broken by id), then scores A at 0.45 - 0.5 = -0.05 and B at
+    0.35 - 0.315 = +0.035: the duplicate loses to the distinct item."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.9, 0.43589, 0.0]),      # C
+        (2, [0.9, 0.43589, 0.0]),      # A: exact duplicate of C
+        (3, [0.7, 0.0, 0.71414]),      # B: relevant but distinct
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = mmr_select(
+        df.filter(F.col("vec_id") != 0),
+        df.filter(F.col("vec_id") == 0),
+        k=2,
+    ).collect()
+    picks = {r["step"]: r for r in got}
+    assert picks[1]["vec_id"] == 1  # C (duplicate tie broken by id)
+    assert picks[2]["vec_id"] == 3  # B beats the duplicate
+    assert abs(picks[1]["relevance"] - 0.9) < 1e-5
+    assert abs(picks[2]["mmr_score"] - 0.035) < 1e-3
+    # plain top-2 by relevance WOULD have returned the duplicate pair
+    top2 = [
+        r["vec_id"]
+        for r in df.filter(F.col("vec_id") != 0)
+        .orderBy(F.col("embedding")[0].desc(), "vec_id")
+        .limit(2)
+        .collect()
+    ]
+    assert top2 == [1, 2]
