@@ -821,3 +821,148 @@ def cochran_armitage_trend(
         F.round(z, 6).alias("z"),
         F.round(normal_p_two_sided(z), 6).alias("p_value"),
     )
+
+
+def info_gain_split(
+    df: DataFrame, feature_col: str, label_col: str
+) -> DataFrame:
+    """Optimal decision-stump threshold by information gain (the CART /
+    C4.5 split criterion, Quinlan 1986): over every candidate threshold
+    ``t`` (the distinct feature values), score the split
+    ``feature <= t`` against a binary label and return the argmax of
+    ``H(parent) − (nl/N)·H(left) − (nr/N)·H(right)``. The quality-gate
+    ADVISOR the threshold family lacked: gopher_rules and friends apply
+    hand-picked cutoffs; this asks the data which single cutoff on a
+    feature most separates a labeled outcome ("what length threshold
+    best predicts the 'keep' label?") — and a near-zero best gain is
+    itself the finding (the feature doesn't separate the label; don't
+    gate on it).
+
+    Shape: one groupBy collapses the corpus to the distinct-value
+    histogram ``(value, n, n_pos)``; cumulative sums run over THAT
+    bounded frame (quadratic/window work bounded by the number of
+    distinct feature values, never corpus rows — the same contract as
+    isotonic_fit); the argmax is a TakeOrderedAndProject on the ROUNDED
+    gain with the smaller threshold as tiebreak. Counts are exact
+    integers; the entropy expressions keep an identical association
+    order to the SQL mirror so the 6-dp rounding absorbs the last-ulp
+    ln differences. Rows with a NULL feature or label are excluded
+    (same policy as chi2_independence). Returns one row (threshold,
+    n_left, pos_left, n_right, pos_right, parent_entropy, info_gain)."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.filter(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(feature_col).alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(label_col).cast("int")).alias("__p"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "__v",
+        F.sum("__n").over(w).alias("__nl"),
+        F.sum("__p").over(w).alias("__pl"),
+    )
+    tot = hist.agg(
+        F.sum("__n").alias("__nt"), F.sum("__p").alias("__pt")
+    )
+
+    def ent(pos, n):
+        p = pos / n
+        q = (n - pos) / n
+        return F.when(
+            (pos == 0) | (pos == n), F.lit(0.0)
+        ).otherwise(-(p * F.log(p)) - (q * F.log(q)))
+
+    nl = F.col("__nl").cast("double")
+    pl = F.col("__pl").cast("double")
+    nt = F.col("__nt").cast("double")
+    pt = F.col("__pt").cast("double")
+    nr = nt - nl
+    pr = pt - pl
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("__nl") < F.col("__nt"))  # x <= max(v) is no split
+        .select(
+            "__v",
+            "__nl",
+            "__pl",
+            (F.col("__nt") - F.col("__nl")).alias("__nr"),
+            (F.col("__pt") - F.col("__pl")).alias("__pr"),
+            F.round(ent(pt, nt), 6).alias("parent_entropy"),
+            F.round(
+                ent(pt, nt)
+                - (nl / nt) * ent(pl, nl)
+                - (nr / nt) * ent(pr, nr),
+                6,
+            ).alias("info_gain"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("info_gain").desc(), F.col("__v").asc())
+        .limit(1)
+        .select(
+            F.col("__v").cast("double").alias("threshold"),
+            F.col("__nl").cast("bigint").alias("n_left"),
+            F.col("__pl").cast("bigint").alias("pos_left"),
+            F.col("__nr").cast("bigint").alias("n_right"),
+            F.col("__pr").cast("bigint").alias("pos_right"),
+            "parent_entropy",
+            "info_gain",
+        )
+    )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa (Cohen, 1960): chance-corrected agreement between
+    two categorical "raters" over the same rows —
+    ``kappa = (p_o − p_e)/(1 − p_e)`` with ``p_o`` the observed
+    agreement rate and ``p_e`` the agreement expected if the raters
+    were independent (Σ of marginal products). The agreement statistic
+    the audit family lacked: raw agreement flatters any pair of gates
+    that both pass almost everything (two 95%-pass filters agree ≥ 90%
+    by chance alone); kappa subtracts that chance floor, so it answers
+    "do my two quality gates / my model label and the gold label
+    actually measure the same thing?" — 0 is chance-level, 1 exact.
+
+    One groupBy collapses the corpus to the bounded (a, b) contingency
+    frame; marginals, the diagonal, and the expected-agreement sum all
+    fold from that frame (Σ na·nb is an exact integer product-sum), so
+    the only IEEE steps are three divisions and the final ratio —
+    mirrored association order in the SQL oracle, 6-dp rounding. Rows
+    with a NULL in either column are excluded (chi2_independence
+    policy). Returns one row (n, p_observed, p_expected, kappa); kappa
+    is NULL when p_e = 1 (a single category — agreement is vacuous)."""
+    joint = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = joint.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)).alias(
+            "__agree"
+        ),
+    )
+    ma = joint.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = joint.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    ee = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__ee"))
+    )
+    n = F.col("__n").cast("double")
+    po = F.col("__agree") / n
+    pe = F.col("__ee") / n / n
+    return (
+        tot.crossJoin(F.broadcast(ee))
+        .select(
+            F.col("__n").cast("bigint").alias("n"),
+            F.round(po, 6).alias("p_observed"),
+            F.round(pe, 6).alias("p_expected"),
+            F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias(
+                "kappa"
+            ),
+        )
+    )

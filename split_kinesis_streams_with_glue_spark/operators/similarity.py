@@ -922,3 +922,58 @@ def mmr_select(
         F.round("__rel", 6).alias("relevance"),
         F.round("__score", 6).alias("mmr_score"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    merge several retrieval rankings into one by summing ``1/(k0+rank)``
+    across the lists each item appears in. The hybrid-retrieval
+    primitive the family lacked — BM25 and embedding-cosine each rank
+    well alone, but their SCORES are incommensurable (log-idf sums vs
+    unit dot products); RRF fuses on RANKS, so no per-list score
+    calibration is needed and an item strong in either modality
+    surfaces. ``k0 = 60`` is the paper's constant.
+
+    Each input frame is a CANDIDATE LIST ``(id_col, score_col)`` — the
+    bounded top-N output of a retriever (BM25 top-N, ANN top-N), never
+    a raw corpus, so the per-list rank window runs over ≤ N rows.
+    Ranks order by the ROUNDED score (6 dp) descending with the id as
+    tiebreak, and the fused score is a fixed-length sum of exact
+    reciprocals 1/(k0+r) — both bit-reproducible in any engine. Output:
+    top-``k`` rows (id, rrf_score, n_lists, best_rank) via a
+    TakeOrderedAndProject on the rounded fusion score."""
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col).alias("__id"),
+            F.round(F.col(score_col), 6).alias("__s"),
+            F.lit(i).alias("__list"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    w = Window.partitionBy("__list").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = tagged.select(
+        "__id", "__list", F.row_number().over(w).alias("__r")
+    )
+    fused = ranked.groupBy("__id").agg(
+        F.sum(F.lit(1.0) / (F.lit(k0) + F.col("__r"))).alias("__rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.min("__r").cast("int").alias("best_rank"),
+    )
+    return (
+        fused.orderBy(F.round("__rrf", 6).desc(), F.col("__id").asc())
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.round("__rrf", 6).alias("rrf_score"),
+            "n_lists",
+            "best_rank",
+        )
+    )

@@ -1085,3 +1085,48 @@ def weighted_log_odds(
         .limit(k)
         .drop("__az")
     )
+
+
+def good_turing_mass(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good-Turing missing-mass estimate (Good, Biometrika 1953) from the
+    corpus frequency-of-frequencies: the probability that the NEXT token
+    drawn is a type never seen in this corpus is ``p_unseen = N1/N``
+    (hapax count over token count), and the Turing-discounted effective
+    count for once-seen types is ``r*_1 = 2*N2/N1``. The corpus-coverage
+    question the vocabulary profiles (zipf_slope, ngram_coverage) don't
+    answer: "how much of the source DISTRIBUTION has this crawl actually
+    captured?" — a high unseen mass says the corpus is still
+    vocabulary-starved and another crawl round adds real coverage; near
+    zero says new data mostly repeats known types.
+
+    Two bounded folds after the one tokenize pass: term counts, then the
+    frequency-of-frequencies histogram collapsed to (N1, N2, V, N) —
+    every statistic an exact integer, the two ratios single IEEE
+    divisions rounded to 6, so the row is bit-identical cross-engine.
+    Returns one row (total_tokens, vocab_size, hapax_terms, dis_terms,
+    p_unseen, r_star_1)."""
+    counts = (
+        df.select(
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return counts.agg(
+        F.sum("__c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum((F.col("__c") == 1).cast("int")).cast("bigint").alias("hapax_terms"),
+        F.sum((F.col("__c") == 2).cast("int")).cast("bigint").alias("dis_terms"),
+        F.round(
+            F.sum((F.col("__c") == 1).cast("int")) / F.sum("__c"), 6
+        ).alias("p_unseen"),
+        F.when(
+            F.sum((F.col("__c") == 1).cast("int")) > 0,
+            F.round(
+                F.lit(2.0)
+                * F.sum((F.col("__c") == 2).cast("int"))
+                / F.sum((F.col("__c") == 1).cast("int")),
+                6,
+            ),
+        ).alias("r_star_1"),
+    )

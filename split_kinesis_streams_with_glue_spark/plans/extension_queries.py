@@ -3968,3 +3968,288 @@ def sim_mmr_select(spark, sf_dir):
         emb.filter(F.col("vec_id") == 0),
         k=5,
     )
+
+
+@query(
+    since=7,
+    name="sim_rrf_fusion",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(w) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    words AS (SELECT doc_id, unnest(w) AS term FROM tok),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('join', 'stream', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    per AS (
+      SELECT h.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * h.tf * 2.2
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id, ROUND(SUM(sc), 6) AS score FROM per GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND({_DOT.format(a='e', b='q')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    u AS (
+      SELECT doc_id, score, 0 AS l FROM bm
+      UNION ALL SELECT doc_id, score, 1 FROM cos
+    ),
+    r AS (
+      SELECT doc_id, l,
+             ROW_NUMBER() OVER (PARTITION BY l
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM u
+    ),
+    f AS (
+      SELECT doc_id, SUM(CAST(1.0 AS DOUBLE) / (60 + rk)) AS rrf,
+             COUNT(*) AS n_lists, MIN(rk) AS best_rank
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf_score,
+           CAST(n_lists AS INTEGER) AS n_lists,
+           CAST(best_rank AS INTEGER) AS best_rank
+    FROM f ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 15
+    """,
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """NEW OPERATOR (round 7): Reciprocal Rank Fusion
+    (operators/similarity.py rrf_fuse; Cormack, Clarke & Buettcher 2009)
+    — hybrid retrieval over the two rankings the engine already ships:
+    the BM25 top-50 for a 3-term keyword query fused with the
+    embedding-cosine top-50 for a query vector (vec_id 0, the doc_id ==
+    vec_id fixture alignment), RRF k0 = 60, fused top-15. The
+    score-calibration-free merge step every hybrid search pipeline
+    needs: BM25 log-idf sums and unit dot products are incommensurable,
+    so fusion runs on RANKS — each leg's rank window covers only its
+    own 50-row candidate list, and the fused cut is a
+    TakeOrderedAndProject on the rounded reciprocal-rank sum."""
+    from split_kinesis_streams_with_glue_spark.functions.vectors import dot
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        rrf_fuse,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm = (
+        bm25_scores(docs, ["join", "stream", "vector"])
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "score")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot(F.col("embedding"), F.col("__qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    return rrf_fuse([bm, cos], k0=60, k=15)
+
+
+@query(
+    since=7,
+    name="text_good_turing",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w <> '')) AS w
+      FROM documents
+    ),
+    tc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+    SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_terms,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dis_terms,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS p_unseen,
+           CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+             ROUND(CAST(2.0 AS DOUBLE)
+                   * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                   / SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 6)
+           END AS r_star_1
+    FROM tc
+    """,
+)
+def text_good_turing(spark, sf_dir):
+    """NEW OPERATOR (round 7): Good-Turing missing mass
+    (operators/text.py good_turing_mass; Good 1953) — the probability
+    the NEXT token drawn from the source is a type this corpus has
+    never seen (hapax count over token count), plus the Turing
+    discount for once-seen types. The corpus-coverage question the
+    vocabulary profiles (zipf slope, n-gram coverage) don't answer:
+    high unseen mass = the crawl is still vocabulary-starved, near
+    zero = new data mostly repeats known types. One tokenize pass, one
+    term aggregate, one metadata-sized fold; every statistic an exact
+    integer and the two ratios single IEEE divisions."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        good_turing_mass,
+    )
+
+    return good_turing_mass(load(spark, sf_dir, "documents"))
+
+
+@query(
+    since=7,
+    name="quality_info_gain_split",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS v, COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS nl,
+             SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS pl
+      FROM h
+    ),
+    t AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM h),
+    s AS (
+      SELECT v, nl, pl, nt - nl AS nr, pt - pl AS pr,
+             CAST(nl AS DOUBLE) AS nld, CAST(pl AS DOUBLE) AS pld,
+             CAST(nt AS DOUBLE) AS ntd, CAST(pt AS DOUBLE) AS ptd,
+             CAST(nt - nl AS DOUBLE) AS nrd, CAST(pt - pl AS DOUBLE) AS prd
+      FROM c, t WHERE nl < nt
+    ),
+    g AS (
+      SELECT v, nl, pl, nr, pr,
+             ROUND(CASE WHEN ptd = 0 OR ptd = ntd THEN 0.0 ELSE
+               -((ptd / ntd) * ln(ptd / ntd))
+               - (((ntd - ptd) / ntd) * ln((ntd - ptd) / ntd)) END, 6)
+               AS parent_entropy,
+             ROUND(
+               (CASE WHEN ptd = 0 OR ptd = ntd THEN 0.0 ELSE
+                 -((ptd / ntd) * ln(ptd / ntd))
+                 - (((ntd - ptd) / ntd) * ln((ntd - ptd) / ntd)) END)
+               - (nld / ntd) * (CASE WHEN pld = 0 OR pld = nld THEN 0.0 ELSE
+                 -((pld / nld) * ln(pld / nld))
+                 - (((nld - pld) / nld) * ln((nld - pld) / nld)) END)
+               - (nrd / ntd) * (CASE WHEN prd = 0 OR prd = nrd THEN 0.0 ELSE
+                 -((prd / nrd) * ln(prd / nrd))
+                 - (((nrd - prd) / nrd) * ln((nrd - prd) / nrd)) END),
+             6) AS info_gain
+      FROM s
+    )
+    SELECT CAST(v AS DOUBLE) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           parent_entropy, info_gain
+    FROM g ORDER BY info_gain DESC, v ASC LIMIT 1
+    """,
+)
+def quality_info_gain_split(spark, sf_dir):
+    """NEW OPERATOR (round 7): decision-stump threshold by information
+    gain (operators/quality_checks.py info_gain_split; the CART/C4.5
+    split criterion) — the single n_chars cutoff that best separates
+    the 'en' label over documents, with the achieved gain. The
+    quality-gate ADVISOR the threshold family lacked: gopher_rules
+    applies hand-picked cutoffs, this asks the data which cutoff a
+    feature supports — and a near-zero best gain is itself the finding
+    (don't gate on that feature). Corpus collapses to the
+    distinct-value histogram in one groupBy; cumulative sums and the
+    entropy scoring run over that bounded frame; argmax is a
+    TakeOrderedAndProject on the rounded gain."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        info_gain_split,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    return info_gain_split(d, "n_chars", "is_en")
+
+
+@query(
+    since=7,
+    name="quality_rater_kappa",
+    oracle=r"""
+    WITH g AS (
+      SELECT CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                          w -> w <> '')) >= 30
+                  THEN 'keep' ELSE 'drop' END AS a,
+             CASE WHEN 4 * len(list_filter(string_split_regex(text, '\s+'),
+                               w -> w <> '')) <= n_chars
+                   AND n_chars <= 12 * len(list_filter(
+                         string_split_regex(text, '\s+'), w -> w <> ''))
+                  THEN 'keep' ELSE 'drop' END AS b
+      FROM documents
+    ),
+    j AS (SELECT a, b, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    t AS (SELECT SUM(c) AS n,
+                 SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM j),
+    ma AS (SELECT a, SUM(c) AS na FROM j GROUP BY 1),
+    mb AS (SELECT b, SUM(c) AS nb FROM j GROUP BY 1),
+    e AS (SELECT SUM(na * nb) AS ee FROM ma JOIN mb ON ma.a = mb.b)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(agree / CAST(n AS DOUBLE), 6) AS p_observed,
+           ROUND(ee / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS p_expected,
+           CASE WHEN ee / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) < 1.0 THEN
+             ROUND((agree / CAST(n AS DOUBLE)
+                    - ee / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(1.0 AS DOUBLE)
+                      - ee / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           END AS kappa
+    FROM t, e
+    """,
+)
+def quality_rater_kappa(spark, sf_dir):
+    """NEW OPERATOR (round 7): Cohen's kappa (operators/quality_checks.py
+    cohens_kappa; Cohen 1960) — chance-corrected agreement between two
+    quality gates over documents: the token-count gate (>= 30 tokens)
+    vs the mean-word-length gate (4 <= chars/token <= 12, evaluated as
+    exact integer cross-multiplications). Raw agreement flatters any
+    pair of permissive gates; kappa subtracts the chance floor, so it
+    answers whether two gates actually measure the same thing (near 0
+    here = they filter DIFFERENT documents and both earn their place in
+    the pipeline). One groupBy to the bounded 2x2 contingency frame;
+    marginal product-sum exact in integers; three IEEE divisions."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        whitespace_tokens,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cohens_kappa,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    ntok = F.size(whitespace_tokens(F.col("text")))
+    gate_a = F.when(ntok >= 30, "keep").otherwise("drop")
+    gate_b = F.when(
+        (F.lit(4) * ntok <= F.col("n_chars"))
+        & (F.col("n_chars") <= F.lit(12) * ntok),
+        "keep",
+    ).otherwise("drop")
+    return cohens_kappa(
+        d.select(gate_a.alias("gate_len"), gate_b.alias("gate_wordlen")),
+        "gate_len",
+        "gate_wordlen",
+    )

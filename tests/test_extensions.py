@@ -2448,3 +2448,111 @@ def test_mmr_select_skips_the_duplicate(spark):
         .collect()
     ]
     assert top2 == [1, 2]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two candidate lists, k0 = 60, reciprocal sums by hand: list 0
+    ranks A(0.9) B(0.8) C(0.7), list 1 ranks B(0.95) D(0.5). B appears
+    in both (1/62 + 1/61 = 0.032523) and must fuse ABOVE A (1/61 =
+    0.016393) even though A leads list 0 — the defining RRF behavior.
+    C = 1/63, D = 1/62 puts D above C."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    l0 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id int, score double"
+    )
+    l1 = spark.createDataFrame([(2, 0.95), (4, 0.5)], "doc_id int, score double")
+    got = rrf_fuse([l0, l1], k0=60, k=4).collect()
+    assert [r["doc_id"] for r in got] == [2, 1, 4, 3]
+    by_id = {r["doc_id"]: r for r in got}
+    assert abs(by_id[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-6
+    assert abs(by_id[1]["rrf_score"] - 1 / 61) < 1e-6
+    assert abs(by_id[4]["rrf_score"] - 1 / 62) < 1e-6
+    assert abs(by_id[3]["rrf_score"] - 1 / 63) < 1e-6
+    assert by_id[2]["n_lists"] == 2 and by_id[2]["best_rank"] == 1
+    assert by_id[1]["n_lists"] == 1 and by_id[1]["best_rank"] == 1
+    # the k cut takes the fused top, not either list's top
+    top2 = [r["doc_id"] for r in rrf_fuse([l0, l1], k0=60, k=2).collect()]
+    assert top2 == [2, 1]
+
+
+def test_good_turing_hand_computed(spark):
+    """Corpus 'a a b c' + 'b d': counts a:2 b:2 c:1 d:1 -> N=6, V=4,
+    N1=2, N2=2, p_unseen = 2/6, r*_1 = 2*2/2 = 2. A hapax-free corpus
+    has zero unseen mass and a NULL Turing discount (0/0 guarded)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        good_turing_mass,
+    )
+
+    df = spark.createDataFrame([("a a b c",), ("b d",)], "text string")
+    [r] = good_turing_mass(df).collect()
+    assert r["total_tokens"] == 6 and r["vocab_size"] == 4
+    assert r["hapax_terms"] == 2 and r["dis_terms"] == 2
+    assert abs(r["p_unseen"] - 2 / 6) < 1e-6
+    assert abs(r["r_star_1"] - 2.0) < 1e-9
+    [d] = good_turing_mass(
+        spark.createDataFrame([("x x y y",)], "text string")
+    ).collect()
+    assert d["hapax_terms"] == 0 and d["p_unseen"] == 0.0
+    assert d["r_star_1"] is None
+
+
+def test_info_gain_split_hand_computed(spark):
+    """Perfectly separable data (features 1,2 labeled 0; 3,4 labeled 1):
+    the stump must land on threshold 2 with gain = parent entropy =
+    ln 2. A feature carrying no signal (same label mix at every value)
+    must report zero gain — the 'don't gate on this' answer. NULLs in
+    either column are excluded."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        info_gain_split,
+    )
+    import math
+
+    sep = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "x int, y int"
+    )
+    [r] = info_gain_split(sep, "x", "y").collect()
+    assert r["threshold"] == 2.0
+    assert r["n_left"] == 2 and r["pos_left"] == 0
+    assert r["n_right"] == 2 and r["pos_right"] == 2
+    assert abs(r["parent_entropy"] - math.log(2)) < 1e-6
+    assert abs(r["info_gain"] - math.log(2)) < 1e-6
+    flat = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 1)], "x int, y int"
+    )
+    [f] = info_gain_split(flat, "x", "y").collect()
+    assert f["info_gain"] == 0.0
+    withnull = sep.union(
+        spark.createDataFrame([(None, 1), (9, None)], "x int, y int")
+    )
+    [n] = info_gain_split(withnull, "x", "y").collect()
+    assert n["n_left"] + n["n_right"] == 4
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """2x2 by hand: 20 keep/keep, 60 drop/drop, 15 keep/drop,
+    5 drop/keep -> po = 0.8, marginals (35,65)x(25,75) -> pe = 0.575,
+    kappa = 0.225/0.425 = 0.529412. A single-category degenerate frame
+    (pe = 1) yields NULL kappa, not a division blowup."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("keep", "keep")] * 20
+        + [("drop", "drop")] * 60
+        + [("keep", "drop")] * 15
+        + [("drop", "keep")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cohens_kappa(df, "a", "b").collect()
+    assert r["n"] == 100
+    assert abs(r["p_observed"] - 0.8) < 1e-9
+    assert abs(r["p_expected"] - 0.575) < 1e-9
+    assert abs(r["kappa"] - 0.529412) < 1e-6
+    [d] = cohens_kappa(
+        spark.createDataFrame([("k", "k")] * 3, "a string, b string"), "a", "b"
+    ).collect()
+    assert d["p_expected"] == 1.0 and d["kappa"] is None
