@@ -489,6 +489,18 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # distinct-duration frame (same bounded-global-window class as the
     # PSI/CDF queries)
     "events_survival_km": {"unpartitioned-window"},
+    # crossJoin(broadcast(<1-row query-vector frame>)) for the cosine leg
+    # — bounded by design; the Catalyst-inferred tokenize constraint
+    # (size(filter(split(text))) > 0, from the BM25 leg's explode) is a
+    # lambda HOF no parquet reader can accept — same nothing-to-push
+    # class as the derived-day filters (events_mann_kendall)
+    "sim_rrf_fusion": {"cartesian-product", "unpushed-scan-filter"},
+    # cumulative class-count window over the distinct-value histogram
+    # frame (same bounded-global-window class as quality_mann_whitney)
+    "quality_info_gain_split": {"unpartitioned-window"},
+    # crossJoin of the 1-row observed-agreement agg with the 1-row
+    # expected-agreement (marginal product-sum) agg — both bounded
+    "quality_rater_kappa": {"cartesian-product"},
 }
 
 
