@@ -382,3 +382,152 @@ def test_isotonic_fit_equals_sequential_pava(spark, pts):
         assert abs(got[k] - float(expect[k])) < 1e-9
     fits = [got[k] for k in range(len(pts))]
     assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("pq"), st.sampled_from("pq")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohens_kappa_matches_naive(spark, pairs):
+    """Kappa must equal the textbook Counter computation on arbitrary
+    2-category rater pairs, including the pe = 1 degenerate (NULL)."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    [r] = cohens_kappa(df, "a", "b").collect()
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ma = Counter(a for a, _ in pairs)
+    mb = Counter(b for _, b in pairs)
+    pe = sum(ma[c] * mb[c] for c in ma) / n / n
+    po = agree / n
+    assert r["n"] == n
+    assert abs(r["p_observed"] - po) < 1.1e-6
+    assert abs(r["p_expected"] - pe) < 1.1e-6
+    if pe < 1.0:
+        assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1.1e-6
+    else:
+        assert r["kappa"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.integers(0, 1)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda rows: len({x for x, _ in rows}) >= 2)
+)
+def test_info_gain_split_matches_naive_scan(spark, rows):
+    """The stump must pick exactly the threshold a brute-force scan over
+    every candidate picks (rounded-gain argmax, smaller value on ties),
+    with the same gain."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        info_gain_split,
+    )
+
+    def ent(p, n):
+        if n == 0 or p == 0 or p == n:
+            return 0.0
+        a, b = p / n, (n - p) / n
+        return -(a * math.log(a)) - (b * math.log(b))
+
+    vals = sorted({x for x, _ in rows})
+    nt, pt = len(rows), sum(y for _, y in rows)
+    best = None
+    for v in vals[:-1]:
+        nl = sum(1 for x, _ in rows if x <= v)
+        pl = sum(y for x, y in rows if x <= v)
+        gain = round(
+            ent(pt, nt)
+            - (nl / nt) * ent(pl, nl)
+            - ((nt - nl) / nt) * ent(pt - pl, nt - nl),
+            6,
+        )
+        if best is None or gain > best[0]:
+            best = (gain, v)
+    df = spark.createDataFrame(rows, "x int, y int")
+    [r] = info_gain_split(df, "x", "y").collect()
+    assert r["threshold"] == float(best[1])
+    assert abs(r["info_gain"] - best[0]) < 1.1e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),
+                st.floats(min_value=0, max_value=1, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=10,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_rrf_fuse_matches_naive(spark, lists):
+    """Fused order and scores must equal the by-hand reciprocal-rank sum
+    on arbitrary candidate lists (rounded-score ranking, id tiebreaks)."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    frames = [
+        spark.createDataFrame(lst, "doc_id int, score double") for lst in lists
+    ]
+    got = rrf_fuse(frames, k0=60, k=50).collect()
+    rrf: dict[int, float] = {}
+    for lst in lists:
+        ranked = sorted(lst, key=lambda t: (-round(t[1], 6), t[0]))
+        for rank, (i, _) in enumerate(ranked, 1):
+            rrf[i] = rrf.get(i, 0.0) + 1.0 / (60 + rank)
+    want = sorted(rrf.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
+    assert [r["doc_id"] for r in got] == [i for i, _ in want]
+    for r in got:
+        assert abs(r["rrf_score"] - rrf[r["doc_id"]]) < 1.1e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "b", "cde", "f"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_good_turing_matches_counter(spark, docs):
+    """All six Good-Turing statistics must equal the Counter computation
+    on arbitrary corpora, including the hapax-free NULL discount."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        good_turing_mass,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    counts = Counter(w for ws in docs for w in ws)
+    n = sum(counts.values())
+    n1 = sum(1 for c in counts.values() if c == 1)
+    n2 = sum(1 for c in counts.values() if c == 2)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    [r] = good_turing_mass(df).collect()
+    assert r["total_tokens"] == n and r["vocab_size"] == len(counts)
+    assert r["hapax_terms"] == n1 and r["dis_terms"] == n2
+    assert abs(r["p_unseen"] - n1 / n) < 1.1e-6
+    if n1 > 0:
+        assert abs(r["r_star_1"] - 2 * n2 / n1) < 1.1e-6
+    else:
+        assert r["r_star_1"] is None
