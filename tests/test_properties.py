@@ -531,3 +531,227 @@ def test_good_turing_matches_counter(spark, docs):
         assert abs(r["r_star_1"] - 2 * n2 / n1) < 1.1e-6
     else:
         assert r["r_star_1"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.integers(0, 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_kaplan_meier_matches_naive_product_limit(spark, rows):
+    """The product-limit curve must equal the textbook per-duration
+    computation on arbitrary censoring patterns, including the exact
+    zero-survival step (factor 1 - d/n == 0)."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    ts = sorted({d for d, _ in rows})
+    ls, zero = 0.0, False
+    for t in ts:
+        n = sum(1 for d, _ in rows if d >= t)
+        d_t = sum(e for d, e in rows if d == t)
+        if n == d_t:
+            zero = True
+        elif d_t > 0:
+            ls += math.log(1 - d_t / n)
+        r = got[t]
+        assert r["n_at_risk"] == n and r["n_events"] == d_t
+        want = 0.0 if zero else math.exp(ls)
+        assert abs(r["survival"] - want) < 1.1e-6
+    assert set(got) == set(ts)
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda vs: len({tuple(v) for v in vs}) >= 2)
+)
+def test_pca_power_iteration_matches_naive_unrolled(spark, vecs):
+    """The distributed fixed-count power iteration must equal the same
+    six unrolled rounds run in plain Python on the same covariance —
+    the operator is a deterministic dataflow, not an approximation with
+    its own convergence story."""
+    import math
+
+    from hypothesis import assume
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        top_principal_component,
+    )
+
+    n, d = len(vecs), 3
+    sx = [sum(v[p] for v in vecs) for p in range(d)]
+    cov = [
+        [
+            sum(v[a] * v[b] for v in vecs) / n - (sx[a] / n) * (sx[b] / n)
+            for b in range(d)
+        ]
+        for a in range(d)
+    ]
+    v = [0.125] * d
+    for _ in range(6):
+        w = [sum(cov[a][b] * v[b] for b in range(d)) for a in range(d)]
+        nm = math.sqrt(sum(x * x for x in w))
+        assume(nm > 1e-6)  # rank-degenerate input: normalization blows up
+        v = [x / nm for x in w]
+    w = [sum(cov[a][b] * v[b] for b in range(d)) for a in range(d)]
+    lam = sum(v[a] * w[a] for a in range(d))
+    tr = sum(cov[a][a] for a in range(d))
+    df = spark.createDataFrame(
+        [(i, list(map(float, vv))) for i, vv in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r["pos"]: r for r in top_principal_component(df).collect()}
+    for p in range(d):
+        assert abs(got[p]["loading"] - v[p]) < 1e-4
+        assert abs(got[p]["eigenvalue"] - lam) < 1e-4
+        assert abs(got[p]["explained_share"] - lam / tr) < 1e-4
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2, max_value=2, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_mmr_select_matches_naive_greedy(spark, vecs):
+    """The unrolled MMR dataflow must pick exactly what the sequential
+    greedy picks on arbitrary vectors (rounded-score argmax, id
+    tiebreaks), relevance and penalty both via the left-fold dot."""
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    q = vecs[0]
+    cands = list(enumerate(vecs[1:], start=1))
+    k = min(3, len(cands))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    sel: list[int] = []
+    want: list[int] = []
+    for _ in range(k):
+        best = None
+        for i, v in cands:
+            if i in sel:
+                continue
+            pen = max((dot(v, vecs[j]) for j in sel), default=None)
+            score = 0.5 * dot(v, q) - (0.5 * pen if pen is not None else 0.0)
+            key = (-round(score, 6), i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+        want.append(best[1])
+    df = spark.createDataFrame(
+        [(0, list(map(float, q)))]
+        + [(i, list(map(float, v))) for i, v in cands],
+        "vec_id int, embedding array<float>",
+    )
+    got = mmr_select(
+        df.filter(F.col("vec_id") != 0), df.filter(F.col("vec_id") == 0), k=k
+    ).collect()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["step"])] == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([(1, 2), (1, 4), (3, 4), (9, 10)]),
+)
+def test_weighted_quantile_matches_naive_cumsum(spark, rows, q):
+    """The bin-refinement weighted quantile must equal the sorted
+    cumulative-weight scan: smallest v with cumweight(x <= v) >=
+    ceil(q*W)."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        weighted_quantile,
+    )
+
+    qn, qd = q
+    total = sum(w for _, w in rows)
+    tt = (qn * total + qd - 1) // qd
+    acc = 0
+    want = None
+    for v, w in sorted(rows):
+        acc += w
+        if acc >= tt:
+            want = float(v)
+            break
+    df = spark.createDataFrame(rows, "x int, w int")
+    got = weighted_quantile(df, "x", "w", qn, qd)
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_benjamini_hochberg_matches_naive_step_up(spark, milli_ps):
+    """The distributed BH pass must select exactly the step-up set the
+    sequential scan selects (largest rank k with p_(k) <= k*alpha/m;
+    HALF_UP critical-value rounding mirrored via decimal)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        benjamini_hochberg,
+    )
+
+    ps = [m / 1000 for m in milli_ps]
+    m = len(ps)
+    ranked = sorted(enumerate(ps), key=lambda t: (t[1], t[0]))
+    kstar = 0
+    for rank, (_, p) in enumerate(ranked, 1):
+        crit = float(
+            (Decimal(rank) / (Decimal(10) * Decimal(m))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        if p <= crit:
+            kstar = rank
+    want = {i for rank, (i, _) in enumerate(ranked, 1) if rank <= kstar}
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "hid int, p double"
+    )
+    got = {
+        r["hid"]
+        for r in benjamini_hochberg(df, "p", "hid").collect()
+        if r["selected"]
+    }
+    assert got == want
