@@ -755,3 +755,70 @@ def test_benjamini_hochberg_matches_naive_step_up(spark, milli_ps):
         if r["selected"]
     }
     assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.1, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_exact_quantile_twopass_matches_sorted_order_statistic(spark, xs, q):
+    """The iterative bin-refinement quantile must return EXACTLY the
+    k-th smallest (k = ceil(q*n)) of the sorted list on arbitrary
+    floats — with rank_limit/n_bins forced tiny so the test exercises
+    several refinement passes (duplicates, negative ranges, equal-value
+    short-circuit), not just the final ranking."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        exact_quantile_twopass,
+    )
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    [r] = exact_quantile_twopass(
+        df, "x", q, n_bins=4, rank_limit=3
+    ).collect()
+    k = max(1, math.ceil(q * len(xs)))
+    want = sorted(float(x) for x in xs)[k - 1]
+    assert r["n"] == len(xs)
+    assert r["value"] == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4), st.integers(0, 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cochran_armitage_matches_naive_formula(spark, rows):
+    """The single-fold trend statistic must equal the textbook
+    T/sqrt(Var) computation on arbitrary (score, success) tables,
+    NULL exactly when Var = 0 (no/all successes or one group)."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage_trend,
+    )
+
+    df = spark.createDataFrame(rows, "s int, ok int")
+    [r] = cochran_armitage_trend(df, "s", "ok").collect()
+    n = len(rows)
+    tr = sum(ok for _, ok in rows)
+    groups = sorted({s for s, _ in rows})
+    sr = sum(s * ok for s, ok in rows)
+    sn = sum(s for s, _ in rows)
+    ssn = sum(s * s for s, _ in rows)
+    t_stat = sr - tr * sn / n
+    var = (tr / n) * (1 - tr / n) * (ssn - sn * sn / n)
+    assert r["n_rows"] == n and r["n_success"] == tr
+    assert r["n_groups"] == len(groups)
+    if var > 0:
+        assert abs(r["z"] - t_stat / math.sqrt(var)) < 1.1e-6
+    else:
+        assert r["z"] is None and r["p_value"] is None
