@@ -846,13 +846,20 @@ def info_gain_split(
     gain with the smaller threshold as tiebreak. Counts are exact
     integers; the entropy expressions keep an identical association
     order to the SQL mirror so the 6-dp rounding absorbs the last-ulp
-    ln differences. Rows with a NULL feature or label are excluded
-    (same policy as chi2_independence). Returns one row (threshold,
-    n_left, pos_left, n_right, pos_right, parent_entropy, info_gain)."""
+    ln differences. Rows with a NULL or NaN feature or a NULL label are
+    excluded (NULL policy as chi2_independence; the NaN guard matters
+    for floating-point features — Spark sorts NaN greatest, so a NaN row
+    would otherwise enter the cumulative counts with semantics DuckDB
+    does not share). Returns one row (threshold, n_left, pos_left,
+    n_right, pos_right, parent_entropy, info_gain)."""
     from pyspark.sql import Window
 
     hist = (
-        df.filter(F.col(feature_col).isNotNull() & F.col(label_col).isNotNull())
+        df.filter(
+            F.col(feature_col).isNotNull()
+            & ~F.isnan(F.col(feature_col).cast("double"))
+            & F.col(label_col).isNotNull()
+        )
         .groupBy(F.col(feature_col).alias("__v"))
         .agg(
             F.count(F.lit(1)).alias("__n"),

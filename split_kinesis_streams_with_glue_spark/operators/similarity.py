@@ -944,10 +944,15 @@ def rrf_fuse(
     bounded top-N output of a retriever (BM25 top-N, ANN top-N), never
     a raw corpus, so the per-list rank window runs over ≤ N rows.
     Ranks order by the ROUNDED score (6 dp) descending with the id as
-    tiebreak, and the fused score is a fixed-length sum of exact
-    reciprocals 1/(k0+r) — both bit-reproducible in any engine. Output:
+    tiebreak, and the fused score folds the exact reciprocals 1/(k0+r)
+    in ASCENDING-rank order (``aggregate`` over a sorted rank array, not
+    ``F.sum`` — double addition is order-dependent, and a grouped SUM's
+    accumulation order is nondeterministic for 3+ lists), so the fusion
+    is bit-reproducible in any engine at any list count. Output:
     top-``k`` rows (id, rrf_score, n_lists, best_rank) via a
     TakeOrderedAndProject on the rounded fusion score."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     tagged = None
     for i, r in enumerate(rankings):
         t = r.select(
@@ -963,7 +968,11 @@ def rrf_fuse(
         "__id", "__list", F.row_number().over(w).alias("__r")
     )
     fused = ranked.groupBy("__id").agg(
-        F.sum(F.lit(1.0) / (F.lit(k0) + F.col("__r"))).alias("__rrf"),
+        F.aggregate(
+            F.array_sort(F.collect_list("__r")),
+            F.lit(0.0),
+            lambda acc, r: acc + F.lit(1.0) / (F.lit(k0) + r),
+        ).alias("__rrf"),
         F.count(F.lit(1)).cast("int").alias("n_lists"),
         F.min("__r").cast("int").alias("best_rank"),
     )

@@ -812,7 +812,15 @@ def script_mix(
 
     def frac(pattern: str):
         kept = n - F.length(F.regexp_replace(t, pattern, ""))
-        return F.when(n > 0, F.round(kept.cast("double") / n.cast("double"), 6))
+        # + 0.0 canonicalizes a rounded -0.0 to +0.0 in both engines (the
+        # round-7 driver red: ROUND of a tiny negative residue emits -0.0
+        # in DuckDB but +0.0 under Spark's HALF_UP — numerically equal,
+        # byte-hash different). Same pattern as similarity.py
+        # top_principal_component.
+        return F.when(
+            n > 0,
+            F.round(kept.cast("double") / n.cast("double"), 6) + F.lit(0.0),
+        )
 
     f_letter = frac(r"[A-Za-z]")
     f_digit = frac(r"[0-9]")
@@ -834,7 +842,8 @@ def script_mix(
                 - f_cjk
                 - f_space,
                 6,
-            ),
+            )
+            + F.lit(0.0),
         ).alias("frac_other"),
     )
 

@@ -106,6 +106,31 @@ must prove a NEW OPERATOR or a NEW PLAN SHAPE — another composition of
 already-verified primitives does not qualify.  Each round's additions are
 bounded (≤ 15) and each names, in its docstring, the operator/shape it
 exists to prove.
+
+ROUND-8 WINDOW (derived by set-diff against CORRECTNESS_r01..r07 — 17
+never-checked: the 15 ``since=7`` registrations plus the 2 round-7
+window-overflow DEFERRED picks):
+
+1. the 5 round-7 ``DEFERRED`` must-lands (``dedup_lsh_tuning_curve``,
+   ``set_intersect_all``, ``split_roundtrip_customer``,
+   ``split_stats_customer``, ``catalog_sql_over_split``) — their ledger
+   entries are DELETED this round, exactly as the deadline test
+   prescribes; the ledger empties for the first time since it landed;
+2. the 15 ``since=7`` queries whose one-round exemption expires now
+   (all judge-swept green at sf0.01 in the round-7 session);
+3. ``text_script_mix`` — round 7's single red row: rows+schema matched
+   but DuckDB's ``ROUND`` of a tiny negative residue emitted ``-0.0``
+   where Spark's HALF_UP round emitted ``+0.0`` on 157/500 sf0.01 rows
+   — numerically equal, byte-hash different.  Re-enters with ``+ 0.0``
+   canonicalization after every ROUND on BOTH sides (the
+   ``top_principal_component`` pattern, per the round-7 verdict), and
+   ``tests/oracle_harness.py`` now tags ``-0.0`` distinctly so this
+   class can never again pass locally and fail at the driver;
+4. 29 staleness re-verifications — the first 29 (registration order) of
+   the 50 queries whose newest driver row is round 2, including the
+   bench headliners ``dedup_minhash_lsh``/``sim_pairs_topk``.  The
+   remaining 21 r2-stale queries rotate in round 9, inside the SLA
+   (newest=2 ages out only when the in-flight round exceeds 2+sla).
 """
 
 from __future__ import annotations
@@ -120,67 +145,62 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- 50 of the 52 never-checked since=6 registrations (round-6 wave;
-    # the 2 overflow picks live in DEFERRED below) ---
-    # streaming monitor (fifth of the PSI/novelty/EWMA/quality family)
-    "stream_opsmix_monitor",
-    # SQL-surface tail
-    "agg_mode_segment",
-    "agg_conditional_surface",
-    "agg_median_ci",
-    # similarity / embeddings
-    "sim_centroid_purity",
-    "sim_hard_negatives",
-    "sim_knn_margin",
-    "sim_norm_audit",
-    "sim_sample_diversity",
-    # text curation diagnostics
-    "text_flesch_reading_ease",
+    # --- the 5 round-7 DEFERRED must-lands (ledger entries deleted) ---
+    "dedup_lsh_tuning_curve",
+    "set_intersect_all",
+    "split_roundtrip_customer",
+    "split_stats_customer",
+    "catalog_sql_over_split",
+    # --- the 15 since=7 registrations (one-round exemption expires) ---
+    "sample_priority_weighted",
+    "sample_weighted_median",
+    "join_skew_advisor",
+    "dedup_record_linkage",
+    "text_label_logodds",
+    "text_good_turing",
+    "quality_bh_fdr",
+    "quality_trend_test",
+    "quality_info_gain_split",
+    "quality_rater_kappa",
+    "sim_pca_power_iteration",
+    "sim_mmr_select",
+    "sim_rrf_fusion",
+    "events_isotonic_trend",
+    "events_survival_km",
+    # --- round-7's red row re-enters with signed-zero canonicalization
+    # on both sides (+ 0.0 after every ROUND; see module docstring) ---
     "text_script_mix",
-    "text_mojibake_scan",
-    "text_term_burstiness",
-    "text_ngram_coverage",
-    "text_pmi_pairs",
-    "text_lang_confusion",
-    # dedup / similarity-graph audits
-    "dedup_tfidf_cosine",
-    "dedup_source_overlap",
-    "dedup_degree_distribution",
-    "dedup_cluster_diameter",
-    "quality_duplicate_impact",
-    # sampling / splits / privacy audits
-    "sample_exact_k",
-    "sample_kfold_counts",
-    "sample_split_balance_contract",
-    "sample_ess_weights",
-    "quality_t_closeness",
-    "quality_chi2_residuals",
-    "quality_calibration_bins",
-    "quality_boxplot_langs",
-    "quality_outlier_overlap",
-    "pipeline_source_scorecard",
-    # rank statistics
-    "quality_mann_whitney",
-    "quality_kruskal_wallis",
-    "events_mann_kendall",
-    "events_spearman_daily",
-    "events_kendall_tau",
-    "events_hodges_lehmann",
-    "events_gini_daily",
-    # time series / forecasting / event analytics
-    "events_rolling_zscore",
-    "events_user_accretion",
-    "events_funnel_latency",
-    "events_interarrival_cv",
-    "events_session_stats",
-    "events_holt_winters",
-    "events_forecast_backtest",
-    "events_freshness_audit",
-    "events_dow_hour_profile",
-    # CDC / profiling tail + capstone
-    "cdc_churn_summary",
-    "quality_functional_deps",
-    "pipeline_training_manifest",
+    # --- 29 staleness re-verifications: first 29 of the 50 r2-newest
+    # queries in registration order (the other 21 rotate round 9) ---
+    "choice_make_struct",
+    "pipeline_training_data_prep",
+    "agg_approx_distinct_error",
+    "pivot_status_by_priority",
+    "unpivot_lineitem_amounts",
+    "percentiles_approx_contract",
+    "join_salted_skew",
+    "pandas_udaf_weighted_avg",
+    "events_timeseries_gapfill",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact_doubled",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "sim_pairs_topk",
+    "dedup_embedding_pairs",
+    "dedup_embedding_cosine",
+    "sim_ann_brute_topk",
+    "sim_ann_recall_contract",
+    "text_token_counts",
+    "text_tfidf_topterms",
+    "sample_train_val_split",
+    "sample_stratified_lang",
+    "text_repetition_scores",
+    "sample_cap_per_source",
+    "text_redact_pii",
+    "dedup_paragraphs",
+    "text_quality_scores",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
@@ -190,34 +210,10 @@ _VERIFY_PRIORITY: list[str] = [
 # named round's driver artifact would be due, so entries cannot be parked.
 # Re-deferral requires bumping the MUST-land round, which the same test
 # rejects once the named round arrives: the list shrinks every round.
-DEFERRED: dict[str, str] = {
-    # the 2 round-7 window-overflow picks (52 since=6 > 50 slots), chosen
-    # lowest-risk by oracle strength:
-    "dedup_lsh_tuning_curve": (
-        "round-7 window overflow; closed-form arithmetic over a generated "
-        "19-row spine, zero table scans, bit-exact oracle, judge-verified "
-        "green in the round-6 session — MUST land round 8"
-    ),
-    "set_intersect_all": (
-        "round-7 window overflow; pure set-op on integer keys with a "
-        "bit-exact INTERSECT ALL oracle, judge-verified green in the "
-        "round-6 session — MUST land round 8"
-    ),
-    # the 3 r1-only staleness deferrals carried from the round-6 window
-    # (their split/catalog machinery's siblings went green r4-r6):
-    "split_roundtrip_customer": (
-        "r1-only staleness; sibling split queries green r4/r6 "
-        "(stream_split_customer, split_flatten_orders_ts) — MUST land round 8"
-    ),
-    "split_stats_customer": (
-        "r1-only staleness; same split machinery as split_roundtrip_customer, "
-        "stats leg ANALYZE-verified by pytest — MUST land round 8"
-    ),
-    "catalog_sql_over_split": (
-        "r1-only staleness; catalog registration leg green r1 and exercised "
-        "by every spark.sql registry query — MUST land round 8"
-    ),
-}
+#
+# ROUND 8: empty — all 5 round-7 entries landed in this round's window
+# (slots 1-5) and were deleted, exactly as the deadline test prescribes.
+DEFERRED: dict[str, str] = {}
 
 
 def _reorder() -> None:

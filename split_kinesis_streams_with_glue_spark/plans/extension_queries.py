@@ -2455,17 +2455,19 @@ def text_flesch_reading_ease(spark, sf_dir):
       FROM aug
     ),
     f AS (
+      -- + 0.0 canonicalizes ROUND's -0.0 to +0.0 (signed-zero hash parity
+      -- with Spark's HALF_UP round; the round-7 driver red)
       SELECT doc_id, n,
-             ROUND(CAST(k_letter AS DOUBLE) / n, 6) AS frac_letter,
-             ROUND(CAST(k_digit AS DOUBLE) / n, 6) AS frac_digit,
-             ROUND(CAST(k_cjk AS DOUBLE) / n, 6) AS frac_cjk,
-             ROUND(CAST(k_space AS DOUBLE) / n, 6) AS frac_space
+             ROUND(CAST(k_letter AS DOUBLE) / n, 6) + 0.0 AS frac_letter,
+             ROUND(CAST(k_digit AS DOUBLE) / n, 6) + 0.0 AS frac_digit,
+             ROUND(CAST(k_cjk AS DOUBLE) / n, 6) + 0.0 AS frac_cjk,
+             ROUND(CAST(k_space AS DOUBLE) / n, 6) + 0.0 AS frac_space
       FROM m WHERE n > 0
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
            frac_letter, frac_digit, frac_cjk, frac_space,
            ROUND(1.0 - frac_letter - frac_digit - frac_cjk - frac_space, 6)
-             AS frac_other
+             + 0.0 AS frac_other
     FROM f
     """,
 )

@@ -35,7 +35,16 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        r = round(v, 6)
+        # The driver hashes raw float BYTES, so -0.0 != +0.0 there even
+        # though Python == (and sorted()) treats them equal — exactly how
+        # text_script_mix passed four local 307/307 sweeps and went red at
+        # the driver in round 7 (DuckDB ROUND of a tiny negative residue
+        # emits -0.0; Spark's HALF_UP emits +0.0). Tag the signed zero so
+        # this class can never again pass locally and fail at the driver.
+        if r == 0.0 and math.copysign(1.0, r) < 0.0:
+            return "-0.0"
+        return r
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):

@@ -2478,6 +2478,32 @@ def test_rrf_fuse_hand_computed(spark):
     assert top2 == [2, 1]
 
 
+def test_rrf_fuse_guards_and_three_list_fold(spark):
+    """Round-7 advice items: an empty rankings list must raise (not
+    AttributeError-crash), and 3+-list fusion must fold reciprocals in
+    ascending-rank order — the sorted-array aggregate makes the sum
+    order-deterministic where a grouped F.sum over doubles is not."""
+    import pytest as _pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+
+    l0 = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id int, score double")
+    l1 = spark.createDataFrame([(2, 0.7), (1, 0.6)], "doc_id int, score double")
+    l2 = spark.createDataFrame([(1, 0.5), (3, 0.4)], "doc_id int, score double")
+    got = {r["doc_id"]: r for r in rrf_fuse([l0, l1, l2], k0=60, k=3).collect()}
+    # doc 1: ranks 1,2,1 -> 1/61 + 1/61 + 1/62 (ascending-rank fold)
+    assert abs(got[1]["rrf_score"] - ((1 / 61 + 1 / 61) + 1 / 62)) < 1e-6
+    assert got[1]["n_lists"] == 3 and got[1]["best_rank"] == 1
+    # doc 2: ranks 2,1 -> 1/61 + 1/62
+    assert abs(got[2]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-6
+    assert got[3]["n_lists"] == 1 and got[3]["best_rank"] == 2
+
+
 def test_good_turing_hand_computed(spark):
     """Corpus 'a a b c' + 'b d': counts a:2 b:2 c:1 d:1 -> N=6, V=4,
     N1=2, N2=2, p_unseen = 2/6, r*_1 = 2*2/2 = 2. A hapax-free corpus
@@ -2529,6 +2555,16 @@ def test_info_gain_split_hand_computed(spark):
     )
     [n] = info_gain_split(withnull, "x", "y").collect()
     assert n["n_left"] + n["n_right"] == 4
+    # NaN features are excluded too (round-7 advice): Spark sorts NaN
+    # greatest, so an unguarded NaN row would enter the cumulative counts
+    # with semantics DuckDB does not share
+    withnan = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1), (float("nan"), 1)],
+        "x double, y int",
+    )
+    [g] = info_gain_split(withnan, "x", "y").collect()
+    assert g["n_left"] + g["n_right"] == 4
+    assert g["threshold"] == 2.0
 
 
 def test_cohens_kappa_hand_computed(spark):
