@@ -839,3 +839,90 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("tfidf_cosine") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key,
+    window: int = 3,
+    id_col: str = "doc_id",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood candidate-pair generation (Hernandez &
+    Stolfo, SIGMOD 1995): sort the corpus by a fuzzy blocking key and
+    emit each row paired with its next ``window`` neighbors in sort
+    order. The THIRD blocking geometry in the dedup family — LSH bands
+    bucket by hash equality and block-pair joins by exact key equality,
+    both of which miss near-keys that differ in their hashed bytes
+    ("smith, john" vs "smith, jon"); sorted neighborhood turns key
+    PROXIMITY into candidacy, with a guaranteed output bound of
+    n * window pairs whatever the key distribution (no hot-bucket
+    blowup — the skew-immunity LSH lacks).
+
+    Plan shape (new, and deliberately NOT a global window): the global
+    rank is computed in two passes — ``repartitionByRange`` on
+    (key, id) + per-PARTITION ``row_number`` (parallel windows), then
+    each partition's rank offset from a broadcast #partitions-row
+    count frame (lazily localCheckpointed so the sampled range
+    boundaries are identical in both consumers). Because the range
+    partitioning respects the total (key, id) order, offset +
+    within-partition rank IS the global rank — no single-partition
+    WindowExec anywhere, unlike a bare ``row_number() OVER (ORDER BY
+    ...)``. Candidate edges then come from an offset-explode EQUI-join
+    on rank + offset — never a non-equi range join
+    (BroadcastNestedLoop at scale) and never a collect_list.
+
+    NULL sort keys are the caller's problem (Spark sorts NULLS FIRST
+    ascending, SQL engines default NULLS LAST — filter or coalesce
+    first when keys can be null).
+
+    Returns (id_a, id_b, key_a, key_b, offset) with id_a ranked below
+    id_b."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("__id"), sort_key.alias("__key"))
+    ranged = (
+        base.repartitionByRange(
+            n_partitions, F.col("__key").asc(), F.col("__id").asc()
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        # pin the sampled range boundaries: both the counts pass and the
+        # rank pass must see the SAME partitioning (the PCA operator's
+        # lazy-localCheckpoint idiom, similarity.py)
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bounded: one row per partition
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+    )
+    wp = Window.partitionBy("__pid").orderBy(
+        F.col("__key").asc(), F.col("__id").asc()
+    )
+    ranked = ranged.join(F.broadcast(offsets), "__pid").select(
+        "__id",
+        "__key",
+        (F.row_number().over(wp) + F.col("__off")).alias("__rn"),
+    )
+    offs = F.array([F.lit(i) for i in range(1, window + 1)])
+    left = (
+        ranked.select(
+            F.col("__id").alias("id_a"),
+            F.col("__key").alias("key_a"),
+            F.col("__rn").alias("__rn_a"),
+            F.explode(offs).alias("offset"),
+        )
+        .withColumn("__target", F.col("__rn_a") + F.col("offset"))
+    )
+    right = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__key").alias("key_b"),
+        F.col("__rn").alias("__target"),
+    )
+    return left.join(right, "__target").select(
+        "id_a", "id_b", "key_a", "key_b",
+        F.col("offset").cast("int").alias("offset"),
+    )

@@ -973,3 +973,261 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ),
         )
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    rel_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Average precision of a scored ranking against binary relevance
+    (the ranked-retrieval eval primitive; see Manning, Raghavan &
+    Schuetze, IIR ch. 8): AP = (1/R) * sum over relevant ranks i of
+    precision@i, plus precision@k for a fixed cutoff. The quality gate a
+    retrieval/dedup pipeline needs when a ranking (BM25, ANN, a reranker)
+    is SUPPOSED to surface labeled-positive items first — a high AP means
+    the ranking concentrates relevant mass at the top, which neither a
+    correlation nor a rank test states directly.
+
+    Input is a scored EVAL SLICE (a candidate list or labeled holdout —
+    bounded by contract, never the raw corpus), so the single global
+    ranking window runs over an evaluation-sized frame. Ranks order by
+    the ROUNDED score (6 dp) descending with the caller's tiebreak
+    column ascending — deterministic in any engine; precision@i folds as
+    exact-integer cumulative counts divided once per relevant rank.
+
+    Returns one row (n, n_rel, average_precision, p_at_k)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.col(tiebreak_col).asc()
+    )
+    cum = Window.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.col(tiebreak_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    rel = F.col(rel_col).cast("int")
+    ranked = df.select(
+        rel.alias("__rel"),
+        F.row_number().over(w).alias("__rank"),
+        F.sum(rel).over(cum).alias("__cumrel"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__rel").cast("bigint").alias("n_rel"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("__rel") == 1,
+                    F.col("__cumrel").cast("double")
+                    / F.col("__rank").cast("double"),
+                )
+            )
+            / F.sum("__rel").cast("double"),
+            6,
+        ).alias("average_precision"),
+        F.round(
+            F.sum(F.when(F.col("__rank") <= k, F.col("__rel")))
+            .cast("double")
+            / F.lit(float(k)),
+            6,
+        ).alias("p_at_k"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two empirical
+    distributions of a numeric column: W1 = integral |F_a(x) - F_b(x)| dx,
+    evaluated exactly as the sum over the merged support of
+    |cum_a/n_a - cum_b/n_b| * (next_value - value). The drift measure
+    the monitoring family lacked: PSI and binned-KS quantize into fixed
+    bins and go blind to WHERE the mass moved; W1 is bin-free and reports
+    drift in the UNITS of the column ("mean shift of 40 characters"),
+    which makes alert thresholds physically interpretable.
+
+    Shape contract (same as info_gain_split / isotonic_fit): one groupBy
+    collapses the data to the distinct-value histogram; the cumulative
+    window and the gap-weighted fold run over THAT bounded frame, never
+    corpus rows. Counts are exact integers; each term is two IEEE
+    divisions, one subtraction, one multiply — identical association
+    order in the SQL mirror.
+
+    Returns one row (n_a, n_b, n_support, w1_distance)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin(group_a, group_b) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    lead_w = Window.orderBy("__v")
+    cum = hist.select(
+        "__v",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.lead("__v").over(lead_w).alias("__nextv"),
+    )
+    tot = hist.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__na").cast("bigint").alias("n_a"),
+            F.max("__nb").cast("bigint").alias("n_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_support"),
+            # single-point support has no gaps to integrate over — the
+            # distributions coincide and the distance is exactly 0
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__nextv").isNotNull(),
+                            F.abs(
+                                F.col("__cuma").cast("double") / na
+                                - F.col("__cumb").cast("double") / nb
+                            )
+                            * (F.col("__nextv") - F.col("__v")).cast("double"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("w1_distance"),
+        )
+    )
+
+
+def eb_beta_binomial(
+    df: DataFrame, group_col: str, flag_col: str
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group binomial rates under a
+    method-of-moments Beta prior (Robbins 1956; the batting-average
+    estimator): fit Beta(alpha, beta) to the observed per-group rates,
+    then report each group's posterior mean (k + alpha)/(n + alpha +
+    beta). The small-sample honesty device per-source scorecards need —
+    a source with 3 documents and 3 English ones is NOT a 100%-English
+    source; shrinkage pulls low-evidence groups toward the global prior
+    exactly in proportion to how little data they carry.
+
+    Method of moments on the raw rates: prior strength s = m(1-m)/v - 1
+    with m the mean and v the population variance of the per-group
+    rates, alpha = m*s, beta = (1-m)*s. Degenerate families (v = 0 or
+    s <= 0 — rates identical, or overdispersed beyond the Beta family)
+    emit NULL shrunk rates rather than a fabricated prior. Two bounded
+    aggregates (groups, then 1-row moments broadcast back); never
+    corpus-sized intermediate state.
+
+    Returns per-group rows (group, n, k, raw_rate, shrunk_rate) plus the
+    fitted prior (alpha, beta) repeated per row for auditability."""
+    per = (
+        df.filter(F.col(flag_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(flag_col).cast("int")).alias("k"),
+        )
+        .withColumn(
+            "raw_rate", F.col("k").cast("double") / F.col("n").cast("double")
+        )
+    )
+    mom = per.agg(
+        F.avg("raw_rate").alias("__m"),
+        F.var_pop("raw_rate").alias("__v"),
+    )
+    m = F.col("__m")
+    v = F.col("__v")
+    s = F.when(v > 0, m * (F.lit(1.0) - m) / v - F.lit(1.0))
+    joined = per.crossJoin(F.broadcast(mom)).withColumn("__s", s)
+    ok = F.col("__s") > 0
+    alpha = F.col("__m") * F.col("__s")
+    beta = (F.lit(1.0) - F.col("__m")) * F.col("__s")
+    return joined.select(
+        "group",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.when(ok, F.round(alpha, 6)).alias("prior_alpha"),
+        F.when(ok, F.round(beta, 6)).alias("prior_beta"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("k").cast("double") + alpha)
+                / (F.col("n").cast("double") + F.col("__s")),
+                6,
+            ),
+        ).alias("shrunk_rate"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test (Welch, Biometrika
+    1947) with the Welch-Satterthwaite degrees of freedom — the
+    parametric mean-comparison twin of the family's Mann-Whitney rank
+    test: Mann-Whitney asks "does one group stochastically dominate?",
+    Welch asks "do the MEANS differ, and by how many standard errors?",
+    which is the question when the quantity itself (cost, latency,
+    tokens) is what's being budgeted.
+
+    One grouped pass collects exact integer counts and double sums
+    (sum, sum of squares) per group; mean and sample variance derive as
+    the textbook closed forms in a FIXED association order mirrored by
+    the SQL oracle. The two-sided p-value maps |t| through the portable
+    normal CDF (normal_p_two_sided above) — the normal approximation of
+    the t distribution, documented contract: at the corpus-scale n this
+    gate runs on (hundreds+ per group) the approximation error is far
+    inside the 6-dp rounding; for tiny samples read t and df directly.
+
+    Returns one row (n_a, n_b, mean_a, mean_b, t_stat, welch_df,
+    p_value)."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    agg = df.filter(g.isin(group_a, group_b) & x.isNotNull()).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(g == group_a, x)).alias("__sa"),
+        F.sum(F.when(g == group_a, x * x)).alias("__qa"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(g == group_b, x)).alias("__sb"),
+        F.sum(F.when(g == group_b, x * x)).alias("__qb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dfw = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    return agg.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("welch_df"),
+        F.round(normal_p_two_sided(t), 6).alias("p_value"),
+    )

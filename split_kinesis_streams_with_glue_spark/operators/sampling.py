@@ -473,3 +473,133 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(text_col))
         .limit(k)
     )
+
+
+def horvitz_thompson_total(
+    df: DataFrame,
+    y_col: str,
+    weight_col: str,
+    sampling_fraction_num: int = 1,
+    sampling_fraction_den: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Horvitz-Thompson estimation (Horvitz & Thompson, JASA 1952) of a
+    population total from a deterministic Poisson PPS sample: row i
+    enters the sample iff u_i < pi_i, with inclusion probability
+    pi_i = min(1, c * w_i / mean(w)) where c is the target sampling
+    fraction, and the estimator sums y_i / pi_i over SAMPLED rows only.
+    The estimator the sampling family lacked: the samplers
+    (pps/priority/stratified) produce subsets, but a pipeline that
+    reports "estimated total tokens in the full corpus" from a sample
+    needs the unbiased inverse-probability reweighting AND its variance
+    — for Poisson designs Var = sum (1-pi)/pi^2 * y^2, estimated from
+    the same sampled rows.
+
+    Determinism and portability: u_i is 48 content-hash bits scaled by
+    2^-48 (the family's md5-uniform idiom — duplicate-stable, identical
+    in any engine); pi derives from one broadcast 1-row mean-weight
+    aggregate; the inclusion test and both sums are plain IEEE
+    arithmetic in a fixed association order. Two scans of the weight
+    column (mean, then score) and one filtered fold — no sort, no
+    shuffle beyond the 1-row aggregates.
+
+    Returns one row (n_population, n_sampled, ht_total, ht_variance,
+    true_total) — true_total included because at audit time the full
+    frame is present; production use drops it."""
+    u48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    u = u48.cast("double") / F.lit(float(1 << 48))
+    mean_w = df.agg(
+        F.avg(F.col(weight_col).cast("double")).alias("__mw"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(y_col).cast("double")).alias("__true"),
+    )
+    c = F.lit(float(sampling_fraction_num)) / F.lit(
+        float(sampling_fraction_den)
+    )
+    scored = df.crossJoin(F.broadcast(mean_w)).select(
+        F.col(y_col).cast("double").alias("__y"),
+        F.least(
+            F.lit(1.0),
+            c * F.col(weight_col).cast("double") / F.col("__mw"),
+        ).alias("__pi"),
+        u.alias("__u"),
+        F.col("__n"),
+        F.col("__true"),
+    )
+    return scored.filter(F.col("__u") < F.col("__pi")).agg(
+        F.max("__n").cast("bigint").alias("n_population"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(F.sum(F.col("__y") / F.col("__pi")), 6).alias("ht_total"),
+        F.round(
+            F.sum(
+                (F.lit(1.0) - F.col("__pi"))
+                / (F.col("__pi") * F.col("__pi"))
+                * F.col("__y")
+                * F.col("__y")
+            ),
+            6,
+        ).alias("ht_variance"),
+        F.round(F.max("__true"), 6).alias("true_total"),
+    )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Quality-greedy token-budget allocation across sources (the
+    fractional-knapsack mixing step of a training-data pipeline): rank
+    groups by quality score descending, admit whole groups while the
+    cumulative token count fits the budget, and give the first group
+    that overflows the REMAINING budget as a fractional take — the
+    classic greedy that is optimal for the fractional knapsack (Dantzig
+    1957). The mixture-building operator the pipeline family lacked:
+    scorecards rank sources, samplers subset rows, but "fill a 10M-token
+    budget best-quality-first, telling me each source's take fraction"
+    is an allocation, not a sample.
+
+    One grouped pass collapses the corpus to per-group (tokens, quality)
+    rows; ranking, the running-total window and the fill arithmetic run
+    over that bounded source frame (sources number in the hundreds at
+    any corpus size — the documented bounded-global-window pattern).
+    Integer token counts make every cumulative comparison exact; the
+    fraction is one IEEE division, rounded.
+
+    Returns per-group rows (group, quality, group_tokens, cum_before,
+    take_tokens, take_fraction) for groups with take_tokens > 0."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("group_tokens"),
+        F.round(F.avg(F.col(quality_col).cast("double")), 6).alias("quality"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("group").asc())
+    cum = per.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("group_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    remaining = F.greatest(F.lit(budget).cast("bigint") - F.col("cum_before"), F.lit(0))
+    take = F.least(F.col("group_tokens"), remaining)
+    return (
+        cum.select(
+            "group",
+            "quality",
+            F.col("group_tokens").cast("bigint").alias("group_tokens"),
+            "cum_before",
+            take.cast("bigint").alias("take_tokens"),
+            F.round(
+                take.cast("double") / F.col("group_tokens").cast("double"), 6
+            ).alias("take_fraction"),
+        )
+        .filter(F.col("take_tokens") > 0)
+    )

@@ -986,3 +986,153 @@ def rrf_fuse(
             "best_rank",
         )
     )
+
+
+def mmd_linear(
+    df: DataFrame,
+    group_col: str,
+    group_x,
+    group_y,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sigma_sq: float = 1.0,
+) -> DataFrame:
+    """Linear-time estimator of squared Maximum Mean Discrepancy between
+    two embedding populations (Gretton et al., JMLR 2012, lemma 14):
+    MMD_l^2 = mean over quads (x1,x2,y1,y2) of
+    h = k(x1,x2) + k(y1,y2) - k(x1,y2) - k(x2,y1) with an RBF kernel
+    k(a,b) = exp(-||a-b||^2 / (2*sigma_sq)). The distribution-level
+    two-sample test the embedding family lacked: centroid distance sees
+    only the first moment and cosine audits are pairwise — MMD responds
+    to ANY distributional difference the kernel can see, and the linear
+    form needs one pass over paired rows, never the quadratic kernel
+    matrix (the 100 TB contract: O(n) kernel evaluations).
+
+    Determinism: quads pair consecutive rows in ``id_col`` order within
+    each group (row_number DIV 2), so the estimate is a fixed function
+    of the data, not of partitioning; unpaired tails drop. Distances
+    expand as |a|^2 + |b|^2 - 2*(a.b) over the module's left-to-right
+    double folds; the final mean is one bounded aggregate.
+
+    Returns one row (n_pairs, mmd2_linear)."""
+    g = F.col(group_col)
+    base = df.filter(g.isin(group_x, group_y)).select(
+        F.when(g == group_x, F.lit("x")).otherwise(F.lit("y")).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    w = Window.partitionBy("__g").orderBy("__id")
+    numbered = base.select(
+        "__g",
+        "__v",
+        ((F.row_number().over(w) - 1) / 2).cast("bigint").alias("__q"),
+        ((F.row_number().over(w) - 1) % 2).cast("int").alias("__slot"),
+    )
+    # one row per (quad, side): x-pairs and y-pairs land on the same __q
+    wide = (
+        numbered.groupBy("__q", "__g")
+        .agg(
+            F.max(F.when(F.col("__slot") == 0, F.col("__v"))).alias("__a"),
+            F.max(F.when(F.col("__slot") == 1, F.col("__v"))).alias("__b"),
+        )
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    )
+    xs = wide.filter(F.col("__g") == "x").select(
+        "__q", F.col("__a").alias("__x1"), F.col("__b").alias("__x2")
+    )
+    ys = wide.filter(F.col("__g") == "y").select(
+        "__q", F.col("__a").alias("__y1"), F.col("__b").alias("__y2")
+    )
+    quads = xs.join(ys, "__q")
+
+    def rbf(a, b):
+        d2 = dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b)
+        return F.exp(-d2 / F.lit(2.0 * sigma_sq))
+
+    h = (
+        rbf(F.col("__x1"), F.col("__x2"))
+        + rbf(F.col("__y1"), F.col("__y2"))
+        - rbf(F.col("__x1"), F.col("__y2"))
+        - rbf(F.col("__x2"), F.col("__y1"))
+    )
+    return quads.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(h), 6).alias("mmd2_linear"),
+    )
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette coefficient per cluster (Hruschka et al.'s
+    centroid variant of Rousseeuw 1987): for each point, a = distance to
+    its OWN cluster centroid, b = distance to the NEAREST OTHER
+    centroid, s = (b - a) / max(a, b); report per-cluster mean s and
+    size. The cluster-quality audit that scales: the classic silhouette
+    is O(n^2) pairwise; the centroid form is one broadcast join against
+    k centroids — O(n*k) kernel work, the same contract as IVF
+    assignment, honest at any corpus size.
+
+    Centroids are exact per-label means (one grouped pass over
+    zip_with-summed arrays); distances expand through the module's
+    deterministic double folds. Points in singleton clusters still score
+    (a = distance to their own mean = 0 for a true singleton). Returns
+    per-cluster rows (label, n, mean_silhouette) ordered nowhere —
+    callers sort.
+    """
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = int(dim_probe["d"])
+    cents = (
+        df.groupBy(F.col(label_col).alias("__cl"))
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"c{i}")
+                    for i in range(d)
+                ]
+            ).alias("__cent")
+        )
+    )
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.col(vec_col).alias("__v"),
+    )
+    joined = pts.join(F.broadcast(cents), how="cross")
+
+    dist = F.sqrt(
+        F.greatest(
+            dot(F.col("__v"), F.col("__v"))
+            + dot(F.col("__cent"), F.col("__cent"))
+            - F.lit(2.0) * dot(F.col("__v"), F.col("__cent")),
+            F.lit(0.0),
+        )
+    )
+    scored = joined.select(
+        "__id",
+        "__lbl",
+        "__cl",
+        dist.alias("__dist"),
+    )
+    a = scored.filter(F.col("__lbl") == F.col("__cl")).select(
+        "__id", "__lbl", F.col("__dist").alias("__a")
+    )
+    b = (
+        scored.filter(F.col("__lbl") != F.col("__cl"))
+        .groupBy("__id")
+        .agg(F.min("__dist").alias("__b"))
+    )
+    s = a.join(b, "__id").select(
+        "__lbl",
+        (
+            (F.col("__b") - F.col("__a"))
+            / F.greatest(F.col("__a"), F.col("__b"))
+        ).alias("__s"),
+    )
+    return s.groupBy(F.col("__lbl").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("__s"), 6).alias("mean_silhouette"),
+    )

@@ -664,3 +664,57 @@ def kaplan_meier(durations: DataFrame, dur_col: str, event_col: str) -> DataFram
         .otherwise(F.round(F.exp("__ls"), 6))
         .alias("survival"),
     )
+
+
+def changepoint_mean(
+    series: DataFrame, t_col: str = "t", value_col: str = "x"
+) -> DataFrame:
+    """Single mean-shift changepoint by binary segmentation (Scott &
+    Knott 1974; the one-split step of PELT-style segmentation): over
+    every candidate split t, score the SSE reduction of modeling the
+    series as two constant segments instead of one —
+    gain(t) = nl*nr/n * (mean_left - mean_right)^2 — and return the
+    argmax. The retrospective "WHEN did the level shift?" answer the
+    monitoring family lacked: CUSUM and EWMA detect drift as it streams
+    past a threshold; binary segmentation localizes the single most
+    likely break in a recorded window, which is what an incident
+    review asks.
+
+    Shape contract (the regression twin of info_gain_split's
+    classification split): the series is already a calendar-grain
+    aggregate, cumulative sums run over that bounded frame, and the
+    argmax is a TakeOrderedAndProject on the rounded gain with the
+    earlier split as tiebreak. All sums are plain doubles folded in a
+    fixed association order mirrored by the SQL oracle. Returns one row
+    (split_t, n_left, n_right, mean_left, mean_right, sse_gain)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(t_col)).rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("double")
+    cum = series.select(
+        F.col(t_col).alias("__t"),
+        F.count(F.lit(1)).over(w).alias("__nl"),
+        F.sum(x).over(w).alias("__sl"),
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(x).alias("__s")
+    )
+    nl = F.col("__nl").cast("double")
+    nr = (F.col("__n") - F.col("__nl")).cast("double")
+    ml = F.col("__sl") / nl
+    mr = (F.col("__s") - F.col("__sl")) / nr
+    gain = nl * nr / F.col("__n").cast("double") * (ml - mr) * (ml - mr)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("__nl") < F.col("__n"))
+        .select(
+            F.col("__t").alias("split_t"),
+            F.col("__nl").cast("bigint").alias("n_left"),
+            (F.col("__n") - F.col("__nl")).cast("bigint").alias("n_right"),
+            F.round(ml, 6).alias("mean_left"),
+            F.round(mr, 6).alias("mean_right"),
+            F.round(gain, 6).alias("sse_gain"),
+        )
+        .orderBy(F.col("sse_gain").desc(), F.col("split_t").asc())
+        .limit(1)
+    )

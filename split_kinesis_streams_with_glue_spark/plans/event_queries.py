@@ -2661,3 +2661,57 @@ def events_survival_km(spark, sf_dir):
         F.col("e").isNotNull().cast("int").alias("ev"),
     )
     return kaplan_meier(d0, "dur", "ev")
+
+
+@query(
+    since=8,
+    name="events_changepoint_mean",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT d,
+             COUNT(*) OVER w AS nl,
+             SUM(CAST(x AS DOUBLE)) OVER w AS sl
+      FROM s
+      WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DOUBLE)) AS st FROM s),
+    g AS (
+      SELECT d, nl, n,
+             sl / nl AS ml,
+             (st - sl) / (n - nl) AS mr,
+             CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE)
+               / CAST(n AS DOUBLE)
+               * (sl / nl - (st - sl) / (n - nl))
+               * (sl / nl - (st - sl) / (n - nl)) AS gain
+      FROM c, t WHERE nl < n
+    )
+    SELECT d AS split_t, CAST(nl AS BIGINT) AS n_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+           ROUND(gain, 6) AS sse_gain
+    FROM g ORDER BY ROUND(gain, 6) DESC, d ASC LIMIT 1
+    """,
+)
+def events_changepoint_mean(spark, sf_dir):
+    """NEW OPERATOR (round 8): single mean-shift changepoint by binary
+    segmentation (operators/timeseries.py changepoint_mean; Scott &
+    Knott 1974, the one-split step of PELT-style segmentation) over the
+    daily event-count series — WHEN did the level shift? CUSUM/EWMA
+    detect drift streaming past a threshold; this localizes the single
+    most likely break in a recorded window (the incident-review
+    question). The regression twin of info_gain_split's classification
+    split: cumulative sums over the calendar-bounded day frame, rounded
+    argmax with the earlier day as tiebreak."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        changepoint_mean,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return changepoint_mean(s, "d", "x")

@@ -4255,3 +4255,299 @@ def quality_rater_kappa(spark, sf_dir):
         "gate_len",
         "gate_wordlen",
     )
+
+
+# dot product over two plain list columns (not table.embedding) — the
+# _DOT macro's sibling for CTE-aliased vectors
+_VDOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    since=8,
+    name="dedup_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, substring(lower(text), 1, 24) AS key,
+             ROW_NUMBER() OVER (ORDER BY substring(lower(text), 1, 24) ASC,
+                                doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.key AS key_a, b.key AS key_b,
+           CAST(b.rn - a.rn AS INTEGER) AS offset
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """NEW OPERATOR (round 8): sorted-neighborhood candidate-pair
+    generation (operators/dedup.py sorted_neighborhood_pairs; Hernandez
+    & Stolfo, SIGMOD 1995) — the third blocking geometry after LSH
+    banding (hash-equality buckets) and block-pair joins (exact-key
+    equality): sort by a fuzzy key (first 24 lowercased chars) and pair
+    each doc with its next 3 sort neighbors, an n*window output bound
+    immune to hot-bucket skew. NEW PLAN SHAPE: rank once, then candidate
+    edges come from an offset-explode EQUI-join on rank+offset — never a
+    non-equi range join (BroadcastNestedLoop at scale) and never a
+    collect_list."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        load(spark, sf_dir, "documents"),
+        F.substring(F.lower(F.col("text")), 1, 24),
+        window=3,
+    )
+
+
+@query(
+    since=8,
+    name="text_hill_tail_index",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS t
+      FROM documents
+    ),
+    c AS (SELECT t, COUNT(*) AS c FROM words GROUP BY t),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk FROM c),
+    b AS (SELECT c AS xk1 FROM r WHERE rk = 21),
+    g AS (
+      SELECT SUM(ln(CAST(r.c AS DOUBLE) / CAST(b.xk1 AS DOUBLE))) / 20.0
+               AS gamma,
+             MAX(b.xk1) AS xt
+      FROM r, b WHERE r.rk <= 20
+    )
+    SELECT CAST(20 AS BIGINT) AS k, CAST(xt AS BIGINT) AS x_tail,
+           ROUND(gamma, 6) AS hill_gamma,
+           CASE WHEN gamma > 0 THEN ROUND(1.0 / gamma, 6) END AS hill_alpha
+    FROM g
+    """,
+)
+def text_hill_tail_index(spark, sf_dir):
+    """NEW OPERATOR (round 8): Hill tail-index estimator
+    (operators/text.py hill_tail_index; Hill 1975) over the k=20
+    largest term frequencies — the power-law heavy-tail diagnostic
+    (Zipf-ishness) that moves when a crawl's head terms inflate
+    (boilerplate) or deflate (template stripping) before any quality
+    score reacts. One explode scan to the Zipf-small histogram, a
+    21-row TakeOrderedAndProject, a 20-row log fold."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        hill_tail_index,
+    )
+
+    return hill_tail_index(load(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    since=8,
+    name="text_sttr_diversity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(w))) AS i,
+             w
+      FROM tok
+    ),
+    toks AS (
+      SELECT doc_id, (i - 1) // 25 AS seg, w[i] AS t FROM pos
+    ),
+    per_seg AS (
+      SELECT doc_id, seg, COUNT(*) AS n, COUNT(DISTINCT t) AS d
+      FROM toks GROUP BY doc_id, seg
+    ),
+    overall AS (
+      SELECT COUNT(*) AS nt, COUNT(DISTINCT t) AS dt FROM toks
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(AVG(CAST(d AS DOUBLE) / 25.0), 6) AS msttr,
+           ROUND(CAST(MAX(dt) AS DOUBLE) / CAST(MAX(nt) AS DOUBLE), 6)
+             AS raw_ttr
+    FROM per_seg, overall WHERE n = 25
+    """,
+)
+def text_sttr_diversity(spark, sf_dir):
+    """NEW OPERATOR (round 8): mean segmental type-token ratio
+    (operators/text.py segmental_ttr; MSTTR, Johnson 1944) — lexical
+    diversity with the length confound controlled away: raw TTR falls
+    mechanically with document length, so MSTTR averages the TTR of
+    consecutive FULL 25-token segments instead (partial tails
+    discarded per definition). One posexplode scan, a (doc, segment)
+    aggregate, a bounded mean; raw corpus TTR emitted alongside for
+    the contrast."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        segmental_ttr,
+    )
+
+    return segmental_ttr(load(spark, sf_dir, "documents"), segment_len=25)
+
+
+@query(
+    since=8,
+    name="sim_mmd_linear",
+    oracle=f"""
+    WITH b AS (
+      SELECT CASE WHEN label = 0 THEN 'x' ELSE 'y' END AS g,
+             vec_id AS id, embedding AS v
+      FROM embeddings WHERE label IN (0, 1)
+    ),
+    n AS (
+      SELECT g, v,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) - 1 AS rn
+      FROM b
+    ),
+    e AS (SELECT g, rn // 2 AS q, rn % 2 AS slot, v FROM n),
+    pairs AS (
+      SELECT a.g, a.q, a.v AS v1, bb.v AS v2
+      FROM e a JOIN e bb ON a.g = bb.g AND a.q = bb.q
+      WHERE a.slot = 0 AND bb.slot = 1
+    ),
+    quads AS (
+      SELECT x.v1 AS x1, x.v2 AS x2, y.v1 AS y1, y.v2 AS y2
+      FROM pairs x JOIN pairs y ON x.q = y.q
+      WHERE x.g = 'x' AND y.g = 'y'
+    ),
+    h AS (
+      SELECT exp(-({_VDOT.format(a='x1', b='x1')} + {_VDOT.format(a='x2', b='x2')}
+                   - 2.0 * {_VDOT.format(a='x1', b='x2')}) / 2.0)
+           + exp(-({_VDOT.format(a='y1', b='y1')} + {_VDOT.format(a='y2', b='y2')}
+                   - 2.0 * {_VDOT.format(a='y1', b='y2')}) / 2.0)
+           - exp(-({_VDOT.format(a='x1', b='x1')} + {_VDOT.format(a='y2', b='y2')}
+                   - 2.0 * {_VDOT.format(a='x1', b='y2')}) / 2.0)
+           - exp(-({_VDOT.format(a='x2', b='x2')} + {_VDOT.format(a='y1', b='y1')}
+                   - 2.0 * {_VDOT.format(a='x2', b='y1')}) / 2.0)
+             AS hv
+      FROM quads
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(hv), 6) AS mmd2_linear
+    FROM h
+    """,
+)
+def sim_mmd_linear(spark, sf_dir):
+    """NEW OPERATOR (round 8): linear-time Maximum Mean Discrepancy
+    (operators/similarity.py mmd_linear; Gretton et al., JMLR 2012) —
+    the distribution-level two-sample test between the label-0 and
+    label-1 embedding populations with an RBF kernel (sigma^2 = 1):
+    centroid distance sees only the mean and pairwise audits are
+    quadratic; the linear MMD estimator pairs consecutive rows in
+    vec_id order and needs O(n) kernel evaluations — honest at any
+    corpus size. Near-zero means the kernel cannot tell the
+    populations apart."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        mmd_linear,
+    )
+
+    return mmd_linear(
+        load(spark, sf_dir, "embeddings"), "label", 0, 1, sigma_sq=1.0
+    )
+
+
+@query(
+    since=8,
+    name="sim_silhouette_simplified",
+    oracle="""
+    WITH pos AS (
+      SELECT label, vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             embedding AS v
+      FROM embeddings
+    ),
+    vals AS (
+      SELECT label, vec_id, i, CAST(v[i] AS DOUBLE) AS val FROM pos
+    ),
+    cent AS (
+      SELECT label AS cl, i, AVG(val) AS cv FROM vals GROUP BY label, i
+    ),
+    d AS (
+      SELECT p.vec_id, p.label, c.cl,
+             sqrt(greatest(SUM(p.val * p.val) + SUM(c.cv * c.cv)
+                           - 2.0 * SUM(p.val * c.cv), 0.0)) AS dist
+      FROM vals p JOIN cent c ON p.i = c.i
+      GROUP BY p.vec_id, p.label, c.cl
+    ),
+    a AS (SELECT vec_id, label, dist AS da FROM d WHERE label = cl),
+    b AS (SELECT vec_id, MIN(dist) AS db FROM d WHERE label <> cl
+          GROUP BY vec_id),
+    s AS (
+      SELECT a.label, (b.db - a.da) / greatest(a.da, b.db) AS sv
+      FROM a JOIN b ON a.vec_id = b.vec_id
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sv), 6) AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def sim_silhouette_simplified(spark, sf_dir):
+    """NEW OPERATOR (round 8): simplified (centroid-based) silhouette
+    (operators/similarity.py silhouette_simplified; Rousseeuw 1987 via
+    the Hruschka centroid variant) — per-cluster separation quality
+    over the labeled embeddings: a = distance to own centroid, b =
+    distance to nearest other centroid, s = (b-a)/max(a,b). The classic
+    silhouette is O(n^2) pairwise; the centroid form is one broadcast
+    join against k exact per-label means — O(n*k), the IVF-assignment
+    contract, honest at any corpus size."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        silhouette_simplified,
+    )
+
+    return silhouette_simplified(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    since=8,
+    name="sample_horvitz_thompson",
+    oracle="""
+    WITH mw AS (
+      SELECT AVG(CAST(n_chars AS DOUBLE)) AS mwv, COUNT(*) AS n,
+             SUM(CAST(n_chars AS DOUBLE)) AS truev
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(n_chars AS DOUBLE) AS y,
+             LEAST(1.0, 0.25 * CAST(n_chars AS DOUBLE) / mwv) AS pi,
+             CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)
+                  AS DOUBLE) / 281474976710656.0 AS u,
+             n, truev
+      FROM documents, mw
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_population,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(y / pi), 6) AS ht_total,
+           ROUND(SUM((1.0 - pi) / (pi * pi) * y * y), 6) AS ht_variance,
+           ROUND(MAX(truev), 6) AS true_total
+    FROM s WHERE u < pi
+    """,
+)
+def sample_horvitz_thompson(spark, sf_dir):
+    """NEW OPERATOR (round 8): Horvitz-Thompson total estimation
+    (operators/sampling.py horvitz_thompson_total; Horvitz & Thompson
+    1952) from a deterministic Poisson PPS sample — inclusion
+    probability pi = min(1, 0.25 * n_chars / mean(n_chars)), inclusion
+    test u < pi with u the 48 content-hash bits scaled to (0,1), and
+    the inverse-probability estimator sum(y/pi) PLUS its Poisson-design
+    variance sum((1-pi)/pi^2 * y^2) over sampled rows only. The
+    estimator leg the sampling family lacked: samplers subset, HT
+    reports what the full corpus totals, with the uncertainty that
+    makes the number usable."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        horvitz_thompson_total,
+    )
+
+    return horvitz_thompson_total(
+        load(spark, sf_dir, "documents"),
+        "n_chars",
+        "n_chars",
+        sampling_fraction_num=1,
+        sampling_fraction_den=4,
+    )

@@ -1741,3 +1741,56 @@ def stream_opsmix_monitor(spark, sf_dir):
         "delete_frac",
         "alarm",
     )
+
+
+@query(
+    since=8,
+    name="pipeline_token_budget_fill",
+    oracle="""
+    WITH per AS (
+      SELECT source AS "group", SUM(n_chars) AS gt,
+             ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+               AS quality
+      FROM documents GROUP BY 1
+    ),
+    c AS (
+      SELECT "group", quality, gt,
+             COALESCE(SUM(gt) OVER (ORDER BY quality DESC, "group" ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before
+      FROM per
+    )
+    SELECT "group", quality,
+           CAST(gt AS BIGINT) AS group_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(LEAST(gt, GREATEST(60000 - cum_before, 0)) AS BIGINT)
+             AS take_tokens,
+           ROUND(CAST(LEAST(gt, GREATEST(60000 - cum_before, 0)) AS DOUBLE)
+                 / CAST(gt AS DOUBLE), 6) AS take_fraction
+    FROM c WHERE LEAST(gt, GREATEST(60000 - cum_before, 0)) > 0
+    """,
+)
+def pipeline_token_budget_fill(spark, sf_dir):
+    """NEW OPERATOR (round 8): quality-greedy token-budget allocation
+    (operators/sampling.py token_budget_fill; the fractional-knapsack
+    greedy, Dantzig 1957) — fill a 60k-token budget best-quality-first
+    across sources (quality = English share), whole groups until the
+    budget breaks, then one fractional take. The mixture-BUILDING step
+    the pipeline family lacked: scorecards rank sources and samplers
+    subset rows, but a training mix is an ALLOCATION (per-source take
+    fractions against a token budget). One grouped pass to the bounded
+    source frame; running-total window over that frame only; integer
+    token arithmetic so every cumulative comparison is exact."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        token_budget_fill,
+    )
+
+    return token_budget_fill(
+        load(spark, sf_dir, "documents").withColumn(
+            "q", (F.col("lang") == "en").cast("double")
+        ),
+        "source",
+        "n_chars",
+        "q",
+        budget=60000,
+    )

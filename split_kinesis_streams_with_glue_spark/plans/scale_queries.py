@@ -2404,3 +2404,221 @@ def dedup_record_linkage(spark, sf_dir):
     return linkage_feature_weights(
         rec, pairs, ["lang", "source", "len_bucket"]
     )
+
+
+@query(
+    since=8,
+    name="quality_average_precision",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (ORDER BY ROUND(CAST(n_chars AS DOUBLE), 6)
+                                  DESC, doc_id ASC) AS rank,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               OVER (ORDER BY ROUND(CAST(n_chars AS DOUBLE), 6) DESC,
+                     doc_id ASC ROWS UNBOUNDED PRECEDING) AS cumrel
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           ROUND(SUM(CASE WHEN rel = 1
+                          THEN CAST(cumrel AS DOUBLE)
+                               / CAST(rank AS DOUBLE) END)
+                 / CAST(SUM(rel) AS DOUBLE), 6) AS average_precision,
+           ROUND(CAST(SUM(CASE WHEN rank <= 10 THEN rel END) AS DOUBLE)
+                 / 10.0, 6) AS p_at_k
+    FROM r
+    """,
+)
+def quality_average_precision(spark, sf_dir):
+    """NEW OPERATOR (round 8): average precision + precision@10
+    (operators/quality_checks.py average_precision; the ranked-retrieval
+    eval primitive, Manning/Raghavan/Schuetze IIR ch. 8) — scores the
+    length-descending document ranking against the is-English label:
+    AP = mean over relevant ranks of precision@rank. The eval leg the
+    retrieval family (BM25/ANN/RRF/MMR) lacked: those produce rankings,
+    AP grades one. Ranks order by the rounded score with the id
+    tiebreak; exact integer cumulative counts; one bounded fold."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        average_precision,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("rel"),
+        "doc_id",
+    )
+    return average_precision(d, "score", "rel", "doc_id", k=10)
+
+
+@query(
+    since=8,
+    name="quality_wasserstein_drift",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS v,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS cb
+      FROM documents
+      WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             LEAD(v) OVER (ORDER BY v) AS nextv
+      FROM h
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h)
+    SELECT CAST(MAX(t.na) AS BIGINT) AS n_a,
+           CAST(MAX(t.nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_support,
+           ROUND(COALESCE(SUM(CASE WHEN nextv IS NOT NULL
+                          THEN abs(CAST(cuma AS DOUBLE)
+                                     / CAST(t.na AS DOUBLE)
+                                   - CAST(cumb AS DOUBLE)
+                                     / CAST(t.nb AS DOUBLE))
+                               * CAST(nextv - v AS DOUBLE) END), 0.0), 6)
+             AS w1_distance
+    FROM c, t
+    """,
+)
+def quality_wasserstein_drift(spark, sf_dir):
+    """NEW OPERATOR (round 8): exact 1-Wasserstein distance
+    (operators/quality_checks.py wasserstein_1d) between the English
+    and Chinese document-length distributions — the bin-free drift
+    measure PSI and binned-KS cannot give: W1 reports drift in the
+    UNITS of the column (characters of length shift), so thresholds are
+    physically interpretable. Distinct-value histogram, cumulative ECDF
+    window over that bounded frame, gap-weighted fold."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        wasserstein_1d,
+    )
+
+    return wasserstein_1d(
+        load(spark, sf_dir, "documents"), "n_chars", "lang", "en", "zh"
+    )
+
+
+@query(
+    since=8,
+    name="quality_eb_shrinkage",
+    oracle="""
+    WITH per AS (
+      SELECT source AS "group", COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k
+      FROM documents GROUP BY 1
+    ),
+    p2 AS (
+      SELECT "group", n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw
+      FROM per
+    ),
+    mom AS (SELECT AVG(raw) AS m, VAR_POP(raw) AS v FROM p2),
+    s AS (
+      SELECT "group", n, k, raw, m,
+             CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 END AS st
+      FROM p2, mom
+    )
+    SELECT "group", CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND(raw, 6) AS raw_rate,
+           CASE WHEN st > 0 THEN ROUND(m * st, 6) END AS prior_alpha,
+           CASE WHEN st > 0 THEN ROUND((1.0 - m) * st, 6) END AS prior_beta,
+           CASE WHEN st > 0
+                THEN ROUND((CAST(k AS DOUBLE) + m * st)
+                           / (CAST(n AS DOUBLE) + st), 6) END AS shrunk_rate
+    FROM s
+    """,
+)
+def quality_eb_shrinkage(spark, sf_dir):
+    """NEW OPERATOR (round 8): empirical-Bayes beta-binomial shrinkage
+    (operators/quality_checks.py eb_beta_binomial; Robbins 1956) of
+    per-source English rates — the small-sample honesty device the
+    scorecard family lacked: a 3-document source with 3 English docs is
+    not a 100%-English source; the method-of-moments Beta prior pulls
+    low-evidence groups toward the corpus prior in proportion to how
+    little data they carry. Two bounded aggregates (groups, then 1-row
+    moments broadcast back)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        eb_beta_binomial,
+    )
+
+    return eb_beta_binomial(
+        load(spark, sf_dir, "documents").withColumn(
+            "is_en", (F.col("lang") == "en").cast("int")
+        ),
+        "source",
+        "is_en",
+    )
+
+
+@query(
+    since=8,
+    name="quality_welch_ttest",
+    oracle="""
+    WITH a AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN lang = 'en'
+                      THEN CAST(n_chars AS DOUBLE) END) AS sa,
+             SUM(CASE WHEN lang = 'en'
+                      THEN CAST(n_chars AS DOUBLE)
+                           * CAST(n_chars AS DOUBLE) END) AS qa,
+             SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN lang = 'de'
+                      THEN CAST(n_chars AS DOUBLE) END) AS sb,
+             SUM(CASE WHEN lang = 'de'
+                      THEN CAST(n_chars AS DOUBLE)
+                           * CAST(n_chars AS DOUBLE) END) AS qb
+      FROM documents
+      WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+    ),
+    m AS (
+      SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             ((qa - sa * sa / na) / (na - 1)) / na AS sea,
+             ((qb - sb * sb / nb) / (nb - 1)) / nb AS seb
+      FROM a
+    ),
+    z AS (
+      SELECT na, nb, ma, mb,
+             (ma - mb) / sqrt(sea + seb) AS t,
+             (sea + seb) * (sea + seb)
+               / (sea * sea / (na - 1) + seb * seb / (nb - 1)) AS dfw
+      FROM m
+    ),
+    ac AS (
+      SELECT na, nb, ma, mb, t, dfw,
+             1 / (1 + CAST(0.2316419 AS DOUBLE) * abs(t)) AS tt,
+             exp(-(abs(t) * abs(t)) / 2) / sqrt(2 * pi()) AS pdf
+      FROM z
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(t, 6) AS t_stat, ROUND(dfw, 6) AS welch_df,
+           ROUND(2 * pdf
+                 * (tt * (CAST(0.319381530 AS DOUBLE)
+                    + tt * (CAST(-0.356563782 AS DOUBLE)
+                      + tt * (CAST(1.781477937 AS DOUBLE)
+                        + tt * (CAST(-1.821255978 AS DOUBLE)
+                          + tt * CAST(1.330274429 AS DOUBLE)))))),
+                 6) AS p_value
+    FROM ac
+    """,
+)
+def quality_welch_ttest(spark, sf_dir):
+    """NEW OPERATOR (round 8): Welch's unequal-variance t test
+    (operators/quality_checks.py welch_ttest; Welch 1947) with
+    Welch-Satterthwaite degrees of freedom — do English and German
+    documents differ in MEAN length, and by how many standard errors?
+    The parametric twin of quality_mann_whitney: the rank test asks
+    about stochastic dominance, Welch about the mean of the quantity
+    being budgeted. One grouped pass of exact counts and double sums;
+    p-value through the portable A&S normal CDF (documented
+    normal-approximation contract at corpus-scale n)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        welch_ttest,
+    )
+
+    return welch_ttest(
+        load(spark, sf_dir, "documents"), "n_chars", "lang", "en", "de"
+    )

@@ -501,6 +501,35 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin of the 1-row observed-agreement agg with the 1-row
     # expected-agreement (marginal product-sum) agg — both bounded
     "quality_rater_kappa": {"cartesian-product"},
+    # --- round-8 queries ---
+    # the rank-offset window runs over the #partitions-row count frame
+    # (one row per range partition — bounded by the partition count, not
+    # data); the per-row ranks themselves use PARTITIONED windows by
+    # design (the two-pass range rank replaces the naive global
+    # row_number precisely to avoid a single-partition WindowExec)
+    "dedup_sorted_neighborhood": {"unpartitioned-window"},
+    # cumulative-mean windows over the calendar-bounded day aggregate
+    # (same class as events_wma_trend)
+    "events_changepoint_mean": {"unpartitioned-window"},
+    # running-total window over the bounded per-source frame (sources
+    # number in the hundreds at any corpus size — scorecard class)
+    "pipeline_token_budget_fill": {"unpartitioned-window"},
+    # the ranking window runs over a scored EVAL SLICE (candidate list /
+    # labeled holdout — bounded by the operator's documented contract,
+    # same re-ranker-not-corpus class as sim_mmr_select)
+    "quality_average_precision": {"unpartitioned-window"},
+    # crossJoin(broadcast(<1-row method-of-moments agg over the bounded
+    # per-group rate frame>)) — bounded by design
+    "quality_eb_shrinkage": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row group-totals agg>)); ECDF + lead windows
+    # over the distinct-value histogram (same classes as
+    # quality_mann_whitney / quality_ks_binned)
+    "quality_wasserstein_drift": {"cartesian-product", "unpartitioned-window"},
+    # crossJoin(broadcast(<1-row (k+1)-th order statistic>)) against the
+    # k-row head of the Zipf-small term histogram — bounded by design
+    "text_hill_tail_index": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row corpus type/token totals>)) — bounded
+    "text_sttr_diversity": {"cartesian-product"},
 }
 
 

@@ -822,3 +822,162 @@ def test_cochran_armitage_matches_naive_formula(spark, rows):
         assert abs(r["z"] - t_stat / math.sqrt(var)) < 1.1e-6
     else:
         assert r["z"] is None and r["p_value"] is None
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=20),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=20),
+)
+def test_wasserstein_matches_naive_transport(spark, xs, ys):
+    """The gap-weighted ECDF fold must equal the textbook transport form:
+    for empirical distributions, W1 = integral |Fa - Fb| computed here by
+    a dense per-unit scan over the merged support."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        wasserstein_1d,
+    )
+
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v int")
+    [r] = wasserstein_1d(df, "v", "g", "a", "b").collect()
+
+    lo, hi = min(xs + ys), max(xs + ys)
+    na, nb = len(xs), len(ys)
+    want = 0.0
+    for t in range(lo, hi):  # unit steps: n_chars-like integer support
+        fa = sum(1 for v in xs if v <= t) / na
+        fb = sum(1 for v in ys if v <= t) / nb
+        want += abs(fa - fb)
+    assert abs(r["w1_distance"] - round(want, 6)) < 1e-5
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.booleans()),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ).filter(lambda l: any(r for _, r in l))
+)
+def test_average_precision_matches_naive_loop(spark, items):
+    """AP from the windowed cumulative fold must equal the literal loop
+    over the sorted ranking."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(s), int(r)) for i, (s, r) in enumerate(items)],
+        "id int, score double, rel int",
+    )
+    [got] = average_precision(df, "score", "rel", "id", k=3).collect()
+
+    ranked = sorted(
+        enumerate(items), key=lambda t: (-round(t[1][0], 6), t[0])
+    )
+    n_rel = sum(1 for _, (_, r) in ranked if r)
+    cum, ap, p3 = 0, 0.0, 0
+    for rank, (_, (_, r)) in enumerate(ranked, 1):
+        if r:
+            cum += 1
+            ap += cum / rank
+        if rank <= 3 and r:
+            p3 += 1
+    assert got["n_rel"] == n_rel
+    assert abs(got["average_precision"] - round(ap / n_rel, 6)) < 1e-6
+    assert abs(got["p_at_k"] - round(p3 / 3.0, 6)) < 1e-6
+
+
+@SET
+@given(
+    st.lists(st.integers(0, 100), min_size=2, max_size=15),
+    st.lists(st.integers(0, 100), min_size=2, max_size=15),
+)
+def test_welch_matches_statistics_module(spark, xs, ys):
+    """t and the Satterthwaite df must match the naive mean/variance
+    computation (guarded to non-degenerate variances)."""
+    import statistics
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        welch_ttest,
+    )
+
+    if statistics.variance(xs) == 0 or statistics.variance(ys) == 0:
+        return
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v int")
+    [r] = welch_ttest(df, "v", "g", "a", "b").collect()
+    na, nb = len(xs), len(ys)
+    sea = statistics.variance(xs) / na
+    seb = statistics.variance(ys) / nb
+    t = (statistics.mean(xs) - statistics.mean(ys)) / (sea + seb) ** 0.5
+    dfw = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-4
+    assert abs(r["welch_df"] - round(dfw, 6)) < 1e-3
+
+
+@SET
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=15))
+def test_changepoint_matches_brute_force(spark, xs):
+    """The cumulative-sum argmax must pick the same split (and gain) as
+    the O(n^2) brute-force SSE evaluation, tiebreaking on the earlier
+    split."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        changepoint_mean,
+    )
+
+    df = spark.createDataFrame(list(enumerate(xs)), "t int, x int")
+    [r] = changepoint_mean(df, "t", "x").collect()
+
+    n = len(xs)
+    best = None
+    for cut in range(1, n):  # split after index cut-1
+        left, right = xs[:cut], xs[cut:]
+        ml = sum(left) / len(left)
+        mr = sum(right) / len(right)
+        gain = round(len(left) * len(right) / n * (ml - mr) ** 2, 6)
+        if best is None or gain > best[0]:
+            best = (gain, cut - 1, ml, mr)
+    assert r["split_t"] == best[1]
+    assert abs(r["sse_gain"] - best[0]) < 1e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.integers(0, 20)),
+        min_size=2,
+        max_size=10,
+    ).filter(lambda l: all(k <= n for n, k in l))
+)
+def test_eb_shrinkage_matches_fraction_arithmetic(spark, groups):
+    """Method-of-moments prior and posterior means must match exact
+    Fraction arithmetic (cast to float only at the comparison)."""
+    from fractions import Fraction
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        eb_beta_binomial,
+    )
+
+    rows = []
+    for gi, (n, k) in enumerate(groups):
+        rows += [(f"g{gi}", 1)] * k + [(f"g{gi}", 0)] * (n - k)
+    df = spark.createDataFrame(rows, "g string, f int")
+    got = {r["group"]: r for r in eb_beta_binomial(df, "g", "f").collect()}
+
+    rates = [Fraction(k, n) for n, k in groups]
+    m = sum(rates) / len(rates)
+    v = sum((r - m) ** 2 for r in rates) / len(rates)
+    if v == 0:
+        assert all(got[f"g{i}"]["shrunk_rate"] is None for i in range(len(groups)))
+        return
+    s = m * (1 - m) / v - 1
+    for gi, (n, k) in enumerate(groups):
+        row = got[f"g{gi}"]
+        assert abs(row["raw_rate"] - round(float(Fraction(k, n)), 6)) < 1e-9
+        if s <= 0:
+            assert row["shrunk_rate"] is None
+        else:
+            want = float((k + m * s) / (n + s))
+            assert abs(row["shrunk_rate"] - round(want, 6)) < 1e-5

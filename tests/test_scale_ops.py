@@ -1199,3 +1199,326 @@ def test_linkage_feature_weights_hand_computed(spark):
     z = got["z"]
     assert z["u_prob"] == 1.0 and z["weight_disagree"] is None
     assert abs(z["weight_agree"] - round(math.log2(0.875), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: hand-computed verifications
+# ---------------------------------------------------------------------------
+
+
+def test_average_precision_hand_computed(spark):
+    """Ranking by score desc: [rel, non, rel, non] -> AP = (1/2) *
+    (1/1 + 2/3) = 0.833333; P@2 = 1/2. A perfect ranking scores 1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 0), (3, 0.7, 1), (4, 0.6, 0)],
+        "id int, score double, rel int",
+    )
+    [r] = average_precision(df, "score", "rel", "id", k=2).collect()
+    assert r["n"] == 4 and r["n_rel"] == 2
+    assert abs(r["average_precision"] - (1.0 + 2.0 / 3.0) / 2.0) < 1e-6
+    assert abs(r["p_at_k"] - 0.5) < 1e-9
+    perfect = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 1), (3, 0.7, 0)], "id int, score double, rel int"
+    )
+    [p] = average_precision(perfect, "score", "rel", "id", k=2).collect()
+    assert p["average_precision"] == 1.0 and p["p_at_k"] == 1.0
+
+
+def test_wasserstein_1d_hand_computed(spark):
+    """a = {0, 0}, b = {1, 1}: ECDFs differ by 1 on [0,1) -> W1 = 1.
+    a = {0, 2}, b = {1, 3}: |Fa-Fb| = 0.5 on [0,1) and [2,3) but 0 on
+    [1,2) (both at 0.5) -> W1 = 1.0 (each point shifts by 1).
+    Identical distributions -> 0."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        wasserstein_1d,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 1), ("b", 1)], "g string, v int"
+    )
+    [r] = wasserstein_1d(df, "v", "g", "a", "b").collect()
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_support"] == 2
+    assert abs(r["w1_distance"] - 1.0) < 1e-9
+
+    df2 = spark.createDataFrame(
+        [("a", 0), ("a", 2), ("b", 1), ("b", 3)], "g string, v int"
+    )
+    [r2] = wasserstein_1d(df2, "v", "g", "a", "b").collect()
+    assert abs(r2["w1_distance"] - 1.0) < 1e-9
+
+    same = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 5), ("b", 7)], "g string, v int"
+    )
+    [r3] = wasserstein_1d(same, "v", "g", "a", "b").collect()
+    assert r3["w1_distance"] == 0.0
+
+
+def test_eb_beta_binomial_hand_computed(spark):
+    """Three groups with rates 0.2, 0.5, 0.8 (n=10 each): m = 0.5,
+    v = var_pop = 0.06 -> s = 0.25*0.24/0.06... wait: m(1-m)/v - 1 =
+    0.25/0.06 - 1 = 3.166667; alpha = beta = 1.583333. Group a shrinks
+    toward 0.5: (2 + 1.583333)/(10 + 3.166667) = 0.272152. Degenerate
+    (identical rates, v=0) -> NULL shrunk rates."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        eb_beta_binomial,
+    )
+
+    rows = (
+        [("a", 1)] * 2 + [("a", 0)] * 8
+        + [("b", 1)] * 5 + [("b", 0)] * 5
+        + [("c", 1)] * 8 + [("c", 0)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, f int")
+    got = {r["group"]: r for r in eb_beta_binomial(df, "g", "f").collect()}
+    s = 0.5 * 0.5 / 0.06 - 1.0
+    assert abs(got["a"]["prior_alpha"] - round(0.5 * s, 6)) < 1e-9
+    assert abs(got["a"]["shrunk_rate"] - round((2 + 0.5 * s) / (10 + s), 6)) < 1e-6
+    assert abs(got["c"]["shrunk_rate"] - round((8 + 0.5 * s) / (10 + s), 6)) < 1e-6
+    # shrinkage pulls extremes toward the middle
+    assert got["a"]["shrunk_rate"] > got["a"]["raw_rate"]
+    assert got["c"]["shrunk_rate"] < got["c"]["raw_rate"]
+    flat = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "g string, f int"
+    )
+    for r in eb_beta_binomial(flat, "g", "f").collect():
+        assert r["shrunk_rate"] is None and r["raw_rate"] == 0.5
+
+
+def test_welch_ttest_hand_computed(spark):
+    """a = {1,2,3} (mean 2, var 1), b = {2,4,6} (mean 4, var 4):
+    t = (2-4)/sqrt(1/3+4/3) = -2/sqrt(5/3) = -1.549193;
+    df = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 2.941176. Identical groups
+    -> t = 0, p = 1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        welch_ttest,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 4), ("b", 6)],
+        "g string, v int",
+    )
+    [r] = welch_ttest(df, "v", "g", "a", "b").collect()
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["mean_a"] == 2.0 and r["mean_b"] == 4.0
+    assert abs(r["t_stat"] - round(-2 / math.sqrt(5.0 / 3.0), 6)) < 1e-6
+    se = 1.0 / 3.0 + 4.0 / 3.0
+    dfw = se * se / ((1.0 / 9.0) / 2.0 + (16.0 / 9.0) / 2.0)
+    assert abs(r["welch_df"] - round(dfw, 6)) < 1e-6
+    assert 0 < r["p_value"] < 0.2
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1), ("b", 3)], "g string, v int"
+    )
+    [s] = welch_ttest(same, "v", "g", "a", "b").collect()
+    assert s["t_stat"] == 0.0 and abs(s["p_value"] - 1.0) < 1e-4
+
+
+def test_mmd_linear_hand_computed(spark):
+    """Identical paired populations: every quad has k(x1,x2) = k(y1,y2)
+    and the cross terms equal them too -> h = 0 -> MMD^2 = 0. Disjoint
+    clusters (x around the origin, y far away): cross kernels ~ 0,
+    within kernels ~ 1 -> MMD^2 near 2."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        mmd_linear,
+    )
+
+    same = spark.createDataFrame(
+        [
+            ("x", 1, [1.0, 0.0]), ("x", 2, [0.0, 1.0]),
+            ("y", 3, [1.0, 0.0]), ("y", 4, [0.0, 1.0]),
+        ],
+        "g string, vec_id int, embedding array<float>",
+    )
+    [r] = mmd_linear(same, "g", "x", "y").collect()
+    assert r["n_pairs"] == 1 and abs(r["mmd2_linear"]) < 1e-9
+
+    far = spark.createDataFrame(
+        [
+            ("x", 1, [0.0, 0.0]), ("x", 2, [0.1, 0.0]),
+            ("y", 3, [100.0, 0.0]), ("y", 4, [100.1, 0.0]),
+        ],
+        "g string, vec_id int, embedding array<float>",
+    )
+    [f] = mmd_linear(far, "g", "x", "y").collect()
+    assert f["mmd2_linear"] > 1.9
+    # odd tails drop: 3 x-rows pair once
+    odd = spark.createDataFrame(
+        [
+            ("x", 1, [0.0]), ("x", 2, [0.0]), ("x", 5, [9.0]),
+            ("y", 3, [0.0]), ("y", 4, [0.0]),
+        ],
+        "g string, vec_id int, embedding array<float>",
+    )
+    [o] = mmd_linear(odd, "g", "x", "y").collect()
+    assert o["n_pairs"] == 1
+
+
+def test_silhouette_simplified_hand_computed(spark):
+    """Two tight, well-separated clusters: own-centroid distance 1,
+    other-centroid distance sqrt(101) -> s = (sqrt(101)-1)/sqrt(101)
+    = 0.900504 for every point."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        silhouette_simplified,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0], 0), (2, [0.0, -1.0], 0),
+            (3, [10.0, 1.0], 1), (4, [10.0, -1.0], 1),
+        ],
+        "vec_id int, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in silhouette_simplified(df).collect()}
+    expect = (math.sqrt(101.0) - 1.0) / math.sqrt(101.0)
+    for lbl in (0, 1):
+        assert got[lbl]["n"] == 2
+        assert abs(got[lbl]["mean_silhouette"] - round(expect, 6)) < 1e-6
+
+
+def test_horvitz_thompson_unbiasedness_shape(spark):
+    """With uniform weights and c = 1 every pi = 1, u < 1 always ->
+    the 'sample' is the census, ht_total == true_total exactly and the
+    variance term (1-pi) vanishes."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        horvitz_thompson_total,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc {i}", 10) for i in range(20)], "text string, y int"
+    )
+    [r] = horvitz_thompson_total(
+        df, "y", "y", sampling_fraction_num=1, sampling_fraction_den=1
+    ).collect()
+    assert r["n_population"] == 20 and r["n_sampled"] == 20
+    assert r["ht_total"] == r["true_total"] == 200.0
+    assert r["ht_variance"] == 0.0
+    # a thinner design samples fewer rows but reweights toward the total
+    [t] = horvitz_thompson_total(
+        df, "y", "y", sampling_fraction_num=1, sampling_fraction_den=2
+    ).collect()
+    assert 0 < t["n_sampled"] < 20
+    assert t["ht_total"] == round(t["n_sampled"] * 10 / 0.5, 6)
+
+
+def test_token_budget_fill_hand_computed(spark):
+    """Groups (quality, tokens): a(0.9, 100), b(0.5, 100), c(0.1, 100);
+    budget 150 -> a whole, b half (fraction 0.5), c excluded."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        token_budget_fill,
+    )
+
+    rows = (
+        [("a", 50, 0.9)] * 2 + [("b", 50, 0.5)] * 2 + [("c", 50, 0.1)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, tok int, q double")
+    got = {r["group"]: r for r in token_budget_fill(df, "g", "tok", "q", 150).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["take_tokens"] == 100 and got["a"]["take_fraction"] == 1.0
+    assert got["b"]["take_tokens"] == 50 and got["b"]["take_fraction"] == 0.5
+    assert got["b"]["cum_before"] == 100
+    # budget >= total admits everything whole
+    full = token_budget_fill(df, "g", "tok", "q", 1000).collect()
+    assert all(r["take_fraction"] == 1.0 for r in full)
+
+
+def test_hill_tail_index_hand_computed(spark):
+    """Counts 8, 4, 2 with k = 2: x_3 = 2, gamma = (ln 4 + ln 2)/2 =
+    1.5*ln 2 = 1.039721, alpha = 0.961797. A flat head (all counts
+    equal x_{k+1}) -> gamma 0, alpha NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        hill_tail_index,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [("a a a a a a a a b b b b c c",)], "text string"
+    )
+    [r] = hill_tail_index(df, k=2).collect()
+    assert r["k"] == 2 and r["x_tail"] == 2
+    assert abs(r["hill_gamma"] - round(1.5 * math.log(2.0), 6)) < 1e-9
+    assert abs(r["hill_alpha"] - round(1.0 / (1.5 * math.log(2.0)), 6)) < 1e-6
+    flat = spark.createDataFrame([("a a b b c c",)], "text string")
+    [f] = hill_tail_index(flat, k=2).collect()
+    assert f["hill_gamma"] == 0.0 and f["hill_alpha"] is None
+    # vocabulary of <= k terms: no (k+1)-th order statistic
+    tiny = hill_tail_index(
+        spark.createDataFrame([("a b",)], "text string"), k=2
+    ).collect()
+    assert len(tiny) == 1 and tiny[0]["x_tail"] is None
+
+
+def test_segmental_ttr_hand_computed(spark):
+    """Doc 1: 4 tokens 'a b a b' with segment_len 2 -> two full
+    segments with TTR 1.0 each... no: segments are ['a b'] TTR 1,
+    ['a b'] TTR 1 -> MSTTR 1. Doc 2: 'c c c c' -> two segments TTR 0.5
+    each. MSTTR over 4 segments = 0.75; the 5-token doc's trailing
+    single token is discarded."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        segmental_ttr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c c c c"), (3, "d e d e x")],
+        "doc_id int, text string",
+    )
+    [r] = segmental_ttr(df, segment_len=2).collect()
+    # doc3 contributes two full segments ('d e', 'd e') TTR 1; tail 'x' dropped
+    assert r["n_docs"] == 3 and r["n_segments"] == 6
+    assert abs(r["msttr"] - (1 + 1 + 0.5 + 0.5 + 1 + 1) / 6.0) < 1e-6
+    # raw TTR: tokens a b a b c c c c d e d e x -> 6 distinct / 13
+    assert abs(r["raw_ttr"] - round(6.0 / 13.0, 6)) < 1e-9
+
+
+def test_sorted_neighborhood_hand_computed(spark):
+    """Keys sort as k1 < k2 < k3 < k4; window 2 pairs each row with its
+    next two neighbors: (1,2),(1,3),(2,3),(2,4),(3,4) — 2n-3 pairs.
+    The two-pass range rank must reproduce the single-sort ranking
+    regardless of partition count."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k3"), (4, "k4")], "doc_id int, key string"
+    )
+    got = sorted_neighborhood_pairs(df, F.col("key"), window=2).collect()
+    pairs = sorted((r["id_a"], r["id_b"], r["offset"]) for r in got)
+    assert pairs == [(1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2), (3, 4, 1)]
+    # key ties break by id; partition-count invariance
+    tied = spark.createDataFrame(
+        [(i, "same") for i in range(1, 7)], "doc_id int, key string"
+    )
+    for nparts in (1, 3, 8):
+        got2 = sorted_neighborhood_pairs(
+            tied, F.col("key"), window=1, n_partitions=nparts
+        ).collect()
+        assert sorted((r["id_a"], r["id_b"]) for r in got2) == [
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)
+        ]
+
+
+def test_changepoint_mean_hand_computed(spark):
+    """Series 0,0,0,10,10,10: split after t=2 gives means 0 vs 10,
+    gain = 3*3/6*100 = 150 — the argmax, localized exactly. A constant
+    series reports zero gain."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        changepoint_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 10), (4, 10), (5, 10)], "t int, x int"
+    )
+    [r] = changepoint_mean(df, "t", "x").collect()
+    assert r["split_t"] == 2
+    assert r["n_left"] == 3 and r["n_right"] == 3
+    assert r["mean_left"] == 0.0 and r["mean_right"] == 10.0
+    assert abs(r["sse_gain"] - 150.0) < 1e-9
+    flat = spark.createDataFrame([(t, 5) for t in range(6)], "t int, x int")
+    [f] = changepoint_mean(flat, "t", "x").collect()
+    assert f["sse_gain"] == 0.0 and f["split_t"] == 0
