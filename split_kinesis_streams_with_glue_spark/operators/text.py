@@ -1246,7 +1246,12 @@ def segmental_ttr(
         "n_docs",
         "n_segments",
         "msttr",
-        F.round(
-            F.col("__dt").cast("double") / F.col("__nt").cast("double"), 6
+        # a token-free corpus has no TTR (0/0 is an ANSI error, not a 0)
+        F.when(
+            F.col("__nt") > 0,
+            F.round(
+                F.col("__dt").cast("double") / F.col("__nt").cast("double"),
+                6,
+            ),
         ).alias("raw_ttr"),
     )

@@ -981,3 +981,293 @@ def test_eb_shrinkage_matches_fraction_arithmetic(spark, groups):
         else:
             want = float((k + m * s) / (n + s))
             assert abs(row["shrunk_rate"] - round(want, 6)) < 1e-5
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.floats(-3, 3, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=4,
+        max_size=12,
+    ),
+    st.lists(
+        st.lists(st.floats(-3, 3, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=4,
+        max_size=12,
+    ),
+)
+def test_mmd_linear_matches_naive(spark, xs, ys):
+    """The distributed consecutive-pair fold must equal the literal
+    Python computation of Gretton's linear estimator (same pairing, same
+    RBF kernel, float32 inputs widened to double exactly as Spark does)."""
+    import math
+    import struct
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        mmd_linear,
+    )
+
+    def f32(v):  # mirror the array<float> storage precision
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    xs = [[f32(v) for v in row] for row in xs]
+    ys = [[f32(v) for v in row] for row in ys]
+    rows = [("x", i, v) for i, v in enumerate(xs)] + [
+        ("y", 100 + i, v) for i, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, vec_id int, embedding array<float>"
+    )
+    [r] = mmd_linear(df, "g", "x", "y").collect()
+
+    def rbf(a, b):
+        d2 = sum(u * u for u in a) + sum(u * u for u in b) - 2 * sum(
+            u * w for u, w in zip(a, b)
+        )
+        return math.exp(-d2 / 2.0)
+
+    m = min(len(xs) // 2, len(ys) // 2)
+    hs = [
+        rbf(xs[2 * i], xs[2 * i + 1])
+        + rbf(ys[2 * i], ys[2 * i + 1])
+        - rbf(xs[2 * i], ys[2 * i + 1])
+        - rbf(xs[2 * i + 1], ys[2 * i])
+        for i in range(m)
+    ]
+    assert r["n_pairs"] == m
+    assert abs(r["mmd2_linear"] - round(sum(hs) / m, 6)) < 1e-5
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.lists(st.floats(-5, 5, allow_nan=False, width=32), min_size=2, max_size=2),
+        ),
+        min_size=4,
+        max_size=14,
+    ).filter(lambda l: len({lbl for lbl, _ in l}) >= 2)
+)
+def test_silhouette_matches_naive_centroid_form(spark, pts):
+    """Per-cluster mean simplified silhouette must match the literal
+    centroid computation."""
+    import math
+    import struct
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        silhouette_simplified,
+    )
+
+    def f32(v):
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    pts = [(lbl, [f32(a) for a in vec]) for lbl, vec in pts]
+    df = spark.createDataFrame(
+        [(i, vec, lbl) for i, (lbl, vec) in enumerate(pts)],
+        "vec_id int, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in silhouette_simplified(df).collect()}
+
+    labels = sorted({lbl for lbl, _ in pts})
+    cents = {}
+    for lbl in labels:
+        members = [vec for l2, vec in pts if l2 == lbl]
+        cents[lbl] = [sum(col) / len(members) for col in zip(*members)]
+
+    def dist(a, b):
+        return math.sqrt(
+            max(
+                sum(u * u for u in a)
+                + sum(u * u for u in b)
+                - 2 * sum(u * w for u, w in zip(a, b)),
+                0.0,
+            )
+        )
+
+    sums = {lbl: [0.0, 0] for lbl in labels}
+    for lbl, vec in pts:
+        a = dist(vec, cents[lbl])
+        b = min(dist(vec, cents[o]) for o in labels if o != lbl)
+        if max(a, b) == 0:
+            continue  # coincident centroids: engine emits NULL-ish 0/0
+        sums[lbl][0] += (b - a) / max(a, b)
+        sums[lbl][1] += 1
+    for lbl in labels:
+        if sums[lbl][1] and got[lbl]["mean_silhouette"] is not None:
+            want = sums[lbl][0] / sums[lbl][1]
+            assert abs(got[lbl]["mean_silhouette"] - round(want, 6)) < 1e-4
+
+
+@SET
+@given(st.text(alphabet="ab c", min_size=1, max_size=120), st.integers(1, 4))
+def test_hill_matches_counter_reference(spark, text, k):
+    """Hill estimator from the Spark histogram fold must equal the
+    Counter-based reference on the same tokenization."""
+    import math
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        hill_tail_index,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    [r] = hill_tail_index(df, k=k).collect()
+    counts = Counter(w for w in text.lower().split() if w)
+    ordered = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    if len(ordered) <= k:
+        assert r["x_tail"] is None
+        return
+    xk1 = ordered[k][1]
+    gamma = sum(math.log(c / xk1) for _, c in ordered[:k]) / k
+    assert r["x_tail"] == xk1
+    assert abs(r["hill_gamma"] - round(gamma, 6)) < 1e-6
+    if gamma > 0:
+        assert abs(r["hill_alpha"] - round(1 / gamma, 6)) < 1e-4
+    else:
+        assert r["hill_alpha"] is None
+
+
+@SET
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=60), min_size=1, max_size=6),
+    st.integers(2, 5),
+)
+def test_segmental_ttr_matches_loop(spark, texts, seg):
+    """MSTTR from the posexplode aggregate must equal the literal
+    per-document segmentation loop (full segments only)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        segmental_ttr,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    [r] = segmental_ttr(df, segment_len=seg).collect()
+
+    ttrs, docs = [], set()
+    all_tokens = []
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        all_tokens += toks
+        for s in range(len(toks) // seg):
+            chunk = toks[s * seg : (s + 1) * seg]
+            ttrs.append(len(set(chunk)) / seg)
+            docs.add(i)
+    assert r["n_segments"] == len(ttrs)
+    assert r["n_docs"] == len(docs)
+    if ttrs:
+        assert abs(r["msttr"] - round(sum(ttrs) / len(ttrs), 6)) < 1e-6
+    else:
+        assert r["msttr"] is None
+    if all_tokens:
+        assert abs(r["raw_ttr"] - round(len(set(all_tokens)) / len(all_tokens), 6)) < 1e-9
+    else:
+        assert r["raw_ttr"] is None
+
+
+@SET
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=0, max_size=6), min_size=2, max_size=15),
+    st.integers(1, 4),
+)
+def test_sorted_neighborhood_matches_naive_sort(spark, keys, window):
+    """The two-pass range rank + offset-explode join must emit exactly
+    the pairs a literal sorted scan emits, for any key multiset and any
+    window."""
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(keys)), "doc_id int, key string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["offset"])
+        for r in sorted_neighborhood_pairs(df, F.col("key"), window=window).collect()
+    }
+    order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+    want = {
+        (order[i], order[i + off], off)
+        for i in range(len(order))
+        for off in range(1, window + 1)
+        if i + off < len(order)
+    }
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="xyz", min_size=1, max_size=4), st.integers(1, 9)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_horvitz_thompson_matches_python_hash_sim(spark, rows):
+    """The engine's inclusion decisions and estimator must match a
+    literal Python simulation of the same md5-derived uniforms."""
+    import hashlib
+
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        horvitz_thompson_total,
+    )
+
+    df = spark.createDataFrame(rows, "text string, y int")
+    [r] = horvitz_thompson_total(
+        df, "y", "y", sampling_fraction_num=1, sampling_fraction_den=2
+    ).collect()
+
+    mw = sum(y for _, y in rows) / len(rows)
+    ht = var = 0.0
+    n_sampled = 0
+    for text, y in rows:
+        u48 = int(hashlib.md5(text.encode()).hexdigest()[:12], 16)
+        u = u48 / float(1 << 48)
+        pi = min(1.0, (1.0 / 2.0) * y / mw)
+        if u < pi:
+            n_sampled += 1
+            ht += y / pi
+            var += (1.0 - pi) / (pi * pi) * y * y
+    assert r["n_sampled"] == n_sampled
+    if n_sampled:
+        assert abs(r["ht_total"] - round(ht, 6)) < 1e-6
+        assert abs(r["ht_variance"] - round(var, 6)) < 1e-4
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 100), st.integers(0, 10)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 300),
+)
+def test_token_budget_fill_matches_greedy(spark, groups, budget):
+    """The windowed allocation must equal the sequential greedy fill
+    (quality desc, group-name tiebreak)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        token_budget_fill,
+    )
+
+    rows = []
+    pergroup = {}
+    for gi, (tok, q10) in enumerate(groups):
+        g = f"g{gi}"
+        rows.append((g, tok, q10 / 10.0))
+        pergroup[g] = (tok, round(q10 / 10.0, 6))
+    df = spark.createDataFrame(rows, "g string, tok int, q double")
+    got = {r["group"]: r for r in token_budget_fill(df, "g", "tok", "q", budget).collect()}
+
+    remaining = budget
+    want = {}
+    for g, (tok, q) in sorted(pergroup.items(), key=lambda t: (-t[1][1], t[0])):
+        take = min(tok, max(remaining, 0))
+        remaining -= tok
+        if take > 0:
+            want[g] = take
+    assert {g: r["take_tokens"] for g, r in got.items()} == want
+    for g, r in got.items():
+        assert abs(r["take_fraction"] - round(want[g] / pergroup[g][0], 6)) < 1e-9
