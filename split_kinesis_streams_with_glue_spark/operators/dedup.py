@@ -926,3 +926,69 @@ def sorted_neighborhood_pairs(
         "id_a", "id_b", "key_a", "key_b",
         F.col("offset").cast("int").alias("offset"),
     )
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_rows: int,
+    cand_cols: tuple[str, str] = ("id_a", "id_b"),
+    truth_cols: tuple[str, str] = ("d1", "d2"),
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, "Data Matching" 2012, ch.
+    7): pair completeness PC = |candidates ∩ true matches| / |true
+    matches| (the recall a blocking scheme caps every downstream
+    matcher at) and reduction ratio RR = 1 - |candidates| / C(n, 2)
+    (how much of the quadratic comparison space it removed). The
+    evaluation leg the three blocking geometries (LSH bands, block
+    joins, sorted neighborhood) lacked: each generates candidates, this
+    grades a scheme against exact ground truth — the PC/RR trade-off IS
+    the blocking tuning curve.
+
+    Both pair frames normalize to (lo, hi) ordered ids before the
+    equi-join, so either orientation is accepted. Work: two bounded
+    aggregates and one hash-join over pair frames that are linear in
+    the corpus by the blocking contract. Exact integer counts; PC and
+    RR are single IEEE divisions; NULL PC when there are no true
+    matches to find.
+
+    Returns one row (n_candidates, n_true, n_hit, pair_completeness,
+    reduction_ratio)."""
+    ca, cb = cand_cols
+    ta, tb = truth_cols
+    c = candidates.select(
+        F.least(F.col(ca), F.col(cb)).alias("__lo"),
+        F.greatest(F.col(ca), F.col(cb)).alias("__hi"),
+    )
+    t = truth.select(
+        F.least(F.col(ta), F.col(tb)).alias("__lo"),
+        F.greatest(F.col(ta), F.col(tb)).alias("__hi"),
+    )
+    hit = c.join(t, ["__lo", "__hi"]).agg(
+        F.count(F.lit(1)).alias("__hit")
+    )
+    nc = c.agg(F.count(F.lit(1)).alias("__nc"))
+    nt = t.agg(F.count(F.lit(1)).alias("__nt"))
+    total_pairs = float(n_rows) * float(n_rows - 1) / 2.0
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            F.col("__nc").cast("bigint").alias("n_candidates"),
+            F.col("__nt").cast("bigint").alias("n_true"),
+            F.col("__hit").cast("bigint").alias("n_hit"),
+            F.when(
+                F.col("__nt") > 0,
+                F.round(
+                    F.col("__hit").cast("double")
+                    / F.col("__nt").cast("double"),
+                    6,
+                ),
+            ).alias("pair_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("__nc").cast("double") / F.lit(total_pairs),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -1231,3 +1231,132 @@ def welch_ttest(
         F.round(dfw, 6).alias("welch_df"),
         F.round(normal_p_two_sided(t), 6).alias("p_value"),
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    rel_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Normalized Discounted Cumulative Gain at k (Jarvelin &
+    Kekalainen, TOIS 2002) — the GRADED-relevance ranking eval that
+    completes average_precision's binary one: gain (2^rel - 1) /
+    log2(rank + 1) summed over the top k of the scored ranking,
+    normalized by the same sum over the IDEAL (relevance-sorted)
+    ranking, so 1.0 means "the ranking puts the most-relevant items
+    first" whatever the gain scale.
+
+    Same eval-slice contract as average_precision (the two ranking
+    windows run over a bounded scored candidate/holdout frame, never
+    the raw corpus). Both rankings order by their ROUNDED key with the
+    caller's tiebreak ascending; gains are exact integer powers over
+    small graded relevance, discounts a fixed log2 association order
+    mirrored by the SQL oracle. A slice with zero total relevance has
+    no ideal ranking and reports NULL ndcg.
+
+    Returns one row (n, k, dcg, idcg, ndcg)."""
+    from pyspark.sql import Window
+
+    rel = F.col(rel_col).cast("int")
+    w_score = Window.orderBy(
+        F.round(F.col(score_col), 6).desc(), F.col(tiebreak_col).asc()
+    )
+    w_ideal = Window.orderBy(rel.desc(), F.col(tiebreak_col).asc())
+    gain = F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    ranked = df.select(
+        gain.alias("__g"),
+        F.row_number().over(w_score).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    disc = lambda r: F.log2(r.cast("double") + F.lit(1.0))  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("__r") <= k, F.col("__g") / disc(F.col("__r")))
+        ).alias("__dcg"),
+        F.sum(
+            F.when(F.col("__ri") <= k, F.col("__g") / disc(F.col("__ri")))
+        ).alias("__idcg"),
+    )
+    return agg.select(
+        "n",
+        F.lit(k).cast("bigint").alias("k"),
+        F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(F.coalesce(F.col("__idcg"), F.lit(0.0)), 6).alias("idcg"),
+        F.when(
+            F.col("__idcg") > 0, F.round(F.col("__dcg") / F.col("__idcg"), 6)
+        ).alias("ndcg"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across strata (Mantel &
+    Haenszel, JNCI 1959): OR_MH = sum(a_i*d_i/n_i) / sum(b_i*c_i/n_i)
+    over per-stratum 2x2 tables (a = exposed+outcome, b = exposed only,
+    c = outcome only, d = neither). The confounding-control primitive
+    the association family lacked: the CRUDE pooled odds ratio can
+    reverse sign under a stratified confounder (Simpson's paradox);
+    MH answers "does the exposure-outcome association hold WITHIN
+    strata", which is the question before acting on any corpus-level
+    correlation ("long docs pass the gate more" may be pure language
+    mix). Emitting both ORs makes the confounding visible as their gap.
+
+    One grouped pass collapses the corpus to the bounded per-stratum
+    2x2 frame; the MH sums and the crude pooled table fold from that
+    frame. Exact integer cells; each term is one multiply and one IEEE
+    division mirrored by the SQL oracle; NULL ORs when a denominator
+    is zero rather than a fabricated infinity.
+
+    Returns one row (n_strata, sum_ad_n, sum_bc_n, or_mh, or_crude)."""
+    e = F.col(exposure_col).cast("int")
+    o = F.col(outcome_col).cast("int")
+    per = (
+        df.filter(e.isNotNull() & o.isNotNull())
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.sum(e * o).alias("__a"),
+            F.sum(e * (1 - o)).alias("__b"),
+            F.sum((1 - e) * o).alias("__c"),
+            F.sum((1 - e) * (1 - o)).alias("__d"),
+        )
+        .withColumn(
+            "__n", F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")
+        )
+    )
+    nn = F.col("__n").cast("double")
+    agg = per.filter(F.col("__n") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(
+            (F.col("__a") * F.col("__d")).cast("double") / nn
+        ).alias("__sad"),
+        F.sum(
+            (F.col("__b") * F.col("__c")).cast("double") / nn
+        ).alias("__sbc"),
+        F.sum("__a").alias("__ta"),
+        F.sum("__b").alias("__tb"),
+        F.sum("__c").alias("__tc"),
+        F.sum("__d").alias("__td"),
+    )
+    return agg.select(
+        "n_strata",
+        F.round(F.col("__sad"), 6).alias("sum_ad_n"),
+        F.round(F.col("__sbc"), 6).alias("sum_bc_n"),
+        F.when(
+            F.col("__sbc") > 0, F.round(F.col("__sad") / F.col("__sbc"), 6)
+        ).alias("or_mh"),
+        F.when(
+            (F.col("__tb") * F.col("__tc")) > 0,
+            F.round(
+                (F.col("__ta") * F.col("__td")).cast("double")
+                / (F.col("__tb") * F.col("__tc")).cast("double"),
+                6,
+            ),
+        ).alias("or_crude"),
+    )

@@ -2622,3 +2622,110 @@ def quality_welch_ttest(spark, sf_dir):
     return welch_ttest(
         load(spark, sf_dir, "documents"), "n_chars", "lang", "en", "de"
     )
+
+
+@query(
+    since=8,
+    name="quality_ndcg",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 2
+                  WHEN lang = 'de' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (ORDER BY ROUND(CAST(n_chars AS DOUBLE), 6)
+                                  DESC, doc_id ASC) AS rk,
+             ROW_NUMBER() OVER (ORDER BY CASE WHEN lang = 'en' THEN 2
+                                              WHEN lang = 'de' THEN 1
+                                              ELSE 0 END DESC,
+                                doc_id ASC) AS ri
+      FROM documents
+    ),
+    g AS (SELECT pow(2.0, rel) - 1.0 AS gv, rk, ri FROM r),
+    a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN rk <= 50
+                      THEN gv / log2(CAST(rk AS DOUBLE) + 1.0) END) AS dcg,
+             SUM(CASE WHEN ri <= 50
+                      THEN gv / log2(CAST(ri AS DOUBLE) + 1.0) END) AS idcg
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(50 AS BIGINT) AS k,
+           ROUND(COALESCE(dcg, 0.0), 6) AS dcg,
+           ROUND(COALESCE(idcg, 0.0), 6) AS idcg,
+           CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+    FROM a
+    """,
+)
+def quality_ndcg(spark, sf_dir):
+    """NEW OPERATOR (round 8): nDCG@50 (operators/quality_checks.py
+    ndcg_at_k; Jarvelin & Kekalainen 2002) — GRADED-relevance ranking
+    eval completing average_precision's binary one: the
+    length-descending ranking scored against graded language relevance
+    (en=2, de=1, else 0), gain (2^rel - 1)/log2(rank+1), normalized by
+    the ideal relevance-sorted ranking. Two bounded ranking windows
+    over the eval slice, exact integer gains."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        ndcg_at_k,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "de", 1)
+        .otherwise(0)
+        .alias("rel"),
+        F.col("n_chars").cast("double").alias("score"),
+        "doc_id",
+    )
+    return ndcg_at_k(d, "rel", "score", "doc_id", k=50)
+
+
+@query(
+    since=8,
+    name="quality_mantel_haenszel",
+    oracle="""
+    WITH cells AS (
+      SELECT lang,
+             CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS e,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS o
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, SUM(e * o) AS a, SUM(e * (1 - o)) AS b,
+             SUM((1 - e) * o) AS c, SUM((1 - e) * (1 - o)) AS d
+      FROM cells GROUP BY lang
+    ),
+    p2 AS (SELECT *, a + b + c + d AS n FROM per),
+    agg AS (
+      SELECT COUNT(*) AS ns,
+             SUM(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)) AS sad,
+             SUM(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)) AS sbc,
+             SUM(a) AS ta, SUM(b) AS tb, SUM(c) AS tc, SUM(d) AS td
+      FROM p2 WHERE n > 0
+    )
+    SELECT CAST(ns AS BIGINT) AS n_strata,
+           ROUND(sad, 6) AS sum_ad_n, ROUND(sbc, 6) AS sum_bc_n,
+           CASE WHEN sbc > 0 THEN ROUND(sad / sbc, 6) END AS or_mh,
+           CASE WHEN tb * tc > 0
+                THEN ROUND(CAST(ta * td AS DOUBLE)
+                           / CAST(tb * tc AS DOUBLE), 6) END AS or_crude
+    FROM agg
+    """,
+)
+def quality_mantel_haenszel(spark, sf_dir):
+    """NEW OPERATOR (round 8): Mantel-Haenszel common odds ratio
+    (operators/quality_checks.py mantel_haenszel_or; Mantel & Haenszel
+    1959) — does "mentions 'data'" associate with "passes the 300-char
+    gate" WITHIN each language stratum, vs the crude pooled odds ratio
+    that a language-mix confounder can reverse (Simpson's paradox)?
+    The confounding-control primitive before acting on any corpus-level
+    correlation. One grouped pass to the bounded per-stratum 2x2 frame;
+    exact integer cells."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mantel_haenszel_or,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("text").contains("data").cast("int").alias("exp"),
+        (F.col("n_chars") >= 300).cast("int").alias("out"),
+    )
+    return mantel_haenszel_or(d, "lang", "exp", "out")

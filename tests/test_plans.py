@@ -530,6 +530,15 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "text_hill_tail_index": {"cartesian-product"},
     # crossJoin(broadcast(<1-row corpus type/token totals>)) — bounded
     "text_sttr_diversity": {"cartesian-product"},
+    # two ranking windows over the scored EVAL SLICE (bounded by the
+    # operator's documented contract — same class as
+    # quality_average_precision)
+    "quality_ndcg": {"unpartitioned-window"},
+    # crossJoins of the three 1-row count aggregates (candidates, truth,
+    # hits) — bounded by design; the inner SNM rank-offset window runs
+    # over the #partitions-row count frame (same classes as
+    # dedup_sorted_neighborhood)
+    "dedup_blocking_metrics": {"cartesian-product", "unpartitioned-window"},
 }
 
 

@@ -1522,3 +1522,85 @@ def test_changepoint_mean_hand_computed(spark):
     flat = spark.createDataFrame([(t, 5) for t in range(6)], "t int, x int")
     [f] = changepoint_mean(flat, "t", "x").collect()
     assert f["sse_gain"] == 0.0 and f["split_t"] == 0
+
+
+def test_ndcg_hand_computed(spark):
+    """Ranking [rel 0, rel 2, rel 1] by score desc, k = 3:
+    DCG = 0/log2(2) + 3/log2(3) + 1/log2(4) = 3/1.584963 + 0.5 =
+    2.392789; ideal order rel 2,1,0 -> IDCG = 3/1 + 1/1.584963 =
+    3.630930; nDCG = 0.659002. A relevance-sorted ranking scores 1;
+    all-zero relevance -> NULL."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        ndcg_at_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 0), (2, 0.8, 2), (3, 0.7, 1)], "id int, score double, rel int"
+    )
+    [r] = ndcg_at_k(df, "rel", "score", "id", k=3).collect()
+    dcg = 3.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    idcg = 3.0 + 1.0 / math.log2(3.0)
+    assert abs(r["dcg"] - round(dcg, 6)) < 1e-6
+    assert abs(r["idcg"] - round(idcg, 6)) < 1e-6
+    assert abs(r["ndcg"] - round(dcg / idcg, 6)) < 1e-4
+    ideal = spark.createDataFrame(
+        [(1, 0.9, 2), (2, 0.8, 1), (3, 0.7, 0)], "id int, score double, rel int"
+    )
+    [p] = ndcg_at_k(ideal, "rel", "score", "id", k=3).collect()
+    assert p["ndcg"] == 1.0
+    zero = spark.createDataFrame(
+        [(1, 0.9, 0), (2, 0.8, 0)], "id int, score double, rel int"
+    )
+    [z] = ndcg_at_k(zero, "rel", "score", "id", k=3).collect()
+    assert z["ndcg"] is None and z["dcg"] == 0.0
+
+
+def test_mantel_haenszel_hand_computed(spark):
+    """Classic Simpson setup with two strata. Stratum s1: a=8 b=2 c=4
+    d=1 (n=15); stratum s2: a=1 b=4 c=2 d=8 (n=15). Per-stratum OR =
+    (8*1)/(2*4) = 1 and (1*8)/(4*2) = 1 -> OR_MH = (8/15 + 8/15) /
+    (8/15 + 8/15) = 1. Crude table: a=9 b=6 c=6 d=9 -> crude OR =
+    81/36 = 2.25 — the confounding gap the operator exists to show."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mantel_haenszel_or,
+    )
+
+    rows = (
+        [("s1", 1, 1)] * 8 + [("s1", 1, 0)] * 2
+        + [("s1", 0, 1)] * 4 + [("s1", 0, 0)] * 1
+        + [("s2", 1, 1)] * 1 + [("s2", 1, 0)] * 4
+        + [("s2", 0, 1)] * 2 + [("s2", 0, 0)] * 8
+    )
+    df = spark.createDataFrame(rows, "s string, e int, o int")
+    [r] = mantel_haenszel_or(df, "s", "e", "o").collect()
+    assert r["n_strata"] == 2
+    assert abs(r["or_mh"] - 1.0) < 1e-9
+    assert abs(r["or_crude"] - 2.25) < 1e-9
+    # zero-denominator strata family -> NULL rather than infinity
+    degen = spark.createDataFrame(
+        [("s", 1, 1), ("s", 0, 0)], "s string, e int, o int"
+    )
+    [d] = mantel_haenszel_or(degen, "s", "e", "o").collect()
+    assert d["or_mh"] is None and d["or_crude"] is None
+
+
+def test_blocking_metrics_hand_computed(spark):
+    """Candidates {(1,2),(3,4)}, truth {(2,1),(5,6)} over n=6 rows:
+    hit = 1 (orientation-normalized), PC = 1/2, RR = 1 - 2/15."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        blocking_metrics,
+    )
+
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "id_a int, id_b int")
+    truth = spark.createDataFrame([(2, 1), (5, 6)], "d1 int, d2 int")
+    [r] = blocking_metrics(cand, truth, 6).collect()
+    assert r["n_candidates"] == 2 and r["n_true"] == 2 and r["n_hit"] == 1
+    assert abs(r["pair_completeness"] - 0.5) < 1e-9
+    assert abs(r["reduction_ratio"] - round(1.0 - 2.0 / 15.0, 6)) < 1e-9
+    # no true matches: PC undefined (NULL), RR still reported
+    [z] = blocking_metrics(
+        cand, truth.filter("d1 > 100"), 6
+    ).collect()
+    assert z["pair_completeness"] is None and z["n_true"] == 0
