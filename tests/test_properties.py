@@ -1271,3 +1271,135 @@ def test_token_budget_fill_matches_greedy(spark, groups, budget):
     assert {g: r["take_tokens"] for g, r in got.items()} == want
     for g, r in got.items():
         assert abs(r["take_fraction"] - round(want[g] / pergroup[g][0], 6)) < 1e-9
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 3)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda l: any(r for _, r in l)),
+    st.integers(1, 8),
+)
+def test_ndcg_matches_naive_loop(spark, items, k):
+    """DCG/IDCG/nDCG from the two windowed folds must equal the literal
+    sorted-loop computation."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        ndcg_at_k,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(s), r) for i, (s, r) in enumerate(items)],
+        "id int, score double, rel int",
+    )
+    [got] = ndcg_at_k(df, "rel", "score", "id", k=k).collect()
+
+    by_score = sorted(enumerate(items), key=lambda t: (-round(t[1][0], 6), t[0]))
+    by_rel = sorted(enumerate(items), key=lambda t: (-t[1][1], t[0]))
+    dcg = sum(
+        (2.0 ** r - 1.0) / math.log2(rank + 1.0)
+        for rank, (_, (_, r)) in enumerate(by_score[:k], 1)
+    )
+    idcg = sum(
+        (2.0 ** r - 1.0) / math.log2(rank + 1.0)
+        for rank, (_, (_, r)) in enumerate(by_rel[:k], 1)
+    )
+    assert abs(got["dcg"] - round(dcg, 6)) < 1e-6
+    assert abs(got["idcg"] - round(idcg, 6)) < 1e-6
+    assert abs(got["ndcg"] - round(dcg / idcg, 6)) < 1e-4
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5), st.integers(0, 5),
+            st.integers(0, 5), st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda l: any(sum(t) > 0 for t in l))
+)
+def test_mantel_haenszel_matches_fractions(spark, tables):
+    """OR_MH and the crude OR must match exact Fraction arithmetic over
+    arbitrary per-stratum 2x2 tables."""
+    from fractions import Fraction
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mantel_haenszel_or,
+    )
+
+    rows = []
+    for si, (a, b, c, d) in enumerate(tables):
+        s = f"s{si}"
+        rows += [(s, 1, 1)] * a + [(s, 1, 0)] * b
+        rows += [(s, 0, 1)] * c + [(s, 0, 0)] * d
+    df = spark.createDataFrame(rows, "s string, e int, o int")
+    [r] = mantel_haenszel_or(df, "s", "e", "o").collect()
+
+    live = [t for t in tables if sum(t) > 0]
+    assert r["n_strata"] == len(live)
+    sad = sum(Fraction(a * d, a + b + c + d) for a, b, c, d in live)
+    sbc = sum(Fraction(b * c, a + b + c + d) for a, b, c, d in live)
+    if sbc > 0:
+        assert abs(r["or_mh"] - round(float(sad / sbc), 6)) < 1e-5
+    else:
+        assert r["or_mh"] is None
+    ta = sum(a for a, _, _, _ in live)
+    tb = sum(b for _, b, _, _ in live)
+    tc = sum(c for _, _, c, _ in live)
+    td = sum(d for _, _, _, d in live)
+    if tb * tc > 0:
+        assert abs(r["or_crude"] - round(ta * td / (tb * tc), 6)) < 1e-6
+    else:
+        assert r["or_crude"] is None
+
+
+@SET
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
+        min_size=0,
+        max_size=12,
+    ),
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda t: t[0] != t[1]),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_blocking_metrics_matches_set_arithmetic(spark, cand, truth):
+    """PC/RR must match plain set arithmetic over orientation-normalized
+    pairs, for arbitrary candidate and truth pair sets."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        blocking_metrics,
+    )
+
+    cand_rows = list(cand) or [(0, 1)]
+    truth_rows = list(truth)
+    cdf = spark.createDataFrame(cand_rows, "id_a int, id_b int")
+    if truth_rows:
+        tdf = spark.createDataFrame(truth_rows, "d1 int, d2 int")
+    else:
+        tdf = spark.createDataFrame([], "d1 int, d2 int")
+    [r] = blocking_metrics(cdf, tdf, 10).collect()
+
+    # mirror the operator's multiset join semantics on normalized pairs:
+    # inputs here are SETS pre-normalization, but normalization can merge
+    # (a,b)/(b,a) — count join matches per occurrence
+    from collections import Counter
+
+    cn = Counter((min(a, b), max(a, b)) for a, b in cand_rows)
+    tn = Counter((min(a, b), max(a, b)) for a, b in truth_rows)
+    hits = sum(cn[p] * tn[p] for p in cn)
+    assert r["n_candidates"] == sum(cn.values())
+    assert r["n_true"] == sum(tn.values())
+    assert r["n_hit"] == hits
+    if sum(tn.values()):
+        assert abs(r["pair_completeness"] - round(hits / sum(tn.values()), 6)) < 1e-9
+    else:
+        assert r["pair_completeness"] is None
+    assert abs(r["reduction_ratio"] - round(1 - sum(cn.values()) / 45.0, 6)) < 1e-9
