@@ -498,10 +498,16 @@ def horvitz_thompson_total(
     Determinism and portability: u_i is 48 content-hash bits scaled by
     2^-48 (the family's md5-uniform idiom — duplicate-stable, identical
     in any engine); pi derives from one broadcast 1-row mean-weight
-    aggregate; the inclusion test and both sums are plain IEEE
-    arithmetic in a fixed association order. Two scans of the weight
-    column (mean, then score) and one filtered fold — no sort, no
-    shuffle beyond the 1-row aggregates.
+    aggregate; the inclusion test is plain IEEE arithmetic in a fixed
+    association order. The two estimator sums accumulate 6-dp-ROUNDED
+    terms as DECIMAL(38,6) — a grouped double SUM is accumulation-order
+    nondeterministic, and at sf0.1 the variance sum reaches 1e9
+    magnitude where 6-dp output rounding is FINER than the double
+    accumulation error (caught by the round-8 sf0.1 sweep: last-decimal
+    divergence across engines); decimal term-sums are exact and
+    order-free in both engines. Two scans of the weight column (mean,
+    then score) and one filtered fold — no sort, no shuffle beyond the
+    1-row aggregates.
 
     Returns one row (n_population, n_sampled, ht_total, ht_variance,
     true_total) — true_total included because at audit time the full
@@ -531,16 +537,22 @@ def horvitz_thompson_total(
     return scored.filter(F.col("__u") < F.col("__pi")).agg(
         F.max("__n").cast("bigint").alias("n_population"),
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        F.round(F.sum(F.col("__y") / F.col("__pi")), 6).alias("ht_total"),
-        F.round(
-            F.sum(
+        F.sum(
+            F.round(F.col("__y") / F.col("__pi"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ht_total"),
+        F.sum(
+            F.round(
                 (F.lit(1.0) - F.col("__pi"))
                 / (F.col("__pi") * F.col("__pi"))
                 * F.col("__y")
-                * F.col("__y")
-            ),
-            6,
-        ).alias("ht_variance"),
+                * F.col("__y"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ht_variance"),
         F.round(F.max("__true"), 6).alias("true_total"),
     )
 

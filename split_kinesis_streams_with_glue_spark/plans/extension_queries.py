@@ -77,13 +77,22 @@ WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5
 
 @query(
     "dedup_exact_doubled",
-    oracle="""
-    SELECT doc_id, text, lang, source, n_chars FROM documents
+    oracle=r"""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
     """,
 )
 def dedup_exact_doubled(spark, sf_dir):
     """Duplicate the corpus (shifted ids), exact-dedup by normalized-text
-    fingerprint keeping min id — recovers exactly the original corpus."""
+    fingerprint keeping min id — recovers exactly the min-id row per
+    distinct normalized text. (The oracle mirrors the fingerprint
+    semantics rather than assuming a dup-free fixture: at sf0.1 the
+    corpus itself carries a handful of exact-duplicate texts, which the
+    dedup correctly collapses — caught by the round-8 sf0.1 sweep.)"""
     d = load(spark, sf_dir, "documents")
     doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     return exact_dedup(doubled)
@@ -4523,8 +4532,10 @@ def sim_silhouette_simplified(spark, sf_dir):
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_population,
            CAST(COUNT(*) AS BIGINT) AS n_sampled,
-           ROUND(SUM(y / pi), 6) AS ht_total,
-           ROUND(SUM((1.0 - pi) / (pi * pi) * y * y), 6) AS ht_variance,
+           CAST(SUM(CAST(ROUND(y / pi, 6) AS DECIMAL(38, 6))) AS DOUBLE)
+             AS ht_total,
+           CAST(SUM(CAST(ROUND((1.0 - pi) / (pi * pi) * y * y, 6)
+                         AS DECIMAL(38, 6))) AS DOUBLE) AS ht_variance,
            ROUND(MAX(truev), 6) AS true_total
     FROM s WHERE u < pi
     """,

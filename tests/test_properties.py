@@ -1219,8 +1219,10 @@ def test_horvitz_thompson_matches_python_hash_sim(spark, rows):
         df, "y", "y", sampling_fraction_num=1, sampling_fraction_den=2
     ).collect()
 
+    from decimal import Decimal
+
     mw = sum(y for _, y in rows) / len(rows)
-    ht = var = 0.0
+    ht = var = Decimal(0)  # the operator sums 6-dp-rounded DECIMAL terms
     n_sampled = 0
     for text, y in rows:
         u48 = int(hashlib.md5(text.encode()).hexdigest()[:12], 16)
@@ -1228,12 +1230,12 @@ def test_horvitz_thompson_matches_python_hash_sim(spark, rows):
         pi = min(1.0, (1.0 / 2.0) * y / mw)
         if u < pi:
             n_sampled += 1
-            ht += y / pi
-            var += (1.0 - pi) / (pi * pi) * y * y
+            ht += Decimal(str(round(y / pi, 6)))
+            var += Decimal(str(round((1.0 - pi) / (pi * pi) * y * y, 6)))
     assert r["n_sampled"] == n_sampled
     if n_sampled:
-        assert abs(r["ht_total"] - round(ht, 6)) < 1e-6
-        assert abs(r["ht_variance"] - round(var, 6)) < 1e-4
+        assert abs(r["ht_total"] - float(ht)) < 2e-6
+        assert abs(r["ht_variance"] - float(var)) < 2e-4
 
 
 @SET
