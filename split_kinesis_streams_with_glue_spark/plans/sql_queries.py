@@ -1758,7 +1758,7 @@ def q22_sales_opportunity(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-           ROUND(ps_supplycost, 4) AS cost
+           ROUND(ps_supplycost + 5e-10, 4) AS cost
     FROM part
     JOIN partsupp ON p_partkey = ps_partkey
     JOIN supplier ON s_suppkey = ps_suppkey
@@ -1782,7 +1782,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     price per part-supplier pair — one groupBy, exact doubles so the
     equality join on cost is bit-identical across engines). Catalyst
     decorrelates the scalar MIN into an aggregate joined back on
-    ps_partkey; region/nation/supplier all broadcast."""
+    ps_partkey; region/nation/supplier all broadcast.
+
+    The emitted cost rounds with a +5e-10 nudge on BOTH sides: the
+    price/quantity quotient can TERMINATE in 5-7 decimal digits
+    (2-decimal price over a 2^a*5^b quantity), landing exactly on a
+    4-dp half boundary that Spark (BigDecimal HALF_UP on the exact
+    binary value) and DuckDB (decimal-rendered round) resolve
+    differently — seen at sf0.001 (209.93/8 = 26.24125). Ties sit at
+    multiples of 1e-7 from the boundary and non-terminating quotients
+    >= ~1e-8 away, so the 5e-10 nudge canonicalizes every tie to
+    round-up in both engines and can never flip a non-tie."""
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
@@ -1804,7 +1814,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     return spark.sql(
         """
         SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-               ROUND(ps_supplycost, 4) AS cost
+               ROUND(ps_supplycost + 5e-10, 4) AS cost
         FROM part
         JOIN partsupp ON p_partkey = ps_partkey
         JOIN supplier ON s_suppkey = ps_suppkey
