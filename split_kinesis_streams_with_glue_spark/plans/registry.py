@@ -8,6 +8,17 @@ name) — so every computed column is aliased identically on both sides.
 Determinism rules used throughout:
 - Aggregates over doubles are either cast to DECIMAL before summing (exact,
   engine-independent) or rounded after aggregation.
+- Rounding-after-aggregation is only safe while the rounding grain exceeds
+  the accumulation-order error (~sqrt(n) * ulp(total)): the TPC-H money
+  sums round at 2 dp (grain 5e-3) against ~1e-3 error at sf0.1 — verified
+  by full tri-scale sweeps — but a 6-dp rounding of a 1e9-magnitude sum is
+  FINER than the error and diverges across engines (seen in
+  sample_horvitz_thompson at sf0.1). When in doubt, sum 6-dp-rounded terms
+  as DECIMAL(38,6) on both sides: exact and order-free at any scale.
+- ROUND of a value that can terminate exactly on a half boundary (a
+  2-decimal price over a 2^a*5^b quantity; a subtraction landing on zero)
+  needs canonicalization on BOTH sides: `+ 5e-10` before the round for
+  quotient ties (q2), `+ 0.0` after it for signed zeros (text script_mix).
 - Ties in top-k orderings are broken by a unique key column.
 """
 
