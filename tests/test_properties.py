@@ -1405,3 +1405,152 @@ def test_blocking_metrics_matches_set_arithmetic(spark, cand, truth):
     else:
         assert r["pair_completeness"] is None
     assert abs(r["reduction_ratio"] - round(1 - sum(cn.values()) / 45.0, 6)) < 1e-9
+
+
+@SET
+@given(st.lists(st.integers(0, 8), min_size=3, max_size=14))
+def test_mann_kendall_matches_naive_formula(spark, xs):
+    """S, the tie-corrected variance, and the continuity-corrected z must
+    match the textbook computation."""
+    import math
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    df = spark.createDataFrame(list(enumerate(xs)), "t int, x int")
+    [r] = mann_kendall(df, "t", "x").collect()
+
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(xs).values()
+    var = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(t * (t - 1) * (2 * t + 5) for t in ties)
+    ) / 18.0
+    assert r["s_statistic"] == s
+    if var > 0:
+        z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var)
+        if s == 0:
+            z = 0.0
+        assert abs(r["z_score"] - round(z, 6)) < 1e-6
+    else:
+        assert r["z_score"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_kendall_tau_b_matches_naive_pairs(spark, pts):
+    """C, D, and the tie-corrected tau-b must match the literal all-pairs
+    scan."""
+    import math
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        kendall_tau_b,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "t int, x double, y double",
+    )
+    [r] = kendall_tau_b(df, "x", "y", "t").collect()
+
+    n = len(pts)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (pts[j][0] > pts[i][0]) - (pts[j][0] < pts[i][0])
+            sy = (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    tx = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in pts).values())
+    ty = sum(t * (t - 1) // 2 for t in Counter(y for _, y in pts).values())
+    assert r["n_concordant"] == c and r["n_discordant"] == d
+    if (n0 - tx) > 0 and (n0 - ty) > 0:
+        tau = (c - d) / math.sqrt(float((n0 - tx) * (n0 - ty)))
+        assert abs(r["tau_b"] - round(tau, 6)) < 1e-6
+    else:
+        assert r["tau_b"] is None
+
+
+@SET
+@given(st.lists(st.integers(-20, 20), min_size=1, max_size=14))
+def test_hodges_lehmann_matches_naive_walsh_median(spark, xs):
+    """The pseudo-median must equal the plain median of all Walsh
+    averages (x_i + x_j)/2, i <= j."""
+    import statistics
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hodges_lehmann,
+    )
+
+    df = spark.createDataFrame(list(enumerate(xs)), "t int, x int")
+    [r] = hodges_lehmann(df, "x", "t").collect()
+    walsh = [
+        (xs[i] + xs[j]) / 2.0
+        for i in range(len(xs))
+        for j in range(i, len(xs))
+    ]
+    assert r["n_pairs"] == len(walsh)
+    assert abs(r["hl_estimate"] - round(statistics.median(walsh), 6)) < 1e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6)),
+        min_size=4,
+        max_size=20,
+    ).filter(lambda l: len({g for g, _ in l}) >= 2)
+)
+def test_kruskal_wallis_matches_naive_midranks(spark, rows):
+    """The tie-corrected H must match the textbook midrank computation."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        kruskal_wallis_h,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", v) for g, v in rows], "g string, v int"
+    )
+    [r] = kruskal_wallis_h(df, "v", "g").collect()
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # midrank per distinct value
+    midrank = {}
+    pos = 0
+    for v, cnt in sorted(Counter(vals).items()):
+        midrank[v] = pos + (cnt + 1) / 2.0
+        pos += cnt
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(midrank[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    tie_den = n**3 - n
+    corr = 1.0 - sum(
+        t**3 - t for t in Counter(vals).values()
+    ) / tie_den if tie_den else 0.0
+    assert r["dof"] == len(groups) - 1
+    if corr > 0:
+        assert abs(r["h_statistic"] - round(h / corr, 6)) < 1e-4
+    else:
+        assert r["h_statistic"] is None
