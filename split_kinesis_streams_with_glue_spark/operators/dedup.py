@@ -945,11 +945,17 @@ def blocking_metrics(
     grades a scheme against exact ground truth — the PC/RR trade-off IS
     the blocking tuning curve.
 
-    Both pair frames normalize to (lo, hi) ordered ids before the
-    equi-join, so either orientation is accepted. Work: two bounded
-    aggregates and one hash-join over pair frames that are linear in
-    the corpus by the blocking contract. Exact integer counts; PC and
-    RR are single IEEE divisions; NULL PC when there are no true
+    Both pair frames normalize to (lo, hi) ordered ids AND deduplicate
+    before the equi-join (round-9 advice): a candidate frame carrying
+    both orientations of a pair, or band-level LSH duplicates of the
+    same pair, would otherwise double-count n_candidates and n_hit via
+    join multiplicity — pair_completeness could exceed 1.0. PC/RR are
+    defined over pair SETS, so the dedup is the definition, not a
+    tolerance (any SQL mirror needs the same DISTINCT). Work: two
+    bounded aggregates and one hash-join over pair frames that are
+    linear in the corpus by the blocking contract; the dedup shuffles
+    on the same (lo, hi) key the join needs. Exact integer counts; PC
+    and RR are single IEEE divisions; NULL PC when there are no true
     matches to find.
 
     Returns one row (n_candidates, n_true, n_hit, pair_completeness,
@@ -959,11 +965,11 @@ def blocking_metrics(
     c = candidates.select(
         F.least(F.col(ca), F.col(cb)).alias("__lo"),
         F.greatest(F.col(ca), F.col(cb)).alias("__hi"),
-    )
+    ).dropDuplicates(["__lo", "__hi"])
     t = truth.select(
         F.least(F.col(ta), F.col(tb)).alias("__lo"),
         F.greatest(F.col(ta), F.col(tb)).alias("__hi"),
-    )
+    ).dropDuplicates(["__lo", "__hi"])
     hit = c.join(t, ["__lo", "__hi"]).agg(
         F.count(F.lit(1)).alias("__hit")
     )

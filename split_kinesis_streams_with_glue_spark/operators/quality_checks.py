@@ -850,8 +850,13 @@ def info_gain_split(
     excluded (NULL policy as chi2_independence; the NaN guard matters
     for floating-point features — Spark sorts NaN greatest, so a NaN row
     would otherwise enter the cumulative counts with semantics DuckDB
-    does not share). Returns one row (threshold, n_left, pos_left,
-    n_right, pos_right, parent_entropy, info_gain)."""
+    does not share). MIRROR CONTRACT (round-9 advice): any SQL oracle
+    paired with this operator over a DOUBLE feature must filter
+    ``feature IS NOT NULL AND NOT isnan(feature)`` — a NULL-only filter
+    matches today's integer registrations but silently diverges the
+    moment a float feature carries NaN. Returns one row (threshold,
+    n_left, pos_left, n_right, pos_right, parent_entropy,
+    info_gain)."""
     from pyspark.sql import Window
 
     hist = (
@@ -1059,7 +1064,10 @@ def wasserstein_1d(
     divisions, one subtraction, one multiply — identical association
     order in the SQL mirror.
 
-    Returns one row (n_a, n_b, n_support, w1_distance)."""
+    Returns one row (n_a, n_b, n_support, w1_distance); w1_distance is
+    NULL when either group is empty (W1 against an empty sample is
+    undefined — mirrors must guard the same way, since raw IEEE SQL
+    division would emit NaN/inf where Spark's Divide emits NULL)."""
     from pyspark.sql import Window
 
     g = F.col(group_col)
@@ -1090,23 +1098,44 @@ def wasserstein_1d(
             F.max("__na").cast("bigint").alias("n_a"),
             F.max("__nb").cast("bigint").alias("n_b"),
             F.count(F.lit(1)).cast("bigint").alias("n_support"),
-            # single-point support has no gaps to integrate over — the
-            # distributions coincide and the distance is exactly 0
-            F.round(
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("__nextv").isNotNull(),
-                            F.abs(
-                                F.col("__cuma").cast("double") / na
-                                - F.col("__cumb").cast("double") / nb
+            # degenerate groups first (round-9 advice): with an absent
+            # group Spark's Divide NULLs on the zero divisor and the
+            # coalesce would report 0.0 while an IEEE-division SQL mirror
+            # reports NaN — W1 against an empty sample is UNDEFINED, so
+            # both sides emit NULL (the family's eb_beta_binomial /
+            # ndcg_at_k convention). Single-point support then has no
+            # gaps to integrate over — the distributions coincide and
+            # the distance is exactly 0.
+            F.when(
+                (F.max("__na") > 0) & (F.max("__nb") > 0),
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("__nextv").isNotNull(),
+                                # try_divide: the sum aggregate evaluates
+                                # BEFORE the outer when gates it, and an
+                                # absent group's 0-divisor would be an
+                                # ANSI error; in the defined branch both
+                                # divisors are > 0 so try_divide ==
+                                # plain division
+                                F.abs(
+                                    F.try_divide(
+                                        F.col("__cuma").cast("double"), na
+                                    )
+                                    - F.try_divide(
+                                        F.col("__cumb").cast("double"), nb
+                                    )
+                                )
+                                * (F.col("__nextv") - F.col("__v")).cast(
+                                    "double"
+                                ),
                             )
-                            * (F.col("__nextv") - F.col("__v")).cast("double"),
-                        )
+                        ),
+                        F.lit(0.0),
                     ),
-                    F.lit(0.0),
+                    6,
                 ),
-                6,
             ).alias("w1_distance"),
         )
     )
@@ -1199,7 +1228,15 @@ def welch_ttest(
     inside the 6-dp rounding; for tiny samples read t and df directly.
 
     Returns one row (n_a, n_b, mean_a, mean_b, t_stat, welch_df,
-    p_value)."""
+    p_value). t_stat/welch_df/p_value are NULL when either group has
+    fewer than 2 observations (no sample variance) or the pooled
+    standard error is not strictly positive (both groups constant) —
+    the test is undefined there, and an unguarded mirror diverges:
+    Spark's Divide NULLs on a zero divisor where IEEE SQL division
+    emits NaN/inf (round-9 advice; the family's NULL-on-degenerate
+    convention). The guard expression reuses the SAME fixed-order
+    va/na + vb/nb both engines compute, so the branch decision is
+    bit-identical across engines."""
     g = F.col(group_col)
     x = F.col(value_col).cast("double")
     agg = df.filter(g.isin(group_a, group_b) & x.isNotNull()).agg(
@@ -1218,6 +1255,7 @@ def welch_ttest(
     vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
     sea = va / na
     seb = vb / nb
+    defined = (F.col("__na") > 1) & (F.col("__nb") > 1) & (sea + seb > 0)
     t = (ma - mb) / F.sqrt(sea + seb)
     dfw = (sea + seb) * (sea + seb) / (
         sea * sea / (na - 1) + seb * seb / (nb - 1)
@@ -1227,9 +1265,9 @@ def welch_ttest(
         F.col("__nb").cast("bigint").alias("n_b"),
         F.round(ma, 6).alias("mean_a"),
         F.round(mb, 6).alias("mean_b"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(dfw, 6).alias("welch_df"),
-        F.round(normal_p_two_sided(t), 6).alias("p_value"),
+        F.when(defined, F.round(t, 6)).alias("t_stat"),
+        F.when(defined, F.round(dfw, 6)).alias("welch_df"),
+        F.when(defined, F.round(normal_p_two_sided(t), 6)).alias("p_value"),
     )
 
 

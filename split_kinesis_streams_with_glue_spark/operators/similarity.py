@@ -1082,8 +1082,22 @@ def silhouette_simplified(
     (a = distance to their own mean = 0 for a true singleton). Returns
     per-cluster rows (label, n, mean_silhouette) ordered nowhere —
     callers sort.
+
+    Degenerate inputs (round-9 advice): the dimension probe is a 1-row
+    ``first()`` — metadata-bounded like the family's other probes, but
+    eager, so an EMPTY frame is rejected here with a clear ValueError
+    instead of a TypeError from ``None[...]``. A single-cluster input
+    returns an EMPTY frame by construction — the silhouette needs a
+    nearest OTHER centroid, and with k = 1 the b-side join finds no
+    rows; callers wanting a defined k = 1 answer should treat "empty
+    result" as "silhouette undefined", per Rousseeuw's own convention.
     """
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_probe is None or dim_probe["d"] is None:
+        raise ValueError(
+            "silhouette_simplified needs at least one row with a non-NULL "
+            f"{vec_col!r} array to probe the embedding dimension"
+        )
     d = int(dim_probe["d"])
     cents = (
         df.groupBy(F.col(label_col).alias("__cl"))

@@ -131,6 +131,31 @@ window-overflow DEFERRED picks):
    bench headliners ``dedup_minhash_lsh``/``sim_pairs_topk``.  The
    remaining 21 r2-stale queries rotate in round 9, inside the SLA
    (newest=2 ages out only when the in-flight round exceeds 2+sla).
+
+ROUND-9 WINDOW (derived by set-diff against CORRECTNESS_r01..r08 — 15
+never-checked, all the ``since=8`` wave):
+
+1. the 15 ``since=8`` queries whose one-round exemption expires now
+   (all judge-swept green at sf0.01 in the round-8 session, and all 15
+   independently re-verified by the round-8 judge's own parity run);
+2. ``sample_weighted_median`` — round 8's single red row: values
+   bit-identical on both sides (judge-reproduced), but the oracle's
+   ``SUM(wv)`` was the registry's one uncast DuckDB HUGEINT (int128),
+   which the driver's byte-hasher cannot match to Spark's BIGINT.
+   Re-enters with ``CAST(t.tw AS BIGINT)`` — and the new oracle-side
+   result-type guard (``tests/test_output_schemas.py``) now rejects
+   HUGEINT/DECIMAL/LIST/STRUCT oracle outputs registry-wide, fencing
+   on the DuckDB side the class that burned a slot in five rounds
+   (r2/r4/r5-6/r7/r8);
+3. the 21 remaining r2-stale queries (the round-8 docstring's promised
+   rotation): the multimodal/text r2 tail, the 10-query events family,
+   and ``join_asof_attribution``;
+4. 13 staleness re-verifications — the first 13 (registration order)
+   of the 48 queries whose newest driver row is round 3
+   (``cdc_merge_apply`` … ``window_range_frame``).  The remaining 35
+   r3-stale queries rotate in round 10, inside the SLA (newest=3 ages
+   out only when the in-flight round exceeds 3+sla=10 — exactly the
+   round that window covers them).
 """
 
 from __future__ import annotations
@@ -145,62 +170,64 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 5 round-7 DEFERRED must-lands (ledger entries deleted) ---
-    "dedup_lsh_tuning_curve",
-    "set_intersect_all",
-    "split_roundtrip_customer",
-    "split_stats_customer",
-    "catalog_sql_over_split",
-    # --- the 15 since=7 registrations (one-round exemption expires) ---
-    "sample_priority_weighted",
+    # --- the 15 since=8 registrations (one-round exemption expires) ---
+    "pipeline_token_budget_fill",
+    "dedup_sorted_neighborhood",
+    "dedup_blocking_metrics",
+    "text_hill_tail_index",
+    "text_sttr_diversity",
+    "sim_mmd_linear",
+    "sim_silhouette_simplified",
+    "sample_horvitz_thompson",
+    "events_changepoint_mean",
+    "quality_wasserstein_drift",
+    "quality_ndcg",
+    "quality_average_precision",
+    "quality_welch_ttest",
+    "quality_mantel_haenszel",
+    "quality_eb_shrinkage",
+    # --- round-8's red row re-enters with the oracle's SUM cast to
+    # BIGINT (DuckDB HUGEINT vs the driver byte-hasher; values were
+    # bit-identical — see module docstring) ---
     "sample_weighted_median",
-    "join_skew_advisor",
-    "dedup_record_linkage",
-    "text_label_logodds",
-    "text_good_turing",
-    "quality_bh_fdr",
-    "quality_trend_test",
-    "quality_info_gain_split",
-    "quality_rater_kappa",
-    "sim_pca_power_iteration",
-    "sim_mmr_select",
-    "sim_rrf_fusion",
-    "events_isotonic_trend",
-    "events_survival_km",
-    # --- round-7's red row re-enters with signed-zero canonicalization
-    # on both sides (+ 0.0 after every ROUND; see module docstring) ---
-    "text_script_mix",
-    # --- 29 staleness re-verifications: first 29 of the 50 r2-newest
-    # queries in registration order (the other 21 rotate round 9) ---
-    "choice_make_struct",
-    "pipeline_training_data_prep",
-    "agg_approx_distinct_error",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_amounts",
-    "percentiles_approx_contract",
-    "join_salted_skew",
-    "pandas_udaf_weighted_avg",
-    "events_timeseries_gapfill",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "dedup_exact_doubled",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "sim_pairs_topk",
-    "dedup_embedding_pairs",
-    "dedup_embedding_cosine",
-    "sim_ann_brute_topk",
-    "sim_ann_recall_contract",
-    "text_token_counts",
-    "text_tfidf_topterms",
-    "sample_train_val_split",
-    "sample_stratified_lang",
-    "text_repetition_scores",
-    "sample_cap_per_source",
-    "text_redact_pii",
-    "dedup_paragraphs",
-    "text_quality_scores",
+    # --- the 21 remaining r2-stale queries (staleness zeroing promised
+    # by the round-8 window notes) ---
+    "text_language_id",
+    "text_fingerprint",
+    "multimodal_decode_meta",
+    "text_winnow_chunks",
+    "multimodal_resize",
+    "multimodal_audio_chunks",
+    "pipeline_pack_sequences",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "sample_temperature_mix",
+    "events_tumbling_counts",
+    "events_sessionize",
+    "events_session_window",
+    "events_sessionize_stateful",
+    "events_stream_dedup",
+    "join_asof_attribution",
+    "events_cohort_retention",
+    "events_stream_stream_join",
+    "events_funnel",
+    "events_continuous_rollup",
+    "events_anomaly_zscore",
+    # --- 13 staleness re-verifications: first 13 of the 48 r3-newest
+    # queries in registration order (the other 35 rotate round 10) ---
+    "cdc_merge_apply",
+    "catalog_analyze_stats",
+    "pipeline_data_quality",
+    "cdc_table_diff",
+    "pipeline_publish_gated",
+    "window_sliding_avg",
+    "percentiles_exact",
+    "map_from_entries_props",
+    "posexplode_tokens",
+    "udf_python_rowwise",
+    "join_null_safe",
+    "window_first_last",
+    "window_range_frame",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
@@ -211,8 +238,10 @@ _VERIFY_PRIORITY: list[str] = [
 # Re-deferral requires bumping the MUST-land round, which the same test
 # rejects once the named round arrives: the list shrinks every round.
 #
-# ROUND 8: empty — all 5 round-7 entries landed in this round's window
+# ROUND 8: empty — all 5 round-7 entries landed in that round's window
 # (slots 1-5) and were deleted, exactly as the deadline test prescribes.
+# ROUND 9: stays empty — the 50-slot arithmetic covers the whole backlog
+# (15 since=8 + 1 re-entry + 21 r2-stale + 13 r3-stale heads).
 DEFERRED: dict[str, str] = {}
 
 

@@ -2474,13 +2474,17 @@ def quality_average_precision(spark, sf_dir):
     SELECT CAST(MAX(t.na) AS BIGINT) AS n_a,
            CAST(MAX(t.nb) AS BIGINT) AS n_b,
            CAST(COUNT(*) AS BIGINT) AS n_support,
-           ROUND(COALESCE(SUM(CASE WHEN nextv IS NOT NULL
-                          THEN abs(CAST(cuma AS DOUBLE)
-                                     / CAST(t.na AS DOUBLE)
-                                   - CAST(cumb AS DOUBLE)
-                                     / CAST(t.nb AS DOUBLE))
-                               * CAST(nextv - v AS DOUBLE) END), 0.0), 6)
-             AS w1_distance
+           -- NULL on an empty group (round-9 advice): DuckDB's IEEE
+           -- division would emit NaN/inf where Spark's Divide emits
+           -- NULL; W1 against an empty sample is undefined on BOTH sides
+           CASE WHEN MAX(t.na) > 0 AND MAX(t.nb) > 0 THEN
+             ROUND(COALESCE(SUM(CASE WHEN nextv IS NOT NULL
+                            THEN abs(CAST(cuma AS DOUBLE)
+                                       / CAST(t.na AS DOUBLE)
+                                     - CAST(cumb AS DOUBLE)
+                                       / CAST(t.nb AS DOUBLE))
+                                 * CAST(nextv - v AS DOUBLE) END), 0.0), 6)
+           END AS w1_distance
     FROM c, t
     """,
 )
@@ -2580,10 +2584,17 @@ def quality_eb_shrinkage(spark, sf_dir):
       FROM a
     ),
     z AS (
+      -- NULL on degenerate groups (round-9 advice): n < 2 has no sample
+      -- variance and zero pooled SE has no t — DuckDB's IEEE division
+      -- would emit NaN/inf where Spark's Divide emits NULL, so both
+      -- sides branch on the SAME fixed-order sea + seb expression
       SELECT na, nb, ma, mb,
-             (ma - mb) / sqrt(sea + seb) AS t,
-             (sea + seb) * (sea + seb)
-               / (sea * sea / (na - 1) + seb * seb / (nb - 1)) AS dfw
+             CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+                  THEN (ma - mb) / sqrt(sea + seb) END AS t,
+             CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+                  THEN (sea + seb) * (sea + seb)
+                       / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+             END AS dfw
       FROM m
     ),
     ac AS (

@@ -87,6 +87,42 @@ def assert_driver_safe_schema(schema, name: str = "?") -> None:
             )
 
 
+#: DuckDB result types the driver's byte-hasher cannot canonicalize to a
+#: Spark column even when every value is identical.  This class has cost a
+#: driver-window slot in FIVE rounds — r2 ``pipeline_training_data_prep``
+#: (SUM→HUGEINT), r4 ``agg_salted_skew`` (DECIMAL), r5–r6 the cdc DECIMAL
+#: quartet + siblings, r7 ``text_script_mix`` (signed zero, fenced in
+#: ``_norm``), r8 ``sample_weighted_median`` (SUM→HUGEINT again) — because
+#: every guard until round 9 policed only the SPARK side of the pair.
+#: ``assert_driver_safe_oracle_types`` is the DuckDB-side mirror.
+_UNHASHABLE_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "STRUCT", "MAP", "UNION")
+
+
+def assert_driver_safe_oracle_types(con, sql: str, name: str = "?") -> None:
+    """Oracle-side mirror of ``assert_driver_safe_schema`` (round-8 verdict
+    What's-wrong #2).
+
+    Plans the oracle SQL in DuckDB (no execution — ``.types`` comes from
+    the binder) and rejects any result column whose DuckDB type the
+    driver's byte-hasher cannot match to a Spark type: HUGEINT/UHUGEINT
+    (DuckDB's default ``SUM(BIGINT)`` output — int128 bytes never equal
+    int64 bytes), DECIMAL (engine-dependent canonicalization), and
+    LIST/STRUCT/MAP/UNION (not hashable at all).  Fix at the source: cast
+    sums to BIGINT / money to DOUBLE in the oracle SQL itself.
+    """
+    rel = con.sql(sql)
+    for col, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if ts.endswith("[]") or any(ts.startswith(b) for b in _UNHASHABLE_DUCK_TYPES):
+            raise AssertionError(
+                f"[{name}] oracle column {col!r} has DuckDB type {ts}: the "
+                "driver byte-hasher cannot canonicalize it against Spark "
+                "output even when values are identical — CAST it in the "
+                "oracle SQL (sums → BIGINT, money → DOUBLE, nested → JSON "
+                "text)"
+            )
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     spark_rows = spark_df.collect()
     spark_cols = sorted(spark_df.columns)

@@ -27,7 +27,11 @@ import re
 
 import pytest
 
-from tests.oracle_harness import assert_driver_safe_schema
+from tests.oracle_harness import (
+    assert_driver_safe_oracle_types,
+    assert_driver_safe_schema,
+    duckdb_conn,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -60,6 +64,44 @@ def test_output_schema_is_driver_safe(spark, name):
     spec = _registry()[name]
     df = spec.fn(spark, SF_DIR)
     assert_driver_safe_schema(df.schema, name)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_conn(SF_DIR)
+    yield con
+    con.close()
+
+
+def _oracle_backed() -> list[str]:
+    return [n for n, s in _registry().items() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("name", sorted(_oracle_backed()))
+def test_oracle_result_types_are_driver_safe(duck, name):
+    """Oracle-side mirror of the Spark-output guard (round-8 verdict
+    What's-wrong #2): plan every oracle in DuckDB against the sf0.001
+    fixtures and reject HUGEINT/UHUGEINT/DECIMAL/LIST/STRUCT/MAP result
+    columns — the class that went red at the driver in five rounds while
+    the Spark-side guard stayed green (values identical, bytes not).
+    Red on round 8's unfixed ``sample_weighted_median`` oracle
+    (``SUM(wv)`` → HUGEINT); green after the ``CAST(t.tw AS BIGINT)``."""
+    spec = _registry()[name]
+    assert_driver_safe_oracle_types(duck, spec.oracle, name)
+
+
+def test_oracle_type_guard_rejects_hugeint_sum(duck):
+    """The guard itself must fire on the exact shape that burned round 8:
+    an uncast DuckDB SUM over a BIGINT column (→ HUGEINT), and stay green
+    once the same SUM is cast."""
+    bad = "SELECT SUM(o_custkey) AS w_total FROM orders"
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_driver_safe_oracle_types(duck, bad, "synthetic")
+    good = "SELECT CAST(SUM(o_custkey) AS BIGINT) AS w_total FROM orders"
+    assert_driver_safe_oracle_types(duck, good, "synthetic")
+    listy = "SELECT list(o_custkey) AS xs FROM orders"
+    with pytest.raises(AssertionError, match="xs"):
+        assert_driver_safe_oracle_types(duck, listy, "synthetic")
 
 
 def test_guard_rejects_raw_decimal_and_array(spark):

@@ -1374,8 +1374,11 @@ def test_mantel_haenszel_matches_fractions(spark, tables):
     ),
 )
 def test_blocking_metrics_matches_set_arithmetic(spark, cand, truth):
-    """PC/RR must match plain set arithmetic over orientation-normalized
-    pairs, for arbitrary candidate and truth pair sets."""
+    """PC/RR must match plain SET arithmetic over orientation-normalized
+    pairs, for arbitrary candidate and truth pair frames — including
+    frames carrying BOTH orientations of the same pair, which the
+    round-9 dedup fix collapses (join multiplicity used to double-count
+    and pair_completeness could exceed 1.0)."""
     from split_kinesis_streams_with_glue_spark.operators.dedup import (
         blocking_metrics,
     )
@@ -1389,22 +1392,22 @@ def test_blocking_metrics_matches_set_arithmetic(spark, cand, truth):
         tdf = spark.createDataFrame([], "d1 int, d2 int")
     [r] = blocking_metrics(cdf, tdf, 10).collect()
 
-    # mirror the operator's multiset join semantics on normalized pairs:
-    # inputs here are SETS pre-normalization, but normalization can merge
-    # (a,b)/(b,a) — count join matches per occurrence
-    from collections import Counter
-
-    cn = Counter((min(a, b), max(a, b)) for a, b in cand_rows)
-    tn = Counter((min(a, b), max(a, b)) for a, b in truth_rows)
-    hits = sum(cn[p] * tn[p] for p in cn)
-    assert r["n_candidates"] == sum(cn.values())
-    assert r["n_true"] == sum(tn.values())
+    # PC/RR are SET metrics: normalization can merge (a,b)/(b,a) into
+    # one pair, and the operator deduplicates both frames before
+    # counting — the naive model is set intersection, never join
+    # multiplicity
+    cn = {(min(a, b), max(a, b)) for a, b in cand_rows}
+    tn = {(min(a, b), max(a, b)) for a, b in truth_rows}
+    hits = len(cn & tn)
+    assert r["n_candidates"] == len(cn)
+    assert r["n_true"] == len(tn)
     assert r["n_hit"] == hits
-    if sum(tn.values()):
-        assert abs(r["pair_completeness"] - round(hits / sum(tn.values()), 6)) < 1e-9
+    if tn:
+        assert abs(r["pair_completeness"] - round(hits / len(tn), 6)) < 1e-9
+        assert r["pair_completeness"] <= 1.0
     else:
         assert r["pair_completeness"] is None
-    assert abs(r["reduction_ratio"] - round(1 - sum(cn.values()) / 45.0, 6)) < 1e-9
+    assert abs(r["reduction_ratio"] - round(1 - len(cn) / 45.0, 6)) < 1e-9
 
 
 @SET

@@ -1604,3 +1604,132 @@ def test_blocking_metrics_hand_computed(spark):
         cand, truth.filter("d1 > 100"), 6
     ).collect()
     assert z["pair_completeness"] is None and z["n_true"] == 0
+
+
+def test_blocking_metrics_deduplicates_both_orientations(spark):
+    """Round-9 advice: a candidate frame carrying BOTH orientations of a
+    pair (or band-level LSH duplicates) must count the pair ONCE — PC
+    and RR are set metrics, and join multiplicity used to let
+    pair_completeness exceed 1.0."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        blocking_metrics,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 4)], "id_a int, id_b int"
+    )
+    truth = spark.createDataFrame([(2, 1), (2, 1)], "d1 int, d2 int")
+    [r] = blocking_metrics(cand, truth, 6).collect()
+    assert r["n_candidates"] == 2  # {(1,2),(3,4)} after normalization
+    assert r["n_true"] == 1
+    assert r["n_hit"] == 1
+    assert r["pair_completeness"] == 1.0  # never > 1.0
+
+
+def test_wasserstein_1d_absent_group_is_null(spark):
+    """Round-9 advice: W1 against an empty sample is undefined — NULL,
+    not the 0.0 the coalesce used to emit (and not the NaN raw IEEE SQL
+    division would emit)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        wasserstein_1d,
+    )
+
+    df = spark.createDataFrame([("a", 0), ("a", 2)], "g string, v int")
+    [r] = wasserstein_1d(df, "v", "g", "a", "b").collect()
+    assert r["n_a"] == 2 and r["n_b"] == 0
+    assert r["w1_distance"] is None
+
+
+def test_welch_ttest_degenerate_groups_are_null(spark):
+    """Round-9 advice: n < 2 has no sample variance and two constant
+    groups have no t — t/df/p are NULL (Spark's Divide would NULL where
+    DuckDB's IEEE division NaN/infs; both sides now branch explicitly).
+    Means stay defined for n >= 1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        welch_ttest,
+    )
+
+    one = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "g string, v int"
+    )
+    [r] = welch_ttest(one, "v", "g", "a", "b").collect()
+    assert r["n_b"] == 1 and r["mean_b"] == 5.0
+    assert r["t_stat"] is None and r["welch_df"] is None
+    assert r["p_value"] is None
+
+    const = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 3), ("b", 3)], "g string, v int"
+    )
+    [c] = welch_ttest(const, "v", "g", "a", "b").collect()
+    assert c["t_stat"] is None and c["p_value"] is None
+
+
+def test_silhouette_simplified_degenerate_inputs(spark):
+    """Round-9 advice: an empty frame raises a clear ValueError from the
+    dimension probe (not TypeError on None); a single-cluster input
+    returns an empty frame (no nearest OTHER centroid exists)."""
+    import pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        silhouette_simplified,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id int, label int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        silhouette_simplified(empty)
+
+    single = spark.createDataFrame(
+        [(1, 0, [0.0, 1.0]), (2, 0, [1.0, 0.0])],
+        "vec_id int, label int, embedding array<double>",
+    )
+    assert silhouette_simplified(single).count() == 0
+
+
+def test_segmental_ttr_short_docs_keep_raw_ttr(spark):
+    """Round-9 advice (the oracle-divergence class): a corpus with
+    tokens but ZERO full segments still reports the real corpus TTR —
+    only msttr is undefined. 'a b c' + 'a a' at segment_len 25: nt = 5,
+    dt = 3 -> raw_ttr = 0.6, n_segments = 0, msttr NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        segmental_ttr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a")], "doc_id int, text string"
+    )
+    [r] = segmental_ttr(df, segment_len=25).collect()
+    assert r["n_docs"] == 0 and r["n_segments"] == 0
+    assert r["msttr"] is None
+    assert abs(r["raw_ttr"] - 0.6) < 1e-9
+
+
+def test_sttr_oracle_parity_on_short_doc_corpus(spark):
+    """Round-9 advice (medium): the registry oracle for
+    ``text_sttr_diversity`` must agree with the operator on a corpus
+    with tokens but zero full 25-token segments — the old
+    ``FROM per_seg, overall WHERE n = 25`` cross join emptied and
+    NULLed raw_ttr where the operator's crossJoin(broadcast(overall))
+    emits the real dt/nt."""
+    import duckdb
+
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        segmental_ttr,
+    )
+    from split_kinesis_streams_with_glue_spark.plans import all_queries
+    from tests.oracle_harness import compare
+
+    oracle = all_queries()["text_sttr_diversity"].oracle
+    rows = [(1, "a b c"), (2, "a a")]
+    sdf = segmental_ttr(
+        spark.createDataFrame(rows, "doc_id int, text string"),
+        segment_len=25,
+    )
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        compare(sdf, con, oracle, "text_sttr_diversity@short-docs")
+    finally:
+        con.close()
