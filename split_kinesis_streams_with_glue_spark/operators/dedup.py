@@ -878,35 +878,15 @@ def sorted_neighborhood_pairs(
 
     Returns (id_a, id_b, key_a, key_b, offset) with id_a ranked below
     id_b."""
-    from pyspark.sql import Window
+    from split_kinesis_streams_with_glue_spark.partitioning import global_rank
 
     base = df.select(F.col(id_col).alias("__id"), sort_key.alias("__key"))
-    ranged = (
-        base.repartitionByRange(
-            n_partitions, F.col("__key").asc(), F.col("__id").asc()
-        )
-        .withColumn("__pid", F.spark_partition_id())
-        # pin the sampled range boundaries: both the counts pass and the
-        # rank pass must see the SAME partitioning (the PCA operator's
-        # lazy-localCheckpoint idiom, similarity.py)
-        .localCheckpoint(eager=False)
-    )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    woff = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # bounded: one row per partition
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
-    )
-    wp = Window.partitionBy("__pid").orderBy(
-        F.col("__key").asc(), F.col("__id").asc()
-    )
-    ranked = ranged.join(F.broadcast(offsets), "__pid").select(
-        "__id",
-        "__key",
-        (F.row_number().over(wp) + F.col("__off")).alias("__rn"),
-    )
+    # the two-pass rank was born here (round 8); factored to
+    # partitioning.global_rank when quantile_normalize became its second
+    # consumer (round 9) — plan shape unchanged (verified by the plan test)
+    ranked = global_rank(
+        base, "__key", "__id", rank_col="__rn", n_partitions=n_partitions
+    ).select("__id", "__key", "__rn")
     offs = F.array([F.lit(i) for i in range(1, window + 1)])
     left = (
         ranked.select(
