@@ -1398,3 +1398,257 @@ def mantel_haenszel_or(
             ),
         ).alias("or_crude"),
     )
+
+
+def auc_rank(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC via the rank-sum (Mann-Whitney) identity: AUC =
+    (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with R_pos the sum of the
+    positives' mid-ranks (ties get the tied group's average rank). The
+    threshold-free discrimination measure for any scalar gate score the
+    quality family produces (quality/importance/perplexity): "how often
+    does a random kept-doc outscore a random dropped-doc" — the number a
+    reviewer asks for before trusting a gate, and the one that moves when
+    a score saturates even while accuracy at the current threshold holds.
+
+    Exactness shape: one groupBy collapses the corpus to the
+    distinct-score histogram; the cumulative window and the rank fold run
+    over THAT bounded frame. All rank arithmetic is kept in INTEGERS by
+    doubling — 2·R_pos = Σ c_pos·(2·cum_before + c_tot + 1) — so the
+    numerator is exact in both engines and the only float op is the final
+    division (cf. mann_whitney_u, which this refines with the closed-form
+    tie handling instead of the normal approximation).
+
+    Returns one row (n_pos, n_neg, u_times2, auc); auc is NULL when
+    either class is empty (undefined — the family's NULL-on-degenerate
+    convention)."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("long")
+    hist = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(lab).alias("__cp"),
+            F.count(F.lit(1)).alias("__ct"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bounded: distinct-score histogram rows
+    cum = hist.select(
+        "__cp",
+        "__ct",
+        F.coalesce(F.sum("__ct").over(w), F.lit(0)).alias("__cb"),
+    )
+    agg = cum.agg(
+        F.sum("__cp").alias("__np"),
+        (F.sum("__ct") - F.sum("__cp")).alias("__nn"),
+        F.sum(
+            F.col("__cp")
+            * (F.lit(2) * F.col("__cb") + F.col("__ct") + F.lit(1))
+        ).alias("__r2"),
+    )
+    u2 = F.col("__r2") - F.col("__np") * (F.col("__np") + F.lit(1))
+    return agg.select(
+        F.col("__np").cast("bigint").alias("n_pos"),
+        F.col("__nn").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u_times2"),
+        F.when(
+            (F.col("__np") > 0) & (F.col("__nn") > 0),
+            F.round(
+                u2.cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("__np").cast("double")
+                    * F.col("__nn").cast("double")
+                ),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V with the Bergsma-Wicher bias correction (Bergsma,
+    J. Korean Stat. Soc. 2013): V = sqrt((X²/n)/min(r−1, c−1)) plus the
+    small-sample-corrected variant that subtracts the chi-square's
+    expectation-under-independence before normalizing. The EFFECT-SIZE
+    companion chi2_independence lacks: X² grows linearly with n, so at
+    corpus scale every association is "significant" — V is the
+    n-invariant [0, 1] strength number that makes lang×source vs
+    lang×length comparable on one scale (the categorical analogue of the
+    correlation matrix).
+
+    Same single-scan contingency shape as chi2_independence (whose NULL
+    policy it inherits) — with one refinement the effect size REQUIRES:
+    the grouped contingency frame holds only OBSERVED cells, but V = 1
+    for a perfect association only if the zero cells' chi-square
+    contribution is counted. Each missing cell contributes exactly its
+    expected count ((0−e)²/e = e), and Σ over ALL cells of e equals n,
+    so chi2 = Σ_observed (o−e)²/e + (n − Σ_observed e) — no dense
+    |A|×|B| materialization needed. All post-aggregate math derives
+    from the 6-dp-ROUNDED chi2 so both engines start the V arithmetic
+    from the identical float (a raw double cell-sum is
+    accumulation-order nondeterministic in its last ulp).
+
+    Returns one row (n, df_r, df_c, chi2, v, v_corrected); Vs are NULL
+    on degenerate tables (a single row or column category, or n ≤ 1 for
+    the corrected form)."""
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    joint = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    ra = joint.groupBy(col_a).agg(F.sum("__o").alias("__ra"))
+    rb = joint.groupBy(col_b).agg(F.sum("__o").alias("__rb"))
+    n1 = joint.agg(F.sum("__o").alias("__n"))
+    e = F.col("__ra") * F.col("__rb") / F.col("__n")
+    scored = (
+        joint.join(ra, col_a)
+        .join(rb, col_b)
+        .crossJoin(F.broadcast(n1))
+        .select(
+            col_a,
+            col_b,
+            F.col("__n"),
+            ((F.col("__o") - e) * (F.col("__o") - e) / e).alias("__t"),
+            e.alias("__e"),
+        )
+    )
+    agg = scored.agg(
+        F.round(
+            F.sum("__t")
+            + (F.max("__n").cast("double") - F.sum("__e")),
+            6,
+        ).alias("__chi2"),
+        F.countDistinct(col_a).alias("__r"),
+        F.countDistinct(col_b).alias("__c"),
+        F.max("__n").alias("__nn"),
+    )
+    nD = F.col("__nn").cast("double")
+    rD = F.col("__r").cast("double")
+    cD = F.col("__c").cast("double")
+    phi2 = F.col("__chi2") / nD
+    kmin = F.least(rD - 1.0, cD - 1.0)
+    # corrected pieces (all scalar, fixed association order)
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (rD - 1.0) * (cD - 1.0) / (nD - 1.0)
+    )
+    rc = rD - (rD - 1.0) * (rD - 1.0) / (nD - 1.0)
+    cc = cD - (cD - 1.0) * (cD - 1.0) / (nD - 1.0)
+    kminc = F.least(rc - 1.0, cc - 1.0)
+    return agg.select(
+        F.col("__nn").cast("bigint").alias("n"),
+        F.col("__r").cast("bigint").alias("df_r"),
+        F.col("__c").cast("bigint").alias("df_c"),
+        F.col("__chi2").alias("chi2"),
+        F.when(
+            (kmin > 0) & (F.col("__nn") > 0),
+            F.round(F.sqrt(phi2 / kmin), 6),
+        ).alias("v"),
+        F.when(
+            (F.col("__nn") > 1) & (kminc > 0),
+            F.round(F.sqrt(phi2c / kminc), 6),
+        ).alias("v_corrected"),
+    )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split-conformal calibration audit (Vovk et al. 2005; Papadopoulos
+    et al., ECML 2002): per group, split the data into a calibration and
+    an evaluation half by content hash, take the conformal quantile of
+    the calibration scores — the k-th smallest with
+    k = ceil((n_cal+1)·(1−α)) — and measure the EVALUATION half's
+    coverage (share of scores ≤ that threshold). Exchangeability
+    guarantees expected coverage ≥ 1−α; a group whose measured coverage
+    sits materially below nominal is the distribution-shift alarm for
+    that slice (the per-group miscalibration signal calibration_bins'
+    global reliability curve averages away).
+
+    Determinism and scale shape: the split reuses the sampling family's
+    md5-bucket idiom (duplicate-stable, engine-portable); k is computed
+    in INTEGER arithmetic — ceil((n+1)·(1−p/q)) == floor(((q−p)(n+1)+q−1)/q)
+    — so no 0.9-is-inexact float ceil can disagree across engines; the
+    k-th order statistic comes from a per-GROUP window (partitioned —
+    parallel at any group count), and coverage is one grouped integer
+    ratio. NULL threshold/coverage when k exceeds n_cal (α too small for
+    the group — the honest answer, not a clamped quantile).
+
+    Returns one row per group (group, n_calib, n_eval, k, threshold,
+    coverage)."""
+    from pyspark.sql import Window
+
+    bucket = F.substring(F.md5(F.col(text_col)), 1, 4)
+    is_cal = bucket < F.lit("8000")  # 1/2 split, exact in hex space
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("__sc"),
+        is_cal.alias("__cal"),
+        F.col(text_col).alias("__tx"),
+    )
+    cal = base.filter(F.col("__cal"))
+    wrank = Window.partitionBy("grp").orderBy(
+        F.col("__sc").asc(), F.col("__tx").asc()
+    )
+    wcnt = Window.partitionBy("grp")
+    p, q = alpha_num, alpha_den
+    ranked = cal.select(
+        "grp",
+        "__sc",
+        F.row_number().over(wrank).alias("__rk"),
+        F.count(F.lit(1)).over(wcnt).alias("__ncal"),
+    ).withColumn(
+        "__k",
+        F.floor(
+            (
+                F.lit(q - p) * (F.col("__ncal") + 1) + F.lit(q - 1)
+            ).cast("double")
+            / F.lit(float(q))
+        ).cast("bigint"),
+    )
+    thr = ranked.filter(F.col("__rk") == F.col("__k")).select(
+        "grp",
+        F.col("__ncal").alias("n_calib"),
+        F.col("__k").alias("k"),
+        F.col("__sc").alias("threshold"),
+    )
+    cal_n = cal.groupBy("grp").agg(F.count(F.lit(1)).alias("__ncal_all"))
+    cov = (
+        base.filter(~F.col("__cal"))
+        .join(thr.select("grp", "threshold"), "grp", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(
+                F.avg(
+                    F.when(F.col("__sc") <= F.col("threshold"), 1.0)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("__covraw"),
+            F.max(F.col("threshold").isNotNull()).alias("__has_thr"),
+        )
+        .select(
+            "grp",
+            "n_eval",
+            F.when(F.col("__has_thr"), F.col("__covraw")).alias("coverage"),
+        )
+    )
+    return (
+        cal_n.join(thr.drop("n_calib"), "grp", "left")
+        .join(cov, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("__ncal_all").cast("bigint").alias("n_calib"),
+            F.coalesce(F.col("n_eval"), F.lit(0)).cast("bigint").alias("n_eval"),
+            F.col("k").cast("bigint").alias("k"),
+            F.col("threshold").cast("bigint").alias("threshold"),
+            F.col("coverage"),
+        )
+    )

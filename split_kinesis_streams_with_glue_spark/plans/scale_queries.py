@@ -2740,3 +2740,203 @@ def quality_mantel_haenszel(spark, sf_dir):
         (F.col("n_chars") >= 300).cast("int").alias("out"),
     )
     return mantel_haenszel_or(d, "lang", "exp", "out")
+
+
+@query(
+    since=9,
+    name="quality_auc_roc",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS s,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+             COUNT(*) AS ct
+      FROM documents
+      WHERE n_chars IS NOT NULL
+      GROUP BY n_chars
+    ),
+    c AS (
+      SELECT cp, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM h
+    ),
+    a AS (
+      SELECT SUM(cp) AS np, SUM(ct) - SUM(cp) AS nn,
+             SUM(cp * (2 * cb + ct + 1)) AS r2
+      FROM c
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           CAST(r2 - np * (np + 1) AS BIGINT) AS u_times2,
+           CASE WHEN np > 0 AND nn > 0
+                THEN ROUND(CAST(r2 - np * (np + 1) AS DOUBLE)
+                           / (2.0 * CAST(np AS DOUBLE)
+                              * CAST(nn AS DOUBLE)), 6)
+           END AS auc
+    FROM a
+    """,
+)
+def quality_auc_roc(spark, sf_dir):
+    """NEW OPERATOR (round 9): ROC AUC via the rank-sum identity
+    (operators/quality_checks.py auc_rank; Hanley & McNeil 1982) with
+    closed-form mid-rank tie handling — how well does raw document
+    length discriminate English from non-English? The threshold-free
+    grade for any scalar gate score, refining quality_mann_whitney's
+    normal-approximation U into the exact effect size. NEW SHAPE
+    DISCIPLINE: the rank numerator stays in INTEGERS by doubling
+    (2·R_pos = Σ c_pos·(2·cum_before + c_tot + 1)) over the
+    distinct-score histogram, so the only float op either engine
+    performs is the final division."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        auc_rank,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("is_en")
+    )
+    return auc_rank(d, "n_chars", "is_en")
+
+
+def _cramers_oracle() -> str:
+    """Three UNION ALL blocks, one per categorical pair — each mirrors
+    cramers_v's contingency fold and the exact scalar association order
+    of the V / bias-corrected V arithmetic (all derived from the
+    6-dp-rounded chi2, the operator's cross-engine determinism anchor)."""
+    def block(a: str, b: str, pair: str) -> str:
+        return f"""
+    SELECT '{pair}' AS pair, n, df_r, df_c, chi2,
+           CASE WHEN LEAST(df_r - 1.0, df_c - 1.0) > 0 AND n > 0
+                THEN ROUND(sqrt((chi2 / n)
+                     / LEAST(df_r - 1.0, df_c - 1.0)), 6) END AS v,
+           CASE WHEN n > 1
+                 AND LEAST(df_r - (df_r - 1.0) * (df_r - 1.0) / (n - 1.0) - 1.0,
+                           df_c - (df_c - 1.0) * (df_c - 1.0) / (n - 1.0) - 1.0) > 0
+                THEN ROUND(sqrt(
+                  GREATEST(0.0, chi2 / n
+                           - (df_r - 1.0) * (df_c - 1.0) / (n - 1.0))
+                  / LEAST(df_r - (df_r - 1.0) * (df_r - 1.0) / (n - 1.0) - 1.0,
+                          df_c - (df_c - 1.0) * (df_c - 1.0) / (n - 1.0) - 1.0)),
+                  6) END AS v_corrected
+    FROM (
+      SELECT ROUND(SUM((o - ra * rb / n) * (o - ra * rb / n)
+                       / (ra * rb / n))
+                   + (MAX(n) - SUM(ra * rb / n)), 6) AS chi2,
+             CAST(COUNT(DISTINCT ka) AS DOUBLE) AS df_r,
+             CAST(COUNT(DISTINCT kb) AS DOUBLE) AS df_c,
+             CAST(MAX(n) AS DOUBLE) AS n
+      FROM (
+        SELECT j.ka, j.kb, CAST(j.o AS DOUBLE) AS o,
+               CAST(ra.t AS DOUBLE) AS ra, CAST(rb.t AS DOUBLE) AS rb,
+               CAST(nn.t AS DOUBLE) AS n
+        FROM (SELECT {a} AS ka, {b} AS kb, COUNT(*) AS o
+              FROM documents GROUP BY 1, 2) j
+        JOIN (SELECT {a} AS ka, COUNT(*) AS t FROM documents GROUP BY 1) ra
+          USING (ka)
+        JOIN (SELECT {b} AS kb, COUNT(*) AS t FROM documents GROUP BY 1) rb
+          USING (kb)
+        CROSS JOIN (SELECT COUNT(*) AS t FROM documents) nn
+      )
+    )"""
+
+    return (
+        "SELECT pair, CAST(n AS BIGINT) AS n, CAST(df_r AS BIGINT) AS df_r,"
+        " CAST(df_c AS BIGINT) AS df_c, chi2, v, v_corrected FROM ("
+        + block("lang", "source", "lang_x_source")
+        + " UNION ALL "
+        + block("lang", "n_chars // 100", "lang_x_lenbucket")
+        + " UNION ALL "
+        + block("source", "n_chars // 100", "source_x_lenbucket")
+        + ")"
+    )
+
+
+@query(since=9, name="quality_cramers_v", oracle=_cramers_oracle())
+def quality_cramers_v(spark, sf_dir):
+    """NEW OPERATOR (round 9): bias-corrected Cramér's V
+    (operators/quality_checks.py cramers_v; Cramér 1946, Bergsma 2013)
+    over three categorical pairs — lang×source, lang×length-bucket,
+    source×length-bucket. The n-invariant EFFECT SIZE chi2_independence
+    lacks: at corpus scale every association is 'significant', so the
+    profiling question is strength on a shared [0,1] scale (the
+    categorical analogue of agg_correlation_matrix). Each pair is one
+    contingency fold; all V arithmetic derives from the 6-dp-rounded
+    chi2 on both engines."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cramers_v,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars DIV 100").alias("len_bucket")
+    )
+    pairs = [
+        ("lang", "source", "lang_x_source"),
+        ("lang", "len_bucket", "lang_x_lenbucket"),
+        ("source", "len_bucket", "source_x_lenbucket"),
+    ]
+    out = None
+    for a, b, tag in pairs:
+        one = cramers_v(d, a, b).select(
+            F.lit(tag).alias("pair"), "n", "df_r", "df_c",
+            "chi2", "v", "v_corrected",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@query(
+    since=9,
+    name="quality_conformal_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT lang AS grp, n_chars AS sc, text AS tx,
+             substring(md5(text), 1, 4) < '8000' AS cal
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    ranked AS (
+      SELECT grp, sc,
+             ROW_NUMBER() OVER (PARTITION BY grp
+               ORDER BY sc ASC, tx ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY grp) AS ncal
+      FROM base WHERE cal
+    ),
+    thr AS (
+      SELECT grp, rk AS k, sc AS threshold
+      FROM ranked
+      WHERE rk = CAST(FLOOR((9 * (ncal + 1) + 9) / 10.0) AS BIGINT)
+    ),
+    caln AS (SELECT grp, COUNT(*) AS ncal_all FROM base WHERE cal GROUP BY grp),
+    cov AS (
+      SELECT b.grp, COUNT(*) AS n_eval,
+             ROUND(AVG(CASE WHEN b.sc <= t.threshold
+                            THEN 1.0 ELSE 0.0 END), 6) AS covraw,
+             MAX(t.threshold IS NOT NULL) AS has_thr
+      FROM base b LEFT JOIN thr t USING (grp)
+      WHERE NOT b.cal
+      GROUP BY b.grp
+    )
+    SELECT c.grp AS lang, CAST(c.ncal_all AS BIGINT) AS n_calib,
+           CAST(COALESCE(v.n_eval, 0) AS BIGINT) AS n_eval,
+           CAST(t.k AS BIGINT) AS k,
+           CAST(t.threshold AS BIGINT) AS threshold,
+           CASE WHEN v.has_thr THEN v.covraw END AS coverage
+    FROM caln c LEFT JOIN thr t USING (grp) LEFT JOIN cov v USING (grp)
+    """,
+)
+def quality_conformal_coverage(spark, sf_dir):
+    """NEW OPERATOR (round 9): split-conformal coverage audit
+    (operators/quality_checks.py conformal_coverage; Vovk et al. 2005)
+    per language — hash-split each lang into calibration/evaluation
+    halves, take the conformal quantile (k = ceil((n+1)·0.9)-th smallest
+    calibration length) and measure evaluation coverage against the 90%
+    nominal. The per-slice distribution-shift alarm that
+    quality_calibration_bins' global reliability curve averages away.
+    All-integer k arithmetic (no float ceil), per-GROUP windows only —
+    parallel at any group count."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        conformal_coverage,
+    )
+
+    return conformal_coverage(
+        load(spark, sf_dir, "documents"), "n_chars", "lang"
+    )

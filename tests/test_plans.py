@@ -539,6 +539,13 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # over the #partitions-row count frame (same classes as
     # dedup_sorted_neighborhood)
     "dedup_blocking_metrics": {"cartesian-product", "unpartitioned-window"},
+    # --- round-9 queries ---
+    # cumulative-rank window over the distinct-score histogram (same
+    # class as quality_ks_binned's CDF window)
+    "quality_auc_roc": {"unpartitioned-window"},
+    # crossJoin(broadcast(<1-row contingency-total agg>)) per pair —
+    # bounded (same class as quality_chi2_independence)
+    "quality_cramers_v": {"cartesian-product"},
 }
 
 

@@ -1733,3 +1733,117 @@ def test_sttr_oracle_parity_on_short_doc_corpus(spark):
         compare(sdf, con, oracle, "text_sttr_diversity@short-docs")
     finally:
         con.close()
+
+
+def test_auc_rank_hand_computed(spark):
+    """Scores: pos {3, 2}, neg {1, 2}. Ascending mid-ranks: 1 -> 1,
+    the tied 2s -> 2.5 each, 3 -> 4. R_pos = 2.5 + 4 = 6.5, U = 6.5 -
+    2*3/2 = 3.5, AUC = 3.5 / (2*2) = 0.875; u_times2 = 2*6.5 - 6 = 7.
+    One-class input -> NULL auc."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        auc_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (1, 0), (2, 0)], "s int, y int"
+    )
+    [r] = auc_rank(df, "s", "y").collect()
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert r["u_times2"] == 7
+    assert abs(r["auc"] - 0.875) < 1e-9
+    [d] = auc_rank(df.filter("y = 1"), "s", "y").collect()
+    assert d["auc"] is None and d["n_neg"] == 0
+
+
+def test_auc_rank_separable_is_one(spark):
+    """Perfectly separated scores -> AUC exactly 1.0 (and 0.0 reversed)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        auc_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "s int, y int"
+    )
+    [r] = auc_rank(df, "s", "y").collect()
+    assert r["auc"] == 1.0
+    rev = spark.createDataFrame(
+        [(10, 0), (9, 0), (2, 1), (1, 1)], "s int, y int"
+    )
+    [v] = auc_rank(rev, "s", "y").collect()
+    assert v["auc"] == 0.0
+
+
+def test_cramers_v_hand_computed(spark):
+    """Perfect 2x2 association (5 (a,x) + 5 (b,y)): chi2 = n = 10,
+    V = 1; Bergsma-corrected: phi2c = 1 - 1/9, kc = 17/9 - 1 = 8/9 ->
+    V_corr = 1. Independent 2x2 (balanced): chi2 = 0 -> V = 0.
+    Single-category column -> NULL Vs."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cramers_v,
+    )
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5, "u string, w string"
+    )
+    [p] = cramers_v(perfect, "u", "w").collect()
+    assert p["n"] == 10 and p["df_r"] == 2 and p["df_c"] == 2
+    assert abs(p["chi2"] - 10.0) < 1e-9
+    assert abs(p["v"] - 1.0) < 1e-9
+    assert abs(p["v_corrected"] - 1.0) < 1e-9
+    indep = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 5
+        + [("b", "x")] * 5 + [("b", "y")] * 5,
+        "u string, w string",
+    )
+    [i] = cramers_v(indep, "u", "w").collect()
+    assert i["chi2"] == 0.0 and i["v"] == 0.0 and i["v_corrected"] == 0.0
+    degen = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "u string, w string"
+    )
+    [d] = cramers_v(degen, "u", "w").collect()
+    assert d["v"] is None and d["v_corrected"] is None
+
+
+def test_conformal_coverage_mirrors_sequential(spark):
+    """The operator must equal the literal split-conformal procedure run
+    in plain Python over the same md5 split: k = ceil(0.9*(n_cal+1)),
+    threshold = k-th smallest calibration score, coverage = share of
+    eval scores <= threshold."""
+    import hashlib
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        conformal_coverage,
+    )
+
+    rows = [(f"t{i:03d}", "g", 1000 + 7 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "text string, grp string, sc int")
+    [r] = conformal_coverage(df, "sc", "grp").collect()
+
+    cal = [(t, s) for t, g, s in rows
+           if hashlib.md5(t.encode()).hexdigest()[:4] < "8000"]
+    ev = [(t, s) for t, g, s in rows
+          if hashlib.md5(t.encode()).hexdigest()[:4] >= "8000"]
+    k = math.ceil(0.9 * (len(cal) + 1))
+    thr = sorted(s for _, s in cal)[k - 1]
+    cov = sum(1 for _, s in ev if s <= thr) / len(ev)
+    assert r["n_calib"] == len(cal) and r["n_eval"] == len(ev)
+    assert r["k"] == k and r["threshold"] == thr
+    assert abs(r["coverage"] - round(cov, 6)) < 1e-9
+
+
+def test_conformal_coverage_alpha_too_small_is_null(spark):
+    """alpha = 1/100 with a tiny calibration set: k = ceil(0.99*(n+1))
+    exceeds n -> threshold/coverage NULL (the honest answer, not a
+    clamped max)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        conformal_coverage,
+    )
+
+    rows = [(f"t{i:03d}", "g", i) for i in range(8)]
+    df = spark.createDataFrame(rows, "text string, grp string, sc int")
+    [r] = conformal_coverage(
+        df, "sc", "grp", alpha_num=1, alpha_den=100
+    ).collect()
+    assert r["threshold"] is None and r["coverage"] is None
+    assert r["k"] is None  # no calibration row carries the k-th rank
