@@ -425,3 +425,56 @@ def weighted_quantile(
         .limit(1)
         .collect()[0]["v"]
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pareto frontier (skyline) over two maximize-dimensions
+    (Börzsönyi, Kossmann & Stocker, ICDE 2001): the rows no other row
+    dominates, where b dominates a iff b ≥ a in both dimensions and
+    b > a in at least one. The multi-objective selection primitive a
+    curation pipeline needs when two quality signals trade off (length
+    vs lexical diversity, quality vs novelty): every skyline row is an
+    optimal trade, everything else is strictly improvable.
+
+    Plan shape — NOT the textbook O(n²) anti-dominance self-join (the
+    NOT EXISTS form is kept as the ORACLE): in 2-D, dominance folds
+    into prefix maxima over the x-grouped frame. One groupBy collapses
+    the data to (x, max-y-at-x); a cumulative window in descending x
+    over THAT bounded frame yields pmax(x) = max y among strictly
+    greater x; a row survives iff y > pmax(x) (or no greater x exists)
+    AND y equals its own group's max. The corpus is scanned once and
+    rejoined to the broadcast per-x threshold frame — skyline at the
+    cost of a grouped aggregate, independent of the skyline's size.
+
+    Caller contract: ``x_col`` must be bounded-cardinality (an integer
+    measure like token count — the threshold frame is |distinct x|
+    rows) and both columns NULL-free; equal points dominate neither
+    each other nor themselves (classical strict-dominance semantics),
+    so exact duplicates of a frontier point all survive.
+
+    Returns the input columns, skyline rows only."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__gmax")
+    )
+    w = Window.orderBy(F.col("__x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bounded: one row per distinct x
+    thr = g.select(
+        "__x",
+        "__gmax",
+        F.max("__gmax").over(w).alias("__pmax"),
+    )
+    return (
+        df.join(F.broadcast(thr), df[x_col] == F.col("__x"))
+        .filter(
+            (F.col("__pmax").isNull() | (F.col(y_col) > F.col("__pmax")))
+            & (F.col(y_col) >= F.col("__gmax"))
+        )
+        .drop("__x", "__gmax", "__pmax")
+    )

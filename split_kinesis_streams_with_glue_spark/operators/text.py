@@ -1255,3 +1255,79 @@ def segmental_ttr(
             ),
         ).alias("raw_ttr"),
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1998) — the standard LM smoothing the
+    n-gram family lacked: ``good_turing_mass`` redistributes mass by
+    COUNT-of-counts and ``bigram_logprob`` interpolates with the raw
+    unigram, but KN's continuation probability P_cont(w2) =
+    N1+(·,w2)/|bigram types| asks "how many contexts does w2 COMPLETE",
+    which is what separates genuinely productive words from ones frozen
+    inside boilerplate collocations ("Francisco" is frequent but follows
+    only "San" — raw-unigram backoff overweights it, KN does not).
+
+    P_KN(w2|w1) = max(c(w1,w2)−D, 0)/c(w1)
+                  + ((D·N1+(w1,·))/c(w1)) · (N1+(·,w2)/T).
+
+    Shape: bigrams are built ROW-LOCALLY (an index transform over the
+    token array — no position self-join, unlike bigram_logprob's
+    deliberately join-shaped variant) and every KN quantity folds from
+    the Zipf-small bigram-type frame; T is a broadcast 1-row aggregate.
+    D = 0.75 is exactly representable, so the per-type probability is a
+    fixed-order IEEE expression identical cross-engine; the top-k cut
+    compares those bit-identical doubles with (w1, w2) tie-breaks via
+    one distributed TakeOrderedAndProject.
+
+    Returns the k highest-probability bigram types
+    (w1, w2, c12, pkn)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    pairs = (
+        df.withColumn("__tk", toks)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__tk, 1, greatest(size(__tk) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, element_at(__tk, i + 2) AS w2))"
+                )
+            ).alias("__bg")
+        )
+        .select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = bc.groupBy("w1").agg(
+        F.sum("__c12").alias("__c1"),
+        F.count(F.lit(1)).alias("__nf"),  # N1+(w1, ·)
+    )
+    nb = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("__nb"))  # N1+(·, w2)
+    tt = bc.agg(F.count(F.lit(1)).alias("__t"))
+    d = F.lit(discount)
+    pkn = (
+        F.greatest(F.col("__c12").cast("double") - d, F.lit(0.0))
+        / F.col("__c1").cast("double")
+        + (
+            (d * F.col("__nf").cast("double"))
+            / F.col("__c1").cast("double")
+        )
+        * (F.col("__nb").cast("double") / F.col("__t").cast("double"))
+    )
+    return (
+        bc.join(c1, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(tt))
+        .withColumn("__pkn", pkn)
+        .orderBy(F.col("__pkn").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+        .select(
+            "w1",
+            "w2",
+            F.col("__c12").cast("bigint").alias("c12"),
+            F.round("__pkn", 6).alias("pkn"),
+        )
+    )

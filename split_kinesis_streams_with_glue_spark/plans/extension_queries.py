@@ -4669,3 +4669,112 @@ def dedup_blocking_metrics(spark, sf_dir):
     ).select("id_a", "id_b")
     truth = jaccard_pairs(shingle_sets(docs), 0.5).select("d1", "d2")
     return blocking_metrics(cand, truth, docs.count())
+
+
+@query(
+    since=9,
+    name="text_kneser_ney_bigram",
+    oracle=r"""
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM bc GROUP BY 1),
+    nb AS (SELECT w2, COUNT(*) AS nb FROM bc GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS t FROM bc),
+    p AS (
+      SELECT bc.w1, bc.w2, bc.c12,
+             GREATEST(CAST(bc.c12 AS DOUBLE) - 0.75, 0.0)
+               / CAST(c1.c1 AS DOUBLE)
+             + ((0.75 * CAST(c1.nf AS DOUBLE)) / CAST(c1.c1 AS DOUBLE))
+               * (CAST(nb.nb AS DOUBLE) / CAST(tt.t AS DOUBLE)) AS pkn
+      FROM bc JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN tt
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, ROUND(pkn, 6) AS pkn
+    FROM p
+    ORDER BY p.pkn DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """NEW OPERATOR (round 9): interpolated Kneser-Ney bigram smoothing
+    (operators/text.py kneser_ney_bigram; Kneser & Ney 1995) — the top
+    20 bigram types by P_KN(w2|w1), where the backoff weight is the
+    CONTINUATION probability (distinct contexts w2 completes / bigram
+    types) rather than the raw unigram bigram_logprob interpolates
+    with. Bigrams are built row-locally by an index transform over the
+    token array (no position self-join); all KN quantities fold from
+    the Zipf-small bigram-type frame; one TakeOrderedAndProject cut."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        kneser_ney_bigram,
+    )
+
+    return kneser_ney_bigram(load(spark, sf_dir, "documents"), k=20)
+
+
+@query(
+    since=9,
+    name="profile_pareto_skyline",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> w <> '') AS w
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS ttr
+      FROM tok WHERE len(w) > 0
+    )
+    SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(a.ttr, 6) AS ttr
+    FROM d a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.n_tokens >= a.n_tokens AND b.ttr >= a.ttr
+        AND (b.n_tokens > a.n_tokens OR b.ttr > a.ttr)
+    )
+    """,
+)
+def profile_pareto_skyline(spark, sf_dir):
+    """NEW OPERATOR (round 9): 2-D Pareto frontier
+    (operators/profile.py pareto_skyline; Börzsönyi et al., ICDE 2001)
+    over (token count, type-token ratio) — the documents on the
+    length-vs-lexical-diversity trade-off frontier, i.e. the
+    multi-objective curation picks nothing else strictly improves on.
+    NEW PLAN SHAPE: dominance collapses to prefix maxima over the
+    x-grouped frame (one groupBy + a bounded cumulative window + a
+    broadcast threshold rejoin) — linear where the oracle's NOT EXISTS
+    anti-join is the quadratic textbook form."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        whitespace_tokens,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        pareto_skyline,
+    )
+
+    tk = whitespace_tokens(F.lower(F.col("text")))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tk.alias("__tk"))
+        .filter(F.size("__tk") > 0)
+        .select(
+            "doc_id",
+            F.size("__tk").cast("bigint").alias("n_tokens"),
+            (
+                F.size(F.array_distinct("__tk")).cast("double")
+                / F.size("__tk").cast("double")
+            ).alias("__ttr_raw"),
+        )
+    )
+    out = pareto_skyline(d, "n_tokens", "__ttr_raw")
+    return out.select(
+        "doc_id", "n_tokens", F.round("__ttr_raw", 6).alias("ttr")
+    )

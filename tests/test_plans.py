@@ -546,6 +546,14 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoin(broadcast(<1-row contingency-total agg>)) per pair —
     # bounded (same class as quality_chi2_independence)
     "quality_cramers_v": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row bigram-type-count agg>)) — bounded
+    # (same class as text_bigram_logprob)
+    "text_kneser_ney_bigram": {"cartesian-product"},
+    # prefix-max window over the per-distinct-x threshold frame (the
+    # operator's documented bounded-cardinality contract); the
+    # size(tokens) > 0 filter applies to a DERIVED array — nothing at
+    # the scan to push into
+    "profile_pareto_skyline": {"unpartitioned-window", "unpushed-scan-filter"},
 }
 
 

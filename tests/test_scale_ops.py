@@ -1847,3 +1847,67 @@ def test_conformal_coverage_alpha_too_small_is_null(spark):
     ).collect()
     assert r["threshold"] is None and r["coverage"] is None
     assert r["k"] is None  # no calibration row carries the k-th rank
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Corpus ['a b a b', 'a c']: bigram types (a,b):2, (b,a):1,
+    (a,c):1, T = 3; c(a) = 3, N1+(a,.) = 2; c(b) = 1, N1+(b,.) = 1;
+    N1+(.,b) = N1+(.,a) = N1+(.,c) = 1.
+    P(b|a) = 1.25/3 + (1.5/3)*(1/3) = 0.583333;
+    P(a|b) = 0.25 + 0.75*(1/3) = 0.5;
+    P(c|a) = 0.25/3 + (1.5/3)*(1/3) = 0.25."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        kneser_ney_bigram,
+    )
+
+    df = spark.createDataFrame([("a b a b",), ("a c",)], "text string")
+    rows = kneser_ney_bigram(df, k=10).collect()
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pkn"]) for r in rows}
+    assert got[("a", "b")] == (2, 0.583333)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("a", "c")] == (1, 0.25)
+    # ranked by pkn desc
+    assert [(r["w1"], r["w2"]) for r in rows] == [
+        ("a", "b"), ("b", "a"), ("a", "c")
+    ]
+    # single-token and empty docs contribute no bigrams
+    degen = spark.createDataFrame([("solo",), ("",)], "text string")
+    assert kneser_ney_bigram(degen, k=5).count() == 0
+
+
+def test_pareto_skyline_hand_computed(spark):
+    """Points (1,.9) x2, (2,.5), (2,.7), (3,.7), (3,.3): the frontier is
+    {(3,.7), (1,.9), (1,.9)} — (2,.7) is dominated by (3,.7) (greater x,
+    equal y), and equal-point duplicates of a frontier point all
+    survive."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        pareto_skyline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.9), (2, 0.5), (2, 0.7), (3, 0.7), (3, 0.3)],
+        "x int, y double",
+    )
+    got = sorted((r["x"], r["y"]) for r in pareto_skyline(df, "x", "y").collect())
+    assert got == [(1, 0.9), (1, 0.9), (3, 0.7)]
+
+
+def test_pareto_skyline_mirrors_naive(spark):
+    """The prefix-max formulation must equal the literal quadratic
+    dominance definition on a deterministic grid with ties."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        pareto_skyline,
+    )
+
+    pts = [((i * 7) % 5, ((i * 13) % 11) / 10.0) for i in range(60)]
+    df = spark.createDataFrame(pts, "x int, y double")
+    got = sorted((r["x"], r["y"]) for r in pareto_skyline(df, "x", "y").collect())
+    naive = sorted(
+        a
+        for a in pts
+        if not any(
+            b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            for b in pts
+        )
+    )
+    assert got == naive
