@@ -615,3 +615,193 @@ def token_budget_fill(
         )
         .filter(F.col("take_tokens") > 0)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-group quantile normalization (Bolstad et al.,
+    Bioinformatics 2003, adapted to a reference-global mapping): each
+    row's value is replaced by the GLOBAL order statistic at its
+    within-group quantile position — after which every group has (a
+    subsample of) the same distribution. The score-calibration step a
+    multi-source mixing pipeline needs before comparing per-source
+    quality/length scores on one scale: two sources whose raw scores
+    live on different ranges become rank-comparable without fitting any
+    parametric transform (the nonparametric companion to
+    temperature_sample's power reweighting).
+
+    Exactness and scale shape: the within-group rank is a partitioned
+    window; the global order statistics come from
+    ``partitioning.global_rank`` (the two-pass range rank — no
+    single-partition window); the index mapping
+    ``idx = 1 + floor((r−1)(N−1)/(n−1))`` is computed in DECIMAL(38,0)
+    so the (r−1)(N−1) product cannot overflow BIGINT at 100 TB row
+    counts, and the mapped value comes from one EQUI-join on the rank.
+    A single-row group (no quantile position) maps to the global
+    median index (N+1) div 2. Everything is integer arithmetic — no
+    float percent_rank whose last ulp could flip an index
+    cross-engine.
+
+    Tie contract: equal values occupy contiguous global ranks, so the
+    mapped VALUE is well-defined regardless of tie order; ranks still
+    carry ``id_col`` as the final key so both passes are total orders.
+
+    Returns (id, group, value, normalized value)."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.partitioning import global_rank
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        F.col(value_col).alias("__v"),
+    )
+    wg = Window.partitionBy("__grp").orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    wc = Window.partitionBy("__grp")
+    ranked = base.select(
+        "__id",
+        "__grp",
+        "__v",
+        F.row_number().over(wg).alias("__r"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    glob = global_rank(
+        base.select(F.col("__v").alias("__gv"), F.col("__id").alias("__gid")),
+        "__gv",
+        "__gid",
+        rank_col="__grn",
+    ).select("__gv", "__grn")
+    nn = base.agg(F.count(F.lit(1)).alias("__tot"))
+    dec = "decimal(38,0)"
+    idx = F.when(
+        F.col("__n") > 1,
+        (
+            F.floor(
+                (
+                    (F.col("__r") - 1).cast(dec)
+                    * (F.col("__tot") - 1).cast(dec)
+                )
+                / (F.col("__n") - 1).cast(dec)
+            )
+            + 1
+        ).cast("bigint"),
+    ).otherwise(
+        F.floor((F.col("__tot") + 1).cast(dec) / F.lit(2).cast(dec)).cast(
+            "bigint"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .withColumn("__idx", idx)
+        .join(glob, F.col("__idx") == F.col("__grn"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__grp").alias(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__gv").alias(f"norm_{value_col}"),
+        )
+    )
+
+
+def lightweight_coreset(
+    df: DataFrame,
+    m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lightweight k-means coreset (Bachem, Lucic & Krause, KDD 2018):
+    importance q(x) = 1/(2n) + d²(x, μ)/(2·Σd²) against the corpus MEAN
+    — provably a coreset for k-means with sampling proportional to q,
+    at the cost of ONE pass over the data (no k-means++ seeding chain).
+    The embedding-subset selector the sampling family lacked: hash
+    splits are blind to geometry, sim_sample_diversity measures spread
+    but selects nothing; this picks the m points that preserve the
+    clustering objective, upweighting far-from-center structure.
+
+    Determinism and scale shape: μ comes from per-dimension
+    DECIMAL(38,6) sums of 6-dp-rounded coordinates (exact, order-free —
+    the registry's accumulation convention) rebuilt into a broadcast
+    1-row array; d² is a left-to-right zip_with fold (the engine's
+    ``dot`` association order, mirrored by DuckDB's list_sum); Σd² sums
+    the 6-dp-ROUNDED d² terms as DECIMAL(38,6); selection is
+    Duffield-Lund-Thorup priority sampling (q·2^48/(u48+1), u48 = 48
+    md5 bits of the id — the priority_sample idiom) via one
+    TakeOrderedAndProject. Degenerate all-identical input (Σd² = 0)
+    falls back to uniform q = 1/n on both engines.
+
+    Returns the m selected rows (id, dist2, q_prob, weight) with the
+    standard importance weight 1/(m·q)."""
+    pos = df.select(F.posexplode(F.col(vec_col)).alias("__pos", "__pv"))
+    mu = (
+        pos.groupBy("__pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("__pv").cast("double"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda x: x["__m"],
+            ).alias("__mu")
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("__mu"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = df.crossJoin(F.broadcast(mu)).select(
+        F.col(id_col), d2.alias("__d2")
+    )
+    tot = scored.agg(
+        F.sum(F.col("__d2").cast("decimal(38,6)")).cast("double").alias("__sd2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    q = F.when(
+        F.col("__sd2") > 0,
+        F.lit(0.5) / F.col("__n")
+        + (F.lit(0.5) * F.col("__d2")) / F.col("__sd2"),
+    ).otherwise(F.lit(1.0) / F.col("__n"))
+    u48 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    prio = (
+        F.col("__q")
+        * F.lit(float(1 << 48))
+        / (u48 + F.lit(1)).cast("double")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .withColumn("__q", q)
+        .orderBy(prio.desc(), F.col(id_col).asc())
+        .limit(m)
+        .select(
+            id_col,
+            F.col("__d2").alias("dist2"),
+            F.round("__q", 6).alias("q_prob"),
+            F.round(F.lit(1.0) / (F.lit(float(m)) * F.col("__q")), 6).alias(
+                "weight"
+            ),
+        )
+    )

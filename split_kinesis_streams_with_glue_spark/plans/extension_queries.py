@@ -4778,3 +4778,187 @@ def profile_pareto_skyline(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("__ttr_raw", 6).alias("ttr")
     )
+
+
+@query(
+    since=9,
+    name="sample_quantile_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    ),
+    g AS (
+      SELECT n_chars AS gv,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS grn
+      FROM d
+    ),
+    nn AS (SELECT COUNT(*) AS N FROM d)
+    SELECT r.doc_id, r.source, r.n_chars,
+           CAST(g.gv AS BIGINT) AS norm_n_chars
+    FROM r CROSS JOIN nn JOIN g
+      ON g.grn = CASE WHEN r.n > 1
+                      THEN (CAST(r.rk - 1 AS HUGEINT) * (nn.N - 1))
+                           // (r.n - 1) + 1
+                      ELSE (nn.N + 1) // 2 END
+    """,
+)
+def sample_quantile_normalize(spark, sf_dir):
+    """NEW OPERATOR (round 9): cross-source quantile normalization
+    (operators/sampling.py quantile_normalize; Bolstad et al. 2003) —
+    every document's length is replaced by the GLOBAL order statistic
+    at its within-source quantile position, making the 20 sources'
+    length scores rank-comparable on one scale before mixing. NEW PLAN
+    SHAPE: a partitioned within-group rank + the two-pass
+    partitioning.global_rank + an all-INTEGER index mapping computed in
+    DECIMAL(38,0) (the (r−1)(N−1) product cannot overflow at 100 TB row
+    counts), closed by one equi-join on the rank — no float
+    percent_rank anywhere."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(
+        load(spark, sf_dir, "documents"), "n_chars", "source"
+    )
+
+
+@query(
+    since=9,
+    name="sample_coreset_lightweight",
+    oracle="""
+    WITH pos AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT list(m ORDER BY pos) AS mv FROM (
+        SELECT pos,
+               CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM pos GROUP BY pos)
+    ),
+    d AS (
+      SELECT vec_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+               i -> (CAST(embedding[i] AS DOUBLE) - mv[i])
+                    * (CAST(embedding[i] AS DOUBLE) - mv[i]))), 6) AS d2
+      FROM embeddings, mu
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS sd2,
+             COUNT(*) AS n
+      FROM d
+    ),
+    s AS (
+      SELECT vec_id, d2,
+             CASE WHEN t.sd2 > 0 THEN 0.5 / t.n + (0.5 * d2) / t.sd2
+                  ELSE 1.0 / t.n END AS q
+      FROM d, t
+    )
+    SELECT vec_id, d2 AS dist2, ROUND(q, 6) AS q_prob,
+           ROUND(1.0 / (50.0 * q), 6) AS weight
+    FROM s
+    ORDER BY q * 281474976710656.0
+             / CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                         1, 12)) AS BIGINT) + 1 AS DOUBLE)
+             DESC,
+             vec_id ASC
+    LIMIT 50
+    """,
+)
+def sample_coreset_lightweight(spark, sf_dir):
+    """NEW OPERATOR (round 9): lightweight k-means coreset
+    (operators/sampling.py lightweight_coreset; Bachem, Lucic & Krause,
+    KDD 2018) — 50 embeddings importance-sampled by
+    q(x) = 1/(2n) + d²(x, μ)/(2Σd²) with the 1/(mq) coreset weights,
+    the one-pass geometry-aware subset selector (hash splits are blind
+    to geometry; this preserves the k-means objective). μ from exact
+    DECIMAL per-dimension sums; d² a left-to-right zip_with fold; Σd²
+    a DECIMAL term-sum; selection by the deterministic
+    Duffield-Lund-Thorup priority cut (one TakeOrderedAndProject)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        lightweight_coreset,
+    )
+
+    return lightweight_coreset(load(spark, sf_dir, "embeddings"), m=50)
+
+
+def _sliced_w_oracle(n_slices: int = 4, dim: int = 64) -> str:
+    """Per-slice CTE chain mirroring sliced_wasserstein: the
+    sim_random_projection sign-literal projection (rounded 6 dp) feeding
+    quality_wasserstein_drift's exact ECDF fold, one UNION ALL block per
+    slice."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        projection_signs,
+    )
+
+    signs = projection_signs(dim, n_slices)
+    scale = 1.0 / (dim ** 0.5)
+    ctes, selects = [], []
+    for j in range(n_slices):
+        lit = "[" + ", ".join(str(s) for s in signs[j]) + "]"
+        ctes.append(f"""
+    h{j} AS (
+      SELECT v,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS cb
+      FROM (
+        SELECT ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))
+               * {scale!r}, 6) AS v, label
+        FROM embeddings WHERE label IN (0, 1)
+      ) GROUP BY v
+    ),
+    c{j} AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             LEAD(v) OVER (ORDER BY v) AS nextv
+      FROM h{j}
+    ),
+    t{j} AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h{j})""")
+        selects.append(f"""
+    SELECT CAST({j} AS BIGINT) AS slice_id,
+           CAST(MAX(t{j}.na) AS BIGINT) AS n_a,
+           CAST(MAX(t{j}.nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_support,
+           CASE WHEN MAX(t{j}.na) > 0 AND MAX(t{j}.nb) > 0 THEN
+             ROUND(COALESCE(SUM(CASE WHEN nextv IS NOT NULL
+                            THEN abs(CAST(cuma AS DOUBLE)
+                                       / CAST(t{j}.na AS DOUBLE)
+                                     - CAST(cumb AS DOUBLE)
+                                       / CAST(t{j}.nb AS DOUBLE))
+                                 * CAST(nextv - v AS DOUBLE) END), 0.0), 6)
+           END AS w1_distance
+    FROM c{j}, t{j}""")
+    return "WITH " + ",".join(ctes) + (" UNION ALL ".join(selects))
+
+
+@query(since=9, name="sim_sliced_wasserstein", oracle=_sliced_w_oracle())
+def sim_sliced_wasserstein(spark, sf_dir):
+    """NEW OPERATOR (round 9): sliced 1-Wasserstein distance
+    (operators/similarity.py sliced_wasserstein; Rabin et al. 2011)
+    between label-0 and label-1 embedding clouds — four md5-derived
+    fixed projections, each graded by the exact gap-weighted ECDF fold.
+    The drift measure that reports HOW FAR the clouds sit apart in
+    embedding units per direction, where sim_mmd_linear only answers
+    whether they differ. Composition of two proven exact-cross-engine
+    recipes (sign-literal projection + W1 histogram fold); constant
+    number of linear passes."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        sliced_wasserstein,
+    )
+
+    return sliced_wasserstein(
+        load(spark, sf_dir, "embeddings"), "label", 0, 1
+    )

@@ -554,6 +554,16 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # size(tokens) > 0 filter applies to a DERIVED array — nothing at
     # the scan to push into
     "profile_pareto_skyline": {"unpartitioned-window", "unpushed-scan-filter"},
+    # global_rank's offset window over the #partitions-row count frame
+    # (same class as dedup_sorted_neighborhood)
+    "sample_quantile_normalize": {"unpartitioned-window"},
+    # crossJoin(broadcast(<1-row mean-vector / total-distance aggs>)) —
+    # bounded by design
+    "sample_coreset_lightweight": {"cartesian-product"},
+    # per-slice 1-row group-total crossJoins + ECDF windows over the
+    # distinct-projection histograms (same classes as
+    # quality_wasserstein_drift)
+    "sim_sliced_wasserstein": {"cartesian-product", "unpartitioned-window"},
 }
 
 

@@ -1911,3 +1911,144 @@ def test_pareto_skyline_mirrors_naive(spark):
         )
     )
     assert got == naive
+
+
+def test_quantile_normalize_hand_computed(spark):
+    """Groups g1 = [10, 20, 30], g2 = [100, 200]; global sorted
+    [10, 20, 30, 100, 200] (N = 5). g1 maps ranks 1,2,3 -> global
+    indices 1,3,5 -> 10, 30, 200; g2 maps ranks 1,2 -> indices 1,5 ->
+    10, 200."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    rows = [(1, "g1", 10), (2, "g1", 20), (3, "g1", 30),
+            (4, "g2", 100), (5, "g2", 200)]
+    df = spark.createDataFrame(rows, "doc_id int, src string, v int")
+    got = {
+        r["doc_id"]: r["norm_v"]
+        for r in quantile_normalize(df, "v", "src").collect()
+    }
+    assert got == {1: 10, 2: 30, 3: 200, 4: 10, 5: 200}
+
+
+def test_quantile_normalize_singleton_group_maps_to_median(spark):
+    """A single-row group has no quantile position: it maps to the
+    global median index (N+1) div 2."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    rows = [(1, "g1", 1), (2, "g1", 2), (3, "g2", 7)]
+    df = spark.createDataFrame(rows, "doc_id int, src string, v int")
+    got = {
+        r["doc_id"]: r["norm_v"]
+        for r in quantile_normalize(df, "v", "src").collect()
+    }
+    # global sorted [1, 2, 7], N = 3; g1 -> indices 1, 3; g2 -> (3+1)//2 = 2
+    assert got == {1: 1, 2: 7, 3: 2}
+
+
+def test_lightweight_coreset_mirrors_sequential(spark):
+    """The operator must equal the literal Bachem-Lucic-Krause procedure
+    run in plain Python over the same deterministic md5 priorities."""
+    import hashlib
+
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        lightweight_coreset,
+    )
+
+    vecs = [
+        (i, [float((i * 3 + j * 5) % 7) for j in range(4)])
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    m = 3
+    got = lightweight_coreset(df, m=m).collect()
+
+    n = len(vecs)
+    mean = [
+        sum(round(v[j], 6) for _, v in vecs) / n for j in range(4)
+    ]
+    d2 = {
+        i: round(sum((x - mu) ** 2 for x, mu in zip(v, mean)), 6)
+        for i, v in vecs
+    }
+    sd2 = sum(d2.values())
+    q = {
+        i: (0.5 / n + (0.5 * d2[i]) / sd2) if sd2 > 0 else 1.0 / n
+        for i, _ in vecs
+    }
+
+    def prio(i):
+        u48 = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        return q[i] * float(1 << 48) / (u48 + 1)
+
+    expect = sorted(vecs, key=lambda t: (-prio(t[0]), t[0]))[:m]
+    assert [r["vec_id"] for r in got] == [i for i, _ in expect]
+    for r in got:
+        assert abs(r["dist2"] - d2[r["vec_id"]]) < 1e-6
+        assert abs(r["q_prob"] - round(q[r["vec_id"]], 6)) < 1e-6
+        assert abs(r["weight"] - round(1.0 / (m * q[r["vec_id"]]), 6)) < 1e-6
+
+
+def test_lightweight_coreset_identical_points_uniform(spark):
+    """All-identical vectors: sd2 = 0 -> uniform q = 1/n, weight n/m."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        lightweight_coreset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(1, 7)],
+        "vec_id long, embedding array<float>",
+    )
+    got = lightweight_coreset(df, m=2).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["dist2"] == 0.0
+        assert abs(r["q_prob"] - round(1.0 / 6.0, 6)) < 1e-9
+        assert abs(r["weight"] - 3.0) < 1e-9
+
+
+def test_sliced_wasserstein_identical_groups_zero(spark):
+    """Identical label-0 and label-1 clouds -> every slice distance 0;
+    a missing group -> NULL distances (the family convention)."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        sliced_wasserstein,
+    )
+
+    base = [[float((i * 7 + j) % 5) for j in range(8)] for i in range(6)]
+    rows = [(v, 0) for v in base] + [(v, 1) for v in base]
+    df = spark.createDataFrame(rows, "embedding array<float>, label int")
+    got = sliced_wasserstein(df, "label", 0, 1, n_slices=3, dim=8).collect()
+    assert [r["slice_id"] for r in got] == [0, 1, 2]
+    for r in got:
+        assert r["n_a"] == 6 and r["n_b"] == 6
+        assert r["w1_distance"] == 0.0
+    only_a = df.filter("label = 0")
+    for r in sliced_wasserstein(only_a, "label", 0, 1, n_slices=2, dim=8).collect():
+        assert r["w1_distance"] is None and r["n_b"] == 0
+
+
+def test_sliced_wasserstein_shift_is_mean_shift(spark):
+    """Shifting a 1-slice projection by a constant c shifts W1 by |c|
+    when the sign pattern is all-positive on the moved coordinate:
+    group b = group a with +2.0 on coordinate 0 only -> per-slice W1 =
+    2 * |sign_0| * scale exactly (distributions are translates)."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        projection_signs,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        sliced_wasserstein,
+    )
+
+    base = [[float((i * 3) % 4), 1.0] for i in range(5)]
+    shifted = [[v[0] + 2.0, v[1]] for v in base]
+    rows = [(v, 0) for v in base] + [(v, 1) for v in shifted]
+    df = spark.createDataFrame(rows, "embedding array<float>, label int")
+    got = sliced_wasserstein(df, "label", 0, 1, n_slices=2, dim=2).collect()
+    signs = projection_signs(2, 2)
+    scale = 1.0 / (2 ** 0.5)
+    for r in got:
+        expect = abs(2.0 * signs[r["slice_id"]][0] * scale)
+        assert abs(r["w1_distance"] - expect) < 1e-5
