@@ -1557,3 +1557,264 @@ def test_kruskal_wallis_matches_naive_midranks(spark, rows):
         assert abs(r["h_statistic"] - round(h / corr, 6)) < 1e-4
     else:
         assert r["h_statistic"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_auc_rank_matches_pairwise_definition(spark, rows):
+    """The rank-sum AUC must equal the literal pairwise probability:
+    (#(pos > neg) + 0.5*#(pos == neg)) / (n_pos * n_neg), ties and all."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        auc_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(s, int(y)) for s, y in rows], "s int, y int"
+    )
+    [r] = auc_rank(df, "s", "y").collect()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        assert r["auc"] is None
+        return
+    naive = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    assert abs(r["auc"] - round(naive, 6)) < 1e-9
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("xyz")),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_cramers_v_matches_dense_contingency(spark, rows):
+    """The sparse zero-cell-corrected chi2 must equal the dense-table
+    Pearson chi2 (all r*c cells), and V must be its normalized root."""
+    import math
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cramers_v,
+    )
+
+    df = spark.createDataFrame(rows, "u string, w string")
+    [r] = cramers_v(df, "u", "w").collect()
+    n = len(rows)
+    ra = Counter(u for u, _ in rows)
+    rb = Counter(w for _, w in rows)
+    joint = Counter(rows)
+    chi2 = sum(
+        (joint.get((a, b), 0) - ra[a] * rb[b] / n) ** 2 / (ra[a] * rb[b] / n)
+        for a in ra
+        for b in rb
+    )
+    assert abs(r["chi2"] - round(chi2, 6)) < 1e-4
+    kmin = min(len(ra) - 1, len(rb) - 1)
+    if kmin > 0:
+        assert abs(r["v"] - round(math.sqrt(chi2 / n / kmin), 6)) < 1e-4
+    else:
+        assert r["v"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.floats(0, 1, allow_nan=False)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_skyline_matches_dominance_definition(spark, pts):
+    """The prefix-max skyline must equal the literal quadratic strict-
+    dominance filter on arbitrary point sets (duplicates included)."""
+    from split_kinesis_streams_with_glue_spark.operators.profile import (
+        pareto_skyline,
+    )
+
+    pts = [(x, round(y, 3)) for x, y in pts]
+    df = spark.createDataFrame(pts, "x int, y double")
+    got = sorted((r["x"], r["y"]) for r in pareto_skyline(df, "x", "y").collect())
+    naive = sorted(
+        a
+        for a in pts
+        if not any(
+            b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            for b in pts
+        )
+    )
+    assert got == naive
+
+
+@SET
+@given(
+    st.lists(st.lists(_words, min_size=0, max_size=8), min_size=1, max_size=6)
+)
+def test_kneser_ney_matches_naive(spark, docs):
+    """P_KN from the operator must equal the literal Chen-Goodman
+    formula computed with Python Counters over the same bigrams."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        kneser_ney_bigram,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["pkn"])
+        for r in kneser_ney_bigram(df, k=1000).collect()
+    }
+    bc = Counter()
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            bc[(a, b)] += 1
+    if not bc:
+        assert got == {}
+        return
+    c1 = Counter()
+    nf = Counter()
+    nb = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        nf[a] += 1
+        nb[b] += 1
+    T = len(bc)
+    for (a, b), c in bc.items():
+        pkn = max(c - 0.75, 0.0) / c1[a] + ((0.75 * nf[a]) / c1[a]) * (
+            nb[b] / T
+        )
+        gc, gp = got[(a, b)]
+        assert gc == c
+        assert abs(gp - round(pkn, 6)) < 1e-9
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(0, 50)),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_quantile_normalize_matches_naive(spark, rows):
+    """The rank mapping must equal the literal per-group formula over
+    Python-sorted lists: idx = 1 + (r-1)(N-1)//(n-1), singleton ->
+    global median index."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id int, g string, v int")
+    got = {
+        r["doc_id"]: r["norm_v"]
+        for r in quantile_normalize(df, "v", "g").collect()
+    }
+    glob = sorted((v, i) for i, g, v in data)
+    N = len(glob)
+    want = {}
+    for grp in {g for _, g, _ in data}:
+        members = sorted((v, i) for i, g, v in data if g == grp)
+        n = len(members)
+        for r, (v, i) in enumerate(members, 1):
+            idx = (r - 1) * (N - 1) // (n - 1) + 1 if n > 1 else (N + 1) // 2
+            want[i] = glob[idx - 1][0]
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=10,
+        unique_by=tuple,
+    )
+)
+def test_lightweight_coreset_matches_naive(spark, vecs):
+    """Selection and weights must equal the literal Bachem-Lucic-Krause
+    procedure with the same md5 priorities on arbitrary vectors."""
+    import hashlib
+
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        lightweight_coreset,
+    )
+
+    data = [(i + 1, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    import struct as _struct
+
+    f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]
+    data32 = [(i, [f32(x) for x in v]) for i, v in data]
+    m = 2
+    got = lightweight_coreset(df, m=m).collect()
+    n = len(data32)
+    mean = [
+        sum(round(v[j], 6) for _, v in data32) / n for j in range(3)
+    ]
+    d2 = {
+        i: round(sum((x - mu) ** 2 for x, mu in zip(v, mean)), 6)
+        for i, v in data32
+    }
+    sd2 = round(sum(d2.values()), 10)
+    q = {
+        i: (0.5 / n + (0.5 * d2[i]) / sd2) if sd2 > 0 else 1.0 / n
+        for i, _ in data32
+    }
+
+    def prio(i):
+        u48 = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        return q[i] * float(1 << 48) / (u48 + 1)
+
+    expect = sorted(data32, key=lambda t: (-prio(t[0]), t[0]))[:m]
+    assert [r["vec_id"] for r in got] == [i for i, _ in expect]
+    for r in got:
+        assert abs(r["q_prob"] - round(q[r["vec_id"]], 6)) < 2e-6
+
+
+@SET
+@given(
+    st.lists(st.integers(-20, 20), min_size=1, max_size=10),
+    st.lists(st.integers(-20, 20), min_size=1, max_size=10),
+)
+def test_sliced_wasserstein_equal_n_closed_form(spark, xs, ys):
+    """With |A| = |B| = n the 1-D W1 equals the sorted-coupling mean
+    (1/n) * sum |a_(i) - b_(i)|; check every slice against that closed
+    form computed on the same rounded projections."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import (
+        projection_signs,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        sliced_wasserstein,
+    )
+
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    dim = 2
+    rows = [([float(x), 1.0], 0) for x in xs] + [
+        ([float(y), 1.0], 1) for y in ys
+    ]
+    df = spark.createDataFrame(rows, "embedding array<float>, label int")
+    got = sliced_wasserstein(df, "label", 0, 1, n_slices=2, dim=dim).collect()
+    signs = projection_signs(dim, 2)
+    scale = 1.0 / (dim ** 0.5)
+    for r in got:
+        s = signs[r["slice_id"]]
+        pa = sorted(round((x * s[0] + 1.0 * s[1]) * scale, 6) for x in xs)
+        pb = sorted(round((y * s[0] + 1.0 * s[1]) * scale, 6) for y in ys)
+        w1 = sum(abs(a - b) for a, b in zip(pa, pb)) / n
+        assert abs(r["w1_distance"] - w1) < 1e-5
