@@ -805,3 +805,108 @@ def lightweight_coreset(
             ),
         )
     )
+
+
+def raking_ipf(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    n_iters: int = 4,
+) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan, AMS
+    1940): cell weights over the ``row_col`` × ``col_col`` contingency
+    table scaled so the WEIGHTED marginals match targets — here the
+    canonical survey-calibration choice of a UNIFORM row target (every
+    row category gets an equal share of the total) while column
+    marginals stay at their observed totals. The dataset-mixing
+    primitive the sampling family lacked: temperature/stratified
+    sampling rebalance ONE dimension; raking finds the (maximum-entropy,
+    Ireland & Kullback 1968) cell weights that satisfy BOTH marginal
+    constraints at once — "equalize languages without disturbing the
+    source mix".
+
+    Scale shape: ONE corpus pass collapses the data to the bounded
+    |rows|×|cols| cell frame; the ``n_iters`` alternating row/col
+    scalings run on THAT frame (each step two grouped aggregates + a
+    broadcast join — bounded whatever the corpus size).
+
+    Cross-engine exactness across iterations demanded a stronger recipe
+    than the family's DECIMAL term-sums: a DECIMAL(38,9)·LONG product
+    trips Spark's precision-loss scale reduction (the product silently
+    re-rounds at scale 6 — caught by the sf0.001 parity run of the
+    decimal-state draft), so the weight state is a plain INTEGER in
+    nano-units (w9 = round(w·1e9) as BIGINT). Marginal sums Σ w9·n are
+    then exact order-free integers (DECIMAL(38,0) against overflow);
+    each scaling computes the factor in IEEE doubles from exact inputs
+    and re-rounds the state to the integer grid; the OUTPUT rounding to
+    6 dp happens in INTEGER space — (w9 + 500) div 1000 — so the
+    digits-7-9-are-500 decimal tie that burned the first draft cannot
+    exist (there is no float round of a 9-dp decimal anywhere).
+    Documented contract: total·1e9 must stay under 2^53 (exact-double
+    range) — at larger corpora raise the state grain.
+
+    Returns one row per observed cell (row value, col value, n,
+    weight); a weighted resample then draws each cell at
+    n·weight/Σ(n·weight)."""
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("__r"), F.col(col_col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w9", F.lit(1000000000).cast("bigint"))
+    )
+    tot = cells.agg(
+        F.sum("__n").alias("__tot"),
+        F.countDistinct("__r").alias("__nr"),
+    )
+    coltgt = cells.groupBy("__c").agg(F.sum("__n").alias("__ct"))
+    cells = cells.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(coltgt), "__c"
+    )
+    # targets in nano-units: exact doubles while total*1e9 < 2^53
+    row_target9 = (
+        F.col("__tot").cast("double") * F.lit(1e9)
+    ) / F.col("__nr").cast("double")
+    col_target9 = F.col("__ct").cast("double") * F.lit(1e9)
+    w9sum = lambda: F.sum(
+        F.col("__w9").cast("decimal(38,0)") * F.col("__n")
+    ).cast("double")
+    for _ in range(n_iters):
+        rsum = cells.groupBy("__r").agg(w9sum().alias("__rs9"))
+        cells = (
+            cells.join(F.broadcast(rsum), "__r")
+            .withColumn(
+                "__w9",
+                F.round(
+                    F.col("__w9").cast("double")
+                    * (row_target9 / F.col("__rs9")),
+                    0,
+                ).cast("bigint"),
+            )
+            .drop("__rs9")
+        )
+        csum = cells.groupBy("__c").agg(w9sum().alias("__cs9"))
+        cells = (
+            cells.join(F.broadcast(csum), "__c")
+            .withColumn(
+                "__w9",
+                F.round(
+                    F.col("__w9").cast("double")
+                    * (col_target9 / F.col("__cs9")),
+                    0,
+                ).cast("bigint"),
+            )
+            .drop("__cs9")
+        )
+    # 6-dp output in INTEGER space: HALF_UP = (w9 + 500) div 1000, then
+    # one exact double division by 1e6 — no float rounding of a 9-dp
+    # decimal anywhere, so no decimal tie class
+    w6 = (F.col("__w9") + F.lit(500)).cast("bigint")
+    return cells.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        F.col("__n").cast("bigint").alias("n"),
+        (
+            F.floor(w6.cast("double") / F.lit(1000.0)).cast("double")
+            / F.lit(1e6)
+        ).alias("weight"),
+    )

@@ -4962,3 +4962,73 @@ def sim_sliced_wasserstein(spark, sf_dir):
     return sliced_wasserstein(
         load(spark, sf_dir, "embeddings"), "label", 0, 1
     )
+
+
+def _raking_oracle(n_iters: int = 4) -> str:
+    """Unrolled IPF iterations as CTE pairs, each mirroring raking_ipf's
+    INTEGER nano-unit state exactly: marginal sums of w9*n as exact
+    DECIMAL(38,0) integers, IEEE scale factors from exact inputs, ROUND
+    back to the integer grid, and the 6-dp output computed in integer
+    space ((w9+500) // 1000 then one exact division)."""
+    sql = """
+    WITH c0 AS (
+      SELECT lang AS r, source AS c, COUNT(*) AS n,
+             CAST(1000000000 AS BIGINT) AS w9
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS tot, COUNT(DISTINCT r) AS nr FROM c0),
+    ct AS (SELECT c, SUM(n) AS ctot FROM c0 GROUP BY c)"""
+    prev = "c0"
+    for t in range(n_iters):
+        sql += f""",
+    rs{t} AS (
+      SELECT r, CAST(SUM(CAST(w9 AS DECIMAL(38,0)) * n) AS DOUBLE) AS rs9
+      FROM {prev} GROUP BY r
+    ),
+    cr{t} AS (
+      SELECT p.r, p.c, p.n,
+             CAST(ROUND(CAST(p.w9 AS DOUBLE)
+               * (((CAST(tot.tot AS DOUBLE) * 1e9)
+                   / CAST(tot.nr AS DOUBLE)) / rs{t}.rs9), 0)
+               AS BIGINT) AS w9
+      FROM {prev} p JOIN rs{t} USING (r) CROSS JOIN tot
+    ),
+    cs{t} AS (
+      SELECT c, CAST(SUM(CAST(w9 AS DECIMAL(38,0)) * n) AS DOUBLE) AS cs9
+      FROM cr{t} GROUP BY c
+    ),
+    cc{t} AS (
+      SELECT p.r, p.c, p.n,
+             CAST(ROUND(CAST(p.w9 AS DOUBLE)
+               * ((CAST(ct.ctot AS DOUBLE) * 1e9) / cs{t}.cs9), 0)
+               AS BIGINT) AS w9
+      FROM cr{t} p JOIN cs{t} USING (c) JOIN ct USING (c)
+    )"""
+        prev = f"cc{t}"
+    sql += f"""
+    SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(w9 + 500 AS DOUBLE) / 1000.0) AS DOUBLE) / 1e6
+             AS weight
+    FROM {prev}"""
+    return sql
+
+
+@query(since=9, name="sample_raking_ipf", oracle=_raking_oracle())
+def sample_raking_ipf(spark, sf_dir):
+    """NEW OPERATOR (round 9): raking / iterative proportional fitting
+    (operators/sampling.py raking_ipf; Deming & Stephan 1940) — cell
+    weights over the lang×source table that EQUALIZE the language
+    shares while preserving the observed source mix, the
+    maximum-entropy two-marginal calibration a dataset-mixing pipeline
+    needs where temperature/stratified sampling can rebalance only one
+    dimension. NEW PLAN SHAPE: a bounded-frame ITERATIVE operator —
+    one corpus pass to the |langs|×|sources| cells, then 4 alternating
+    scalings on that frame with 9-dp state quantization and
+    DECIMAL(38,9) marginal sums so both engines walk bit-identical
+    iteration states."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        raking_ipf,
+    )
+
+    return raking_ipf(load(spark, sf_dir, "documents"), "lang", "source")

@@ -2940,3 +2940,66 @@ def quality_conformal_coverage(spark, sf_dir):
     return conformal_coverage(
         load(spark, sf_dir, "documents"), "n_chars", "lang"
     )
+
+
+@query(
+    since=9,
+    name="quality_brier_decomposition",
+    oracle="""
+    WITH g AS (
+      SELECT LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS p,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             COUNT(*) AS nk
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(pos) AS tpos, SUM(nk) AS tn FROM g),
+    a AS (
+      SELECT MAX(t.tn) AS n, COUNT(*) AS ngroups,
+             CAST(SUM(CAST(ROUND(CAST(nk AS DOUBLE)
+               * (p - CAST(pos AS DOUBLE) / CAST(nk AS DOUBLE))
+               * (p - CAST(pos AS DOUBLE) / CAST(nk AS DOUBLE)), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS rel,
+             CAST(SUM(CAST(ROUND(CAST(nk AS DOUBLE)
+               * (CAST(pos AS DOUBLE) / CAST(nk AS DOUBLE)
+                  - CAST(t.tpos AS DOUBLE) / CAST(t.tn AS DOUBLE))
+               * (CAST(pos AS DOUBLE) / CAST(nk AS DOUBLE)
+                  - CAST(t.tpos AS DOUBLE) / CAST(t.tn AS DOUBLE)), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS res,
+             MAX(CAST(t.tpos AS DOUBLE) / CAST(t.tn AS DOUBLE)) AS ybar
+      FROM g, t
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(ngroups AS BIGINT) AS n_groups,
+           CASE WHEN n > 0 THEN ROUND(ybar * (1.0 - ybar)
+                - res / CAST(n AS DOUBLE)
+                + rel / CAST(n AS DOUBLE), 6) END AS brier,
+           CASE WHEN n > 0 THEN ROUND(ybar * (1.0 - ybar), 6)
+           END AS uncertainty,
+           CASE WHEN n > 0 THEN ROUND(res / CAST(n AS DOUBLE), 6)
+           END AS resolution,
+           CASE WHEN n > 0 THEN ROUND(rel / CAST(n AS DOUBLE), 6)
+           END AS reliability
+    FROM a
+    """,
+)
+def quality_brier_decomposition(spark, sf_dir):
+    """NEW OPERATOR (round 9): Murphy decomposition of the Brier score
+    (operators/quality_checks.py brier_decomposition; Murphy 1973) for
+    the capped-length forecast of is-English — Brier = uncertainty −
+    resolution + reliability, EXACT under distinct-value grouping. The
+    pricing layer over quality_calibration_bins' reliability curve:
+    how much of the score is miscalibration (recalibratable) vs weak
+    resolution (not). One grouped pass; every mean an integer-count
+    ratio; DECIMAL(38,9) term-sums for the cross-group folds."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brier_decomposition,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.least(
+            F.lit(1.0), F.col("n_chars").cast("double") / F.lit(1000.0)
+        ).alias("p"),
+        (F.col("lang") == "en").alias("is_en"),
+        "n_chars",
+    )
+    return brier_decomposition(d, "p", "is_en")

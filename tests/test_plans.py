@@ -564,6 +564,11 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # distinct-projection histograms (same classes as
     # quality_wasserstein_drift)
     "sim_sliced_wasserstein": {"cartesian-product", "unpartitioned-window"},
+    # crossJoin(broadcast(<1-row total/row-count agg>)) onto the bounded
+    # cell frame — bounded by design
+    "sample_raking_ipf": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row base-rate agg>)) — bounded by design
+    "quality_brier_decomposition": {"cartesian-product"},
 }
 
 

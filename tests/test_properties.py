@@ -1818,3 +1818,31 @@ def test_sliced_wasserstein_equal_n_closed_form(spark, xs, ys):
         pb = sorted(round((y * s[0] + 1.0 * s[1]) * scale, 6) for y in ys)
         w1 = sum(abs(a - b) for a, b in zip(pa, pb)) / n
         assert abs(r["w1_distance"] - w1) < 1e-5
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 1, allow_nan=False).map(lambda x: round(x, 2)),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_brier_decomposition_identity(spark, rows):
+    """Murphy's identity is exact under distinct-value grouping: the
+    decomposed Brier must equal the direct mean (p - y)^2."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brier_decomposition,
+    )
+
+    df = spark.createDataFrame(
+        [(p, int(y)) for p, y in rows], "p double, y int"
+    )
+    [r] = brier_decomposition(df, "p", "y").collect()
+    direct = sum((p - y) ** 2 for p, y in rows) / len(rows)
+    assert abs(r["brier"] - direct) < 1e-5
+    assert r["uncertainty"] is not None and r["reliability"] >= 0
+    assert r["resolution"] >= 0

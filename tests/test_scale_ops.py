@@ -2052,3 +2052,83 @@ def test_sliced_wasserstein_shift_is_mean_shift(spark):
     for r in got:
         expect = abs(2.0 * signs[r["slice_id"]][0] * scale)
         assert abs(r["w1_distance"] - expect) < 1e-5
+
+
+def _naive_ipf(cells, n_iters=4):
+    """Literal integer-state IPF mirror: cells = {(r, c): n}."""
+    rows = sorted({r for r, _ in cells})
+    cols = sorted({c for _, c in cells})
+    tot = sum(cells.values())
+    row_t9 = tot * 1e9 / len(rows)
+    col_t = {c: sum(n for (r, cc), n in cells.items() if cc == c) for c in cols}
+    w9 = {k: 1000000000 for k in cells}
+    for _ in range(n_iters):
+        for r in rows:
+            rs9 = float(sum(w9[k] * n for k, n in cells.items() if k[0] == r))
+            for k in cells:
+                if k[0] == r:
+                    w9[k] = int(round(w9[k] * (row_t9 / rs9)))
+        for c in cols:
+            cs9 = float(sum(w9[k] * n for k, n in cells.items() if k[1] == c))
+            for k in cells:
+                if k[1] == c:
+                    w9[k] = int(round(w9[k] * ((col_t[c] * 1e9) / cs9)))
+    import math
+
+    return {k: math.floor((v + 500) / 1000.0) / 1e6 for k, v in w9.items()}
+
+
+def test_raking_ipf_mirrors_sequential(spark):
+    """The operator must equal the literal integer-state IPF loop, and
+    the converged weighted marginals must sit at their targets: row
+    shares equalized, column totals preserved."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        raking_ipf,
+    )
+
+    rows = (
+        [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 2
+        + [("b", "y")] * 6 + [("c", "x")] * 1 + [("c", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {
+        (x["r"], x["c"]): (x["n"], x["weight"])
+        for x in raking_ipf(df, "r", "c").collect()
+    }
+    from collections import Counter
+
+    cells = Counter(rows)
+    want = _naive_ipf(dict(cells))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == cells[k]
+        assert abs(got[k][1] - want[k]) < 1e-9
+    # converged marginals: rows ~ total/3 each, cols ~ observed totals
+    tot = len(rows)
+    for r in "abc":
+        share = sum(got[k][0] * got[k][1] for k in got if k[0] == r)
+        assert abs(share - tot / 3.0) < 0.05
+    for c in "xy":
+        share = sum(got[k][0] * got[k][1] for k in got if k[1] == c)
+        obs = sum(1 for _, cc in rows if cc == c)
+        assert abs(share - obs) < 0.05
+
+
+def test_brier_decomposition_hand_computed(spark):
+    """Perfectly calibrated forecasts {0.8: 4/5 pos, 0.2: 1/5 pos}:
+    reliability = 0, uncertainty = 0.25, resolution = 2*5*0.09/10 =
+    0.09, Brier = 0.16 — equal to the direct mean (p-y)^2."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brier_decomposition,
+    )
+
+    rows = (
+        [(0.8, 1)] * 4 + [(0.8, 0)] + [(0.2, 1)] + [(0.2, 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "p double, y int")
+    [r] = brier_decomposition(df, "p", "y").collect()
+    assert r["n"] == 10 and r["n_groups"] == 2
+    assert abs(r["reliability"] - 0.0) < 1e-9
+    assert abs(r["uncertainty"] - 0.25) < 1e-9
+    assert abs(r["resolution"] - 0.09) < 1e-9
+    assert abs(r["brier"] - 0.16) < 1e-9
