@@ -234,3 +234,79 @@ def degree_distribution(edges: DataFrame, src: str = "d1", dst: str = "d2") -> D
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
     )
+
+
+def adjusted_rand_index(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Adjusted Rand Index between two clusterings of the same id set
+    (Hubert & Arabie, J. Classification 1985): pair-counting agreement
+    corrected for chance — ARI = (Σ C(n_ij,2) − E) / (½(Σ C(a_i,2) +
+    Σ C(b_j,2)) − E) with E = Σ C(a_i,2)·Σ C(b_j,2)/C(n,2). The
+    clustering-eval leg the dedup family lacked: blocking_metrics
+    grades CANDIDATE PAIRS against truth, but after transitive closure
+    the pipeline-level question is "how different are the resulting
+    CLUSTERINGS" — threshold sensitivity, LSH-vs-exact drift, algorithm
+    swaps — and raw pair overlap is inflated by chance agreement, which
+    is exactly what the adjustment removes.
+
+    Exactness and scale shape: one equi-join aligns the two label
+    columns, one groupBy builds the (label_a, label_b) contingency
+    (bounded by the cluster counts), and every quantity is INTEGER
+    combinatorics — C(n,2) = n(n−1) div 2 folded as DECIMAL(38,0)
+    (exact, order-free; documented 2^53 contract on the final double
+    arithmetic). NULL when the adjustment denominator is zero (both
+    clusterings all-singletons or one all-encompassing — ARI is
+    undefined there by construction).
+
+    Returns one row (n, n_clusters_a, n_clusters_b, index_pairs,
+    expected_pairs, max_pairs, ari)."""
+    a = labels_a.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__la")
+    )
+    b = labels_b.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lb")
+    )
+    joined = a.join(b, "__id")
+    cont = joined.groupBy("__la", "__lb").agg(
+        F.count(F.lit(1)).alias("__nij")
+    )
+    comb = lambda c: (c * (c - 1)).cast("decimal(38,0)") / 2
+
+    ai = cont.groupBy("__la").agg(F.sum("__nij").alias("__ai"))
+    bj = cont.groupBy("__lb").agg(F.sum("__nij").alias("__bj"))
+    idx = cont.agg(
+        F.sum(comb(F.col("__nij"))).alias("__idx"),
+        F.sum("__nij").alias("__n"),
+    )
+    ea = ai.agg(
+        F.sum(comb(F.col("__ai"))).alias("__ea"),
+        F.count(F.lit(1)).alias("__ka"),
+    )
+    eb = bj.agg(
+        F.sum(comb(F.col("__bj"))).alias("__eb"),
+        F.count(F.lit(1)).alias("__kb"),
+    )
+    out = idx.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb))
+    nD = F.col("__n").cast("double")
+    m = nD * (nD - F.lit(1.0)) / F.lit(2.0)
+    ixD = F.col("__idx").cast("double")
+    eaD = F.col("__ea").cast("double")
+    ebD = F.col("__eb").cast("double")
+    expd = eaD * ebD / m
+    maxd = (eaD + ebD) / F.lit(2.0)
+    return out.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__ka").cast("bigint").alias("n_clusters_a"),
+        F.col("__kb").cast("bigint").alias("n_clusters_b"),
+        ixD.alias("index_pairs"),
+        F.when(m > 0, F.round(expd, 6)).alias("expected_pairs"),
+        maxd.alias("max_pairs"),
+        F.when(
+            (m > 0) & (maxd - expd != 0),
+            F.round((ixD - expd) / (maxd - expd), 6),
+        ).alias("ari"),
+    )

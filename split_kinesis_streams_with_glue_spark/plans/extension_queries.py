@@ -5032,3 +5032,120 @@ def sample_raking_ipf(spark, sf_dir):
     )
 
     return raking_ipf(load(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _ari_oracle() -> str:
+    """Two jaccard-threshold transitive closures (the _CLUSTER_SQL
+    recipe at 0.5 and 0.7) feeding the pair-counting contingency and the
+    Hubert-Arabie arithmetic in the operator's exact association
+    order."""
+    closure = lambda tag, thr: f"""
+    pairs{tag} AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE ix * 1.0 / (sa.n + sb.n - ix) >= {thr}
+    ),
+    edges{tag} AS (
+      SELECT d1 AS a, d2 AS b FROM pairs{tag}
+      UNION SELECT d2, d1 FROM pairs{tag}
+    ),
+    cc{tag}(n, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges{tag})
+      UNION
+      SELECT e.b, cc{tag}.lbl FROM cc{tag}
+      JOIN edges{tag} e ON cc{tag}.n = e.a WHERE cc{tag}.lbl < e.b
+    ),
+    lab{tag} AS (
+      SELECT d.doc_id, COALESCE(m.lbl, d.doc_id) AS lbl
+      FROM documents d
+      LEFT JOIN (SELECT n, min(lbl) AS lbl FROM cc{tag} GROUP BY n) m
+        ON d.doc_id = m.n
+    )"""
+    return (
+        r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok JOIN generate_series(1, 100000) t(i) ON i <= len(w) - 2
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),"""
+        + closure("5", 0.05)
+        + ","
+        + closure("7", 0.5)
+        + """,
+    cont AS (
+      SELECT a.lbl AS la, b.lbl AS lb, COUNT(*) AS nij
+      FROM lab5 a JOIN lab7 b USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    ai AS (SELECT la, SUM(nij) AS ac FROM cont GROUP BY la),
+    bj AS (SELECT lb, SUM(nij) AS bc FROM cont GROUP BY lb),
+    parts AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(nij * (nij - 1) AS DECIMAL(38,0)) / 2)
+                     AS DOUBLE) FROM cont) AS ix,
+        (SELECT CAST(SUM(nij) AS DOUBLE) FROM cont) AS n,
+        (SELECT CAST(SUM(CAST(ac * (ac - 1) AS DECIMAL(38,0)) / 2)
+                     AS DOUBLE) FROM ai) AS ea,
+        (SELECT COUNT(*) FROM ai) AS ka,
+        (SELECT CAST(SUM(CAST(bc * (bc - 1) AS DECIMAL(38,0)) / 2)
+                     AS DOUBLE) FROM bj) AS eb,
+        (SELECT COUNT(*) FROM bj) AS kb
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ka AS BIGINT) AS n_clusters_a,
+           CAST(kb AS BIGINT) AS n_clusters_b,
+           ix AS index_pairs,
+           CASE WHEN n * (n - 1.0) / 2.0 > 0
+                THEN ROUND(ea * eb / (n * (n - 1.0) / 2.0), 6)
+           END AS expected_pairs,
+           (ea + eb) / 2.0 AS max_pairs,
+           CASE WHEN n * (n - 1.0) / 2.0 > 0
+                 AND (ea + eb) / 2.0 - ea * eb / (n * (n - 1.0) / 2.0) <> 0
+                THEN ROUND((ix - ea * eb / (n * (n - 1.0) / 2.0))
+                     / ((ea + eb) / 2.0
+                        - ea * eb / (n * (n - 1.0) / 2.0)), 6)
+           END AS ari
+    FROM parts
+    """
+    )
+
+
+@query(since=9, name="dedup_cluster_ari", oracle=_ari_oracle())
+def dedup_cluster_ari(spark, sf_dir):
+    """NEW OPERATOR (round 9): Adjusted Rand Index
+    (operators/graph.py adjusted_rand_index; Hubert & Arabie 1985)
+    between the jaccard-0.05 and jaccard-0.5 duplicate CLUSTERINGS — the
+    chance-corrected pair-counting answer to "how much does the
+    clustering move when the dedup threshold moves", the
+    pipeline-level eval blocking_metrics (candidate pairs vs truth)
+    cannot give after transitive closure. One label equi-join, one
+    bounded contingency groupBy, pure integer combinatorics folded as
+    DECIMAL(38,0)."""
+    from split_kinesis_streams_with_glue_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        adjusted_rand_index,
+        cluster_labels,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_sets(d).localCheckpoint(eager=True)
+    ids = d.select("doc_id")
+    la = cluster_labels(ids, jaccard_pairs(sh, 0.05, candidates=None).select("d1", "d2"))
+    lb = cluster_labels(ids, jaccard_pairs(sh, 0.5, candidates=None).select("d1", "d2"))
+    return adjusted_rand_index(la, lb)

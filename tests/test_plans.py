@@ -569,6 +569,8 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "sample_raking_ipf": {"cartesian-product"},
     # crossJoin(broadcast(<1-row base-rate agg>)) — bounded by design
     "quality_brier_decomposition": {"cartesian-product"},
+    # crossJoins of the three 1-row combinatoric aggregates — bounded
+    "dedup_cluster_ari": {"cartesian-product"},
 }
 
 

@@ -1846,3 +1846,42 @@ def test_brier_decomposition_identity(spark, rows):
     assert abs(r["brier"] - direct) < 1e-5
     assert r["uncertainty"] is not None and r["reliability"] >= 0
     assert r["resolution"] >= 0
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_adjusted_rand_index_matches_naive(spark, labels):
+    """The contingency-fold ARI must equal the literal Hubert-Arabie
+    pair-counting formula computed with Counters."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        adjusted_rand_index,
+    )
+
+    rows_a = [(i, f"a{la}") for i, (la, _) in enumerate(labels)]
+    rows_b = [(i, f"b{lb}") for i, (_, lb) in enumerate(labels)]
+    a = spark.createDataFrame(rows_a, "doc_id int, cluster_id string")
+    b = spark.createDataFrame(rows_b, "doc_id int, cluster_id string")
+    [r] = adjusted_rand_index(a, b).collect()
+
+    comb2 = lambda x: x * (x - 1) // 2
+    cont = Counter(labels)
+    ix = sum(comb2(v) for v in cont.values())
+    ea = sum(comb2(v) for v in Counter(la for la, _ in labels).values())
+    eb = sum(comb2(v) for v in Counter(lb for _, lb in labels).values())
+    n = len(labels)
+    m = n * (n - 1) / 2.0
+    expd = ea * eb / m
+    maxd = (ea + eb) / 2.0
+    assert r["index_pairs"] == float(ix)
+    if maxd - expd == 0:
+        assert r["ari"] is None
+    else:
+        assert abs(r["ari"] - round((ix - expd) / (maxd - expd), 6)) < 1e-9

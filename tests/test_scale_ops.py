@@ -2132,3 +2132,31 @@ def test_brier_decomposition_hand_computed(spark):
     assert abs(r["uncertainty"] - 0.25) < 1e-9
     assert abs(r["resolution"] - 0.09) < 1e-9
     assert abs(r["brier"] - 0.16) < 1e-9
+
+
+def test_adjusted_rand_index_hand_computed(spark):
+    """A = {1,2 | 3,4}, B = {1 | 2,3,4}: contingency (x,x)=1, (x,y)=1,
+    (y,y)=2 -> index = 1, ea = 2, eb = 3, E = 2*3/6 = 1, max = 2.5,
+    ARI = (1-1)/(2.5-1) = 0 (chance-level agreement). Identical
+    labelings -> 1; all-singletons on both sides -> NULL (undefined)."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        adjusted_rand_index,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "doc_id int, cluster_id string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "y"), (4, "y")], "doc_id int, cluster_id string"
+    )
+    [r] = adjusted_rand_index(a, b).collect()
+    assert r["n"] == 4 and r["n_clusters_a"] == 2 and r["n_clusters_b"] == 2
+    assert r["index_pairs"] == 1.0 and r["expected_pairs"] == 1.0
+    assert r["max_pairs"] == 2.5 and r["ari"] == 0.0
+    [ident] = adjusted_rand_index(a, a).collect()
+    assert ident["ari"] == 1.0
+    singl = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id int, cluster_id string"
+    )
+    [s] = adjusted_rand_index(singl, singl).collect()
+    assert s["ari"] is None
