@@ -19,6 +19,19 @@ Determinism rules used throughout:
   2-decimal price over a 2^a*5^b quantity; a subtraction landing on zero)
   needs canonicalization on BOTH sides: `+ 5e-10` before the round for
   quotient ties (q2), `+ 0.0` after it for signed zeros (text script_mix).
+- Decimal ARITHMETIC (not just decimal sums) is engine-specific: a
+  DECIMAL(38,s>0) * LONG product overflows Spark's 38-digit precision and
+  triggers allowPrecisionLoss scale reduction — the product silently
+  re-rounds at scale 6 while DuckDB keeps full scale (caught by the
+  sf0.001 parity run of raking_ipf's decimal-state draft, round 9).
+  Decimals are safe as exact term-SUM accumulators (scale fixed, no
+  arithmetic) and as scale-0 integer carriers; anything iterative keeps
+  its state in plain INTEGERS (nano-unit fixed point) instead.
+- A float ROUND of an exact k-dp decimal state is a TIE GENERATOR: with
+  9-dp states, digits 7-9 == "500" (probability ~1e-3 per value) is a
+  genuine half boundary that the engines resolve oppositely. Integer
+  states round in integer space — (w9 + 500) div 1000 — which has no
+  such class.
 - Ties in top-k orderings are broken by a unique key column.
 """
 
