@@ -274,7 +274,11 @@ def adjusted_rand_index(
     cont = joined.groupBy("__la", "__lb").agg(
         F.count(F.lit(1)).alias("__nij")
     )
-    comb = lambda c: (c * (c - 1)).cast("decimal(38,0)") / 2
+    # cast BEFORE the multiply: c*(c-1) in BIGINT overflows (ANSI throw)
+    # past c ~ 3e9 members — exactly the corpus scale the op documents
+    comb = lambda c: (
+        c.cast("decimal(38,0)") * (c.cast("decimal(38,0)") - 1)
+    ) / 2
 
     ai = cont.groupBy("__la").agg(F.sum("__nij").alias("__ai"))
     bj = cont.groupBy("__lb").agg(F.sum("__nij").alias("__bj"))

@@ -1443,12 +1443,17 @@ def auc_rank(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     agg = cum.agg(
         F.sum("__cp").alias("__np"),
         (F.sum("__ct") - F.sum("__cp")).alias("__nn"),
+        # decimal fold: the doubled rank-sum reaches n(n+1), past int64
+        # for n over ~3e9 rows (ANSI throw; DuckDB promotes to int128) —
+        # cast the per-term factor BEFORE the multiply
         F.sum(
-            F.col("__cp")
+            F.col("__cp").cast("decimal(38,0)")
             * (F.lit(2) * F.col("__cb") + F.col("__ct") + F.lit(1))
         ).alias("__r2"),
     )
-    u2 = F.col("__r2") - F.col("__np") * (F.col("__np") + F.lit(1))
+    u2 = F.col("__r2") - F.col("__np").cast("decimal(38,0)") * (
+        F.col("__np") + F.lit(1)
+    )
     return agg.select(
         F.col("__np").cast("bigint").alias("n_pos"),
         F.col("__nn").cast("bigint").alias("n_neg"),
@@ -1648,7 +1653,10 @@ def conformal_coverage(
             F.col("__ncal_all").cast("bigint").alias("n_calib"),
             F.coalesce(F.col("n_eval"), F.lit(0)).cast("bigint").alias("n_eval"),
             F.col("k").cast("bigint").alias("k"),
-            F.col("threshold").cast("bigint").alias("threshold"),
+            # no cast: a BIGINT cast here would silently truncate a
+            # double gate score (quality/perplexity) — the threshold
+            # must stay in the score column's own type
+            F.col("threshold").alias("threshold"),
             F.col("coverage"),
         )
     )

@@ -638,9 +638,11 @@ def quantile_normalize(
     window; the global order statistics come from
     ``partitioning.global_rank`` (the two-pass range rank — no
     single-partition window); the index mapping
-    ``idx = 1 + floor((r−1)(N−1)/(n−1))`` is computed in DECIMAL(38,0)
-    so the (r−1)(N−1) product cannot overflow BIGINT at 100 TB row
-    counts, and the mapped value comes from one EQUI-join on the rank.
+    ``idx = 1 + (r−1)(N−1) div (n−1)`` is exact-integral ``div`` over
+    DECIMAL(38,0) operands — the product cannot overflow BIGINT at
+    100 TB row counts, and ``div`` (unlike ``floor`` of a Spark decimal
+    division, which HALF_UP-rounds to scale 6 first) never floors one
+    too high. The mapped value comes from one EQUI-join on the rank.
     A single-row group (no quantile position) maps to the global
     median index (N+1) div 2. Everything is integer arithmetic — no
     float percent_rank whose last ulp could flip an index
@@ -680,23 +682,25 @@ def quantile_normalize(
         rank_col="__grn",
     ).select("__gv", "__grn")
     nn = base.agg(F.count(F.lit(1)).alias("__tot"))
-    dec = "decimal(38,0)"
+    # `div`, NOT floor(decimal /): Spark's decimal division HALF_UP-rounds
+    # to scale 6 BEFORE the floor, so a quotient with fraction >= .9999995
+    # floors one too high (e.g. 19999999 / 10000001 -> 2.000000 -> 2,
+    # where the exact integral quotient is 1); `div` computes the exact
+    # integral quotient on the unrounded decimals
     idx = F.when(
         F.col("__n") > 1,
         (
-            F.floor(
-                (
-                    (F.col("__r") - 1).cast(dec)
-                    * (F.col("__tot") - 1).cast(dec)
-                )
-                / (F.col("__n") - 1).cast(dec)
+            F.expr(
+                "(CAST(__r - 1 AS DECIMAL(38,0))"
+                " * CAST(__tot - 1 AS DECIMAL(38,0)))"
+                " div CAST(__n - 1 AS DECIMAL(38,0))"
             )
             + 1
         ).cast("bigint"),
     ).otherwise(
-        F.floor((F.col("__tot") + 1).cast(dec) / F.lit(2).cast(dec)).cast(
-            "bigint"
-        )
+        F.expr(
+            "CAST(__tot + 1 AS DECIMAL(38,0)) div CAST(2 AS DECIMAL(38,0))"
+        ).cast("bigint")
     )
     return (
         ranked.crossJoin(F.broadcast(nn))

@@ -5024,9 +5024,9 @@ def sample_raking_ipf(spark, sf_dir):
     needs where temperature/stratified sampling can rebalance only one
     dimension. NEW PLAN SHAPE: a bounded-frame ITERATIVE operator —
     one corpus pass to the |langs|×|sources| cells, then 4 alternating
-    scalings on that frame with 9-dp state quantization and
-    DECIMAL(38,9) marginal sums so both engines walk bit-identical
-    iteration states."""
+    scalings on that frame with INTEGER nano-unit state (exact
+    DECIMAL(38,0) marginal sums, integer-space output rounding) so
+    both engines walk bit-identical iteration states."""
     from split_kinesis_streams_with_glue_spark.operators.sampling import (
         raking_ipf,
     )
@@ -5036,7 +5036,7 @@ def sample_raking_ipf(spark, sf_dir):
 
 def _ari_oracle() -> str:
     """Two jaccard-threshold transitive closures (the _CLUSTER_SQL
-    recipe at 0.5 and 0.7) feeding the pair-counting contingency and the
+    recipe at 0.05 and 0.5) feeding the pair-counting contingency and the
     Hubert-Arabie arithmetic in the operator's exact association
     order."""
     closure = lambda tag, thr: f"""
@@ -5094,13 +5094,16 @@ def _ari_oracle() -> str:
     bj AS (SELECT lb, SUM(nij) AS bc FROM cont GROUP BY lb),
     parts AS (
       SELECT
-        (SELECT CAST(SUM(CAST(nij * (nij - 1) AS DECIMAL(38,0)) / 2)
+        (SELECT CAST(SUM(CAST(nij AS DECIMAL(38,0))
+                         * (CAST(nij AS DECIMAL(38,0)) - 1) / 2)
                      AS DOUBLE) FROM cont) AS ix,
         (SELECT CAST(SUM(nij) AS DOUBLE) FROM cont) AS n,
-        (SELECT CAST(SUM(CAST(ac * (ac - 1) AS DECIMAL(38,0)) / 2)
+        (SELECT CAST(SUM(CAST(ac AS DECIMAL(38,0))
+                         * (CAST(ac AS DECIMAL(38,0)) - 1) / 2)
                      AS DOUBLE) FROM ai) AS ea,
         (SELECT COUNT(*) FROM ai) AS ka,
-        (SELECT CAST(SUM(CAST(bc * (bc - 1) AS DECIMAL(38,0)) / 2)
+        (SELECT CAST(SUM(CAST(bc AS DECIMAL(38,0))
+                         * (CAST(bc AS DECIMAL(38,0)) - 1) / 2)
                      AS DOUBLE) FROM bj) AS eb,
         (SELECT COUNT(*) FROM bj) AS kb
     )

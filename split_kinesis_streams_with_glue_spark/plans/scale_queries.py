@@ -2751,7 +2751,9 @@ def quality_mantel_haenszel(spark, sf_dir):
              SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
              COUNT(*) AS ct
       FROM documents
-      WHERE n_chars IS NOT NULL
+      -- mirror the operator's NULL-label exclusion (lang NULL -> label
+      -- NULL -> dropped), not just the score filter
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
       GROUP BY n_chars
     ),
     c AS (
@@ -2829,12 +2831,19 @@ def _cramers_oracle() -> str:
                CAST(ra.t AS DOUBLE) AS ra, CAST(rb.t AS DOUBLE) AS rb,
                CAST(nn.t AS DOUBLE) AS n
         FROM (SELECT {a} AS ka, {b} AS kb, COUNT(*) AS o
-              FROM documents GROUP BY 1, 2) j
-        JOIN (SELECT {a} AS ka, COUNT(*) AS t FROM documents GROUP BY 1) ra
+              FROM documents
+              WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+              GROUP BY 1, 2) j
+        JOIN (SELECT {a} AS ka, COUNT(*) AS t FROM documents
+              WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+              GROUP BY 1) ra
           USING (ka)
-        JOIN (SELECT {b} AS kb, COUNT(*) AS t FROM documents GROUP BY 1) rb
+        JOIN (SELECT {b} AS kb, COUNT(*) AS t FROM documents
+              WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+              GROUP BY 1) rb
           USING (kb)
-        CROSS JOIN (SELECT COUNT(*) AS t FROM documents) nn
+        CROSS JOIN (SELECT COUNT(*) AS t FROM documents
+                    WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL) nn
       )
     )"""
 
@@ -2950,7 +2959,8 @@ def quality_conformal_coverage(spark, sf_dir):
       SELECT LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS p,
              SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
              COUNT(*) AS nk
-      FROM documents WHERE n_chars IS NOT NULL
+      -- mirror the operator's NULL-label exclusion
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
       GROUP BY 1
     ),
     t AS (SELECT SUM(pos) AS tpos, SUM(nk) AS tn FROM g),

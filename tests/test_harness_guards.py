@@ -50,3 +50,26 @@ def test_compare_rejects_planted_signed_zero_frame(spark):
         )
     finally:
         con.close()
+
+
+def test_decimal_div_is_exact_where_floor_of_divide_is_not(spark):
+    """Round-9 review regression: Spark's decimal division HALF_UP-rounds
+    to scale 6 BEFORE a floor(), so floor((r-1)(N-1)/(n-1)) is off by one
+    whenever the exact quotient's fraction is >= .9999995 — e.g.
+    19999999/10000001 = 1.9999997 floors to 2 via floor(divide) but `div`
+    returns the exact integral quotient 1. quantile_normalize's index map
+    must therefore use `div`; this test pins the semantics the fix relies
+    on so an engine upgrade cannot silently regress them."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(19999999, 10000001)], "a long, c long")
+    r = df.select(
+        F.expr(
+            "CAST(a AS DECIMAL(38,0)) div CAST(c AS DECIMAL(38,0))"
+        ).alias("exact"),
+        F.floor(
+            F.col("a").cast("decimal(38,0)") / F.col("c").cast("decimal(38,0)")
+        ).alias("floored"),
+    ).collect()[0]
+    assert r["exact"] == 1  # the true integral quotient
+    assert r["floored"] == 2  # the documented failure mode of floor(/)
