@@ -156,6 +156,32 @@ never-checked, all the ``since=8`` wave):
    r3-stale queries rotate in round 10, inside the SLA (newest=3 ages
    out only when the in-flight round exceeds 3+sla=10 — exactly the
    round that window covers them).
+
+ROUND-10 WINDOW (derived by set-diff against CORRECTNESS_r01..r09 — 11
+never-checked, all the ``since=9`` wave; zero red rows to re-enter — the
+round-9 window was the rotation regime's first fully-green 50/50):
+
+1. the 11 ``since=9`` queries whose one-round exemption expires now
+   (all judge-swept green at sf0.01 in the round-9 session, and all 11
+   independently re-verified by the round-9 judge's own fresh-plain-
+   session parity run).  ``sample_raking_ipf`` enters FIXED: the
+   round-9 verdict's one defect (the unpinned iteration loop whose
+   executed plan re-embedded the corpus collapse 768×) is closed by
+   pinning the bounded cell frame per scaling step — the
+   ``global_rank``/q2/minhash ``localCheckpoint`` idiom — and the new
+   scan-multiplicity lint gate (``plans/lint.py``) fences the class
+   registry-wide;
+2. the 35 remaining r3-stale queries (the round-9 docstring's promised
+   rotation): the 19-query TPC-H block ``q2/q4/q6–q22`` plus
+   ``join_interval_bucketed``, ``agg_histogram``,
+   ``subquery_lateral_topn``, the ANN-contract trio, ``sample_dsir_scores``,
+   ``text_c4_clean``, ``sample_token_budget``, ``dedup_fuzzy_names``,
+   ``dedup_cluster_best``, and the 6-query r3 events tail;
+3. 4 staleness re-verifications — the first 4 oracle-backed r4-newest
+   queries in registration order (``cdc_compact_customer``,
+   ``stream_split_customer``, ``q1_pricing_summary``,
+   ``agg_count_distinct``).  The remaining 45 r4-stale queries rotate
+   in rounds 11–12, inside the SLA.
 """
 
 from __future__ import annotations
@@ -170,64 +196,64 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 15 since=8 registrations (one-round exemption expires) ---
-    "pipeline_token_budget_fill",
-    "dedup_sorted_neighborhood",
-    "dedup_blocking_metrics",
-    "text_hill_tail_index",
-    "text_sttr_diversity",
-    "sim_mmd_linear",
-    "sim_silhouette_simplified",
-    "sample_horvitz_thompson",
-    "events_changepoint_mean",
-    "quality_wasserstein_drift",
-    "quality_ndcg",
-    "quality_average_precision",
-    "quality_welch_ttest",
-    "quality_mantel_haenszel",
-    "quality_eb_shrinkage",
-    # --- round-8's red row re-enters with the oracle's SUM cast to
-    # BIGINT (DuckDB HUGEINT vs the driver byte-hasher; values were
-    # bit-identical — see module docstring) ---
-    "sample_weighted_median",
-    # --- the 21 remaining r2-stale queries (staleness zeroing promised
-    # by the round-8 window notes) ---
-    "text_language_id",
-    "text_fingerprint",
-    "multimodal_decode_meta",
-    "text_winnow_chunks",
-    "multimodal_resize",
-    "multimodal_audio_chunks",
-    "pipeline_pack_sequences",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "sample_temperature_mix",
-    "events_tumbling_counts",
-    "events_sessionize",
-    "events_session_window",
-    "events_sessionize_stateful",
-    "events_stream_dedup",
-    "join_asof_attribution",
-    "events_cohort_retention",
-    "events_stream_stream_join",
-    "events_funnel",
-    "events_continuous_rollup",
-    "events_anomaly_zscore",
-    # --- 13 staleness re-verifications: first 13 of the 48 r3-newest
-    # queries in registration order (the other 35 rotate round 10) ---
-    "cdc_merge_apply",
-    "catalog_analyze_stats",
-    "pipeline_data_quality",
-    "cdc_table_diff",
-    "pipeline_publish_gated",
-    "window_sliding_avg",
-    "percentiles_exact",
-    "map_from_entries_props",
-    "posexplode_tokens",
-    "udf_python_rowwise",
-    "join_null_safe",
-    "window_first_last",
-    "window_range_frame",
+    # --- the 11 since=9 registrations (one-round exemption expires).
+    # sample_raking_ipf debuts FIXED (per-iteration localCheckpoint pin;
+    # round-9 verdict "What's wrong #1") ---
+    "text_kneser_ney_bigram",
+    "profile_pareto_skyline",
+    "sample_quantile_normalize",
+    "sample_coreset_lightweight",
+    "sim_sliced_wasserstein",
+    "sample_raking_ipf",
+    "dedup_cluster_ari",
+    "quality_auc_roc",
+    "quality_cramers_v",
+    "quality_conformal_coverage",
+    "quality_brier_decomposition",
+    # --- the 35 remaining r3-stale queries (staleness zeroing promised
+    # by the round-9 window notes): the TPC-H block first, then the
+    # SQL/similarity/sampling/text tail, then the r3 events family ---
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+    "join_interval_bucketed",
+    "agg_histogram",
+    "subquery_lateral_topn",
+    "sim_ann_quantized_ivf_contract",
+    "sim_ann_pq_contract",
+    "sim_quantize_contract",
+    "sample_dsir_scores",
+    "sample_token_budget",
+    "text_c4_clean",
+    "dedup_fuzzy_names",
+    "dedup_cluster_best",
+    "events_hopping_counts",
+    "events_stream_enrich",
+    "events_hll_rollup_contract",
+    "events_wma_trend",
+    "events_stream_stream_left_join",
+    # --- 4 staleness re-verifications: first 4 oracle-backed r4-newest
+    # queries in registration order (the other 45 rotate rounds 11-12) ---
+    "cdc_compact_customer",
+    "stream_split_customer",
+    "q1_pricing_summary",
+    "agg_count_distinct",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
@@ -242,6 +268,7 @@ _VERIFY_PRIORITY: list[str] = [
 # (slots 1-5) and were deleted, exactly as the deadline test prescribes.
 # ROUND 9: stays empty — the 50-slot arithmetic covers the whole backlog
 # (15 since=8 + 1 re-entry + 21 r2-stale + 13 r3-stale heads).
+# ROUND 10: stays empty — 11 since=9 + 35 r3-stale + 4 r4 heads = 50.
 DEFERRED: dict[str, str] = {}
 
 
