@@ -1420,7 +1420,15 @@ def auc_rank(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
 
     Returns one row (n_pos, n_neg, u_times2, auc); auc is NULL when
     either class is empty (undefined — the family's NULL-on-degenerate
-    convention)."""
+    convention).
+
+    Output contract: the internal fold is DECIMAL(38,0) (exact past
+    int64), but ``u_times2`` is EMITTED as BIGINT because the driver
+    hasher rejects decimal outputs on both engines — so the OUTPUT
+    column (not the AUC, whose division happens on the decimal) caps at
+    2·n_pos·n_neg < 2^63, i.e. ~4.3e9 balanced labeled rows. Past that,
+    consume ``auc`` (always valid) and drop ``u_times2``, or raise the
+    emit type once the driver contract admits int128."""
     from pyspark.sql import Window
 
     lab = F.col(label_col).cast("long")
@@ -1609,13 +1617,15 @@ def conformal_coverage(
         F.row_number().over(wrank).alias("__rk"),
         F.count(F.lit(1)).over(wcnt).alias("__ncal"),
     ).withColumn(
+        # exact integral `div` (the quantile_normalize idiom) — NOT
+        # floor of a double quotient, whose last ulp could flip once
+        # n_cal approaches 2^49; keeps the docstring's all-integer-k
+        # promise literal
         "__k",
-        F.floor(
-            (
-                F.lit(q - p) * (F.col("__ncal") + 1) + F.lit(q - 1)
-            ).cast("double")
-            / F.lit(float(q))
-        ).cast("bigint"),
+        F.expr(
+            f"CAST({q - p} * (__ncal + 1) + {q - 1} AS DECIMAL(38,0))"
+            f" div CAST({q} AS DECIMAL(38,0))"
+        ),
     )
     thr = ranked.filter(F.col("__rk") == F.col("__k")).select(
         "grp",

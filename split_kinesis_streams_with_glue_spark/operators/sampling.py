@@ -832,7 +832,16 @@ def raking_ipf(
     Scale shape: ONE corpus pass collapses the data to the bounded
     |rows|×|cols| cell frame; the ``n_iters`` alternating row/col
     scalings run on THAT frame (each step two grouped aggregates + a
-    broadcast join — bounded whatever the corpus size).
+    broadcast join — bounded whatever the corpus size). The cell frame
+    is MATERIALIZED once after the collapse and re-pinned after every
+    iteration (``localCheckpoint(eager=True)`` — the pagerank /
+    connected-components idiom, ``operators/graph.py``): each scaling
+    step references the frame twice (directly and through its marginal
+    aggregate), so an unpinned loop re-embeds the corpus collapse
+    exponentially — the round-9 executed plan held 768 FileScan nodes
+    before this pin; with it the corpus is scanned once and the plan is
+    linear in ``n_iters`` (fenced registry-wide by the scan-multiplicity
+    gate in ``plans/lint.py``).
 
     Cross-engine exactness across iterations demanded a stronger recipe
     than the family's DECIMAL term-sums: a DECIMAL(38,9)·LONG product
@@ -863,8 +872,12 @@ def raking_ipf(
         F.countDistinct("__r").alias("__nr"),
     )
     coltgt = cells.groupBy("__c").agg(F.sum("__n").alias("__ct"))
-    cells = cells.crossJoin(F.broadcast(tot)).join(
-        F.broadcast(coltgt), "__c"
+    # pin the bounded cell frame: ONE corpus scan, truncated lineage —
+    # every later step runs on the materialized |rows|×|cols| cells
+    cells = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(coltgt), "__c")
+        .localCheckpoint(eager=True)
     )
     # targets in nano-units: exact doubles while total*1e9 < 2^53
     row_target9 = (
@@ -900,17 +913,20 @@ def raking_ipf(
                 ).cast("bigint"),
             )
             .drop("__cs9")
+            # re-pin per iteration: the next scaling references this
+            # frame twice; without the pin the plan doubles every step
+            .localCheckpoint(eager=True)
         )
-    # 6-dp output in INTEGER space: HALF_UP = (w9 + 500) div 1000, then
-    # one exact double division by 1e6 — no float rounding of a 9-dp
-    # decimal anywhere, so no decimal tie class
-    w6 = (F.col("__w9") + F.lit(500)).cast("bigint")
+    # 6-dp output in INTEGER space: HALF_UP = (w9 + 500) div 1000 as
+    # exact integral `div` (NOT floor of a double quotient, whose last
+    # ulp could flip near 2^53), then one exact double division by 1e6
+    # — no float rounding of a 9-dp decimal anywhere, no decimal ties
+    w6 = F.expr(
+        "CAST(__w9 + 500 AS DECIMAL(38,0)) div CAST(1000 AS DECIMAL(38,0))"
+    )
     return cells.select(
         F.col("__r").alias(row_col),
         F.col("__c").alias(col_col),
         F.col("__n").cast("bigint").alias("n"),
-        (
-            F.floor(w6.cast("double") / F.lit(1000.0)).cast("double")
-            / F.lit(1e6)
-        ).alias("weight"),
+        (w6.cast("double") / F.lit(1e6)).alias("weight"),
     )

@@ -5008,8 +5008,7 @@ def _raking_oracle(n_iters: int = 4) -> str:
         prev = f"cc{t}"
     sql += f"""
     SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n,
-           CAST(FLOOR(CAST(w9 + 500 AS DOUBLE) / 1000.0) AS DOUBLE) / 1e6
-             AS weight
+           CAST((w9 + 500) // 1000 AS DOUBLE) / 1e6 AS weight
     FROM {prev}"""
     return sql
 

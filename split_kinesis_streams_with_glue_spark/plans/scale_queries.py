@@ -2912,7 +2912,7 @@ def quality_cramers_v(spark, sf_dir):
     thr AS (
       SELECT grp, rk AS k, sc AS threshold
       FROM ranked
-      WHERE rk = CAST(FLOOR((9 * (ncal + 1) + 9) / 10.0) AS BIGINT)
+      WHERE rk = CAST((9 * (ncal + 1) + 9) // 10 AS BIGINT)
     ),
     caln AS (SELECT grp, COUNT(*) AS ncal_all FROM base WHERE cal GROUP BY grp),
     cov AS (
