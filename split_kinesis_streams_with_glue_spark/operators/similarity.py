@@ -793,7 +793,16 @@ def top_principal_component(
         # connected_components
         .localCheckpoint(eager=False)
     )
-    v = mean.select("__p", F.lit(0.125).alias("__v"))
+    # seed from the PINNED cov frame, not `mean` — mean's lineage is the
+    # corpus scan, and each iteration below references v twice (directly
+    # and through the norm aggregate), so a corpus-rooted v re-embeds the
+    # scan 2^n_iters times (the raking_ipf class; caught by the
+    # scan-multiplicity lint gate). The position set is identical.
+    v = (
+        cov.select(F.col("__pa").alias("__p"))
+        .distinct()
+        .select("__p", F.lit(0.125).alias("__v"))
+    )
     for _ in range(n_iters):
         w = (
             cov.join(
@@ -803,9 +812,14 @@ def top_principal_component(
             .agg(F.sum(F.col("__c") * F.col("__v")).alias("__w"))
         )
         nm = w.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nm"))
-        v = w.crossJoin(F.broadcast(nm)).select(
-            F.col("__pa").alias("__p"),
-            (F.col("__w") / F.col("__nm")).alias("__v"),
+        v = (
+            w.crossJoin(F.broadcast(nm))
+            .select(
+                F.col("__pa").alias("__p"),
+                (F.col("__w") / F.col("__nm")).alias("__v"),
+            )
+            # d-row frame; truncates the doubled-per-iteration lineage
+            .localCheckpoint(eager=False)
         )
     wf = (
         cov.join(v.select(F.col("__p").alias("__pb"), "__v"), "__pb")

@@ -27,6 +27,15 @@ What it flags and why:
   table); a scale-killer over anything data-sized — the top-k cut must be
   ``orderBy().limit()`` (a distributed ``TakeOrderedAndProject``), never a
   global ``row_number()``.
+- ``scan-multiplicity`` — more than ``_MAX_FILESCANS`` ``FileScan`` leaves
+  in ONE plan: the signature of an unpinned iterative/self-referencing
+  frame whose lineage re-embeds the upstream scan exponentially (round-9's
+  ``raking_ipf`` compiled to 768 FileScans of the corpus before its
+  ``localCheckpoint`` pin). Legitimate plans stay far below the ceiling —
+  the widest registered query reads ~12 leaves (three contingency pairs ×
+  four branches); TPC-H's 8-table joins read 8. The fix is always the
+  same: materialize the bounded reused frame once
+  (``localCheckpoint``, the pagerank/minhash/global_rank idiom).
 
 The linter reads the *executed* plan string when the frame has been
 collected under AQE (final plan), else the static physical plan. It is a
@@ -40,6 +49,11 @@ import re
 
 from pyspark.sql import DataFrame
 
+# FileScan-leaf ceiling per plan. Chosen with headroom over the widest
+# legitimate registered plan (12 leaves) yet 48x under the round-9
+# raking_ipf blowup (768) — any unpinned loop crosses it by iteration 3.
+_MAX_FILESCANS = 16
+
 
 def _plan_string(df: DataFrame) -> str:
     qe = df._jdf.queryExecution()
@@ -52,6 +66,16 @@ def _plan_string(df: DataFrame) -> str:
 def lint_plan(df: DataFrame) -> list[str]:
     plan = _plan_string(df)
     findings: list[str] = []
+
+    n_scans = plan.count("FileScan")
+    if n_scans > _MAX_FILESCANS:
+        findings.append(
+            f"scan-multiplicity: {n_scans} FileScan leaves in one plan "
+            f"(ceiling {_MAX_FILESCANS}) — an unpinned iterative or "
+            "self-referencing frame is re-embedding its upstream scan; "
+            "localCheckpoint the bounded reused frame so the plan stays "
+            "linear in the iteration count"
+        )
 
     if "BatchEvalPython" in plan:
         findings.append(

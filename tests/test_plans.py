@@ -257,6 +257,49 @@ def test_lint_flags_python_udf_and_cartesian(spark, sf_dir):
         assert_scales(c.crossJoin(n))
 
 
+def test_lint_flags_scan_multiplicity_of_unpinned_iteration(spark, sf_dir):
+    """The round-9 raking_ipf class, fenced mechanically: an iterative
+    loop that references its own frame twice per step (directly + through
+    a marginal aggregate) doubles the scan count each iteration — 5
+    unpinned iterations embed 2^5 = 32 FileScans of the corpus. The
+    linter must flag the unpinned form and pass the localCheckpoint-pinned
+    form of the SAME loop (the red-then-green proof the oracle-type guard
+    shipped with in round 9)."""
+    from split_kinesis_streams_with_glue_spark.plans.lint import lint_plan
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def one_step(frame):
+        marg = frame.groupBy("c_nationkey").agg(F.sum("w").alias("ws"))
+        return (
+            frame.join(F.broadcast(marg), "c_nationkey")
+            .withColumn("w", F.col("w") / F.col("ws"))
+            .drop("ws")
+        )
+
+    unpinned = c.select("c_nationkey", F.lit(1.0).alias("w"))
+    for _ in range(5):
+        unpinned = one_step(unpinned)
+    finds = lint_plan(unpinned)
+    assert any("scan-multiplicity" in f for f in finds), finds
+
+    pinned = c.select("c_nationkey", F.lit(1.0).alias("w"))
+    for _ in range(5):
+        pinned = one_step(pinned).localCheckpoint(eager=True)
+    assert not any("scan-multiplicity" in f for f in lint_plan(pinned))
+
+    # the fixed production operator stays under the ceiling end-to-end
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        raking_ipf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert not any(
+        "scan-multiplicity" in f
+        for f in lint_plan(raking_ipf(docs, "lang", "source"))
+    )
+
+
 def test_lint_passes_core_queries(spark, sf_dir):
     """The engine's own flagship plans must lint clean."""
     from split_kinesis_streams_with_glue_spark.plans.lint import lint_plan
