@@ -274,3 +274,62 @@ def audio_chunks(
         )
     )
     return out
+
+
+def phash_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "image",
+    n_bands: int = 4,
+    band_hex: int = 2,
+) -> DataFrame:
+    """Perceptual-hash LSH banding over the binary media column — the
+    image near-dup CANDIDATE stage (Monga & Evans, "Perceptual image
+    hashing via feature points", IEEE TIP 2006; banding per Leskovec–
+    Rajaraman–Ullman MMDS §3.4, the same geometry as dedup_minhash_lsh).
+    Each image's 64-bit fingerprint splits into ``n_bands`` bands of
+    ``band_hex`` hex chars; images sharing any band value land in one
+    bucket, and candidate pairs are read off bucket sizes as
+    Σ c·(c−1)/2 — never materializing the pairs.
+
+    The fingerprint here is the DOCUMENTED STAND-IN for a real DCT
+    pHash: a true pHash hashes decoded pixels, and pixel decode is
+    env-gated exactly like ``decode_pixels`` (no codec libs in this
+    sandbox). What IS real — and what this operator exercises — is the
+    full at-scale plumbing: binary column → Arrow-batched
+    ``mapInPandas`` header decode (``decode_meta``) → md5 fingerprint
+    of the decoded metadata → band explode → bucket aggregation.
+    Swapping the fingerprint expression for a pixel pHash changes no
+    plan shape. Malformed blobs (NULL decoded width) are excluded from
+    fingerprinting — the decode path's documented DLQ behavior.
+
+    Output: one row per band — (band, n_buckets, n_candidate_pairs,
+    max_bucket). Pair counts are int64 (ceiling: a single bucket of
+    ~4.3e9 duplicates overflows c·(c−1)/2 — far beyond any real shard)."""
+    meta = decode_meta(df, id_col, bin_col)
+    # content signature only (no id): identical decoded signatures MUST
+    # collide — that is what makes the buckets a near-dup candidate set
+    fp = meta.filter(F.col("width").isNotNull()).select(
+        F.md5(
+            F.concat_ws(":", "width", "height", "channels", "n_bytes")
+        ).alias("__fp")
+    )
+    bands = fp.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "__fp",
+    ).select(
+        "band",
+        F.expr(f"substring(__fp, 1 + band * {band_hex}, {band_hex})").alias(
+            "__v"
+        ),
+    )
+    buckets = bands.groupBy("band", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.expr("__c * (__c - 1) DIV 2")).cast("bigint").alias(
+            "n_candidate_pairs"
+        ),
+        F.max("__c").cast("bigint").alias("max_bucket"),
+    )

@@ -1748,3 +1748,214 @@ def brier_decomposition(
             "reliability"
         ),
     )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown–Forsythe test for homogeneity of variances (Brown &
+    Forsythe, JASA 1974): Levene's statistic with the group MEDIAN as
+    the center — the robust form that keeps its level under skewed
+    distributions. z_ij = |x_ij − med_j|, then the one-way ANOVA F on
+    the z's: F = [Σ n_j (z̄_j − z̄)²/(k−1)] / [Σ_j Σ_i (z_ij − z̄_j)²
+    /(N−k)]. The variance-side companion of quality_welch_ttest /
+    quality_kruskal_wallis: those compare LOCATION across slices, this
+    one flags a slice whose SPREAD drifted (a corpus source whose
+    document-length variance exploded is degrading even when its mean
+    holds).
+
+    Determinism/scale notes: the group median is the LOWER median —
+    the value at sorted position (n+1) div 2 — selected with a
+    per-GROUP window (parallel at any group count; no global sort).
+    With ties in x, row_number may pick any tied row but the VALUE at
+    the rank is unique, so the median is deterministic. z and z² are
+    9-dp-rounded and folded as DECIMAL(38,9) (exact, order-free);
+    SSW_j uses the Σz² − (Σz)²/n identity so the corpus collapses to
+    one bounded per-group frame in a single pass after the median
+    join. F is NULL when k < 2, N ≤ k, or SSW = 0.
+    """
+    val = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), val.alias("__x"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__g").orderBy(F.col("__x").asc())
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    )
+    # integer (n+1) div 2: (n+1)/2 on longs is double division in Spark —
+    # explicit floor-div stays in integer space
+    med = ranked.filter(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select("__g", F.col("__x").alias("__med"))
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g", F.round(F.abs(F.col("__x") - F.col("__med")), 9).alias("__z")
+    )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    g = z.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__nj"),
+        dsum(F.col("__z")).alias("__s1"),
+        dsum(F.col("__z") * F.col("__z")).alias("__s2"),
+    )
+    # names must differ from g's case-insensitively (Spark's default
+    # resolver treats __S1 and __s1 as the same reference)
+    tot = g.agg(
+        F.sum("__nj").alias("__ntot"),
+        F.sum(F.col("__s1").cast("decimal(38,9)"))
+        .cast("double")
+        .alias("__s1tot"),
+        F.count(F.lit(1)).alias("__ktot"),
+    )
+    zbar = F.col("__s1tot") / F.col("__ntot").cast("double")
+    zjbar = F.col("__s1") / F.col("__nj").cast("double")
+    out = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("__ntot").cast("bigint").alias("n"),
+        F.max("__ktot").cast("bigint").alias("n_groups"),
+        dsum(
+            F.col("__nj").cast("double") * (zjbar - zbar) * (zjbar - zbar)
+        ).alias("__ssb"),
+        dsum(
+            F.col("__s2")
+            - F.col("__s1") * F.col("__s1") / F.col("__nj").cast("double")
+        ).alias("__ssw"),
+    )
+    k = F.col("n_groups").cast("double")
+    nD = F.col("n").cast("double")
+    return out.select(
+        "n",
+        "n_groups",
+        F.round(F.col("__ssb"), 6).alias("ss_between"),
+        F.round(F.col("__ssw"), 6).alias("ss_within"),
+        F.when(
+            (F.col("n_groups") >= 2)
+            & (F.col("n") > F.col("n_groups"))
+            & (F.col("__ssw") > 0),
+            F.round(
+                (F.col("__ssb") / (k - F.lit(1.0)))
+                / (F.col("__ssw") / (nD - k)),
+                6,
+            ),
+        ).alias("f_stat"),
+    )
+
+
+def theil_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient (Theil, "On the Estimation of
+    Relationships Involving Qualitative Variables", AJS 1970; Press et
+    al., Numerical Recipes §14.7.4): the ASYMMETRIC entropy-based
+    association U(X|Y) = [H(X) − H(X|Y)] / H(X) = I(X;Y)/H(X) — the
+    fraction of X's entropy that knowing Y removes. The directional
+    companion of quality_cramers_v: V is symmetric and says "lang and
+    source are associated"; U says "source predicts 34% of lang but
+    lang predicts only 8% of source", which is the actionable form for
+    choosing a stratification key.
+
+    One corpus pass collapses to the |X|×|Y| observed-cell frame
+    (pinned with localCheckpoint so the margin re-aggregations reuse
+    it instead of re-embedding the scan); H(X), H(Y) and the joint
+    H(X,Y) are folds over that bounded frame with 9-dp-rounded terms
+    summed as DECIMAL(38,9); then H(X|Y) = H(X,Y) − H(Y) and both U's
+    come from the same three entropies. Every probability is an exact
+    integer-count ratio. U is NULL when the conditioning entropy is 0
+    (a constant variable predicts nothing and has nothing to predict).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    tot = cells.agg(F.sum("__c").alias("__N"))
+
+    def _entropy(margin: DataFrame) -> DataFrame:
+        p = F.col("__m").cast("double") / F.col("__N").cast("double")
+        return (
+            margin.crossJoin(F.broadcast(tot))
+            .agg(dsum(-p * F.log(p)).alias("__h"))
+        )
+
+    hx = _entropy(cells.groupBy("__x").agg(F.sum("__c").alias("__m")))
+    hy = _entropy(cells.groupBy("__y").agg(F.sum("__c").alias("__m")))
+    hxy = _entropy(cells.select(F.col("__c").alias("__m")))
+    counts = cells.agg(
+        F.sum("__c").alias("__N"),
+        F.countDistinct("__x").alias("__nx"),
+        F.countDistinct("__y").alias("__ny"),
+    )
+    stats = (
+        counts.crossJoin(F.broadcast(hx.select(F.col("__h").alias("__hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("__h").alias("__hy"))))
+        .crossJoin(F.broadcast(hxy.select(F.col("__h").alias("__hxy"))))
+    )
+    mi = F.col("__hx") + F.col("__hy") - F.col("__hxy")
+    return stats.select(
+        F.col("__N").cast("bigint").alias("n"),
+        F.col("__nx").cast("bigint").alias("n_x_values"),
+        F.col("__ny").cast("bigint").alias("n_y_values"),
+        F.round(F.col("__hx"), 6).alias("h_x"),
+        F.round(F.col("__hy"), 6).alias("h_y"),
+        F.round(F.col("__hxy"), 6).alias("h_joint"),
+        F.round(mi, 6).alias("mutual_info"),
+        F.when(F.col("__hx") > 0, F.round(mi / F.col("__hx"), 6)).alias(
+            "u_x_given_y"
+        ),
+        F.when(F.col("__hy") > 0, F.round(mi / F.col("__hy"), 6)).alias(
+            "u_y_given_x"
+        ),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Cochran–Armitage test for trend in a 2×k table (Cochran,
+    Biometrics 1954; Armitage, Biometrics 1955): is the positive rate
+    MONOTONICALLY drifting across ordered exposure levels? Z =
+    Σ s_k (r_k − n_k R/N) / sqrt[(R/N)(1 − R/N)(Σ n_k s_k² −
+    (Σ n_k s_k)²/N)]. The ordered-alternative companion of
+    quality_chi2_independence: chi-squared spends its power over ALL
+    deviations from independence; Cochran–Armitage concentrates it on
+    the one-degree trend component, which is the question a curriculum
+    or quality-bucketing pipeline actually asks ("does the en-share
+    rise with document length?").
+
+    The caller supplies an INTEGER score column (bounded level count —
+    the 2×k contingency is the whole state). One corpus pass collapses
+    to the k-level frame; every accumulator is an exact integer sum
+    (int64-safe while Σ n_k·s_k² < 2^63 — with s ≤ 2^10 that is
+    N < 2^43; document larger scores out of the contract); the final
+    statistic is double arithmetic over those exact integers. Z is
+    NULL when every row is one level, R = 0, R = N, or the score
+    variance is 0.
+    """
+    lab = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("long")
+    g = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(F.sum(lab).alias("__r"), F.count(F.lit(1)).alias("__n"))
+    )
+    tot = g.agg(
+        F.sum("__n").alias("__N"),
+        F.sum("__r").alias("__R"),
+        F.sum(F.col("__s") * F.col("__n")).alias("__S1"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__n")).alias("__S2"),
+        F.sum(F.col("__s") * F.col("__r")).alias("__T"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    nD = F.col("__N").cast("double")
+    pbar = F.col("__R").cast("double") / nD
+    num = F.col("__T").cast("double") - pbar * F.col("__S1").cast("double")
+    svar = F.col("__S2").cast("double") - (
+        F.col("__S1").cast("double") * F.col("__S1").cast("double") / nD
+    )
+    var = pbar * (F.lit(1.0) - pbar) * svar
+    return tot.select(
+        F.col("__N").cast("bigint").alias("n"),
+        F.col("__R").cast("bigint").alias("n_pos"),
+        F.col("__k").cast("bigint").alias("n_levels"),
+        F.when(var > 0, F.round(num / F.sqrt(var), 6)).alias("z_trend"),
+        F.when(var > 0, F.round(num * num / var, 6)).alias("chi2_trend"),
+    )

@@ -930,3 +930,37 @@ def raking_ipf(
         F.col("__n").cast("bigint").alias("n"),
         (w6.cast("double") / F.lit(1e6)).alias("weight"),
     )
+
+
+def systematic_sample(df: DataFrame, m: int, *order_cols: str) -> DataFrame:
+    """Systematic (fractional-interval) sampling (Madow & Madow, "On the
+    theory of systematic sampling", AoMS 1944): order the population by
+    ``order_cols``, then keep row r iff ⌊r·m/N⌋ > ⌊(r−1)·m/N⌋ — exactly
+    ``m`` rows (for 0 < m ≤ N), maximally spread across the order, with
+    NO randomness. The deterministic complement of sample_exact_k /
+    sample_weighted_pps: when the order column is a quality or length
+    score, the sample is a stratified sweep of the whole distribution —
+    the standard eyeball-sample for a curation review.
+
+    Ranks come from ``partitioning.global_rank`` (two-pass range
+    partition + per-partition windows + broadcast offsets — no
+    single-partition sort at any scale); N is the broadcast 1-row max
+    rank; the keep rule is pure int64 arithmetic (caller contract:
+    r·m < 2^63, i.e. m below ~9e18/N — any real m qualifies).
+    Caller contract inherited from global_rank: ``order_cols`` must be
+    a NULL-free total order (append a unique id last).
+
+    Returns the sampled rows with their original columns."""
+    from split_kinesis_streams_with_glue_spark.partitioning import global_rank
+
+    ranked = global_rank(df, *order_cols, rank_col="__sys_rn")
+    tot = ranked.agg(F.max("__sys_rn").alias("__sys_n"))
+    kept = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(f"(__sys_rn * {m}L) DIV __sys_n")
+            > F.expr(f"((__sys_rn - 1) * {m}L) DIV __sys_n")
+        )
+        .drop("__sys_rn", "__sys_n")
+    )
+    return kept

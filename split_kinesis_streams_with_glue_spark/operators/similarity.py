@@ -1222,3 +1222,80 @@ def sliced_wasserstein(
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def calinski_harabasz(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Calinski–Harabasz variance-ratio criterion (Caliński & Harabasz,
+    "A dendrite method for cluster analysis", Communications in
+    Statistics 1974): CH = [B/(k−1)] / [W/(N−k)] with B = Σ_j n_j·
+    ‖c_j − c‖² (between-cluster dispersion) and W = Σ_j Σ_{x∈j}
+    ‖x − c_j‖² (within-cluster dispersion). The GLOBAL cluster-validity
+    companion of sim_silhouette_simplified: silhouette scores each
+    point (needs point↔centroid distances), CH prices the whole
+    clustering in one ratio — the standard knob for choosing k before
+    committing a SemDeDup/coreset pass to a partitioning.
+
+    Scale shape: one posexplode pass collapses the corpus to the
+    k×dims (cluster, dim) moment frame — per-cell Σv and Σv² as
+    9-dp-rounded DECIMAL(38,9) sums — so W uses the Σv² − (Σv)²/n
+    identity per cell and B needs only the broadcast per-dim global
+    sums; no point-to-centroid join ever materializes. CH is NULL when
+    k < 2, N ≤ k, or W = 0 (the ratio is undefined)."""
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(label_col).alias("__l"), F.col(vec_col).alias("__e"))
+    sizes = base.groupBy("__l").agg(F.count(F.lit(1)).alias("__nj"))
+    tot = sizes.agg(
+        F.sum("__nj").alias("__nrows"), F.count(F.lit(1)).alias("__k")
+    )
+    pos = base.select(
+        "__l", F.posexplode(F.col("__e")).alias("__d", "__v")
+    ).select("__l", "__d", F.col("__v").cast("double").alias("__v"))
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    cell = pos.groupBy("__l", "__d").agg(
+        dsum(F.col("__v")).alias("__s"),
+        dsum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    globald = cell.groupBy("__d").agg(
+        F.sum(F.col("__s").cast("decimal(38,9)")).cast("double").alias("__sd")
+    )
+    joined = (
+        cell.join(F.broadcast(sizes), "__l")
+        .join(F.broadcast(globald), "__d")
+        .crossJoin(F.broadcast(tot))
+    )
+    cld = F.col("__s") / F.col("__nj").cast("double")
+    cd = F.col("__sd") / F.col("__nrows").cast("double")
+    a = joined.agg(
+        F.max("__nrows").cast("bigint").alias("n"),
+        F.max("__k").cast("bigint").alias("n_clusters"),
+        (F.countDistinct("__d")).cast("bigint").alias("n_dims"),
+        dsum(F.col("__nj").cast("double") * (cld - cd) * (cld - cd)).alias(
+            "__b"
+        ),
+        dsum(
+            F.col("__ss")
+            - F.col("__s") * F.col("__s") / F.col("__nj").cast("double")
+        ).alias("__w"),
+    )
+    k = F.col("n_clusters").cast("double")
+    nD = F.col("n").cast("double")
+    return a.select(
+        "n",
+        "n_clusters",
+        "n_dims",
+        F.round(F.col("__b"), 6).alias("ss_between"),
+        F.round(F.col("__w"), 6).alias("ss_within"),
+        F.when(
+            (F.col("n_clusters") >= 2)
+            & (F.col("n") > F.col("n_clusters"))
+            & (F.col("__w") > 0),
+            F.round(
+                (F.col("__b") / (k - F.lit(1.0)))
+                / (F.col("__w") / (nD - k)),
+                6,
+            ),
+        ).alias("ch_index"),
+    )

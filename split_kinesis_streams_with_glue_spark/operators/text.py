@@ -1331,3 +1331,149 @@ def kneser_ney_bigram(
             F.round("__pkn", 6).alias("pkn"),
         )
     )
+
+
+def yule_k(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Yule's characteristic K (Yule, "The Statistical Study of Literary
+    Vocabulary", 1944; Tweedie & Baayen, Computers and the Humanities
+    1998): K = 10⁴ · (Σ_m m²·V_m − N) / N², computed from the frequency
+    SPECTRUM V_m (how many types occur exactly m times). K is the
+    classical repeat-rate measure of lexical richness that — unlike raw
+    TTR — is approximately length-invariant, so it is comparable across
+    corpus slices of very different sizes (the text_sttr_diversity
+    docstring's length confound, solved analytically instead of by
+    segmenting).
+
+    Scale shape: tokens collapse to (group, term) counts in one pass,
+    those collapse to the Zipf-small (group, m) spectrum, and K is a
+    bounded per-group fold. m²·V_m is accumulated as DECIMAL(38,0)
+    (m can reach the token count, whose square overflows int64); the
+    division happens once per group in double space. Groups whose
+    documents produce zero tokens have no spectrum rows and are absent
+    from the output (the oracle mirrors: no token rows, no group)."""
+    toks = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    tf = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__m"))
+    spec = tf.groupBy("__g", "__m").agg(F.count(F.lit(1)).alias("__vm"))
+    a = spec.groupBy("__g").agg(
+        F.sum(F.col("__m") * F.col("__vm")).cast("bigint").alias("n_tokens"),
+        F.sum("__vm").cast("bigint").alias("n_types"),
+        F.sum(
+            F.col("__m").cast("decimal(38,0)") * F.col("__m") * F.col("__vm")
+        )
+        .cast("double")
+        .alias("__s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return a.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.round(F.lit(10000.0) * (F.col("__s2") - nd) / (nd * nd), 6).alias(
+            "yule_k"
+        ),
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps, "Information
+    Retrieval: Computational and Theoretical Aspects", 1978; Herdan
+    1960): V(N) ≈ K·N^β, estimated by OLS on (ln N_b, ln V_b) over
+    ``n_buckets`` checkpoints of the corpus in ``id_col`` order. β well
+    below ~0.8 says the vocabulary is saturating (heavy duplication /
+    template text); β near 1 says near-linear novelty — a one-row
+    corpus-health signal for an ingest monitor deciding whether another
+    crawl increment still adds vocabulary.
+
+    The at-scale trick is that the growth CURVE needs no ordered scan:
+    bucket b of a doc is integer arithmetic on its id against the
+    broadcast (min, max) frame; cumulative tokens per bucket come from
+    the bucket totals, and cumulative vocabulary at bucket b is the
+    count of types whose FIRST bucket (min over one groupBy) is ≤ b —
+    so the corpus is read twice (bucket totals + first-occurrence) and
+    everything after is a ≤ n_buckets-row frame, where the single-
+    partition cumulative window and the OLS fold are bounded by
+    construction. Log terms are 9-dp-rounded DECIMAL(38,9) sums."""
+    from pyspark.sql import Window
+
+    ids = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__tx")
+    )
+    rng = ids.agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    bucketed = ids.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST({n_buckets}L * (__id - __lo) DIV (__hi - __lo + 1) AS BIGINT)"
+        ).alias("__b"),
+        "__tx",
+    )
+    toks = bucketed.select(
+        "__b", F.explode(whitespace_tokens(F.lower(F.col("__tx")))).alias("__t")
+    )
+    per_bucket = toks.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    first_b = toks.groupBy("__t").agg(F.min("__b").alias("__fb"))
+    new_types = first_b.groupBy(F.col("__fb").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    cum = (
+        per_bucket.join(new_types, "__b", "full_outer")
+        .select(
+            "__b",
+            F.coalesce("__nt", F.lit(0)).alias("__nt"),
+            F.coalesce("__nv", F.lit(0)).alias("__nv"),
+        )
+        .select(
+            "__b",
+            F.sum("__nt")
+            .over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("__cn"),
+            F.sum("__nv")
+            .over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("__cv"),
+        )
+    )
+    pts = cum.filter((F.col("__cn") > 0) & (F.col("__cv") > 0)).select(
+        F.log(F.col("__cn").cast("double")).alias("__x"),
+        F.log(F.col("__cv").cast("double")).alias("__y"),
+        "__cn",
+        "__cv",
+    )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    a = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max("__cn").cast("bigint").alias("n_tokens"),
+        F.max("__cv").cast("bigint").alias("n_types"),
+        dsum(F.col("__x")).alias("__sx"),
+        dsum(F.col("__y")).alias("__sy"),
+        dsum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dsum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    np_ = F.col("n_points").cast("double")
+    den = np_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    beta = (np_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den
+    return a.select(
+        "n_points",
+        "n_tokens",
+        "n_types",
+        F.when(den > 1e-12, F.round(beta, 6)).alias("beta"),
+        F.when(
+            den > 1e-12,
+            F.round(F.exp((F.col("__sy") - beta * F.col("__sx")) / np_), 6),
+        ).alias("heaps_k"),
+    )

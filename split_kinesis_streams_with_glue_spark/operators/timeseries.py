@@ -718,3 +718,115 @@ def changepoint_mean(
         .orderBy(F.col("sse_gain").desc(), F.col("split_t").asc())
         .limit(1)
     )
+
+def cross_correlation(
+    series: DataFrame,
+    day_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation between two daily INTEGER series (Box &
+    Jenkins, "Time Series Analysis", 1970 §11.1): ccf(l) = Pearson
+    r(x_t, y_{t+l}) for l in −max_lag..+max_lag, each lag over its own
+    overlap window (the standard sample CCF). The lead/lag detector
+    autocorrelation can't give: a peak at POSITIVE l says x LEADS y by
+    l days (views today predict purchases in l days); the asymmetry
+    around 0 is the direction of the dependency.
+
+    ``series`` is the already-aggregated (day, x, y) frame — calendar-
+    bounded — so the lag equi-join on ``date_add`` and the per-lag
+    Pearson moments are metadata-sized at any fact-table scale. All
+    five moments accumulate as DECIMAL(38,0) over exact integer
+    products (no float order anywhere); the correlation itself is one
+    double expression per lag. NULL when either side is constant over
+    the overlap (undefined)."""
+    spark = series.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = series.select(
+        F.col(day_col).alias("__d"),
+        F.col(x_col).cast("long").alias("__x"),
+    )
+    b = series.select(
+        F.col(day_col).alias("__d2"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.expr("date_add(__d, lag) = __d2")
+    )
+    g = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        dec(F.col("__x")).alias("__sx"),
+        dec(F.col("__y")).alias("__sy"),
+        dec(F.col("__x") * F.col("__y")).alias("__sxy"),
+        dec(F.col("__x") * F.col("__x")).alias("__sxx"),
+        dec(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_days").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    return g.select(
+        "lag",
+        "n_days",
+        F.when((vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)).alias(
+            "ccf"
+        ),
+    )
+
+
+def haar_energy(
+    series: DataFrame,
+    day_col: str,
+    value_col: str,
+    levels: int = 4,
+) -> DataFrame:
+    """Haar wavelet detail-energy spectrum of a daily integer series
+    (Haar 1910; Mallat, "A Theory for Multiresolution Signal
+    Decomposition", IEEE PAMI 1989): at level j the detail coefficient
+    of block p is D = (sum of the first half of the 2^j-day block) −
+    (sum of the second half), and the level's energy is Σ_p D²/2^j
+    (the orthonormal-Haar normalization). The SCALE-resolved variance
+    decomposition events_acf can't give: energy concentrated at level
+    3 (8-day blocks) says week-ish structure; a flat spectrum says
+    noise — which rollup grain carries the signal.
+
+    NO iterative halving: level-j block sums are grouped DIRECTLY from
+    the (day, value) frame by i div 2^j with sign (i div 2^{j−1}) mod 2
+    (one groupBy per level off the same calendar-bounded frame, fanned
+    by a broadcast level spine — the plan stays linear in ``levels``,
+    the raking_ipf lesson applied at design time). Missing days count
+    as 0, exactly as the dyadic transform of the gap-filled series.
+    Block sums stay integer; D² folds as 9-dp-rounded DECIMAL(38,9)."""
+    mind = series.agg(F.min(day_col).alias("__d0"))
+    lv = series.sparkSession.range(1, levels + 1).select(
+        F.col("id").cast("int").alias("level")
+    )
+    base = series.crossJoin(F.broadcast(mind)).select(
+        F.datediff(F.col(day_col), F.col("__d0")).cast("long").alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    ex = base.crossJoin(F.broadcast(lv)).select(
+        "level",
+        F.expr("__i DIV SHIFTLEFT(1L, level)").alias("__p"),
+        F.expr(
+            "CASE WHEN (__i DIV SHIFTLEFT(1L, level - 1)) % 2 = 0"
+            " THEN __v ELSE -__v END"
+        ).alias("__sv"),
+    )
+    d = ex.groupBy("level", "__p").agg(F.sum("__sv").alias("__dd"))
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    dd = F.col("__dd").cast("double")
+    return (
+        d.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            dsum(
+                dd * dd / F.expr("CAST(SHIFTLEFT(1L, level) AS DOUBLE)")
+            ).alias("__e"),
+        )
+        .select("level", "n_blocks", F.round(F.col("__e"), 6).alias("energy"))
+    )

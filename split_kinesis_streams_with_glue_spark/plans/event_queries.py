@@ -2715,3 +2715,117 @@ def events_changepoint_mean(spark, sf_dir):
         F.count(F.lit(1)).alias("x")
     )
     return changepoint_mean(s, "d", "x")
+
+
+@query(
+    since=10,
+    name="events_cross_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT CAST(unnest(generate_series(-5, 5)) AS INTEGER) AS lag
+    ),
+    p AS (
+      SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(b.y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(a.x * b.y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(b.y * b.y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM l CROSS JOIN s a JOIN s b ON a.d + l.lag = b.d
+      GROUP BY l.lag
+    )
+    SELECT lag, n_days,
+           CASE WHEN (CAST(n_days AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_days AS DOUBLE) * syy - sy * sy) > 0
+                THEN ROUND((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                     / SQRT((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 6)
+           END AS ccf
+    FROM p
+    """,
+)
+def events_cross_correlation(spark, sf_dir):
+    """NEW OPERATOR (round 10): lagged cross-correlation between the
+    daily click and purchase series (operators/timeseries.py
+    cross_correlation; Box & Jenkins 1970 §11.1) at lags −5..+5 — the
+    LEAD/LAG detector events_acf's single-series view can't give: a
+    peak at positive l says clicks lead purchases by l days. Day-grain
+    reduction is the only corpus pass; the CCF runs on the calendar-
+    bounded frame via a date_add equi-join with DECIMAL(38,0) integer
+    moments (no float order anywhere)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    return cross_correlation(series, "day", "x", "y", max_lag=5)
+
+
+@query(
+    since=10,
+    name="events_haar_energy",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT MIN(d) AS d0 FROM s),
+    base AS (SELECT CAST(d - d0 AS BIGINT) AS i, v FROM s, m),
+    lv AS (
+      SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS level
+    ),
+    ex AS (
+      SELECT level, i // (1 << level) AS p,
+             CASE WHEN (i // (1 << (level - 1))) % 2 = 0
+                  THEN v ELSE -v END AS sv
+      FROM base, lv
+    ),
+    dd AS (
+      SELECT level, p, CAST(SUM(sv) AS BIGINT) AS bsum
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           ROUND(CAST(SUM(CAST(ROUND(
+             CAST(bsum AS DOUBLE) * CAST(bsum AS DOUBLE)
+             / CAST((1 << level) AS DOUBLE), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS energy
+    FROM dd GROUP BY level
+    """,
+)
+def events_haar_energy(spark, sf_dir):
+    """NEW OPERATOR (round 10): Haar wavelet detail-energy spectrum of
+    the daily event-count series (operators/timeseries.py haar_energy;
+    Haar 1910; Mallat, IEEE PAMI 1989) at levels 1–4 — the
+    SCALE-resolved variance decomposition events_acf can't give:
+    energy concentrated at level 3 (8-day blocks) is week-ish
+    structure, a flat spectrum is noise. No iterative halving: each
+    level's block sums group DIRECTLY from the day frame by
+    i div 2^level with sign (i div 2^{level−1}) mod 2 off a broadcast
+    level spine — the plan is linear in levels by construction (the
+    raking_ipf lesson applied at design time)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        haar_energy,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return haar_energy(series, "day", "x", levels=4)

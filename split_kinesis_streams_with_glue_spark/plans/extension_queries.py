@@ -5151,3 +5151,254 @@ def dedup_cluster_ari(spark, sf_dir):
     la = cluster_labels(ids, jaccard_pairs(sh, 0.05, candidates=None).select("d1", "d2"))
     lb = cluster_labels(ids, jaccard_pairs(sh, 0.5, candidates=None).select("d1", "d2"))
     return adjusted_rand_index(la, lb)
+
+
+@query(
+    since=10,
+    name="text_yule_k",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), w -> w <> '')) AS t
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    tf AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY 1, 2),
+    spec AS (SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS vm FROM tf GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+           CAST(SUM(vm) AS BIGINT) AS n_types,
+           ROUND(10000.0
+                 * (CAST(SUM(CAST(m AS DECIMAL(38,0)) * m * vm) AS DOUBLE)
+                    - CAST(SUM(m * vm) AS DOUBLE))
+                 / (CAST(SUM(m * vm) AS DOUBLE)
+                    * CAST(SUM(m * vm) AS DOUBLE)), 6) AS yule_k
+    FROM spec GROUP BY lang
+    """,
+)
+def text_yule_k(spark, sf_dir):
+    """NEW OPERATOR (round 10): Yule's characteristic K per language
+    (operators/text.py yule_k; Yule 1944; Tweedie & Baayen 1998) —
+    the repeat-rate lexical-richness measure that is length-invariant,
+    unlike raw TTR (text_sttr_diversity controls the confound by
+    segmenting; K solves it analytically from the frequency spectrum).
+    Corpus → (lang, term) counts → Zipf-small (lang, m) spectrum →
+    bounded per-group fold; m²·V_m accumulates as DECIMAL(38,0)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import yule_k
+
+    return yule_k(load(spark, sf_dir, "documents"), "text", "lang")
+
+
+@query(
+    since=10,
+    name="text_heaps_law",
+    oracle=r"""
+    WITH ids AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id IS NOT NULL
+    ),
+    rng AS (SELECT MIN(id) AS lo, MAX(id) AS hi FROM ids),
+    bucketed AS (
+      SELECT (32 * (id - lo)) // (hi - lo + 1) AS b, text FROM ids, rng
+    ),
+    toks AS (
+      SELECT b, unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), w -> w <> '')) AS t
+      FROM bucketed
+    ),
+    pb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY b),
+    fb AS (SELECT t, MIN(b) AS fstb FROM toks GROUP BY t),
+    nv AS (SELECT fstb AS b, CAST(COUNT(*) AS BIGINT) AS nv FROM fb GROUP BY fstb),
+    cum AS (
+      SELECT b,
+             SUM(COALESCE(nt, 0)) OVER (ORDER BY b) AS cn,
+             SUM(COALESCE(nv, 0)) OVER (ORDER BY b) AS cv
+      FROM (SELECT COALESCE(pb.b, nv.b) AS b, nt, nv
+            FROM pb FULL OUTER JOIN nv ON pb.b = nv.b) u
+    ),
+    pts AS (
+      SELECT LN(CAST(cn AS DOUBLE)) AS x, LN(CAST(cv AS DOUBLE)) AS y, cn, cv
+      FROM cum WHERE cn > 0 AND cv > 0
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(MAX(cn) AS BIGINT) AS n_tokens,
+             CAST(MAX(cv) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n_points, n_tokens, n_types,
+           CASE WHEN (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 1e-12
+                THEN ROUND((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6)
+           END AS beta,
+           CASE WHEN (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 1e-12
+                THEN ROUND(EXP((sy
+                     - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n_points AS DOUBLE)), 6)
+           END AS heaps_k
+    FROM a
+    """,
+)
+def text_heaps_law(spark, sf_dir):
+    """NEW OPERATOR (round 10): Heaps'-law vocabulary-growth fit
+    (operators/text.py heaps_law; Heaps 1978; Herdan 1960) — OLS of
+    ln V on ln N over 32 id-ordered corpus checkpoints: V(N) ≈ K·N^β.
+    β saturating below ~0.8 = the next crawl increment adds little
+    vocabulary. No ordered scan: bucket = integer arithmetic vs the
+    broadcast id range, cumulative vocabulary = count of types whose
+    FIRST bucket ≤ b, so the curve costs two corpus passes and the
+    window + OLS run on a ≤32-row frame."""
+    from split_kinesis_streams_with_glue_spark.operators.text import heaps_law
+
+    return heaps_law(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    since=10,
+    name="sim_calinski_harabasz",
+    oracle="""
+    WITH base AS (
+      SELECT label AS l, embedding AS e FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ),
+    sizes AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS nj FROM base GROUP BY l),
+    tot AS (
+      SELECT CAST(SUM(nj) AS BIGINT) AS nrows, COUNT(*) AS k FROM sizes
+    ),
+    pos AS (
+      SELECT l, i AS d, CAST(e[i] AS DOUBLE) AS v
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) t
+    ),
+    cell AS (
+      SELECT l, d,
+             CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ROUND(v * v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ss
+      FROM pos GROUP BY l, d
+    ),
+    gd AS (
+      SELECT d, CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) AS sd
+      FROM cell GROUP BY d
+    ),
+    a AS (
+      SELECT MAX(tot.nrows) AS n, MAX(tot.k) AS k,
+             COUNT(DISTINCT cell.d) AS nd,
+             CAST(SUM(CAST(ROUND(CAST(nj AS DOUBLE)
+               * (s / CAST(nj AS DOUBLE) - sd / CAST(nrows AS DOUBLE))
+               * (s / CAST(nj AS DOUBLE) - sd / CAST(nrows AS DOUBLE)), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS b,
+             CAST(SUM(CAST(ROUND(
+               ss - s * s / CAST(nj AS DOUBLE), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS w
+      FROM cell JOIN sizes USING (l) JOIN gd USING (d), tot
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_clusters,
+           CAST(nd AS BIGINT) AS n_dims,
+           ROUND(b, 6) AS ss_between, ROUND(w, 6) AS ss_within,
+           CASE WHEN k >= 2 AND n > k AND w > 0
+                THEN ROUND((b / (CAST(k AS DOUBLE) - 1.0))
+                     / (w / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS ch_index
+    FROM a
+    """,
+)
+def sim_calinski_harabasz(spark, sf_dir):
+    """NEW OPERATOR (round 10): Calinski–Harabasz variance-ratio index
+    (operators/similarity.py calinski_harabasz; Caliński & Harabasz
+    1974) of the label clustering over the embedding table — the
+    global cluster-validity score sim_silhouette_simplified's
+    per-point view cannot give: one number pricing the whole
+    partitioning for choosing k. One posexplode pass to the k×dims
+    moment frame (Σv, Σv² per cell as DECIMAL(38,9) sums), W by the
+    Σv²−(Σv)²/n identity, B off the broadcast per-dim global sums —
+    no point↔centroid join ever materializes."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    return calinski_harabasz(
+        load(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
+@query(
+    since=10,
+    name="multimodal_phash_buckets",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id % 512 + 16 AS w, doc_id % 384 + 16 AS h, 3 AS c,
+             9 + 7 + length(CAST(doc_id AS VARCHAR)) AS nb
+      FROM documents
+    ),
+    fp AS (SELECT md5(concat_ws(':', w, h, c, nb)) AS f FROM meta),
+    bands AS (
+      SELECT CAST(b AS INTEGER) AS band, substring(f, 1 + b * 2, 2) AS v
+      FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) t
+    ),
+    bk AS (
+      SELECT band, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+           CAST(MAX(c) AS BIGINT) AS max_bucket
+    FROM bk GROUP BY band
+    """,
+)
+def multimodal_phash_buckets(spark, sf_dir):
+    """NEW OPERATOR (round 10): perceptual-hash LSH banding over the
+    binary image column (operators/multimodal.py phash_buckets; Monga
+    & Evans 2006; MMDS §3.4) — the image near-dup CANDIDATE stage:
+    synthesize blobs, decode via the Arrow-batched mapInPandas path,
+    fingerprint the decoded signature, split into 4×8-bit bands,
+    count candidate pairs off bucket sizes (Σ c·(c−1)/2 — pairs never
+    materialize). The fingerprint is the documented stand-in for a
+    pixel DCT pHash (codec-gated like decode_pixels); every plan
+    stage is the real 100 TB shape. The oracle recomputes the decoded
+    signature arithmetically, as multimodal_decode_meta does."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        phash_buckets,
+    )
+
+    d = attach_fake_images(load(spark, sf_dir, "documents"))
+    return phash_buckets(d)
+
+
+@query(
+    since=10,
+    name="sample_systematic_interval",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT doc_id, lang, n_chars FROM ranked
+    WHERE (rn * 100) // n > ((rn - 1) * 100) // n
+    """,
+)
+def sample_systematic_interval(spark, sf_dir):
+    """NEW OPERATOR (round 10): systematic fractional-interval sampling
+    (operators/sampling.py systematic_sample; Madow & Madow 1944) —
+    exactly 100 rows swept evenly across the (n_chars, doc_id) order,
+    no randomness: keep row r iff ⌊r·m/N⌋ increments. The
+    deterministic stratified eyeball-sample for curation review that
+    sample_exact_k's hash draw can't give (hash order ≠ score order).
+    Ranks via the two-pass global_rank (range partition + broadcast
+    offsets — no single-partition sort); the keep rule is int64
+    arithmetic against the broadcast 1-row N. The oracle affords the
+    textbook single-window form at fixture scale."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        systematic_sample,
+    )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "lang", "n_chars")
+    )
+    return systematic_sample(d, 100, "n_chars", "doc_id")

@@ -3013,3 +3013,200 @@ def quality_brier_decomposition(spark, sf_dir):
         "n_chars",
     )
     return brier_decomposition(d, "p", "is_en")
+
+
+@query(
+    since=10,
+    name="quality_brown_forsythe",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, x,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS nn
+      FROM base
+    ),
+    med AS (SELECT g, x AS md FROM ranked WHERE rn = (nn + 1) // 2),
+    z AS (
+      SELECT b.g, ROUND(ABS(b.x - m.md), 9) AS zz
+      FROM base b JOIN med m USING (g)
+    ),
+    pg AS (
+      SELECT g, COUNT(*) AS nj,
+             CAST(SUM(CAST(ROUND(zz, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(zz * zz, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS s2
+      FROM z GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(SUM(CAST(s1 AS DECIMAL(38,9))) AS DOUBLE) AS s1tot,
+             COUNT(*) AS k
+      FROM pg
+    ),
+    a AS (
+      SELECT MAX(t.n) AS n, MAX(t.k) AS k,
+             CAST(SUM(CAST(ROUND(CAST(nj AS DOUBLE)
+               * (s1 / CAST(nj AS DOUBLE) - s1tot / CAST(t.n AS DOUBLE))
+               * (s1 / CAST(nj AS DOUBLE) - s1tot / CAST(t.n AS DOUBLE)), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS ssb,
+             CAST(SUM(CAST(ROUND(
+               s2 - s1 * s1 / CAST(nj AS DOUBLE), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS ssw
+      FROM pg, t
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+           ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0
+                THEN ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+                     / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS f_stat
+    FROM a
+    """,
+)
+def quality_brown_forsythe(spark, sf_dir):
+    """NEW OPERATOR (round 10): Brown–Forsythe variance-homogeneity test
+    (operators/quality_checks.py brown_forsythe; Brown & Forsythe, JASA
+    1974) — Levene's statistic with median centers — over event values
+    by event type. The SPREAD companion of quality_welch_ttest /
+    quality_kruskal_wallis's location tests: a slice whose variance
+    exploded is drifting even when its mean holds. Per-GROUP windows
+    pick the lower median (no global sort); one pass collapses to the
+    k-group frame; DECIMAL(38,9) term-sums for every cross-group fold."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brown_forsythe,
+    )
+
+    return brown_forsythe(load(spark, sf_dir, "events"), "value", "event_type")
+
+
+@query(
+    since=10,
+    name="quality_theil_u",
+    oracle="""
+    WITH cells AS (
+      SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             COUNT(DISTINCT x) AS nx, COUNT(DISTINCT y) AS ny
+      FROM cells
+    ),
+    hx AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(CAST(m AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * LN(CAST(m AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+             AS DECIMAL(38,9))) AS DOUBLE) AS h
+      FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY x) mx, t
+    ),
+    hy AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(CAST(m AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * LN(CAST(m AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+             AS DECIMAL(38,9))) AS DOUBLE) AS h
+      FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY y) my, t
+    ),
+    hxy AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * LN(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+             AS DECIMAL(38,9))) AS DOUBLE) AS h
+      FROM cells, t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(t.nx AS BIGINT) AS n_x_values,
+           CAST(t.ny AS BIGINT) AS n_y_values,
+           ROUND(hx.h, 6) AS h_x, ROUND(hy.h, 6) AS h_y,
+           ROUND(hxy.h, 6) AS h_joint,
+           ROUND(hx.h + hy.h - hxy.h, 6) AS mutual_info,
+           CASE WHEN hx.h > 0
+                THEN ROUND((hx.h + hy.h - hxy.h) / hx.h, 6)
+           END AS u_x_given_y,
+           CASE WHEN hy.h > 0
+                THEN ROUND((hx.h + hy.h - hxy.h) / hy.h, 6)
+           END AS u_y_given_x
+    FROM t, hx, hy, hxy
+    """,
+)
+def quality_theil_u(spark, sf_dir):
+    """NEW OPERATOR (round 10): Theil's uncertainty coefficient
+    (operators/quality_checks.py theil_u; Theil, AJS 1970; Numerical
+    Recipes §14.7.4) for lang given source — the ASYMMETRIC
+    entropy-based association U(X|Y) = I(X;Y)/H(X).
+    quality_cramers_v's directional companion: V says the two columns
+    are associated, U says which one predicts the other and by how
+    much — the actionable form for picking a stratification key. One
+    corpus pass to the pinned |X|×|Y| cell frame, three bounded
+    entropy folds (DECIMAL(38,9) term-sums of exact-count ratios)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        theil_u,
+    )
+
+    return theil_u(load(spark, sf_dir, "documents"), "lang", "source")
+
+
+@query(
+    since=10,
+    name="quality_cochran_armitage",
+    oracle="""
+    WITH g AS (
+      SELECT LEAST(n_chars // 64, 15) AS s,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+             CAST(SUM(s * n) AS BIGINT) AS s1,
+             CAST(SUM(s * s * n) AS BIGINT) AS s2,
+             CAST(SUM(s * r) AS BIGINT) AS tt,
+             COUNT(*) AS k
+      FROM g
+    ),
+    a AS (
+      SELECT nn, rr, k,
+             CAST(tt AS DOUBLE)
+               - (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * CAST(s1 AS DOUBLE) AS num,
+             ((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)))
+               * (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(nn AS DOUBLE)) AS var
+      FROM t
+    )
+    SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_pos,
+           CAST(k AS BIGINT) AS n_levels,
+           CASE WHEN var > 0 THEN ROUND(num / SQRT(var), 6) END AS z_trend,
+           CASE WHEN var > 0 THEN ROUND(num * num / var, 6) END AS chi2_trend
+    FROM a
+    """,
+)
+def quality_cochran_armitage(spark, sf_dir):
+    """NEW OPERATOR (round 10): Cochran–Armitage trend test
+    (operators/quality_checks.py cochran_armitage; Cochran 1954,
+    Armitage 1955) — does the en-share drift MONOTONICALLY across
+    capped length buckets (n_chars div 64, capped at 15)? The
+    ordered-alternative companion of quality_chi2_independence: all
+    the power on the one-degree trend component, which is the question
+    a curriculum/quality-bucketing pipeline actually asks. One pass to
+    the 2×k frame; every accumulator an exact integer sum."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.expr("n_chars div 64"), F.lit(15)).cast("long").alias(
+            "len_level"
+        ),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return cochran_armitage(d, "len_level", "is_en")

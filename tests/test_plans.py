@@ -614,6 +614,27 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "quality_brier_decomposition": {"cartesian-product"},
     # crossJoins of the three 1-row combinatoric aggregates — bounded
     "dedup_cluster_ari": {"cartesian-product"},
+    # --- round-10 queries ---
+    # crossJoin(broadcast(<1-row grand-total agg over the k-group frame>))
+    "quality_brown_forsythe": {"cartesian-product"},
+    # crossJoins of the three 1-row entropy folds + the 1-row cell totals
+    "quality_theil_u": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row id-range agg>)); cumulative window over
+    # the <= n_buckets-row checkpoint frame — bounded by construction
+    "text_heaps_law": {"cartesian-product", "unpartitioned-window"},
+    # crossJoin(broadcast(<1-row size/count totals>)) onto the k×dims
+    # moment frame — bounded by design
+    "sim_calinski_harabasz": {"cartesian-product"},
+    # crossJoin of the 11-row lag spine against the calendar-bounded day
+    # series; isnotnull join filter on the DERIVED to_date of the
+    # nanos-normalized ts — same classes as events_acf
+    "events_cross_correlation": {"cartesian-product", "unpushed-scan-filter"},
+    # crossJoins of the 1-row min-day agg and the 4-row level spine
+    # against the calendar-bounded day series
+    "events_haar_energy": {"cartesian-product"},
+    # global_rank's offset window over the #partitions-row count frame
+    # (same class as sample_quantile_normalize)
+    "sample_systematic_interval": {"unpartitioned-window"},
 }
 
 

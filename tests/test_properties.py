@@ -1885,3 +1885,292 @@ def test_adjusted_rand_index_matches_naive(spark, labels):
         assert r["ari"] is None
     else:
         assert abs(r["ari"] - round((ix - expd) / (maxd - expd), 6)) < 1e-9
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=6,
+        max_size=24,
+    )
+)
+def test_brown_forsythe_matches_naive_levene_median(spark, rows):
+    """The operator must equal the literal Brown-Forsythe recipe: group
+    LOWER medians, z=|x-med|, one-way ANOVA F on the z's."""
+    from collections import defaultdict
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brown_forsythe,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(x)) for g, x in rows], "g string, x double"
+    )
+    [r] = brown_forsythe(df, "x", "g").collect()
+    by = defaultdict(list)
+    for g, x in rows:
+        by[g].append(float(x))
+    zs = {}
+    for g, xs in by.items():
+        med = sorted(xs)[(len(xs) + 1) // 2 - 1]
+        zs[g] = [abs(x - med) for x in xs]
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    zbar = sum(sum(v) for v in zs.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in zs.values())
+    ssw = sum(
+        sum((z - sum(v) / len(v)) ** 2 for z in v) for v in zs.values()
+    )
+    assert r["n"] == n and r["n_groups"] == k
+    assert abs(r["ss_between"] - ssb) < 1e-5
+    assert abs(r["ss_within"] - ssw) < 1e-5
+    if k >= 2 and n > k and ssw > 1e-12:
+        want = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(r["f_stat"] - want) < 1e-4
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]), st.sampled_from(["p", "q"])
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_theil_u_matches_naive_entropies(spark, rows):
+    """U(X|Y) must equal (H(X)+H(Y)-H(X,Y))/H(X) computed by literal
+    plogp sums over the Counter contingency."""
+    import math
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        theil_u,
+    )
+
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = theil_u(df, "x", "y").collect()
+    n = len(rows)
+
+    def ent(counts):
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    hx = ent(Counter(x for x, _ in rows).values())
+    hy = ent(Counter(y for _, y in rows).values())
+    hxy = ent(Counter(rows).values())
+    mi = hx + hy - hxy
+    assert r["n"] == n
+    assert abs(r["h_x"] - hx) < 1e-5 and abs(r["h_joint"] - hxy) < 1e-5
+    assert abs(r["mutual_info"] - mi) < 1e-5
+    if hx > 1e-9:
+        assert abs(r["u_x_given_y"] - mi / hx) < 1e-4
+    else:
+        assert r["u_x_given_y"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_cochran_armitage_matches_naive_trend(spark, rows):
+    """z^2 must equal the literal Cochran-Armitage trend chi-square
+    computed from the 2xk Counter table."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage,
+    )
+
+    df = spark.createDataFrame(rows, "s int, y int")
+    [r] = cochran_armitage(df, "s", "y").collect()
+    nk = Counter(s for s, _ in rows)
+    rk = Counter(s for s, y in rows if y == 1)
+    n = len(rows)
+    R = sum(rk.values())
+    s1 = sum(s * c for s, c in nk.items())
+    s2 = sum(s * s * c for s, c in nk.items())
+    t = sum(s * c for s, c in rk.items())
+    num = t - R / n * s1
+    var = (R / n) * (1 - R / n) * (s2 - s1 * s1 / n)
+    assert r["n"] == n and r["n_pos"] == R and r["n_levels"] == len(nk)
+    if var > 1e-12:
+        assert abs(r["chi2_trend"] - num * num / var) < 1e-4
+    else:
+        assert r["chi2_trend"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.lists(
+                st.integers(min_value=-8, max_value=8),
+                min_size=2,
+                max_size=2,
+            ),
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_calinski_harabasz_matches_naive(spark, rows):
+    """CH must equal the literal between/within dispersion ratio over
+    the raw points."""
+    from collections import defaultdict
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    df = spark.createDataFrame(
+        [(str(l), [float(a), float(b)]) for l, (a, b) in rows],
+        "label string, embedding array<float>",
+    )
+    [r] = calinski_harabasz(df, "embedding", "label").collect()
+    by = defaultdict(list)
+    for l, v in rows:
+        by[str(l)].append([float(x) for x in v])
+    n, k = len(rows), len(by)
+    cg = [
+        sum(v[d] for vs in by.values() for v in vs) / n for d in range(2)
+    ]
+    B = W = 0.0
+    for vs in by.values():
+        c = [sum(v[d] for v in vs) / len(vs) for d in range(2)]
+        B += len(vs) * sum((c[d] - cg[d]) ** 2 for d in range(2))
+        W += sum(sum((v[d] - c[d]) ** 2 for d in range(2)) for v in vs)
+    assert r["n"] == n and r["n_clusters"] == k
+    assert abs(r["ss_between"] - B) < 1e-5
+    assert abs(r["ss_within"] - W) < 1e-5
+    if k >= 2 and n > k and W > 1e-9:
+        want = (B / (k - 1)) / (W / (n - k))
+        assert abs(r["ch_index"] - want) < 1e-3
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_cross_correlation_matches_naive_pearson(spark, vals):
+    """ccf(l) must equal the literal Pearson r over the lag-l overlap
+    for every lag in -2..2."""
+    import datetime as dt
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=i), x, y) for i, (x, y) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    got = {
+        r["lag"]: r
+        for r in cross_correlation(df, "day", "x", "y", 2).collect()
+    }
+    m = len(vals)
+    for lag in range(-2, 3):
+        pairs = [
+            (vals[i][0], vals[i + lag][1])
+            for i in range(m)
+            if 0 <= i + lag < m
+        ]
+        if not pairs:
+            assert lag not in got
+            continue
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        assert got[lag]["n_days"] == n
+        if vx > 0 and vy > 0:
+            want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            assert abs(got[lag]["ccf"] - want) < 1e-5
+        else:
+            assert got[lag]["ccf"] is None
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=20)
+)
+def test_haar_energy_matches_naive_dyadic(spark, vals):
+    """Level energies must equal the literal zero-padded dyadic
+    half-block differences."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        haar_energy,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "day date, x long")
+    got = {r["level"]: r for r in haar_energy(df, "day", "x", 3).collect()}
+    for level in (1, 2, 3):
+        size = 1 << level
+        half = size >> 1
+        n_blocks = (len(vals) + size - 1) // size
+        want = 0.0
+        for p in range(n_blocks):
+            blk = vals[p * size : (p + 1) * size]
+            blk = blk + [0] * (size - len(blk))
+            d = sum(blk[:half]) - sum(blk[half:])
+            want += d * d / size
+        assert got[level]["n_blocks"] == n_blocks
+        assert abs(got[level]["energy"] - want) < 1e-6
+
+
+@SET
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+)
+def test_systematic_sample_matches_naive_rule(spark, n, m):
+    """For any N and m <= N: exactly m rows, and exactly the ranks the
+    literal floor-increment rule selects."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        systematic_sample,
+    )
+
+    m = min(m, n)
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(n)], "doc_id long, score long"
+    )
+    got = sorted(
+        (r["score"], r["doc_id"])
+        for r in systematic_sample(df, m, "score", "doc_id").collect()
+    )
+    ordered = sorted(((i * 7) % 13, i) for i in range(n))
+    want = [
+        ordered[r - 1]
+        for r in range(1, n + 1)
+        if (r * m) // n > ((r - 1) * m) // n
+    ]
+    assert len(got) == m
+    assert got == want

@@ -2160,3 +2160,382 @@ def test_adjusted_rand_index_hand_computed(spark):
     )
     [s] = adjusted_rand_index(singl, singl).collect()
     assert s["ari"] is None
+
+
+def test_brown_forsythe_hand_computed(spark):
+    """Groups a=[1,2,3,4,10] (median 3, z=[2,1,0,1,7]) and b=[5]*5
+    (z all 0): SSB = 5*(2.2-1.1)^2 + 5*(0-1.1)^2 = 12.1, SSW = 30.8,
+    F = (12.1/1)/(30.8/8) = 3.142857."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brown_forsythe,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 10.0)] + [
+        ("b", 5.0)
+    ] * 5
+    df = spark.createDataFrame(rows, "g string, x double")
+    [r] = brown_forsythe(df, "x", "g").collect()
+    assert r["n"] == 10 and r["n_groups"] == 2
+    assert abs(r["ss_between"] - 12.1) < 1e-9
+    assert abs(r["ss_within"] - 30.8) < 1e-9
+    assert abs(r["f_stat"] - 3.142857) < 1e-6
+
+
+def test_brown_forsythe_degenerate_is_null(spark):
+    """One group, or zero within-group spread everywhere, yields a NULL
+    F (the statistic is undefined), never a divide-by-zero."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        brown_forsythe,
+    )
+
+    one = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0)], "g string, x double"
+    )
+    [r] = brown_forsythe(one, "x", "g").collect()
+    assert r["f_stat"] is None
+    flat = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 7.0), ("b", 7.0)],
+        "g string, x double",
+    )
+    [r2] = brown_forsythe(flat, "x", "g").collect()
+    assert r2["f_stat"] is None and r2["ss_within"] == 0.0
+
+
+def test_theil_u_independent_and_dependent(spark):
+    """A perfectly independent 2x2 gives MI=0 and both U=0; a perfectly
+    dependent one gives MI=ln 2 and both U=1."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        theil_u,
+    )
+
+    indep = spark.createDataFrame(
+        [("a", "p")] * 2 + [("a", "q")] * 2 + [("b", "p")] * 2 + [("b", "q")] * 2,
+        "x string, y string",
+    )
+    [r] = theil_u(indep, "x", "y").collect()
+    assert r["n"] == 8 and r["n_x_values"] == 2 and r["n_y_values"] == 2
+    assert r["mutual_info"] == 0.0
+    assert r["u_x_given_y"] == 0.0 and r["u_y_given_x"] == 0.0
+    dep = spark.createDataFrame(
+        [("a", "p")] * 2 + [("b", "q")] * 2, "x string, y string"
+    )
+    [d] = theil_u(dep, "x", "y").collect()
+    assert abs(d["h_x"] - 0.693147) < 1e-6
+    assert d["u_x_given_y"] == 1.0 and d["u_y_given_x"] == 1.0
+
+
+def test_theil_u_constant_variable_is_null(spark):
+    """A constant X has H(X)=0: U(X|Y) is undefined (NULL), while
+    U(Y|X) is 0 (X carries no information about Y)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        theil_u,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("a", "p"), ("a", "q")], "x string, y string"
+    )
+    [r] = theil_u(df, "x", "y").collect()
+    assert r["h_x"] == 0.0 and r["u_x_given_y"] is None
+    assert r["u_y_given_x"] == 0.0
+
+
+def test_cochran_armitage_hand_computed(spark):
+    """Levels s=0,1,2 with n=4 each and r=1,2,3: N=12 R=6 S1=12 S2=20
+    T=8 -> num=2, svar=8, var=2, z=sqrt(2)=1.414214, chi2=2."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage,
+    )
+
+    rows = (
+        [(0, 1)] + [(0, 0)] * 3
+        + [(1, 1)] * 2 + [(1, 0)] * 2
+        + [(2, 1)] * 3 + [(2, 0)]
+    )
+    df = spark.createDataFrame(rows, "s int, y int")
+    [r] = cochran_armitage(df, "s", "y").collect()
+    assert r["n"] == 12 and r["n_pos"] == 6 and r["n_levels"] == 3
+    assert abs(r["z_trend"] - 1.414214) < 1e-6
+    assert abs(r["chi2_trend"] - 2.0) < 1e-9
+
+
+def test_cochran_armitage_degenerate_is_null(spark):
+    """All-positive labels (R=N) or a single level (score variance 0)
+    leave the statistic undefined -> NULL z and chi2."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cochran_armitage,
+    )
+
+    allpos = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 1)], "s int, y int"
+    )
+    [r] = cochran_armitage(allpos, "s", "y").collect()
+    assert r["z_trend"] is None and r["chi2_trend"] is None
+    onelevel = spark.createDataFrame(
+        [(3, 1), (3, 0), (3, 1)], "s int, y int"
+    )
+    [r2] = cochran_armitage(onelevel, "s", "y").collect()
+    assert r2["z_trend"] is None
+
+
+def test_yule_k_hand_computed(spark):
+    """Tokens 'a a a b b c': spectrum V1=V2=V3=1, N=6, sum m^2 Vm = 14,
+    K = 1e4*(14-6)/36 = 2222.222222."""
+    from split_kinesis_streams_with_glue_spark.operators.text import yule_k
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c", "en")], "doc_id long, text string, lang string"
+    )
+    [r] = yule_k(df, "text", "lang").collect()
+    assert r["lang"] == "en" and r["n_tokens"] == 6 and r["n_types"] == 3
+    assert abs(r["yule_k"] - 2222.222222) < 1e-5
+
+
+def test_yule_k_matches_naive_spectrum(spark):
+    """K from the operator equals the literal Counter-of-Counters form
+    on a multi-group corpus; token-free groups are absent."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.text import yule_k
+
+    rows = [
+        (1, "x y x y x", "en"),
+        (2, "x z", "en"),
+        (3, "q q q q", "de"),
+        (4, "", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in yule_k(df, "text", "lang").collect()}
+    assert set(got) == {"en", "de"}  # fr had zero tokens
+    for lang in ("en", "de"):
+        toks = [
+            t
+            for _, tx, lg in rows
+            if lg == lang
+            for t in tx.lower().split()
+            if t
+        ]
+        tf = Counter(toks)
+        spec = Counter(tf.values())
+        n = sum(m * v for m, v in spec.items())
+        s2 = sum(m * m * v for m, v in spec.items())
+        want = 1e4 * (s2 - n) / (n * n)
+        assert got[lang]["n_tokens"] == n
+        assert got[lang]["n_types"] == len(tf)
+        assert abs(got[lang]["yule_k"] - want) < 1e-5
+
+
+def test_heaps_law_hand_computed(spark):
+    """Docs id 0:'a b', id 1:'a c' bucket to b=0 and b=16: checkpoints
+    (N,V) = (2,2),(4,3) -> beta = ln(3/2)/ln 2 = 0.584963, K = 4/3
+    (the exact line through both points)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import heaps_law
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    [r] = heaps_law(df, "text", "doc_id").collect()
+    assert r["n_points"] == 2 and r["n_tokens"] == 4 and r["n_types"] == 3
+    assert abs(r["beta"] - 0.584963) < 1e-5
+    assert abs(r["heaps_k"] - 4.0 / 3.0) < 1e-5
+
+
+def test_heaps_law_single_point_is_null(spark):
+    """One doc -> one checkpoint -> OLS denominator 0 -> NULL fit (the
+    totals still report)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import heaps_law
+
+    df = spark.createDataFrame([(7, "a b a")], "doc_id long, text string")
+    [r] = heaps_law(df, "text", "doc_id").collect()
+    assert r["n_points"] == 1 and r["n_tokens"] == 3 and r["n_types"] == 2
+    assert r["beta"] is None and r["heaps_k"] is None
+
+
+def test_calinski_harabasz_hand_computed(spark):
+    """1-D clusters x=[0,2] (centroid 1) and y=[4,6] (centroid 5),
+    global mean 3: B = 2*4+2*4 = 16, W = 4, CH = (16/1)/(4/2) = 8."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    df = spark.createDataFrame(
+        [("x", [0.0]), ("x", [2.0]), ("y", [4.0]), ("y", [6.0])],
+        "label string, embedding array<float>",
+    )
+    [r] = calinski_harabasz(df, "embedding", "label").collect()
+    assert r["n"] == 4 and r["n_clusters"] == 2 and r["n_dims"] == 1
+    assert abs(r["ss_between"] - 16.0) < 1e-6
+    assert abs(r["ss_within"] - 4.0) < 1e-6
+    assert abs(r["ch_index"] - 8.0) < 1e-6
+
+
+def test_calinski_harabasz_degenerate_is_null(spark):
+    """Single cluster (k=1) and zero within-dispersion are undefined ->
+    NULL index."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    one = spark.createDataFrame(
+        [("x", [1.0, 2.0]), ("x", [3.0, 4.0])],
+        "label string, embedding array<float>",
+    )
+    [r] = calinski_harabasz(one, "embedding", "label").collect()
+    assert r["ch_index"] is None
+    exact = spark.createDataFrame(
+        [("x", [1.0]), ("x", [1.0]), ("y", [5.0]), ("y", [5.0])],
+        "label string, embedding array<float>",
+    )
+    [r2] = calinski_harabasz(exact, "embedding", "label").collect()
+    assert r2["ss_within"] == 0.0 and r2["ch_index"] is None
+
+
+def test_cross_correlation_hand_computed(spark):
+    """x=[1,2,3], y=[3,1,2] at lag 0: n=3 sxy=11 -> r = -3/6 = -0.5; a
+    shifted linear copy correlates 1.0 exactly at its shift lag."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0, 1, 3),
+        (d0 + dt.timedelta(days=1), 2, 1),
+        (d0 + dt.timedelta(days=2), 3, 2),
+    ]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    got = {
+        r["lag"]: r for r in cross_correlation(df, "day", "x", "y", 1).collect()
+    }
+    assert got[0]["n_days"] == 3
+    assert abs(got[0]["ccf"] + 0.5) < 1e-9
+    # y_{t+1} = x_t exactly: lag +1 pairs (1,1),(2,2) -> r = 1
+    rows2 = [
+        (d0, 1, 9),
+        (d0 + dt.timedelta(days=1), 2, 1),
+        (d0 + dt.timedelta(days=2), 5, 2),
+    ]
+    df2 = spark.createDataFrame(rows2, "day date, x long, y long")
+    got2 = {
+        r["lag"]: r
+        for r in cross_correlation(df2, "day", "x", "y", 1).collect()
+    }
+    assert got2[1]["n_days"] == 2 and abs(got2[1]["ccf"] - 1.0) < 1e-9
+
+
+def test_cross_correlation_constant_side_is_null(spark):
+    """A constant series has zero variance: ccf undefined -> NULL."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 5, i + 1) for i in range(4)]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    for r in cross_correlation(df, "day", "x", "y", 2).collect():
+        assert r["ccf"] is None
+
+
+def test_haar_energy_hand_computed(spark):
+    """v=[4,2,6,0]: level 1 details (2, 6) -> E=(4+36)/2=20; level 2
+    detail 4+2-6-0=0 -> E=0; levels 3,4: block sum 12 as the (padded)
+    first half -> E = 144/8 = 18 and 144/16 = 9."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        haar_energy,
+    )
+
+    d0 = dt.date(2024, 3, 1)
+    rows = [(d0 + dt.timedelta(days=i), v) for i, v in enumerate([4, 2, 6, 0])]
+    df = spark.createDataFrame(rows, "day date, x long")
+    got = {r["level"]: r for r in haar_energy(df, "day", "x", 4).collect()}
+    assert got[1]["n_blocks"] == 2 and abs(got[1]["energy"] - 20.0) < 1e-9
+    assert got[2]["n_blocks"] == 1 and got[2]["energy"] == 0.0
+    assert abs(got[3]["energy"] - 18.0) < 1e-9
+    assert abs(got[4]["energy"] - 9.0) < 1e-9
+
+
+def test_haar_energy_gap_days_count_as_zero(spark):
+    """A missing calendar day is a 0 in the dyadic series: v=[4,_,6,0]
+    at level 1 gives details (4-0, 6-0) -> E = (16+36)/2 = 26."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        haar_energy,
+    )
+
+    d0 = dt.date(2024, 3, 1)
+    rows = [
+        (d0, 4),
+        (d0 + dt.timedelta(days=2), 6),
+        (d0 + dt.timedelta(days=3), 0),
+    ]
+    df = spark.createDataFrame(rows, "day date, x long")
+    got = {r["level"]: r for r in haar_energy(df, "day", "x", 1).collect()}
+    assert abs(got[1]["energy"] - 26.0) < 1e-9
+
+
+def test_systematic_sample_exact_spread(spark):
+    """N=5, m=2 keeps exactly ranks 3 and 5 (the fractional-interval
+    rule), and m=N keeps everything."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)], "doc_id long, score long"
+    )
+    got = sorted(
+        r["doc_id"] for r in systematic_sample(df, 2, "score", "doc_id").collect()
+    )
+    assert got == [3, 5]
+    assert (
+        systematic_sample(df, 5, "score", "doc_id").count() == 5
+    )
+
+
+def test_systematic_sample_exact_m_at_scale_of_ties(spark):
+    """Heavy ties in the first order column still yield exactly m rows
+    (doc_id tiebreak makes the order total)."""
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(97)], "doc_id long, score long"
+    )
+    assert systematic_sample(df, 10, "score", "doc_id").count() == 10
+
+
+def test_phash_buckets_matches_naive_md5(spark):
+    """Bucket stats equal the literal per-band Counter over hashlib md5
+    of the decoded signature; ids 1539/3075 share (w,h,nb) and must
+    collide in EVERY band."""
+    import hashlib
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        phash_buckets,
+    )
+
+    ids = [1539, 3075, 7, 320]
+    df = attach_fake_images(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    )
+    got = {r["band"]: r for r in phash_buckets(df).collect()}
+    sigs = [
+        f"{i % 512 + 16}:{i % 384 + 16}:3:{9 + 7 + len(str(i))}" for i in ids
+    ]
+    fps = [hashlib.md5(s.encode()).hexdigest() for s in sigs]
+    for band in range(4):
+        cnt = Counter(f[band * 2 : band * 2 + 2] for f in fps)
+        pairs = sum(c * (c - 1) // 2 for c in cnt.values())
+        assert got[band]["n_buckets"] == len(cnt)
+        assert got[band]["n_candidate_pairs"] == pairs
+        assert got[band]["max_bucket"] == max(cnt.values())
+        assert pairs >= 1  # the planted twin collides in every band
