@@ -182,6 +182,16 @@ round-9 window was the rotation regime's first fully-green 50/50):
    ``stream_split_customer``, ``q1_pricing_summary``,
    ``agg_count_distinct``).  The remaining 45 r4-stale queries rotate
    in rounds 11–12, inside the SLA.
+
+New round-10 queries are appended AFTER the window, tagged
+``since=10`` (10 registrations — at the round-9 verdict's ≤10 bar):
+``quality_brown_forsythe``, ``quality_theil_u``,
+``quality_cochran_armitage``, ``text_yule_k``, ``text_heaps_law``,
+``sim_calinski_harabasz``, ``events_cross_correlation``,
+``events_haar_energy``, ``multimodal_phash_buckets``,
+``sample_systematic_interval``.  They carry the standard one-round
+exemption and MUST occupy round-11 window slots (the rotation test
+enforces it the moment ``CORRECTNESS_r10.json`` lands).
 """
 
 from __future__ import annotations
