@@ -287,10 +287,14 @@ def phash_buckets(
     image near-dup CANDIDATE stage (Monga & Evans, "Perceptual image
     hashing via feature points", IEEE TIP 2006; banding per Leskovec–
     Rajaraman–Ullman MMDS §3.4, the same geometry as dedup_minhash_lsh).
-    Each image's 64-bit fingerprint splits into ``n_bands`` bands of
-    ``band_hex`` hex chars; images sharing any band value land in one
-    bucket, and candidate pairs are read off bucket sizes as
-    Σ c·(c−1)/2 — never materializing the pairs.
+    The first ``n_bands``·``band_hex`` hex chars of each image's
+    128-bit md5 fingerprint split into ``n_bands`` bands of
+    ``band_hex`` hex chars (the default 4×2 consumes 32 bits); images
+    sharing any band value land in one bucket, and candidate pairs are
+    read off bucket sizes as Σ c·(c−1)/2 — never materializing the
+    pairs. ``n_bands``·``band_hex`` must fit the 32-char digest — an
+    overrun would silently band empty substrings (one giant bucket,
+    quadratic candidates), so it is rejected up front.
 
     The fingerprint here is the DOCUMENTED STAND-IN for a real DCT
     pHash: a true pHash hashes decoded pixels, and pixel decode is
@@ -306,6 +310,12 @@ def phash_buckets(
     Output: one row per band — (band, n_buckets, n_candidate_pairs,
     max_bucket). Pair counts are int64 (ceiling: a single bucket of
     ~4.3e9 duplicates overflows c·(c−1)/2 — far beyond any real shard)."""
+    if n_bands * band_hex > 32:
+        raise ValueError(
+            f"n_bands*band_hex = {n_bands * band_hex} exceeds the 32 hex "
+            "chars of the md5 fingerprint — overrun bands would bucket "
+            "empty substrings"
+        )
     meta = decode_meta(df, id_col, bin_col)
     # content signature only (no id): identical decoded signatures MUST
     # collide — that is what makes the buckets a near-dup candidate set

@@ -1772,7 +1772,12 @@ def brown_forsythe(
     9-dp-rounded and folded as DECIMAL(38,9) (exact, order-free);
     SSW_j uses the Σz² − (Σz)²/n identity so the corpus collapses to
     one bounded per-group frame in a single pass after the median
-    join. F is NULL when k < 2, N ≤ k, or SSW = 0.
+    join. The corpus IS read twice (median pass + deviation pass) —
+    deliberate: both scans are column-pruned to two columns, which
+    beats materializing the projected corpus just to avoid the second
+    read; the bounded per-group frame, by contrast, is pinned so its
+    grand-total re-aggregation reuses it. F is NULL when k < 2,
+    N ≤ k, or SSW = 0.
     """
     val = F.col(value_col).cast("double")
     base = df.filter(
@@ -1797,7 +1802,7 @@ def brown_forsythe(
         F.count(F.lit(1)).alias("__nj"),
         dsum(F.col("__z")).alias("__s1"),
         dsum(F.col("__z") * F.col("__z")).alias("__s2"),
-    )
+    ).localCheckpoint(eager=False)
     # names must differ from g's case-insensitively (Spark's default
     # resolver treats __S1 and __s1 as the same reference)
     tot = g.agg(

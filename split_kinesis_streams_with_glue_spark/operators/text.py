@@ -1400,7 +1400,13 @@ def heaps_law(
     so the corpus is read twice (bucket totals + first-occurrence) and
     everything after is a ≤ n_buckets-row frame, where the single-
     partition cumulative window and the OLS fold are bounded by
-    construction. Log terms are 9-dp-rounded DECIMAL(38,9) sums."""
+    construction. Log terms are 9-dp-rounded DECIMAL(38,9) sums.
+
+    Caller contract: the id column must be a dense-ish integer key —
+    the bucket expression ``n_buckets·(id − min)`` is int64, so the id
+    SPAN must stay below 2^63/n_buckets (~2.9e17 at the default 32
+    buckets); 64-bit hash-style ids are out of contract (bucket them
+    through a narrower surrogate first)."""
     from pyspark.sql import Window
 
     ids = df.filter(F.col(id_col).isNotNull()).select(

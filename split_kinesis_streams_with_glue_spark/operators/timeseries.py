@@ -735,25 +735,37 @@ def cross_correlation(
     around 0 is the direction of the dependency.
 
     ``series`` is the already-aggregated (day, x, y) frame — calendar-
-    bounded — so the lag equi-join on ``date_add`` and the per-lag
-    Pearson moments are metadata-sized at any fact-table scale. All
-    five moments accumulate as DECIMAL(38,0) over exact integer
-    products (no float order anywhere); the correlation itself is one
-    double expression per lag. NULL when either side is constant over
-    the overlap (undefined)."""
+    bounded — and is pinned with ``localCheckpoint`` so its (possibly
+    corpus-scale) lineage is not re-embedded on both sides of the lag
+    self-join: the day-grain reduction really is the only corpus pass.
+    The moment products are formed IN DECIMAL(38,0) — one operand cast
+    before the multiply — so x·y / x² / y² are exact at any count
+    magnitude (a long·long product would overflow int64 at daily
+    counts ≥ ~3e9); the sums are therefore exact and order-free, and
+    the correlation itself is one double expression per lag. Rows with
+    a NULL x (resp. y) are excluded from that side — pairwise-complete
+    semantics, so ``n_days`` counts exactly the pairs the moments use
+    (a full-outer-joined caller frame would otherwise inflate n). NULL
+    ccf when either side is constant over the overlap (undefined)."""
     spark = series.sparkSession
+    series = series.localCheckpoint(eager=False)
     lags = spark.range(-max_lag, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
     )
-    a = series.select(
+    a = series.filter(
+        F.col(day_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
         F.col(day_col).alias("__d"),
         F.col(x_col).cast("long").alias("__x"),
     )
-    b = series.select(
+    b = series.filter(
+        F.col(day_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
         F.col(day_col).alias("__d2"),
         F.col(y_col).cast("long").alias("__y"),
     )
     dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    decmul = lambda p, q: F.sum(p.cast("decimal(38,0)") * q).cast("double")
     pairs = a.crossJoin(F.broadcast(lags)).join(
         b, F.expr("date_add(__d, lag) = __d2")
     )
@@ -761,9 +773,9 @@ def cross_correlation(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         dec(F.col("__x")).alias("__sx"),
         dec(F.col("__y")).alias("__sy"),
-        dec(F.col("__x") * F.col("__y")).alias("__sxy"),
-        dec(F.col("__x") * F.col("__x")).alias("__sxx"),
-        dec(F.col("__y") * F.col("__y")).alias("__syy"),
+        decmul(F.col("__x"), F.col("__y")).alias("__sxy"),
+        decmul(F.col("__x"), F.col("__x")).alias("__sxx"),
+        decmul(F.col("__y"), F.col("__y")).alias("__syy"),
     )
     n = F.col("n_days").cast("double")
     vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
@@ -796,34 +808,48 @@ def haar_energy(
 
     NO iterative halving: level-j block sums are grouped DIRECTLY from
     the (day, value) frame by i div 2^j with sign (i div 2^{j−1}) mod 2
-    (one groupBy per level off the same calendar-bounded frame, fanned
-    by a broadcast level spine — the plan stays linear in ``levels``,
-    the raking_ipf lesson applied at design time). Missing days count
-    as 0, exactly as the dyadic transform of the gap-filled series.
-    Block sums stay integer; D² folds as 9-dp-rounded DECIMAL(38,9)."""
-    mind = series.agg(F.min(day_col).alias("__d0"))
+    (one groupBy per level off the PINNED calendar-bounded frame,
+    fanned by a broadcast level spine — the plan stays linear in
+    ``levels`` and the caller's possibly corpus-scale lineage is not
+    re-embedded per branch; the raking_ipf lesson applied at design
+    time). Missing days count as 0, exactly as the dyadic transform of
+    the gap-filled series: ``n_blocks`` is the dyadic block count over
+    the FULL [0, max_i] span (an interior gap covering a whole block
+    contributes an all-zero block — counted, energy 0), not merely the
+    blocks that happen to contain data. Block sums stay integer; D²
+    folds as 9-dp-rounded DECIMAL(38,9)."""
+    series = series.localCheckpoint(eager=False)
+    bounds = series.agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
     lv = series.sparkSession.range(1, levels + 1).select(
         F.col("id").cast("int").alias("level")
     )
-    base = series.crossJoin(F.broadcast(mind)).select(
+    base = series.crossJoin(F.broadcast(bounds)).select(
         F.datediff(F.col(day_col), F.col("__d0")).cast("long").alias("__i"),
+        F.datediff(F.col("__d1"), F.col("__d0")).cast("long").alias("__imax"),
         F.col(value_col).cast("long").alias("__v"),
     )
     ex = base.crossJoin(F.broadcast(lv)).select(
         "level",
+        "__imax",
         F.expr("__i DIV SHIFTLEFT(1L, level)").alias("__p"),
         F.expr(
             "CASE WHEN (__i DIV SHIFTLEFT(1L, level - 1)) % 2 = 0"
             " THEN __v ELSE -__v END"
         ).alias("__sv"),
     )
-    d = ex.groupBy("level", "__p").agg(F.sum("__sv").alias("__dd"))
+    d = ex.groupBy("level", "__p").agg(
+        F.sum("__sv").alias("__dd"), F.max("__imax").alias("__imax")
+    )
     dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
     dd = F.col("__dd").cast("double")
     return (
         d.groupBy("level")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.expr("MAX(__imax) DIV SHIFTLEFT(1L, level) + 1")
+            .cast("bigint")
+            .alias("n_blocks"),
             dsum(
                 dd * dd / F.expr("CAST(SHIFTLEFT(1L, level) AS DOUBLE)")
             ).alias("__e"),

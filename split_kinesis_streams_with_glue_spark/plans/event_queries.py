@@ -2736,9 +2736,11 @@ def events_changepoint_mean(spark, sf_dir):
       SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_days,
              CAST(SUM(CAST(a.x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(b.y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(a.x * b.y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(b.y * b.y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             -- cast-BEFORE-multiply: the product itself must be exact
+             -- past int64 (mirrors the operator's decimal-first form)
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * b.y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * a.x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(b.y AS DECIMAL(38,0)) * b.y) AS DOUBLE) AS syy
       FROM l CROSS JOIN s a JOIN s b ON a.d + l.lag = b.d
       GROUP BY l.lag
     )
@@ -2786,22 +2788,31 @@ def events_cross_correlation(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS v
       FROM events GROUP BY 1
     ),
-    m AS (SELECT MIN(d) AS d0 FROM s),
-    base AS (SELECT CAST(d - d0 AS BIGINT) AS i, v FROM s, m),
+    m AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM s),
+    base AS (
+      SELECT CAST(d - d0 AS BIGINT) AS i,
+             CAST(d1 - d0 AS BIGINT) AS imax, v
+      FROM s, m
+    ),
     lv AS (
       SELECT CAST(unnest(generate_series(1, 4)) AS INTEGER) AS level
     ),
     ex AS (
-      SELECT level, i // (1 << level) AS p,
+      SELECT level, imax, i // (1 << level) AS p,
              CASE WHEN (i // (1 << (level - 1))) % 2 = 0
                   THEN v ELSE -v END AS sv
       FROM base, lv
     ),
     dd AS (
-      SELECT level, p, CAST(SUM(sv) AS BIGINT) AS bsum
+      SELECT level, p, CAST(SUM(sv) AS BIGINT) AS bsum,
+             MAX(imax) AS imax
       FROM ex GROUP BY 1, 2
     )
-    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+    -- n_blocks spans the FULL dyadic range [0, imax] (whole-block
+    -- interior gaps are counted as all-zero blocks), mirroring the
+    -- operator's span-based count
+    SELECT level,
+           CAST(MAX(imax) // (1 << level) + 1 AS BIGINT) AS n_blocks,
            ROUND(CAST(SUM(CAST(ROUND(
              CAST(bsum AS DOUBLE) * CAST(bsum AS DOUBLE)
              / CAST((1 << level) AS DOUBLE), 9)

@@ -2539,3 +2539,66 @@ def test_phash_buckets_matches_naive_md5(spark):
         assert got[band]["n_candidate_pairs"] == pairs
         assert got[band]["max_bucket"] == max(cnt.values())
         assert pairs >= 1  # the planted twin collides in every band
+
+
+def test_haar_energy_whole_block_gap_counts_zero_blocks(spark):
+    """Post-review fix: an interior gap covering WHOLE blocks still
+    counts them (all-zero, energy 0) — days {0,8} at level 1 span 5
+    dyadic blocks, not the 2 that contain data."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        haar_energy,
+    )
+
+    d0 = dt.date(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(d0, 4), (d0 + dt.timedelta(days=8), 6)], "day date, x long"
+    )
+    got = {r["level"]: r for r in haar_energy(df, "day", "x", 1).collect()}
+    assert got[1]["n_blocks"] == 5
+    assert abs(got[1]["energy"] - (16 / 2 + 36 / 2)) < 1e-9
+
+
+def test_cross_correlation_null_side_rows_excluded(spark):
+    """Post-review fix: a full-outer-joined caller frame carries NULL x
+    or y on non-overlap days — those rows must not inflate n_days
+    (pairwise-complete semantics)."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0, 1, 3),
+        (d0 + dt.timedelta(days=1), 2, None),
+        (d0 + dt.timedelta(days=2), 3, 2),
+        (d0 + dt.timedelta(days=3), None, 5),
+    ]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    got = {
+        r["lag"]: r
+        for r in cross_correlation(df, "day", "x", "y", 1).collect()
+    }
+    # lag 0 pairs: days 0 and 2 only (day 1 has NULL y, day 3 NULL x)
+    assert got[0]["n_days"] == 2
+    assert abs(got[0]["ccf"] + 1.0) < 1e-9  # (1,3),(3,2): perfect inverse
+
+
+def test_phash_buckets_rejects_band_overrun(spark):
+    """Post-review fix: banding past the 32-char md5 digest would bucket
+    empty substrings (quadratic garbage) — rejected up front."""
+    import pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        phash_buckets,
+    )
+
+    df = attach_fake_images(
+        spark.createDataFrame([(1,)], "doc_id long")
+    )
+    with pytest.raises(ValueError, match="32 hex"):
+        phash_buckets(df, n_bands=20, band_hex=2)
