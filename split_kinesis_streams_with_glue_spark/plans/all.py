@@ -192,6 +192,27 @@ New round-10 queries are appended AFTER the window, tagged
 ``sample_systematic_interval``.  They carry the standard one-round
 exemption and MUST occupy round-11 window slots (the rotation test
 enforces it the moment ``CORRECTNESS_r10.json`` lands).
+
+ROUND-11 WINDOW (derived by set-diff against CORRECTNESS_r01..r10 — 10
+never-checked, all the ``since=10`` wave; zero red rows to re-enter —
+round 10 was the second consecutive fully-green 50/50):
+
+1. the 10 ``since=10`` queries whose one-round exemption expires now
+   (all judge-swept green at sf0.01 in the round-10 session, and all 10
+   independently re-verified by the round-10 judge's own fresh-plain-
+   session parity run — 10/10 MATCH, 0–6 FileScans each);
+2. 40 staleness re-verifications from the 45 queries whose newest
+   driver row is round 4 — the exact slate the round-10 verdict names
+   (item 1): the agg tail (cube/rollup/grouping-sets/stats/listagg),
+   the 7 r1-vintage join shapes, the 4 window functions, ``topk_orders``,
+   the 4 set ops, the r4 dedup/events/text/layout/profile/pipeline/
+   quality/sample/maintenance/multimodal rows.  The remaining 5 r4-stale
+   queries (``percentiles_approx``, ``dedup_simhash``,
+   ``sim_ann_ivf_topk``, ``sim_ann_lsh_topk``, ``dedup_semantic``)
+   rotate in round 12, inside the SLA (newest=4 ages out only when the
+   in-flight round exceeds 4 + sla=7 = 11 — i.e. round 12's window must
+   and will cover them; DEFERRED stays empty because the SLA test's own
+   arithmetic already schedules them).
 """
 
 from __future__ import annotations
@@ -206,64 +227,62 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 11 since=9 registrations (one-round exemption expires).
-    # sample_raking_ipf debuts FIXED (per-iteration localCheckpoint pin;
-    # round-9 verdict "What's wrong #1") ---
-    "text_kneser_ney_bigram",
-    "profile_pareto_skyline",
-    "sample_quantile_normalize",
-    "sample_coreset_lightweight",
-    "sim_sliced_wasserstein",
-    "sample_raking_ipf",
-    "dedup_cluster_ari",
-    "quality_auc_roc",
-    "quality_cramers_v",
-    "quality_conformal_coverage",
-    "quality_brier_decomposition",
-    # --- the 35 remaining r3-stale queries (staleness zeroing promised
-    # by the round-9 window notes): the TPC-H block first, then the
-    # SQL/similarity/sampling/text tail, then the r3 events family ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    "join_interval_bucketed",
-    "agg_histogram",
-    "subquery_lateral_topn",
-    "sim_ann_quantized_ivf_contract",
-    "sim_ann_pq_contract",
-    "sim_quantize_contract",
-    "sample_dsir_scores",
-    "sample_token_budget",
-    "text_c4_clean",
-    "dedup_fuzzy_names",
-    "dedup_cluster_best",
-    "events_hopping_counts",
-    "events_stream_enrich",
-    "events_hll_rollup_contract",
-    "events_wma_trend",
-    "events_stream_stream_left_join",
-    # --- 4 staleness re-verifications: first 4 oracle-backed r4-newest
-    # queries in registration order (the other 45 rotate rounds 11-12) ---
-    "cdc_compact_customer",
-    "stream_split_customer",
-    "q1_pricing_summary",
-    "agg_count_distinct",
+    # --- the 10 since=10 registrations (one-round exemption expires;
+    # all 10 judge-parity-green in the round-10 session) ---
+    "quality_brown_forsythe",
+    "quality_theil_u",
+    "quality_cochran_armitage",
+    "text_yule_k",
+    "text_heaps_law",
+    "sim_calinski_harabasz",
+    "events_cross_correlation",
+    "events_haar_energy",
+    "multimodal_phash_buckets",
+    "sample_systematic_interval",
+    # --- 40 staleness re-verifications: the round-10 verdict's named
+    # slate from the 45 r4-newest queries (the other 5 rotate round 12,
+    # inside the SLA).  Grouped by family; within the window order
+    # carries no meaning — the driver checks all 50. ---
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_listagg_ordered",
+    "join_broadcast_dims",
+    "join_left_with_empty",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross_small",
+    "join_range_events",
+    "window_rank_topn",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_ntile",
+    "topk_orders",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "dedup_fuzzy_names_k2",
+    "dedup_pagerank_centrality",
+    "events_ewma_trend",
+    "events_heavy_hitters_contract",
+    "events_quantile_sketch_contract",
+    "events_stream_topk",
+    "text_bloom_decontaminate",
+    "layout_zorder_key",
+    "layout_stats_prune",
+    "layout_zorder3_key",
+    "maintenance_compact_files",
+    "multimodal_frame_sample",
+    "multimodal_feature_ann",
+    "pipeline_entity_resolution",
+    "pipeline_publish_time_travel",
+    "profile_documents",
+    "quality_k_anonymity",
+    "sample_cluster_safe_split",
+    "sample_weighted_pps",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
@@ -279,6 +298,8 @@ _VERIFY_PRIORITY: list[str] = [
 # ROUND 9: stays empty — the 50-slot arithmetic covers the whole backlog
 # (15 since=8 + 1 re-entry + 21 r2-stale + 13 r3-stale heads).
 # ROUND 10: stays empty — 11 since=9 + 35 r3-stale + 4 r4 heads = 50.
+# ROUND 11: stays empty — 10 since=10 + 40 r4-stale = 50; the 5 r4
+# leftovers are scheduled by the SLA arithmetic itself (due round 12).
 DEFERRED: dict[str, str] = {}
 
 
