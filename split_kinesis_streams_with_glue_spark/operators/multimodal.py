@@ -310,6 +310,13 @@ def phash_buckets(
     Output: one row per band — (band, n_buckets, n_candidate_pairs,
     max_bucket). Pair counts are int64 (ceiling: a single bucket of
     ~4.3e9 duplicates overflows c·(c−1)/2 — far beyond any real shard)."""
+    if n_bands < 1 or band_hex < 1:
+        # non-positive values pass the upper-bound check but produce bogus
+        # bands: sequence(0, n_bands-1) with n_bands<=0 is the DESCENDING
+        # [0, -1], yielding a band -1 with a negative substring offset
+        raise ValueError(
+            f"n_bands ({n_bands}) and band_hex ({band_hex}) must both be >= 1"
+        )
     if n_bands * band_hex > 32:
         raise ValueError(
             f"n_bands*band_hex = {n_bands * band_hex} exceeds the 32 hex "

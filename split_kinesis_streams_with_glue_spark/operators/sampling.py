@@ -953,6 +953,11 @@ def systematic_sample(df: DataFrame, m: int, *order_cols: str) -> DataFrame:
     Returns the sampled rows with their original columns."""
     from split_kinesis_streams_with_glue_spark.partitioning import global_rank
 
+    # m is interpolated into a SQL expression below — validate the
+    # documented 0 < m contract up front (m <= 0 would silently return an
+    # empty frame; a non-int would be a malformed expression at analysis)
+    if not isinstance(m, int) or isinstance(m, bool) or m < 1:
+        raise ValueError(f"m must be a positive int, got {m!r}")
     ranked = global_rank(df, *order_cols, rank_col="__sys_rn")
     tot = ranked.agg(F.max("__sys_rn").alias("__sys_n"))
     kept = (

@@ -1239,14 +1239,24 @@ def calinski_harabasz(
 
     Scale shape: one posexplode pass collapses the corpus to the
     k×dims (cluster, dim) moment frame — per-cell Σv and Σv² as
-    9-dp-rounded DECIMAL(38,9) sums — so W uses the Σv² − (Σv)²/n
+    9-dp-rounded DECIMAL(38,9) sums — and that frame is PINNED with
+    ``localCheckpoint(eager=False)`` (the raking_ipf/brown_forsythe
+    idiom, round-10 ADVICE) because it feeds multiple plan branches
+    (``joined`` and ``globald``); ``sizes`` is pinned for the same
+    reason (it feeds ``tot`` and the broadcast join). Without the pins
+    each re-aggregation re-embeds the corpus posexplode scan (~4
+    corpus scans in the executed plan). W uses the Σv² − (Σv)²/n
     identity per cell and B needs only the broadcast per-dim global
     sums; no point-to-centroid join ever materializes. CH is NULL when
     k < 2, N ≤ k, or W = 0 (the ratio is undefined)."""
     base = df.filter(
         F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
     ).select(F.col(label_col).alias("__l"), F.col(vec_col).alias("__e"))
-    sizes = base.groupBy("__l").agg(F.count(F.lit(1)).alias("__nj"))
+    sizes = (
+        base.groupBy("__l")
+        .agg(F.count(F.lit(1)).alias("__nj"))
+        .localCheckpoint(eager=False)
+    )
     tot = sizes.agg(
         F.sum("__nj").alias("__nrows"), F.count(F.lit(1)).alias("__k")
     )
@@ -1257,7 +1267,7 @@ def calinski_harabasz(
     cell = pos.groupBy("__l", "__d").agg(
         dsum(F.col("__v")).alias("__s"),
         dsum(F.col("__v") * F.col("__v")).alias("__ss"),
-    )
+    ).localCheckpoint(eager=False)
     globald = cell.groupBy("__d").agg(
         F.sum(F.col("__s").cast("decimal(38,9)")).cast("double").alias("__sd")
     )

@@ -1397,10 +1397,16 @@ def heaps_law(
     broadcast (min, max) frame; cumulative tokens per bucket come from
     the bucket totals, and cumulative vocabulary at bucket b is the
     count of types whose FIRST bucket (min over one groupBy) is ≤ b —
-    so the corpus is read twice (bucket totals + first-occurrence) and
-    everything after is a ≤ n_buckets-row frame, where the single-
-    partition cumulative window and the OLS fold are bounded by
-    construction. Log terms are 9-dp-rounded DECIMAL(38,9) sums.
+    so the corpus is read exactly THREE times, all column-pruned: once
+    for the (min, max) id range (id only), then twice through the
+    tokenizer (bucket totals + first-occurrence). The tokenized frame
+    is deliberately NOT pinned: it is token-grain (larger than the
+    corpus), so re-tokenizing beats materializing it to executor disk
+    at scale — the opposite trade from the bounded moment frames that
+    calinski_harabasz/brown_forsythe pin. Everything after is a
+    ≤ n_buckets-row frame, where the single-partition cumulative window
+    and the OLS fold are bounded by construction. Log terms are
+    9-dp-rounded DECIMAL(38,9) sums.
 
     Caller contract: the id column must be a dense-ish integer key —
     the bucket expression ``n_buckets·(id − min)`` is int64, so the id

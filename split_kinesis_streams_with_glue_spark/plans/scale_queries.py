@@ -2769,7 +2769,7 @@ def quality_mantel_haenszel(spark, sf_dir):
     )
     SELECT CAST(np AS BIGINT) AS n_pos,
            CAST(nn AS BIGINT) AS n_neg,
-           CAST(r2 - np * (np + 1) AS BIGINT) AS u_times2,
+           CAST(r2 - np * (np + 1) AS VARCHAR) AS u_times2,
            CASE WHEN np > 0 AND nn > 0
                 THEN ROUND(CAST(r2 - np * (np + 1) AS DOUBLE)
                            / (2.0 * CAST(np AS DOUBLE)
@@ -3203,10 +3203,18 @@ def quality_cochran_armitage(spark, sf_dir):
         cochran_armitage,
     )
 
-    d = load(spark, sf_dir, "documents").select(
-        F.least(F.expr("n_chars div 64"), F.lit(15)).cast("long").alias(
-            "len_level"
-        ),
-        (F.col("lang") == "en").alias("is_en"),
+    # explicit null filter (round-10 ADVICE): F.least() skips NULLs, so a
+    # NULL n_chars with non-null lang would land in level 15 on the Spark
+    # side while the oracle's WHERE excludes it — filter BEFORE bucketing,
+    # mirroring sample_systematic_interval's explicit filter.
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            F.least(F.expr("n_chars div 64"), F.lit(15)).cast("long").alias(
+                "len_level"
+            ),
+            (F.col("lang") == "en").alias("is_en"),
+        )
     )
     return cochran_armitage(d, "len_level", "is_en")

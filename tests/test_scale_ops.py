@@ -1749,7 +1749,8 @@ def test_auc_rank_hand_computed(spark):
     )
     [r] = auc_rank(df, "s", "y").collect()
     assert r["n_pos"] == 2 and r["n_neg"] == 2
-    assert r["u_times2"] == 7
+    # u_times2 is an exact digit string (int64-unbounded, round-11)
+    assert r["u_times2"] == "7"
     assert abs(r["auc"] - 0.875) < 1e-9
     [d] = auc_rank(df.filter("y = 1"), "s", "y").collect()
     assert d["auc"] is None and d["n_neg"] == 0
@@ -2602,3 +2603,25 @@ def test_phash_buckets_rejects_band_overrun(spark):
     )
     with pytest.raises(ValueError, match="32 hex"):
         phash_buckets(df, n_bands=20, band_hex=2)
+    # round-10 ADVICE: non-positive values passed the upper-bound guard
+    # and silently produced a bogus band -1 (sequence(0,-1) descends)
+    with pytest.raises(ValueError, match=">= 1"):
+        phash_buckets(df, n_bands=0, band_hex=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        phash_buckets(df, n_bands=4, band_hex=-1)
+
+
+def test_systematic_sample_rejects_bad_m(spark):
+    """Round-10 ADVICE: m is interpolated into a SQL expression — m <= 0
+    silently returned an empty frame and a non-int malformed the
+    expression at analysis time; both now raise up front."""
+    import pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.sampling import (
+        systematic_sample,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, score long")
+    for bad in (0, -3, 2.5, "4", True):
+        with pytest.raises(ValueError, match="positive int"):
+            systematic_sample(df, bad, "score", "doc_id")
