@@ -350,3 +350,93 @@ def phash_buckets(
         ),
         F.max("__c").cast("bigint").alias("max_bucket"),
     )
+
+
+def phash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "image",
+    n_bands: int = 4,
+    band_hex: int = 2,
+) -> DataFrame:
+    """Image near-dup candidate PAIRS with Hamming verification — the
+    verify stage that completes ``phash_buckets``' candidate stage into
+    the full LSH candidates→verify geometry (Leskovec–Rajaraman–Ullman
+    MMDS §3.4; the same two-stage shape as ``dedup.minhash_near_dups``):
+    images sharing ANY band of their fingerprint become a candidate
+    pair, each pair is checked ONCE (bucket-confined self-join,
+    de-duplicated across bands by the id ordering), and the verdict is
+    the nibble-Hamming distance between the full 32-hex-char
+    fingerprints (the count of differing hex digits, 0..32 — an upper
+    bound of bit-Hamming/4; 0 means identical signatures).
+
+    Candidate generation NEVER goes all-pairs: the join key is (band,
+    band-value), so work is Σ over buckets of c², exactly the quantity
+    ``phash_buckets`` prices beforehand — run the counting stage first
+    and widen ``band_hex`` if a bucket explodes (2 hex chars = 256
+    buckets/band suits fixture scale; production banding over a pixel
+    pHash would use 4+). The fingerprint frame is pinned
+    (``localCheckpoint``) so the Arrow ``mapInPandas`` decode runs once,
+    not once per join side. The same stand-in contract as
+    ``phash_buckets`` applies: md5-of-decoded-metadata stands in for a
+    pixel DCT pHash (codec-gated env); every plan stage — decode,
+    fingerprint, band explode, bucket join, pair dedup, Hamming filter —
+    is the real at-scale shape and swapping the fingerprint expression
+    changes none of it.
+
+    Returns one row per distinct candidate pair: (<id_col>_a,
+    <id_col>_b, hamming), with id_a < id_b."""
+    if n_bands < 1 or band_hex < 1:
+        raise ValueError(
+            f"n_bands ({n_bands}) and band_hex ({band_hex}) must both be >= 1"
+        )
+    if n_bands * band_hex > 32:
+        raise ValueError(
+            f"n_bands*band_hex = {n_bands * band_hex} exceeds the 32 hex "
+            "chars of the md5 fingerprint — overrun bands would bucket "
+            "empty substrings"
+        )
+    meta = decode_meta(df, id_col, bin_col)
+    fp = (
+        meta.filter(F.col("width").isNotNull())
+        .select(
+            F.col("doc_id").alias("__id"),
+            F.md5(
+                F.concat_ws(":", "width", "height", "channels", "n_bytes")
+            ).alias("__fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = fp.select(
+        "__id",
+        "__fp",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__band"),
+    ).select(
+        "__id",
+        "__fp",
+        "__band",
+        F.expr(
+            f"substring(__fp, 1 + __band * {band_hex}, {band_hex})"
+        ).alias("__v"),
+    )
+    left = bands.select(
+        "__band", "__v", F.col("__id").alias("__ida"), F.col("__fp").alias("__fa")
+    )
+    right = bands.select(
+        "__band", "__v", F.col("__id").alias("__idb"), F.col("__fp").alias("__fb")
+    )
+    cand = (
+        left.join(right, ["__band", "__v"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb", "__fa", "__fb")
+        .distinct()  # a pair sharing several bands is verified once
+    )
+    ham = F.expr(
+        "size(filter(sequence(1, 32),"
+        " i -> substring(__fa, i, 1) != substring(__fb, i, 1)))"
+    )
+    return cand.select(
+        F.col("__ida").alias(f"{id_col}_a"),
+        F.col("__idb").alias(f"{id_col}_b"),
+        ham.cast("int").alias("hamming"),
+    )

@@ -1967,3 +1967,191 @@ def cochran_armitage(
         F.when(var > 0, F.round(num / F.sqrt(var), 6)).alias("z_trend"),
         F.when(var > 0, F.round(num * num / var, 6)).alias("chi2_trend"),
     )
+
+
+def mcnemar(df: DataFrame, gate_a, gate_b) -> DataFrame:
+    """McNemar's test for paired binary gates (McNemar, "Note on the
+    sampling error of the difference between correlated proportions or
+    percentages", Psychometrika 1947): given two boolean verdicts on the
+    SAME rows, only the discordant cells carry information — b = #(A
+    pass, B fail), c = #(A fail, B pass) — and χ² = (b−c)²/(b+c) tests
+    whether the two gates disagree symmetrically. THE statistic for
+    comparing two versions of a quality gate on one corpus (new-vs-old
+    filter, char-gate vs token-gate): a plain accuracy diff double-counts
+    the rows both gates agree on, which McNemar discards by construction.
+    ``chi2_corrected`` applies Edwards' continuity correction
+    (max(|b−c|−1, 0))²/(b+c) (Edwards 1948), the recommended form at
+    small discordant counts.
+
+    One pass, four exact integer counts, one division per statistic —
+    no shuffle beyond the single aggregate. Rows where either gate is
+    NULL are excluded (no verdict ≠ a verdict). Returns one row (n,
+    n_discordant_ab, n_discordant_ba, chi2, chi2_corrected); the χ²s
+    are NULL when b + c = 0 (no disagreement — the test is undefined,
+    not significant)."""
+    a = gate_a if not isinstance(gate_a, str) else F.col(gate_a)
+    b = gate_b if not isinstance(gate_b, str) else F.col(gate_b)
+    agg = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .select(a.alias("__a"), b.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum((F.col("__a") & ~F.col("__b")).cast("long")).alias("__ab"),
+            F.sum((~F.col("__a") & F.col("__b")).cast("long")).alias("__ba"),
+        )
+    )
+    bD = F.col("__ab").cast("double")
+    cD = F.col("__ba").cast("double")
+    disc = bD + cD
+    corr = F.greatest(F.abs(bD - cD) - 1.0, F.lit(0.0))
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.coalesce(F.col("__ab"), F.lit(0)).cast("bigint").alias(
+            "n_discordant_ab"
+        ),
+        F.coalesce(F.col("__ba"), F.lit(0)).cast("bigint").alias(
+            "n_discordant_ba"
+        ),
+        F.when(disc > 0, F.round((bD - cD) * (bD - cD) / disc, 6)).alias(
+            "chi2"
+        ),
+        F.when(disc > 0, F.round(corr * corr / disc, 6)).alias(
+            "chi2_corrected"
+        ),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative across k
+    groups (Jonckheere, Biometrika 1954; Terpstra, Indag. Math. 1952):
+    J = Σ_{g<h} U_gh, the sum of Mann–Whitney counts over every ordered
+    group pair, with ties counted ½. Where kruskal_wallis_h asks "do
+    the groups differ AT ALL?", J-T puts all its power on "do values
+    RISE with the group order?" — the continuous-response companion of
+    cochran_armitage (binary response) for dose/level/bucket designs.
+    The normal approximation uses the tie-corrected null moments
+    (Hollander & Wolfe, Nonparametric Statistical Methods §6.2; the
+    SAS PROC FREQ JT form): E(J) = (n² − Σn_j²)/4 and
+    Var(J) = [n(n−1)(2n+5) − Σn_j(n_j−1)(2n_j+5) − Σt_u(t_u−1)(2t_u+5)]/72
+    + [Σn_j(n_j−1)(n_j−2)]·[Σt_u(t_u−1)(t_u−2)]/(36n(n−1)(n−2))
+    + [Σn_j(n_j−1)]·[Σt_u(t_u−1)]/(8n(n−1)),
+    which reduces to the textbook [n²(2n+3) − Σn_j²(2n_j+3)]/72 when
+    no values tie. At k = 2 the statistic IS Mann–Whitney U and z
+    matches ``mann_whitney_u``'s tie-corrected normal approximation (a
+    property test pins this).
+
+    Scale shape: one groupBy collapses the corpus to the (group, value)
+    histogram; the pairwise stage is a range join over THAT frame —
+    quadratic in the HISTOGRAM, never the corpus. Caller contract:
+    distinct values must be bounded (bucket/round continuous responses
+    first — the wasserstein/mann_kendall convention). The J fold is
+    exact: 2·J is an integer accumulated as DECIMAL(38,0) (ties add 1,
+    strict inequalities add 2) and EMITTED as its exact digit string
+    (the auc_rank u_times2 convention — int64-unbounded, hash-stable);
+    the moment folds run as DECIMAL(38,0) (n(n−1)(2n+5) ≈ 2n³ exceeds
+    int64 already at n ≈ 1.7e6 rows; decimal 38 is exact past 1e12) and
+    convert to double only for the final z. Returns one row (n, n_groups, j_times2,
+    z_score); z is NULL when k < 2 or the variance is non-positive
+    (e.g. all values tie)."""
+    hist = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)  # feeds the pair join twice + moments
+    )
+    lo = hist.select(
+        F.col("__g").alias("__g1"),
+        F.col("__v").alias("__v1"),
+        F.col("__c").alias("__c1"),
+    )
+    hi = hist.select(
+        F.col("__g").alias("__g2"),
+        F.col("__v").alias("__v2"),
+        F.col("__c").alias("__c2"),
+    )
+    d0 = "decimal(38,0)"
+    j2 = (
+        lo.join(
+            hi,
+            (F.col("__g1") < F.col("__g2"))
+            & (F.col("__v1") <= F.col("__v2")),
+        )
+        .agg(
+            F.sum(
+                # cast each factor BEFORE the multiply: the c1*c2 product
+                # already exceeds int64 when two buckets hold ~3e9 rows
+                F.col("__c1").cast(d0)
+                * F.col("__c2").cast(d0)
+                * F.when(F.col("__v1") < F.col("__v2"), F.lit(2))
+                .otherwise(F.lit(1))
+                .cast(d0)
+            ).alias("__j2")
+        )
+    )
+    c = F.col("__c").cast(d0)
+    gsum = hist.groupBy("__g").agg(F.sum("__c").alias("__nj")).agg(
+        F.sum(F.col("__nj").cast(d0)).alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.col("__nj").cast(d0) * F.col("__nj").cast(d0)).alias("__s2"),
+        F.sum(
+            F.col("__nj").cast(d0)
+            * (F.col("__nj") - 1).cast(d0)
+            * (2 * F.col("__nj") + 5).cast(d0)
+        ).alias("__g25"),
+        F.sum(
+            F.col("__nj").cast(d0)
+            * (F.col("__nj") - 1).cast(d0)
+            * (F.col("__nj") - 2).cast(d0)
+        ).alias("__g3"),
+        F.sum(
+            F.col("__nj").cast(d0) * (F.col("__nj") - 1).cast(d0)
+        ).alias("__g2"),
+    )
+    tsum = hist.groupBy("__v").agg(F.sum("__c").alias("__tu")).agg(
+        F.sum(
+            F.col("__tu").cast(d0)
+            * (F.col("__tu") - 1).cast(d0)
+            * (2 * F.col("__tu") + 5).cast(d0)
+        ).alias("__t25"),
+        F.sum(
+            F.col("__tu").cast(d0)
+            * (F.col("__tu") - 1).cast(d0)
+            * (F.col("__tu") - 2).cast(d0)
+        ).alias("__t3"),
+        F.sum(
+            F.col("__tu").cast(d0) * (F.col("__tu") - 1).cast(d0)
+        ).alias("__t2"),
+    )
+    joined = j2.crossJoin(F.broadcast(gsum)).crossJoin(F.broadcast(tsum))
+    nD = F.col("__n").cast("double")
+    mean2 = (F.col("__n") * F.col("__n") - F.col("__s2")).cast(
+        "double"
+    ) / 2.0  # 2·E(J), matching the doubled statistic
+    var_a = (
+        F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
+        - F.col("__g25")
+        - F.col("__t25")
+    ).cast("double") / 72.0
+    var_b = F.col("__g3").cast("double") * F.col("__t3").cast("double") / (
+        36.0 * nD * (nD - 1.0) * (nD - 2.0)
+    )
+    var_c = F.col("__g2").cast("double") * F.col("__t2").cast("double") / (
+        8.0 * nD * (nD - 1.0)
+    )
+    var = var_a + var_b + var_c
+    z = (F.col("__j2").cast("double") - mean2) / (2.0 * F.sqrt(var))
+    return joined.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("n_groups"),
+        F.coalesce(F.col("__j2"), F.lit(0).cast(d0))
+        .cast(d0)
+        .cast("string")
+        .alias("j_times2"),
+        F.when((F.col("__k") >= 2) & (var > 0) & (nD > 2), F.round(z, 6)).alias(
+            "z_score"
+        ),
+    )

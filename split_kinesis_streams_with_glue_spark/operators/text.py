@@ -1489,3 +1489,107 @@ def heaps_law(
             F.round(F.exp((F.col("__sy") - beta * F.col("__sx")) / np_), 6),
         ).alias("heaps_k"),
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    m: int = 50,
+) -> DataFrame:
+    """Burrows' Delta stylistic distance between groups (Burrows,
+    "'Delta': a measure of stylistic difference and a guide to likely
+    authorship", LLC 2002; Evert et al. 2017 for the standardization
+    form): over the corpus-wide top-``m`` terms, z-score each group's
+    relative term frequency against the across-group mean/std, then
+    Delta(s₁, s₂) = mean_t |z₁t − z₂t|. The pairwise "who writes like
+    whom" matrix over sources — the stylometric complement of
+    weighted_log_odds (which contrasts ONE pair on raw counts; Delta
+    standardizes every term across ALL groups so high-frequency function
+    words can't dominate) — and, for a training-data pipeline, the
+    source-similarity signal for mixture design and leakage triage.
+
+    Scale shape: one tokenize pass collapses the corpus to the (group,
+    term) count frame; the top-``m`` vocabulary is a
+    TakeOrderedAndProject (count desc, term asc — deterministic), never
+    a global sort; the z-score stage densifies groups × top terms (a
+    bounded #groups·m frame) so a group MISSING a term contributes
+    f = 0 rather than silently dropping out of the mean; the output
+    pair matrix is #groups² rows. Terms with zero across-group variance
+    are dropped from every pair (|z−z| would be 0/0). Exactness:
+    relative frequencies are 9-dp-quantized before the mean/std folds
+    (DECIMAL(38,9) sums), z's and the final mean fold the same way —
+    both engines see identical quantities. Returns (group_a, group_b,
+    n_terms_used, delta) for group_a < group_b; if NO term survives the
+    variance cut (e.g. every group has identical text) the output is
+    empty — there is no distance to report."""
+    toks = (
+        df.filter(F.col(group_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias(
+                "__t"
+            ),
+        )
+    )
+    gt = (
+        toks.groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)  # feeds vocab, totals, and the join
+    )
+    top = (
+        gt.groupBy("__t")
+        .agg(F.sum("__c").alias("__tc"))
+        .orderBy(F.col("__tc").desc(), F.col("__t"))
+        .limit(m)
+        .select("__t")
+    )
+    gtot = gt.groupBy("__g").agg(F.sum("__c").alias("__gn"))
+    dense = gtot.crossJoin(F.broadcast(top))
+    freq = dense.join(gt, ["__g", "__t"], "left").select(
+        "__g",
+        "__t",
+        F.round(
+            F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+            / F.col("__gn").cast("double"),
+            9,
+        ).alias("__f"),
+    )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    stats = freq.groupBy("__t").agg(
+        (dsum(F.col("__f")) / F.count(F.lit(1))).alias("__mu"),
+        F.count(F.lit(1)).alias("__k"),
+        dsum(F.col("__f") * F.col("__f")).alias("__ss"),
+    )
+    # population std over the group set; zero-variance terms dropped
+    sd = F.sqrt(
+        F.col("__ss") / F.col("__k") - F.col("__mu") * F.col("__mu")
+    )
+    zed = (
+        freq.join(F.broadcast(stats), "__t")
+        .filter(sd > 1e-12)
+        .select(
+            "__g",
+            "__t",
+            F.round((F.col("__f") - F.col("__mu")) / sd, 9).alias("__z"),
+        )
+        .localCheckpoint(eager=False)  # feeds both sides of the pair join
+    )
+    a = zed.select(
+        F.col("__g").alias("group_a"), "__t", F.col("__z").alias("__z1")
+    )
+    b = zed.select(
+        F.col("__g").alias("group_b"), "__t", F.col("__z").alias("__z2")
+    )
+    pairs = a.join(b, "__t").filter(F.col("group_a") < F.col("group_b"))
+    return (
+        pairs.groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_used"),
+            F.round(
+                dsum(F.abs(F.col("__z1") - F.col("__z2")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("delta"),
+        )
+    )

@@ -856,3 +856,294 @@ def haar_energy(
         )
         .select("level", "n_blocks", F.round(F.col("__e"), 6).alias("energy"))
     )
+
+
+def ljung_box(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung–Box portmanteau test (Ljung & Box, "On a measure of lack of
+    fit in time series models", Biometrika 1978): Q = n(n+2)·Σ_{k=1..L}
+    r_k²/(n−k) over the first ``max_lag`` sample autocorrelations — the
+    one-number "is this series white noise?" gate. Where a single acf
+    spike flags one cycle, Q prices ALL short-range structure at once:
+    the standard residual diagnostic before trusting a forecast
+    (events_holt / events_ewma_trend) and the whiteness complement of
+    events_cross_correlation's lag scan.
+
+    Rides ``autocorrelation`` (same module): the lag pairs come from an
+    equi-join on the calendar-bounded day frame, never a global window,
+    and the Q fold runs over the ≤ ``max_lag``-row acf frame. Caller
+    contract (inherited): a regular daily series — interior calendar
+    gaps shrink the lag-k pair set, as in the sample acf. Engine-exact
+    arithmetic: each acf is 6-dp-quantized (the ``autocorrelation``
+    contract), each Q term r_k²/(n−k) is 9-dp-rounded and summed as
+    DECIMAL(38,9), so both engines fold identical quantities.
+
+    Returns one row (n, lags_used, df, q_stat); q_stat is NULL when no
+    lag has a defined acf (constant series) or n ≤ 1."""
+    n1 = series.agg(F.count(F.lit(1)).alias("__n"))
+    acf = autocorrelation(series, day_col, value_col, max_lag)
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    terms = acf.crossJoin(F.broadcast(n1)).filter(
+        F.col("acf").isNotNull() & (F.col("lag") < F.col("__n"))
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("__l"),
+        dsum(
+            F.col("acf") * F.col("acf")
+            / (F.col("__n") - F.col("lag")).cast("double")
+        ).alias("__s"),
+    ).crossJoin(F.broadcast(n1))  # n reports even when no acf is defined
+    nD = F.col("__n").cast("double")
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__l").cast("bigint").alias("lags_used"),
+        F.col("__l").cast("bigint").alias("df"),
+        F.when(
+            (F.col("__l") > 0) & (F.col("__n") > 1),
+            F.round(nD * (nD + 2.0) * F.col("__s"), 6),
+        ).alias("q_stat"),
+    )
+
+
+def runs_test(
+    series: DataFrame, day_col: str = "day", value_col: str = "x"
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness about the median (Wald &
+    Wolfowitz, "On a test whether two samples are from the same
+    population", AoMS 1940; the one-sample runs-about-the-median form):
+    classify each point above/below the median, count the runs R of
+    consecutive same-sign points in time order, and compare against the
+    exact null moments μ = 2·n₁·n₂/n + 1 and σ² = 2·n₁·n₂(2·n₁·n₂ − n) /
+    (n²(n−1)). Too FEW runs = clustering/trend; too MANY = oscillation —
+    the sign-pattern complement of mann_kendall (which sees only
+    monotone drift, not regime clustering or alternation).
+
+    Deterministic median: the LOWER median — the value at ascending rank
+    ⌈n/2⌉ = (n+1) div 2 — so both engines pick the identical element
+    with no interpolation convention in play; points EQUAL to the median
+    are excluded (the standard convention that keeps the ± classification
+    unambiguous). All windows run over the calendar-bounded series frame
+    (documented single-partition moment, kilobytes at any corpus scale);
+    every count is exact integer, and z's float ops happen in one fixed
+    order. Returns one row (n_pos, n_neg, runs, z_score); z is NULL when
+    either sign class is empty (σ² = 0 — the statistic is undefined)."""
+    pts = series.select(
+        F.col(day_col).alias("__d"), F.col(value_col).cast("double").alias("__x")
+    )
+    ranked = pts.select(
+        "__x", F.row_number().over(Window.orderBy("__x", "__d")).alias("__r")
+    )
+    n_med = ranked.agg(F.count(F.lit(1)).alias("__n")).select(
+        "__n", ((F.col("__n") + 1) / 2).cast("long").alias("__mr")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(n_med))
+        .filter(F.col("__r") == F.col("__mr"))
+        .select(F.col("__x").alias("__med"))
+    )
+    signed = (
+        pts.crossJoin(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select("__d", (F.col("__x") > F.col("__med")).alias("__s"))
+    )
+    w = Window.orderBy("__d")
+    flips = signed.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.col("__s") != F.lag("__s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    agg = flips.agg(
+        F.sum(F.col("__s").cast("long")).alias("__n1"),
+        F.sum(F.lit(1) - F.col("__s").cast("long")).alias("__n2"),
+        F.sum("__new_run").alias("__r"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    nn = n1 + n2
+    two = 2.0 * n1 * n2
+    mu = two / nn + 1.0
+    var = two * (two - nn) / (nn * nn * (nn - 1.0))
+    return agg.select(
+        # a constant series leaves nothing after the median exclusion —
+        # report zero counts, not NULLs
+        F.coalesce(F.col("__n1"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.col("__n2"), F.lit(0)).cast("bigint").alias("n_neg"),
+        F.coalesce(F.col("__r"), F.lit(0)).cast("bigint").alias("runs"),
+        F.when(
+            (F.col("__n1") > 0) & (F.col("__n2") > 0) & (var > 0),
+            F.round((F.col("__r").cast("double") - mu) / F.sqrt(var), 6),
+        ).alias("z_score"),
+    )
+
+
+def hurst_rs(
+    series: DataFrame,
+    day_col: str = "t",
+    value_col: str = "x",
+    min_scale: int = 8,
+    n_scales: int = 4,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst, "Long-term
+    storage capacity of reservoirs", Trans. ASCE 1951; Mandelbrot &
+    Wallis 1969): at each block size s ∈ {min_scale·2^j}, split the
+    observation sequence into full blocks, compute per block the range R
+    of cumulative mean-deviations and the population std S, and fit
+    H = slope of ln(avg R/S) on ln(s). H ≈ 0.5 is memoryless; H > 0.5
+    long-range persistent (load waves); H < 0.5 anti-persistent — the
+    long-memory diagnostic that ljung_box's short-lag Q cannot see.
+
+    Scale shape: the sequence index is a row_number over the
+    calendar-bounded series frame (documented single-partition moment);
+    blocks are integer arithmetic on that index, fanned by a broadcast
+    scale spine off the PINNED series (one groupBy per scale, the
+    haar_energy geometry). Per-block folds run in fixed time order
+    inside window frames; per-scale means 9-dp-round each block's R/S
+    and sum as DECIMAL(38,9); the final OLS folds over ≤ ``n_scales``
+    rows. Scales keeping fewer than 2 full blocks are dropped (rule
+    mirrored by the oracle). Returns one row (n, scales_used,
+    hurst_exponent); NULL H when fewer than 2 scales survive (no line
+    to fit)."""
+    pinned = series.select(
+        F.col(day_col).alias("__d"), F.col(value_col).cast("double").alias("__x")
+    ).localCheckpoint(eager=False)
+    idx = pinned.select(
+        "__x", (F.row_number().over(Window.orderBy("__d")) - 1).alias("__i")
+    )
+    nrow = idx.agg(F.count(F.lit(1)).alias("__n"))
+    scales = (
+        series.sparkSession.range(0, n_scales)
+        .select(
+            F.expr(
+                f"CAST({int(min_scale)}L * shiftleft(1L, CAST(id AS INT)) "
+                "AS BIGINT)"
+            ).alias("__s")
+        )
+        .crossJoin(F.broadcast(nrow))
+        .filter(F.expr("__n DIV __s >= 2"))
+        .select("__s", "__n")
+    )
+    blocks = idx.crossJoin(F.broadcast(scales)).filter(
+        F.expr("__i DIV __s < __n DIV __s")  # full blocks only
+    ).select("__s", F.expr("__i DIV __s").alias("__b"), "__i", "__x")
+    wB = Window.partitionBy("__s", "__b")
+    wC = wB.orderBy("__i").rowsBetween(Window.unboundedPreceding, 0)
+    withm = blocks.select(
+        "__s", "__b", "__i", "__x", F.avg("__x").over(wB).alias("__m")
+    )
+    cum = withm.select(
+        "__s",
+        "__b",
+        (F.col("__x") - F.col("__m")).alias("__dev"),
+        F.sum(F.col("__x") - F.col("__m")).over(wC).alias("__c"),
+    )
+    per_block = cum.groupBy("__s", "__b").agg(
+        (F.max("__c") - F.min("__c")).alias("__rng"),
+        F.sqrt(F.avg(F.col("__dev") * F.col("__dev"))).alias("__sd"),
+    )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    per_scale = (
+        per_block.filter(F.col("__sd") > 0)
+        .groupBy("__s")
+        .agg(
+            dsum(F.col("__rng") / F.col("__sd")).alias("__rs_sum"),
+            F.count(F.lit(1)).alias("__nb"),
+        )
+        .filter(F.col("__nb") > 0)
+        .select(
+            F.log(F.col("__s").cast("double")).alias("__lx"),
+            F.log(
+                F.round(F.col("__rs_sum") / F.col("__nb"), 9)
+            ).alias("__ly"),
+        )
+    )
+    fit = per_scale.agg(
+        F.count(F.lit(1)).alias("__k"),
+        dsum(F.col("__lx")).alias("__sx"),
+        dsum(F.col("__ly")).alias("__sy"),
+        dsum(F.col("__lx") * F.col("__ly")).alias("__sxy"),
+        dsum(F.col("__lx") * F.col("__lx")).alias("__sxx"),
+    )
+    kD = F.col("__k").cast("double")
+    denom = kD * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return fit.crossJoin(F.broadcast(nrow)).select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("scales_used"),
+        F.when(
+            (F.col("__k") >= 2) & (denom != 0),
+            F.round(
+                (kD * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom,
+                6,
+            ),
+        ).alias("hurst_exponent"),
+    )
+
+
+def permutation_entropy(
+    series: DataFrame, day_col: str = "day", value_col: str = "x"
+) -> DataFrame:
+    """Permutation entropy at embedding dimension 3 (Bandt & Pompe,
+    "Permutation entropy: a natural complexity measure for time series",
+    PRL 2002): slide a 3-point window over the observation sequence, map
+    each triple to its ordinal pattern (the permutation that sorts it),
+    and take the Shannon entropy of the pattern distribution, normalized
+    by ln(3!) to [0, 1]. ≈1 is pattern-white; well below 1 means the
+    series repeats local shapes — a complexity gate that is invariant to
+    monotone rescaling of the values (mann_kendall sees drift,
+    runs_test sees sign clustering; this sees SHAPE regularity).
+
+    Ties follow the Bandt–Pompe convention: equal values rank by order
+    of appearance (earlier index = lower rank), so every triple maps to
+    exactly one of the 6 patterns deterministically — the rank of
+    element i is #(x_j < x_i) + #(x_j = x_i, j < i), a closed-form CASE
+    expression both engines evaluate identically. The embedding runs
+    over consecutive OBSERVATIONS of the day-ordered series (gap-fill
+    first if calendar adjacency matters); windows run over the
+    calendar-bounded frame. The entropy folds over the ≤ 6-row pattern
+    histogram with 9-dp-rounded DECIMAL(38,9) terms. Returns one row
+    (n_windows, n_patterns, perm_entropy, perm_entropy_norm); NULL
+    entropies when no window exists (series shorter than 3)."""
+    w = Window.orderBy(day_col)
+    tri = series.select(
+        F.col(value_col).cast("double").alias("__a"),
+        F.lead(value_col, 1).over(w).cast("double").alias("__b"),
+        F.lead(value_col, 2).over(w).cast("double").alias("__c"),
+    ).filter(F.col("__b").isNotNull() & F.col("__c").isNotNull())
+    a, b, c = F.col("__a"), F.col("__b"), F.col("__c")
+    # rank_i = #(x_j < x_i) + #(x_j = x_i and j < i); ranks are a
+    # permutation of {0,1,2}; the pattern id concatenates them
+    ra = (b < a).cast("int") + (c < a).cast("int")
+    rb = (a <= b).cast("int") + (c < b).cast("int")
+    rc = (a <= c).cast("int") + (b <= c).cast("int")
+    hist = tri.select(
+        (ra * 100 + rb * 10 + rc).alias("pattern")
+    ).groupBy("pattern").agg(F.count(F.lit(1)).alias("__c"))
+    dsum = lambda x: F.sum(F.round(x, 9).cast("decimal(38,9)")).cast("double")
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    agg = hist.crossJoin(F.broadcast(tot)).agg(
+        F.max("__n").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+        dsum(
+            -(F.col("__c") / F.col("__n"))
+            * F.log(F.col("__c") / F.col("__n"))
+        ).alias("__h"),
+    )
+    return agg.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce(F.col("__k"), F.lit(0)).cast("bigint").alias("n_patterns"),
+        F.when(F.col("__n") > 0, F.round(F.col("__h"), 6)).alias(
+            "perm_entropy"
+        ),
+        F.when(
+            F.col("__n") > 0,
+            F.round(F.col("__h") / F.log(F.lit(6.0)), 6),
+        ).alias("perm_entropy_norm"),
+    )

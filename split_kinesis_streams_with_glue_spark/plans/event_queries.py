@@ -2840,3 +2840,277 @@ def events_haar_energy(spark, sf_dir):
         F.count(F.lit(1)).alias("x")
     )
     return haar_energy(series, "day", "x", levels=4)
+
+
+@query(
+    "events_ljung_box",
+    since=11,
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    m AS (SELECT AVG(x) AS mu FROM s),
+    c AS (SELECT d, x - mu AS cv FROM s CROSS JOIN m),
+    den AS (SELECT SUM(cv * cv) AS dn FROM c),
+    k AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+    num AS (
+      SELECT k.lag, SUM(a.cv * b.cv) AS nm
+      FROM c a CROSS JOIN k JOIN c b ON b.d = a.d + CAST(k.lag AS INTEGER)
+      GROUP BY k.lag
+    ),
+    acf AS (
+      SELECT lag, CASE WHEN dn <> 0 THEN ROUND(nm / dn, 6) END AS r
+      FROM num CROSS JOIN den
+    ),
+    terms AS (
+      SELECT lag, r FROM acf CROSS JOIN n1
+      WHERE r IS NOT NULL AND lag < n
+    ),
+    agg AS (
+      SELECT COUNT(*) AS l,
+             CAST(SUM(CAST(ROUND(r * r / (n - lag), 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS sq
+      FROM terms CROSS JOIN n1
+    )
+    SELECT n, CAST(l AS BIGINT) AS lags_used, CAST(l AS BIGINT) AS df,
+           CASE WHEN l > 0 AND n > 1
+                THEN ROUND(n * (n + 2.0) * sq, 6) END AS q_stat
+    FROM agg CROSS JOIN n1
+    """,
+)
+def events_ljung_box(spark, sf_dir):
+    """NEW OPERATOR (round 11): Ljung-Box portmanteau whiteness test
+    (operators/timeseries.py ljung_box; Ljung & Box, Biometrika 1978)
+    over the first 7 autocorrelations of the daily event-count series —
+    "is the arrival series white noise, or does short-range structure
+    remain?", the one-number residual diagnostic that single-lag acf
+    scans (events_cross_correlation) cannot price jointly. Rides the
+    calendar-bounded acf equi-join; the Q fold runs over the <=7-row acf
+    frame with 6-dp-quantized acf and 9-dp DECIMAL(38,9) terms, so both
+    engines fold identical quantities. The day frame is pinned so the
+    fact scan is not re-embedded across the mean/denominator/pair
+    branches."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    return ljung_box(s, "d", "x", max_lag=7)
+
+
+@query(
+    "events_runs_test",
+    since=11,
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    med AS (SELECT x AS m FROM r WHERE rn = (n + 1) // 2),
+    sg AS (
+      SELECT d, x > m AS sgn FROM s CROSS JOIN med WHERE x <> m
+    ),
+    fl AS (
+      SELECT sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+                    OR sgn <> LAG(sgn) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS nr
+      FROM sg
+    ),
+    a AS (
+      SELECT SUM(CASE WHEN sgn THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN sgn THEN 0 ELSE 1 END) AS n2,
+             SUM(nr) AS r
+      FROM fl
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+           CAST(r AS BIGINT) AS runs,
+           CASE WHEN n1 > 0 AND n2 > 0
+                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                     / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) > 0
+                THEN ROUND(
+                  (r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+           END AS z_score
+    FROM a
+    """,
+)
+def events_runs_test(spark, sf_dir):
+    """NEW OPERATOR (round 11): Wald-Wolfowitz runs test about the
+    median (operators/timeseries.py runs_test; Wald & Wolfowitz, AoMS
+    1940) on the daily event-count series — too FEW sign runs means the
+    load clusters in regimes, too MANY means day-to-day alternation;
+    the sign-pattern randomness gate that mann_kendall's monotone-drift
+    statistic is blind to. Deterministic LOWER median (the rank
+    (n+1) div 2 element — no interpolation convention in play), points
+    equal to the median excluded, exact integer run/sign counts, z's
+    float ops in one fixed order. The day frame is pinned; every window
+    runs over the calendar-bounded series."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    return runs_test(s, "d", "x")
+
+
+@query(
+    "events_hurst_rs",
+    since=11,
+    oracle="""
+    WITH s AS (
+      SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    i AS (SELECT x, ROW_NUMBER() OVER (ORDER BY h) - 1 AS i FROM s),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM i),
+    sc AS (
+      SELECT s FROM (SELECT UNNEST([8, 16, 32, 64]) AS s) q CROSS JOIN n1
+      WHERE n // s >= 2
+    ),
+    b AS (
+      SELECT sc.s, i.i // sc.s AS b, i.i, i.x
+      FROM i CROSS JOIN sc CROSS JOIN n1
+      WHERE i.i // sc.s < n // sc.s
+    ),
+    wm AS (
+      SELECT s, b, i, x, AVG(x) OVER (PARTITION BY s, b) AS m FROM b
+    ),
+    cm AS (
+      SELECT s, b, x - m AS dev,
+             SUM(x - m) OVER (PARTITION BY s, b ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM wm
+    ),
+    pb AS (
+      SELECT s, b, MAX(c) - MIN(c) AS rng,
+             sqrt(CAST(SUM(CAST(ROUND(dev * dev, 9) AS DECIMAL(38,9)))
+                       AS DOUBLE) / COUNT(*)) AS sd
+      FROM cm GROUP BY s, b
+    ),
+    ps AS (
+      SELECT ln(CAST(s AS DOUBLE)) AS lx,
+             ln(ROUND(CAST(SUM(CAST(ROUND(rng / sd, 9) AS DECIMAL(38,9)))
+                           AS DOUBLE) / COUNT(*), 9)) AS ly
+      FROM pb WHERE sd > 0 GROUP BY s
+    ),
+    fit AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(CAST(ROUND(lx, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(ly, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(lx * ly, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(ROUND(lx * lx, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS sxx
+      FROM ps
+    )
+    SELECT n, CAST(k AS BIGINT) AS scales_used,
+           CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0
+                THEN ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+           END AS hurst_exponent
+    FROM fit CROSS JOIN n1
+    """,
+)
+def events_hurst_rs(spark, sf_dir):
+    """NEW OPERATOR (round 11): Hurst exponent by rescaled-range
+    analysis (operators/timeseries.py hurst_rs; Hurst 1951, Mandelbrot
+    & Wallis 1969) over the hourly event-count series at block scales
+    8/16/32/64 — H > 0.5 says load waves persist (long-range memory the
+    short-lag ljung_box Q cannot see), which is exactly what decides
+    whether a partition-sizing heuristic tuned on an hour of traffic
+    holds for a day. Blocks are integer arithmetic on a row-number
+    index fanned by a broadcast scale spine off the PINNED hour frame;
+    per-block folds run in fixed time order; per-scale means and the
+    final <=4-row OLS use 9-dp DECIMAL(38,9) terms. Count-valued series
+    keep the block means exact (the operator's documented contract)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hurst_rs,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return hurst_rs(s, "h", "x", min_scale=8, n_scales=4)
+
+
+@query(
+    "events_permutation_entropy",
+    since=11,
+    oracle="""
+    WITH s AS (
+      SELECT DATE_TRUNC('hour', ts) AS h, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    tri AS (
+      SELECT x AS a,
+             LEAD(x, 1) OVER (ORDER BY h) AS b,
+             LEAD(x, 2) OVER (ORDER BY h) AS c
+      FROM s
+    ),
+    pat AS (
+      SELECT ((CASE WHEN b < a THEN 1 ELSE 0 END)
+              + (CASE WHEN c < a THEN 1 ELSE 0 END)) * 100
+             + ((CASE WHEN a <= b THEN 1 ELSE 0 END)
+                + (CASE WHEN c < b THEN 1 ELSE 0 END)) * 10
+             + (CASE WHEN a <= c THEN 1 ELSE 0 END)
+             + (CASE WHEN b <= c THEN 1 ELSE 0 END) AS pattern
+      FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+    ),
+    hist AS (SELECT pattern, COUNT(*) AS c FROM pat GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM hist),
+    agg AS (
+      SELECT MAX(n) AS n, COUNT(*) AS k,
+             CAST(SUM(CAST(ROUND(-(c * 1.0 / n) * ln(c * 1.0 / n), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS hh
+      FROM hist CROSS JOIN tot
+    )
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(k, 0) AS BIGINT) AS n_patterns,
+           CASE WHEN n > 0 THEN ROUND(hh, 6) END AS perm_entropy,
+           CASE WHEN n > 0 THEN ROUND(hh / ln(6.0), 6) END
+             AS perm_entropy_norm
+    FROM agg
+    """,
+)
+def events_permutation_entropy(spark, sf_dir):
+    """NEW OPERATOR (round 11): Bandt-Pompe permutation entropy at
+    embedding dimension 3 (operators/timeseries.py permutation_entropy;
+    Bandt & Pompe, PRL 2002) over the hourly event-count series — the
+    entropy of 3-point ordinal SHAPES, invariant to monotone value
+    rescaling: near 1 the local shapes are pattern-white, well below 1
+    the series repeats motifs (cyclic load, templated traffic).
+    Complements runs_test (sign clustering) and ljung_box (linear
+    correlation) with a nonlinear-shape gate. Tie ranks follow the
+    order-of-appearance convention as a closed-form CASE both engines
+    evaluate identically; the entropy folds over the <=6-row pattern
+    histogram with 9-dp DECIMAL(38,9) terms."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    return permutation_entropy(s, "h", "x")

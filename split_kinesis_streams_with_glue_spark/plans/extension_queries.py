@@ -5402,3 +5402,137 @@ def sample_systematic_interval(spark, sf_dir):
         .select("doc_id", "lang", "n_chars")
     )
     return systematic_sample(d, 100, "n_chars", "doc_id")
+
+
+@query(
+    since=11,
+    name="text_burrows_delta",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS g,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                w -> w <> '')) AS t
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    gt AS (SELECT g, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    top AS (
+      SELECT t FROM (
+        SELECT t, SUM(c) AS tc FROM gt GROUP BY t
+        ORDER BY tc DESC, t LIMIT 50
+      ) q
+    ),
+    gtot AS (SELECT g, SUM(c) AS gn FROM gt GROUP BY g),
+    freq AS (
+      SELECT gtot.g, top.t,
+             ROUND(COALESCE(gt.c, 0) * 1.0 / gtot.gn, 9) AS f
+      FROM gtot CROSS JOIN top
+      LEFT JOIN gt ON gt.g = gtot.g AND gt.t = top.t
+    ),
+    stats AS (
+      SELECT t,
+             CAST(SUM(CAST(ROUND(f, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             COUNT(*) AS k,
+             CAST(SUM(CAST(ROUND(f * f, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS ss
+      FROM freq GROUP BY t
+    ),
+    zed AS (
+      SELECT f.g, f.t,
+             ROUND((f.f - s.mu) / sqrt(s.ss / s.k - s.mu * s.mu), 9) AS z
+      FROM freq f JOIN stats s ON f.t = s.t
+      WHERE sqrt(s.ss / s.k - s.mu * s.mu) > 1e-12
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_used,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(38,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS delta
+    FROM zed a JOIN zed b ON a.t = b.t AND a.g < b.g
+    GROUP BY a.g, b.g
+    """,
+)
+def text_burrows_delta(spark, sf_dir):
+    """NEW OPERATOR (round 11): Burrows' Delta stylistic distance
+    (operators/text.py burrows_delta; Burrows, LLC 2002; Evert et al.
+    2017) between every pair of sources over the corpus-wide top-50
+    terms — z-score each source's relative term frequency against the
+    across-source mean/std, Delta = mean |z1 - z2|. The "which sources
+    write alike" matrix for mixture design and leakage triage;
+    standardizing across ALL groups is what weighted_log_odds'
+    one-pair raw-count contrast cannot give. One tokenize pass to the
+    (source, term) frame (pinned — it feeds vocabulary, totals, and
+    the join), TakeOrderedAndProject top-k, a bounded
+    sources x 50-term densification so missing terms contribute f = 0,
+    and a sources^2-row output; every float fold is 9-dp-quantized
+    into DECIMAL(38,9) on both engines."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        burrows_delta,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    return burrows_delta(d, "text", "source", m=50)
+
+
+@query(
+    since=11,
+    name="multimodal_phash_pairs",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, doc_id % 512 + 16 AS w, doc_id % 384 + 16 AS h,
+             3 AS c, 9 + 7 + length(CAST(doc_id AS VARCHAR)) AS nb
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id AS id, md5(concat_ws(':', w, h, c, nb)) AS f FROM meta
+    ),
+    bands AS (
+      SELECT id, f, CAST(b AS INTEGER) AS band,
+             substring(f, 1 + b * 2, 2) AS v
+      FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS ia, b.id AS ib, a.f AS fa, b.f AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v = b.v AND a.id < b.id
+    ),
+    hd AS (
+      SELECT ia, ib,
+             (SELECT COUNT(*) FROM generate_series(1, 32) g(i)
+              WHERE substring(fa, CAST(i AS INTEGER), 1)
+                    <> substring(fb, CAST(i AS INTEGER), 1)) AS hamming
+      FROM cand
+    )
+    SELECT CAST(hamming // 4 AS INTEGER) AS hd_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM hd GROUP BY 1
+    """,
+)
+def multimodal_phash_pairs(spark, sf_dir):
+    """NEW OPERATOR (round 11): the Hamming VERIFY stage that completes
+    the image near-dup pipeline (operators/multimodal.py phash_pairs;
+    MMDS §3.4 — the minhash_near_dups candidates->verify geometry,
+    round-10 verdict item 4): phash_buckets counted the candidates,
+    this materializes them bucket-confined (join on (band, value),
+    never all-pairs; a pair sharing several bands is verified once) and
+    verifies each with the nibble-Hamming distance over the full
+    32-hex-char fingerprint. The query folds the verified pairs to the
+    Hamming histogram (buckets of 4 nibbles), which checks the whole
+    pipeline distributionally — candidate counts AND the Hamming kernel
+    — in one stable result; the oracle affords the quadratic
+    recomputation at fixture scale, exactly dedup_minhash_lsh's oracle
+    strategy. The mapInPandas decode is pinned so it runs once, not
+    once per join side."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        phash_pairs,
+    )
+
+    d = attach_fake_images(load(spark, sf_dir, "documents"))
+    pairs = phash_pairs(d)
+    return (
+        pairs.groupBy(
+            F.expr("hamming div 4").cast("int").alias("hd_bucket")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

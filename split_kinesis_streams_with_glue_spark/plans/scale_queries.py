@@ -3218,3 +3218,137 @@ def quality_cochran_armitage(spark, sf_dir):
         )
     )
     return cochran_armitage(d, "len_level", "is_en")
+
+
+@query(
+    since=11,
+    name="quality_mcnemar",
+    oracle=r"""
+    WITH g AS (
+      SELECT n_chars >= 300 AS a,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> w <> '')) >= 55 AS b
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS ab,
+             SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS ba
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(COALESCE(ab, 0) AS BIGINT) AS n_discordant_ab,
+           CAST(COALESCE(ba, 0) AS BIGINT) AS n_discordant_ba,
+           CASE WHEN ab + ba > 0
+                THEN ROUND((ab - ba) * (ab - ba) * 1.0 / (ab + ba), 6)
+           END AS chi2,
+           CASE WHEN ab + ba > 0
+                THEN ROUND(GREATEST(ABS(ab - ba) - 1.0, 0.0)
+                           * GREATEST(ABS(ab - ba) - 1.0, 0.0)
+                           / (ab + ba), 6)
+           END AS chi2_corrected
+    FROM agg
+    """,
+)
+def quality_mcnemar(spark, sf_dir):
+    """NEW OPERATOR (round 11): McNemar's paired-gate test
+    (operators/quality_checks.py mcnemar; McNemar, Psychometrika 1947;
+    Edwards 1948 continuity correction) — do the char-length gate
+    (n_chars >= 300) and the token-length gate (>= 55 whitespace
+    tokens) disagree symmetrically on the same documents? THE
+    statistic for comparing two versions of a quality gate on one
+    corpus: only the discordant cells carry information, so the rows
+    both gates agree on (the vast majority) cannot drown the
+    comparison the way a raw pass-rate diff does. One pass, four
+    exact integer counts, one division per statistic."""
+    from split_kinesis_streams_with_glue_spark.functions.textfns import (
+        whitespace_tokens,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mcnemar,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    return mcnemar(
+        d,
+        F.col("n_chars") >= 300,
+        F.size(whitespace_tokens(F.lower(F.col("text")))) >= 55,
+    )
+
+
+@query(
+    since=11,
+    name="quality_jonckheere",
+    oracle="""
+    WITH pts AS (
+      SELECT EXTRACT(HOUR FROM ts) // 4 AS g, FLOOR(value) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    hist AS (SELECT g, v, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+    j2 AS (
+      SELECT SUM(CAST(a.c AS HUGEINT) * b.c
+                 * (CASE WHEN a.v < b.v THEN 2 ELSE 1 END)) AS j2
+      FROM hist a JOIN hist b ON a.g < b.g AND a.v <= b.v
+    ),
+    gs AS (
+      SELECT SUM(CAST(nj AS HUGEINT)) AS n, COUNT(*) AS k,
+             SUM(CAST(nj AS HUGEINT) * nj) AS s2,
+             SUM(CAST(nj AS HUGEINT) * (nj - 1) * (2 * nj + 5)) AS g25,
+             SUM(CAST(nj AS HUGEINT) * (nj - 1) * (nj - 2)) AS g3,
+             SUM(CAST(nj AS HUGEINT) * (nj - 1)) AS g2
+      FROM (SELECT g, SUM(c) AS nj FROM hist GROUP BY g) q
+    ),
+    ts_ AS (
+      SELECT SUM(CAST(tu AS HUGEINT) * (tu - 1) * (2 * tu + 5)) AS t25,
+             SUM(CAST(tu AS HUGEINT) * (tu - 1) * (tu - 2)) AS t3,
+             SUM(CAST(tu AS HUGEINT) * (tu - 1)) AS t2
+      FROM (SELECT v, SUM(c) AS tu FROM hist GROUP BY v) q
+    ),
+    z AS (
+      SELECT n, k, j2,
+             CAST(n * n - s2 AS DOUBLE) / 2.0 AS mean2,
+             CAST(n * (n - 1) * (2 * n + 5) - g25 - t25 AS DOUBLE) / 72.0
+               + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                 / (36.0 * n * (n - 1.0) * (n - 2.0))
+               + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                 / (8.0 * n * (n - 1.0)) AS var
+      FROM j2 CROSS JOIN gs CROSS JOIN ts_
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+           CAST(COALESCE(j2, 0) AS VARCHAR) AS j_times2,
+           CASE WHEN k >= 2 AND var > 0 AND n > 2
+                THEN ROUND((CAST(j2 AS DOUBLE) - mean2)
+                           / (2.0 * sqrt(var)), 6)
+           END AS z_score
+    FROM z
+    """,
+)
+def quality_jonckheere(spark, sf_dir):
+    """NEW OPERATOR (round 11): Jonckheere-Terpstra ordered-alternative
+    test (operators/quality_checks.py jonckheere_terpstra; Jonckheere
+    1954, Terpstra 1952; tie-corrected moments per Hollander & Wolfe
+    §6.2) — does event VALUE rise across the six 4-hour blocks of the
+    day? The continuous-response companion of quality_cochran_armitage
+    (binary response) and the ordered refinement of
+    quality_kruskal_wallis (which sees any difference, not a trend).
+    One groupBy collapses the corpus to the (block, floor(value))
+    histogram; the pair stage is a range join over THAT bounded frame
+    (floor() is the documented bucket-first contract for continuous
+    responses); 2J folds exactly as DECIMAL(38,0) and is emitted as
+    its digit string (the auc_rank convention), the moment folds stay
+    decimal-exact, and z is the only float."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        jonckheere_terpstra,
+    )
+
+    d = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            (F.hour("ts").cast("long") / 4).cast("long").alias("hour_block"),
+            F.floor("value").cast("long").alias("v"),
+        )
+    )
+    return jonckheere_terpstra(d, "hour_block", "v")

@@ -2592,3 +2592,204 @@ def test_cohens_kappa_hand_computed(spark):
         spark.createDataFrame([("k", "k")] * 3, "a string, b string"), "a", "b"
     ).collect()
     assert d["p_expected"] == 1.0 and d["kappa"] is None
+
+
+def test_ljung_box_hand_computed(spark):
+    """Series [1,2,3,2] over 4 consecutive days, L=2: mean 2, centered
+    [-1,0,1,0], denom 2; r1 = 0, r2 = -0.5; Q = 4*6*(0 + 0.25/2) = 3.0.
+    Constant series: every acf NULL -> Q NULL but n still reports."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 5)]
+    df = spark.createDataFrame(
+        list(zip(days, [1.0, 2.0, 3.0, 2.0])), "d date, x double"
+    )
+    [r] = ljung_box(df, "d", "x", max_lag=2).collect()
+    assert r["n"] == 4 and r["lags_used"] == 2 and r["df"] == 2
+    assert abs(r["q_stat"] - 3.0) < 1e-9
+
+    const = spark.createDataFrame(
+        list(zip(days, [5.0] * 4)), "d date, x double"
+    )
+    [c] = ljung_box(const, "d", "x", max_lag=2).collect()
+    assert c["n"] == 4 and c["lags_used"] == 0 and c["q_stat"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    """Day series [5,1,4,2,6]: lower median (rank 3 of sorted
+    [1,2,4,5,6]) = 4, excluded; signs in day order [+,-,-,+] -> 3 runs,
+    n1 = n2 = 2, mu = 3, so z = 0. One-sided leftovers -> z NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 4.0), (4, 2.0), (5, 6.0)],
+        "d int, x double",
+    )
+    [r] = runs_test(df, "d", "x").collect()
+    assert r["n_pos"] == 2 and r["n_neg"] == 2 and r["runs"] == 3
+    assert r["z_score"] == 0.0
+
+    one_sided = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 2.0)], "d int, x double"
+    )
+    [o] = runs_test(one_sided, "d", "x").collect()
+    assert o["n_pos"] == 1 and o["n_neg"] == 0 and o["runs"] == 1
+    assert o["z_score"] is None
+
+
+def test_permutation_entropy_hand_computed(spark):
+    """[1,2,3,2,1]: triples (1,2,3)->012, (2,3,2)->021, (3,2,1)->210 —
+    three windows, three patterns, H = ln 3, normalized H/ln 6. A
+    strictly increasing series collapses to one pattern: H = 0."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate([1.0, 2.0, 3.0, 2.0, 1.0])],
+        "d int, x double",
+    )
+    [r] = permutation_entropy(df, "d", "x").collect()
+    assert r["n_windows"] == 3 and r["n_patterns"] == 3
+    # the operator folds 9-dp-rounded -p*ln p terms
+    h = 3 * round(-(1 / 3) * math.log(1 / 3), 9)
+    assert abs(r["perm_entropy"] - round(h, 6)) < 1e-9
+    assert abs(r["perm_entropy_norm"] - round(h / math.log(6.0), 6)) < 1e-9
+
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "d int, x double"
+    )
+    [m] = permutation_entropy(inc, "d", "x").collect()
+    assert m["n_windows"] == 4 and m["n_patterns"] == 1
+    assert m["perm_entropy"] == 0.0 and m["perm_entropy_norm"] == 0.0
+
+    short = spark.createDataFrame([(1, 1.0), (2, 2.0)], "d int, x double")
+    [s] = permutation_entropy(short, "d", "x").collect()
+    assert s["n_windows"] == 0 and s["perm_entropy"] is None
+
+
+def test_hurst_rs_ramp_and_constant(spark):
+    """A strict linear ramp is maximally persistent: R/S grows ~ s, so
+    the fitted H sits near 1 (scales 8/16/32 survive at n = 64; 64
+    itself is dropped by the >= 2-full-blocks rule). A constant series
+    has sd = 0 in every block -> no scale survives -> NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hurst_rs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "d int, x double"
+    )
+    [r] = hurst_rs(df, "d", "x", min_scale=8, n_scales=4).collect()
+    assert r["n"] == 64 and r["scales_used"] == 3
+    assert 0.9 < r["hurst_exponent"] < 1.1
+
+    const = spark.createDataFrame(
+        [(i, 3.0) for i in range(64)], "d int, x double"
+    )
+    [c] = hurst_rs(const, "d", "x", min_scale=8, n_scales=4).collect()
+    assert c["scales_used"] == 0 and c["hurst_exponent"] is None
+
+
+def test_mcnemar_hand_computed(spark):
+    """Gates (T,T),(T,F),(T,F),(F,T),(F,F): b = 2, c = 1 ->
+    chi2 = 1/3; Edwards-corrected (|1|-1)^2/3 = 0. All-concordant
+    input -> both NULL (no disagreement to test)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mcnemar,
+    )
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (True, False), (False, True),
+         (False, False)],
+        "a boolean, b boolean",
+    )
+    [r] = mcnemar(df, "a", "b").collect()
+    assert r["n"] == 5
+    assert r["n_discordant_ab"] == 2 and r["n_discordant_ba"] == 1
+    assert abs(r["chi2"] - 0.333333) < 1e-9
+    assert r["chi2_corrected"] == 0.0
+
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    [a] = mcnemar(agree, "a", "b").collect()
+    assert a["chi2"] is None and a["chi2_corrected"] is None
+
+
+def test_jonckheere_hand_computed(spark):
+    """Groups 1:[1,2], 2:[2,3]: J* = 3·1 + 0.5 = 3.5 -> j_times2 '7';
+    E(J) = (16-8)/4 = 2; tie-corrected Var = 102/72 + 0 + 8/96 = 1.5;
+    z = 1.5/sqrt(1.5). Single group -> z NULL."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3)], "g int, v int"
+    )
+    [r] = jonckheere_terpstra(df, "g", "v").collect()
+    assert r["n"] == 4 and r["n_groups"] == 2
+    assert r["j_times2"] == "7"
+    assert abs(r["z_score"] - round(1.5 / math.sqrt(1.5), 6)) < 1e-9
+
+    single = spark.createDataFrame([(1, 1), (1, 5)], "g int, v int")
+    [s] = jonckheere_terpstra(single, "g", "v").collect()
+    assert s["n_groups"] == 1 and s["z_score"] is None
+
+
+def test_burrows_delta_hand_computed(spark):
+    """Two sources with mirrored term shares ('a a b' vs 'a b b') over
+    the full 2-term vocabulary: each term z-scores to ±1, so Delta =
+    mean(|1-(-1)|, |-1-1|) = 2. Identical sources kill every term's
+    across-group variance -> empty output."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        burrows_delta,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a b b")], "source string, text string"
+    )
+    [r] = burrows_delta(df, "text", "source", m=2).collect()
+    assert (r["group_a"], r["group_b"]) == ("s1", "s2")
+    assert r["n_terms_used"] == 2
+    assert abs(r["delta"] - 2.0) < 1e-6
+
+    same = spark.createDataFrame(
+        [("s1", "x y"), ("s2", "x y")], "source string, text string"
+    )
+    assert burrows_delta(same, "text", "source", m=2).count() == 0
+
+
+def test_phash_pairs_identical_signature(spark):
+    """doc_ids 1537 and 3073 share (w, h, channels, digit count) in the
+    fake-image scheme -> identical fingerprints -> a candidate pair at
+    Hamming 0; any other (chance band-collision) pair must be > 0."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        phash_pairs,
+    )
+
+    df = attach_fake_images(
+        spark.createDataFrame([(1537,), (3073,), (42,)], "doc_id long")
+    )
+    rows = phash_pairs(df).collect()
+    zero = [(r["doc_id_a"], r["doc_id_b"]) for r in rows if r["hamming"] == 0]
+    assert zero == [(1537, 3073)]
+    assert all(
+        r["hamming"] > 0 for r in rows
+        if (r["doc_id_a"], r["doc_id_b"]) != (1537, 3073)
+    )
+    # shared-band dedup: the identical pair collides in ALL 4 bands but
+    # must be emitted exactly once
+    assert len([r for r in rows if r["hamming"] == 0]) == 1

@@ -635,6 +635,23 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # global_rank's offset window over the #partitions-row count frame
     # (same class as sample_quantile_normalize)
     "sample_systematic_interval": {"unpartitioned-window"},
+    # --- round-11 queries ---
+    # crossJoins of the 1-row mean/denominator/count aggregates and the
+    # 7-row lag spine against the calendar-bounded day series — the acf
+    # geometry (same classes as events_cross_correlation)
+    "events_ljung_box": {"cartesian-product"},
+    # row_number + lag windows over the calendar-bounded day frame (the
+    # documented single-partition moment); median/count broadcasts
+    "events_runs_test": {"cartesian-product", "unpartitioned-window"},
+    # row_number index over the calendar-bounded hour frame; 1-row count
+    # and <= 4-row scale-spine broadcasts (the haar_energy geometry)
+    "events_hurst_rs": {"cartesian-product", "unpartitioned-window"},
+    # lead windows over the calendar-bounded hour frame; 1-row pattern
+    # total broadcast against the <= 6-row pattern histogram
+    "events_permutation_entropy": {"cartesian-product", "unpartitioned-window"},
+    # crossJoins of the 1-row J fold and the 1-row group/tie moment
+    # aggregates — bounded by design
+    "quality_jonckheere": {"cartesian-product"},
 }
 
 

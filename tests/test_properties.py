@@ -2174,3 +2174,214 @@ def test_systematic_sample_matches_naive_rule(spark, n, m):
     ]
     assert len(got) == m
     assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_jonckheere_matches_pairwise_definition(spark, rows):
+    """J-T must equal the literal pairwise count (2 per strict rise, 1
+    per tie across ordered group pairs), and z must match the
+    tie-corrected Hollander-Wolfe moments computed independently."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(rows, "g int, v int")
+    [r] = jonckheere_terpstra(df, "g", "v").collect()
+
+    j2 = sum(
+        2 if vi < vj else 1
+        for gi, vi in rows
+        for gj, vj in rows
+        if gi < gj and vi <= vj
+    )
+    assert r["j_times2"] == str(j2)
+    n = len(rows)
+    groups = {}
+    ties = {}
+    for g, v in rows:
+        groups[g] = groups.get(g, 0) + 1
+        ties[v] = ties.get(v, 0) + 1
+    k = len(groups)
+    s2 = sum(c * c for c in groups.values())
+    mean2 = (n * n - s2) / 2.0
+    g25 = sum(c * (c - 1) * (2 * c + 5) for c in groups.values())
+    g3 = sum(c * (c - 1) * (c - 2) for c in groups.values())
+    g2 = sum(c * (c - 1) for c in groups.values())
+    t25 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t3 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t2 = sum(t * (t - 1) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - g25 - t25) / 72.0
+    if n > 2:
+        var += g3 * t3 / (36.0 * n * (n - 1) * (n - 2))
+        var += g2 * t2 / (8.0 * n * (n - 1))
+    if k < 2 or n <= 2 or var <= 0:
+        assert r["z_score"] is None
+    else:
+        z = (j2 - mean2) / (2.0 * math.sqrt(var))
+        assert abs(r["z_score"] - round(z, 6)) < 1e-9
+
+
+@SET
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=25))
+def test_runs_test_matches_naive_count(spark, xs):
+    """Runs/sign counts must equal the literal day-order recount against
+    the lower median, and z the closed-form moments."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "d int, x double"
+    )
+    [r] = runs_test(df, "d", "x").collect()
+
+    n_all = len(xs)
+    med = sorted(xs)[(n_all + 1) // 2 - 1]
+    signs = [x > med for x in xs if x != med]
+    runs = sum(
+        1 for i, s in enumerate(signs) if i == 0 or s != signs[i - 1]
+    )
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    assert (r["n_pos"], r["n_neg"], r["runs"]) == (n1, n2, runs)
+    if n1 == 0 or n2 == 0:
+        assert r["z_score"] is None
+    else:
+        nn = float(n1 + n2)
+        two = 2.0 * n1 * n2
+        var = two * (two - nn) / (nn * nn * (nn - 1.0))
+        z = (runs - (two / nn + 1.0)) / math.sqrt(var)
+        assert abs(r["z_score"] - round(z, 6)) < 1e-9
+
+
+@SET
+@given(st.lists(st.integers(0, 4), min_size=3, max_size=25))
+def test_permutation_entropy_matches_naive(spark, xs):
+    """Pattern histogram and entropy must equal the literal
+    order-of-appearance-tie recount."""
+    import math
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "d int, x double"
+    )
+    [r] = permutation_entropy(df, "d", "x").collect()
+
+    pats = Counter()
+    for i in range(len(xs) - 2):
+        tri = xs[i : i + 3]
+        ranks = [
+            sum(1 for j, o in enumerate(tri) if o < v or (o == v and j < k))
+            for k, v in enumerate(tri)
+        ]
+        pats[tuple(ranks)] += 1
+    nw = sum(pats.values())
+    assert r["n_windows"] == nw and r["n_patterns"] == len(pats)
+    h = sum(round(-(c / nw) * math.log(c / nw), 9) for c in pats.values())
+    assert abs(r["perm_entropy"] - round(h, 6)) < 1e-9
+    assert abs(r["perm_entropy_norm"] - round(h / math.log(6.0), 6)) < 1e-9
+
+
+@SET
+@given(st.lists(st.integers(0, 5), min_size=2, max_size=20))
+def test_ljung_box_matches_naive(spark, xs):
+    """Q must equal the literal acf recomputation over consecutive days
+    with the operator's exact quantization (6-dp acf, 9-dp terms)."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(len(xs))]
+    df = spark.createDataFrame(
+        list(zip(days, [float(x) for x in xs])), "d date, x double"
+    )
+    L = 3
+    [r] = ljung_box(df, "d", "x", max_lag=L).collect()
+
+    n = len(xs)
+    mu = sum(xs) / n
+    c = [x - mu for x in xs]
+    den = sum(v * v for v in c)
+    terms = []
+    for k in range(1, L + 1):
+        num = sum(c[t] * c[t + k] for t in range(n - k))
+        if n - k <= 0:
+            continue  # no pairs at this lag
+        if den != 0:
+            rk = round(num / den, 6)
+            if k < n:
+                terms.append(round(rk * rk / (n - k), 9))
+    assert r["n"] == n and r["lags_used"] == len(terms)
+    if terms and n > 1:
+        q = round(n * (n + 2.0) * sum(terms), 6)
+        assert abs(r["q_stat"] - q) < 1e-9
+    else:
+        assert r["q_stat"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=30
+    )
+)
+def test_mcnemar_matches_naive(spark, rows):
+    """Discordant counts and both chi-squares equal the literal recount."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mcnemar,
+    )
+
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    [r] = mcnemar(df, "a", "b").collect()
+    b = sum(1 for a, bb in rows if a and not bb)
+    c = sum(1 for a, bb in rows if bb and not a)
+    assert (r["n_discordant_ab"], r["n_discordant_ba"]) == (b, c)
+    if b + c == 0:
+        assert r["chi2"] is None
+    else:
+        assert abs(r["chi2"] - round((b - c) ** 2 / (b + c), 6)) < 1e-9
+        corr = max(abs(b - c) - 1.0, 0.0)
+        assert abs(
+            r["chi2_corrected"] - round(corr * corr / (b + c), 6)
+        ) < 1e-9
+
+
+def test_burrows_delta_identical_sources_have_zero_delta(spark):
+    """Two sources sharing the exact text must sit at Delta 0 of each
+    other while both sit strictly above 0 from a different third."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        burrows_delta,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "alpha beta beta gamma"),
+            ("s2", "alpha beta beta gamma"),
+            ("s3", "gamma gamma delta delta alpha"),
+        ],
+        "source string, text string",
+    )
+    rows = {
+        (r["group_a"], r["group_b"]): r["delta"]
+        for r in burrows_delta(df, "text", "source", m=4).collect()
+    }
+    assert rows[("s1", "s2")] == 0.0
+    assert rows[("s1", "s3")] > 0.0 and rows[("s2", "s3")] > 0.0
+    assert rows[("s1", "s3")] == rows[("s2", "s3")]
