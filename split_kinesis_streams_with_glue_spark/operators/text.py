@@ -1561,13 +1561,16 @@ def burrows_delta(
         F.count(F.lit(1)).alias("__k"),
         dsum(F.col("__f") * F.col("__f")).alias("__ss"),
     )
-    # population std over the group set; zero-variance terms dropped
-    sd = F.sqrt(
-        F.col("__ss") / F.col("__k") - F.col("__mu") * F.col("__mu")
-    )
+    # population std over the group set; zero-variance terms dropped.
+    # Guard on the VARIANCE before the sqrt: a term with identical 9-dp
+    # frequency in every group can land at ss/k − mu² ≈ −1e-18 in float,
+    # where sqrt is NaN in Spark (NaN > threshold is TRUE — the term
+    # would silently survive) and an error in DuckDB
+    var = F.col("__ss") / F.col("__k") - F.col("__mu") * F.col("__mu")
+    sd = F.sqrt(var)
     zed = (
         freq.join(F.broadcast(stats), "__t")
-        .filter(sd > 1e-12)
+        .filter(var > 1e-24)
         .select(
             "__g",
             "__t",

@@ -1045,11 +1045,18 @@ def hurst_rs(
         (F.col("__x") - F.col("__m")).alias("__dev"),
         F.sum(F.col("__x") - F.col("__m")).over(wC).alias("__c"),
     )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
     per_block = cum.groupBy("__s", "__b").agg(
         (F.max("__c") - F.min("__c")).alias("__rng"),
-        F.sqrt(F.avg(F.col("__dev") * F.col("__dev"))).alias("__sd"),
+        # 9-dp-quantized dev² terms summed as decimal, mirroring the
+        # oracle exactly: a raw-double fold here computes a DIFFERENT
+        # quantity (dev² of a count series is an exact multiple of 1/s²,
+        # 10+ decimal digits at s >= 32) and diverges on rounding knife
+        # edges even though the fixture happens to agree at 6 dp
+        F.sqrt(
+            dsum(F.col("__dev") * F.col("__dev")) / F.count(F.lit(1))
+        ).alias("__sd"),
     )
-    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
     per_scale = (
         per_block.filter(F.col("__sd") > 0)
         .groupBy("__s")
@@ -1057,7 +1064,6 @@ def hurst_rs(
             dsum(F.col("__rng") / F.col("__sd")).alias("__rs_sum"),
             F.count(F.lit(1)).alias("__nb"),
         )
-        .filter(F.col("__nb") > 0)
         .select(
             F.log(F.col("__s").cast("double")).alias("__lx"),
             F.log(

@@ -2937,8 +2937,9 @@ def events_ljung_box(spark, sf_dir):
              SUM(nr) AS r
       FROM fl
     )
-    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
-           CAST(r AS BIGINT) AS runs,
+    SELECT CAST(COALESCE(n1, 0) AS BIGINT) AS n_pos,
+           CAST(COALESCE(n2, 0) AS BIGINT) AS n_neg,
+           CAST(COALESCE(r, 0) AS BIGINT) AS runs,
            CASE WHEN n1 > 0 AND n2 > 0
                  AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
                      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) > 0

@@ -5441,7 +5441,7 @@ def sample_systematic_interval(spark, sf_dir):
       SELECT f.g, f.t,
              ROUND((f.f - s.mu) / sqrt(s.ss / s.k - s.mu * s.mu), 9) AS z
       FROM freq f JOIN stats s ON f.t = s.t
-      WHERE sqrt(s.ss / s.k - s.mu * s.mu) > 1e-12
+      WHERE s.ss / s.k - s.mu * s.mu > 1e-24
     )
     SELECT a.g AS group_a, b.g AS group_b,
            CAST(COUNT(*) AS BIGINT) AS n_terms_used,

@@ -2385,3 +2385,37 @@ def test_burrows_delta_identical_sources_have_zero_delta(spark):
     assert rows[("s1", "s2")] == 0.0
     assert rows[("s1", "s3")] > 0.0 and rows[("s2", "s3")] > 0.0
     assert rows[("s1", "s3")] == rows[("s2", "s3")]
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 5)),
+        min_size=4,
+        max_size=25,
+    )
+)
+def test_jonckheere_at_k2_is_mann_whitney(spark, rows):
+    """The docstring's pinned invariant: with two ordered groups, J-T IS
+    Mann-Whitney — the z from jonckheere_terpstra(g in {0,1}) must match
+    mann_whitney_u(split = g)'s tie-corrected normal approximation (both
+    unrounded quantities are algebraically identical; 6-dp rounding can
+    split them by at most one ulp of the last digit)."""
+    from pyspark.sql import functions as F
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        jonckheere_terpstra,
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [(int(g), v) for g, v in rows], "g int, v int"
+    )
+    [jt] = jonckheere_terpstra(df, "g", "v").collect()
+    [mw] = mann_whitney_u(df, "v", F.col("g") == 1).collect()
+    if jt["n_groups"] < 2:
+        return  # one-sided draw: MW z is NULL too, nothing to compare
+    if jt["z_score"] is None:
+        assert mw["z_score"] is None
+    else:
+        assert abs(jt["z_score"] - mw["z_score"]) <= 1.1e-6
