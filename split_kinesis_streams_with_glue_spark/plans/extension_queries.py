@@ -5499,9 +5499,10 @@ def text_burrows_delta(spark, sf_dir):
     ),
     hd AS (
       SELECT ia, ib,
-             (SELECT COUNT(*) FROM generate_series(1, 32) g(i)
-              WHERE substring(fa, CAST(i AS INTEGER), 1)
-                    <> substring(fb, CAST(i AS INTEGER), 1)) AS hamming
+             len(list_filter(generate_series(1, 32),
+                             i -> substring(fa, CAST(i AS INTEGER), 1)
+                                  <> substring(fb, CAST(i AS INTEGER), 1)))
+               AS hamming
       FROM cand
     )
     SELECT CAST(hamming // 4 AS INTEGER) AS hd_bucket,
