@@ -2419,3 +2419,62 @@ def test_jonckheere_at_k2_is_mann_whitney(spark, rows):
         assert mw["z_score"] is None
     else:
         assert abs(jt["z_score"] - mw["z_score"]) <= 1.1e-6
+
+
+@SET
+@given(st.lists(st.integers(0, 9), min_size=16, max_size=80))
+def test_hurst_rs_matches_naive(spark, xs):
+    """The fitted H must equal a literal pure-Python R/S recomputation
+    with the operator's exact quantization (9-dp decimal folds for the
+    per-block variance, per-scale mean, and OLS terms)."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hurst_rs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "d int, x double"
+    )
+    [r] = hurst_rs(df, "d", "x", min_scale=4, n_scales=3).collect()
+
+    n = len(xs)
+    pts = []
+    for j in range(3):
+        s = 4 * (2**j)
+        if n // s < 2:
+            continue
+        rs_terms = []
+        for b in range(n // s):
+            block = xs[b * s : (b + 1) * s]
+            m = sum(block) / s
+            cum, c, lo, hi = 0.0, [], None, None
+            for v in block:
+                cum += v - m
+                lo = cum if lo is None else min(lo, cum)
+                hi = cum if hi is None else max(hi, cum)
+            rng = hi - lo
+            sd = math.sqrt(
+                sum(round((v - m) * (v - m), 9) for v in block) / s
+            )
+            if sd > 0:
+                rs_terms.append(round(rng / sd, 9))
+        if rs_terms:
+            avg = round(sum(rs_terms) / len(rs_terms), 9)
+            pts.append((math.log(s), math.log(avg)))
+    assert r["n"] == n and r["scales_used"] == len(pts)
+    if len(pts) < 2:
+        assert r["hurst_exponent"] is None
+        return
+    k = len(pts)
+    sx = sum(round(x, 9) for x, _ in pts)
+    sy = sum(round(y, 9) for _, y in pts)
+    sxy = sum(round(x * y, 9) for x, y in pts)
+    sxx = sum(round(x * x, 9) for x, _ in pts)
+    den = k * sxx - sx * sx
+    if den == 0:
+        assert r["hurst_exponent"] is None
+    else:
+        assert abs(
+            r["hurst_exponent"] - round((k * sxy - sx * sy) / den, 6)
+        ) < 2e-6
