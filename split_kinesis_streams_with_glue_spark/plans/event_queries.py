@@ -3111,7 +3111,9 @@ def events_permutation_entropy(spark, sf_dir):
     )
 
     ev = load(spark, sf_dir, "events")
-    s = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count(F.lit(1)).cast("double").alias("x")
+    s = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .localCheckpoint(eager=False)  # hour frame feeds 3 plan branches
     )
     return permutation_entropy(s, "h", "x")
