@@ -105,7 +105,16 @@ def kmeans_centroids(
     holding. Buckets that lose every member drop out (k may shrink);
     centroid ids are re-numbered 0..k-1 by bucket for stability. Cost per
     iteration is one corpus×k broadcast scan plus a corpus×dim shuffle of
-    3-column rows — run once offline at scale, then persist the codebook."""
+    3-column rows — run once offline at scale, then persist the codebook.
+
+    Each iteration's k-row centroid frame is PINNED with
+    ``localCheckpoint(eager=False)`` (the raking_ipf/pca_power idiom):
+    without the pin, iteration i's assignment crossJoins the corpus
+    against a centroid plan whose lineage embeds every PRIOR iteration's
+    corpus scan, so the executed plan re-reads the corpus once per Lloyd
+    step (the round-11 executed-plan audit measured 21 FileScan leaves in
+    the PQ contract query). Pinned, the final plan holds one corpus scan
+    plus the bounded checkpointed codebook."""
     cents = choose_centroids(corpus, n_centroids, id_col, vec_col)
     for _ in range(n_iters):
         assigned = assign_buckets(corpus, cents, id_col, vec_col, normalized)
@@ -127,7 +136,7 @@ def kmeans_centroids(
         cents = means.select(
             F.col("bucket").alias("centroid_id"),
             F.transform("raw", lambda x: x / norm).alias("centroid_vec"),
-        )
+        ).localCheckpoint(eager=False)
     w = Window.orderBy("centroid_id")  # bounded: k rows
     return cents.withColumn("centroid_id", F.row_number().over(w) - 1)
 

@@ -725,3 +725,27 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), (
         "no dynamicpruningexpression in the plan — DPP did not fire"
     )
+
+
+def test_lloyd_iterations_do_not_reembed_corpus_scan(spark, sf_dir):
+    """Round-11 executed-plan audit: the un-pinned Lloyd loops in
+    kmeans_centroids and pq_train re-embedded every prior iteration's
+    corpus scan in the next assignment's lineage (21 FileScan leaves in
+    the PQ contract query). Each iteration's bounded codebook is now
+    localCheckpoint-pinned; the trained codebook's own executed plan must
+    hold at most the final materialization's scans."""
+    from split_kinesis_streams_with_glue_spark.operators.quantize import pq_train
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, 4, n_iters=3)
+    cents.collect()
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, plan
+
+    cb = pq_train(emb, m=4, ksub=4, n_iters=3)
+    cb.collect()
+    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, plan
