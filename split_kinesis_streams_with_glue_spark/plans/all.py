@@ -213,6 +213,47 @@ round 10 was the second consecutive fully-green 50/50):
    in-flight round exceeds 4 + sla=7 = 11 — i.e. round 12's window must
    and will cover them; DEFERRED stays empty because the SLA test's own
    arithmetic already schedules them).
+
+ROUND-12 WINDOW (derived by set-diff against CORRECTNESS_r01..r10 —
+**the driver never produced ``CORRECTNESS_r11.json``**, a first; the
+round-11 verdict confirms the artifact was simply not written even
+though the judge's own fresh-session run re-proved the at-risk queries.
+Consequence: the round-11 window's 50 slots — 10 ``since=10`` + 40
+r4-stale re-verifications — have NO driver rows, so the true set-diff
+now shows 18 never-checked (10 ``since=10`` + 8 ``since=11``) and the
+45 r4-stale queries still stale.  The slate the round-11 verdict
+prescribed for this round assumed r11 had landed; per the standing rule
+(the list is always REGENERATED from the artifacts, never
+hand-maintained), this window follows the actual artifacts instead):
+
+1. the 8 ``since=11`` registrations (never checked; all 8 judge-verified
+   MATCH in the round-11 fresh-plain-session run):
+   ``events_ljung_box``, ``events_runs_test``, ``events_hurst_rs``,
+   ``events_permutation_entropy``, ``quality_mcnemar``,
+   ``quality_jonckheere``, ``text_burrows_delta``,
+   ``multimodal_phash_pairs``;
+2. the 10 ``since=10`` registrations (their one-round exemption expired
+   at round 11, but the missing artifact means they are STILL never
+   checked; all 10 were judge-parity-green in the round-10 session);
+3. the 6 rows-only sketches — the stalest evidence rows in the registry
+   (``agg_approx_count_distinct`` r1-newest; ``percentiles_approx``,
+   ``dedup_simhash``, ``dedup_semantic``, ``sim_ann_ivf_topk``,
+   ``sim_ann_lsh_topk`` r4-newest) — the round-11 verdict's explicit
+   pick (item 2);
+4. 26 staleness re-verifications: the first 26 (registration order) of
+   the 40 oracle-backed r4-newest queries (``agg_cube`` …
+   ``events_quantile_sketch_contract``).
+
+The 14 oracle-backed r4-stale leftovers (``events_stream_topk`` …
+``sample_weighted_pps``) CANNOT fit: 18 never-checked is forced by the
+rotation tests and 18 + 6 + 40 = 64 > 50.  They age past the SLA the
+moment ``CORRECTNESS_r12.json`` lands (newest=4 ages out when the
+in-flight round exceeds 4 + sla=8 = 12), so the SLA test will turn red
+at that instant and round 13's first commit MUST window them — exactly
+the forcing behavior the test was built for; the red is the visible
+record of the driver's skipped round, not a silent parking.  The 45
+r5-stale queries stay inside the SLA (newest=5 ages out only when the
+in-flight round exceeds 13) and rotate in rounds 13–14.
 """
 
 from __future__ import annotations
@@ -227,8 +268,19 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 10 since=10 registrations (one-round exemption expires;
-    # all 10 judge-parity-green in the round-10 session) ---
+    # --- the 8 since=11 registrations (never checked — the driver never
+    # wrote CORRECTNESS_r11.json; all 8 judge-MATCH in the round-11
+    # fresh-plain-session run) ---
+    "events_ljung_box",
+    "events_runs_test",
+    "events_hurst_rs",
+    "events_permutation_entropy",
+    "quality_mcnemar",
+    "quality_jonckheere",
+    "text_burrows_delta",
+    "multimodal_phash_pairs",
+    # --- the 10 since=10 registrations (STILL never checked for the
+    # same reason; all 10 judge-parity-green in the round-10 session) ---
     "quality_brown_forsythe",
     "quality_theil_u",
     "quality_cochran_armitage",
@@ -239,10 +291,20 @@ _VERIFY_PRIORITY: list[str] = [
     "events_haar_energy",
     "multimodal_phash_buckets",
     "sample_systematic_interval",
-    # --- 40 staleness re-verifications: the round-10 verdict's named
-    # slate from the 45 r4-newest queries (the other 5 rotate round 12,
-    # inside the SLA).  Grouped by family; within the window order
-    # carries no meaning — the driver checks all 50. ---
+    # --- the 6 rows-only sketches: the stalest evidence rows in the
+    # registry (r1/r4-newest), the round-11 verdict's explicit pick ---
+    "agg_approx_count_distinct",
+    "percentiles_approx",
+    "dedup_simhash",
+    "dedup_semantic",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    # --- 26 staleness re-verifications: the first 26 (registration
+    # order) of the 40 oracle-backed r4-newest queries.  The 14
+    # leftovers (events_stream_topk … sample_weighted_pps) are forced
+    # into round 13's window by the SLA test the moment
+    # CORRECTNESS_r12.json lands (see the docstring).  Within the
+    # window order carries no meaning — the driver checks all 50. ---
     "agg_cube",
     "agg_rollup",
     "agg_grouping_sets",
@@ -269,20 +331,6 @@ _VERIFY_PRIORITY: list[str] = [
     "events_ewma_trend",
     "events_heavy_hitters_contract",
     "events_quantile_sketch_contract",
-    "events_stream_topk",
-    "text_bloom_decontaminate",
-    "layout_zorder_key",
-    "layout_stats_prune",
-    "layout_zorder3_key",
-    "maintenance_compact_files",
-    "multimodal_frame_sample",
-    "multimodal_feature_ann",
-    "pipeline_entity_resolution",
-    "pipeline_publish_time_travel",
-    "profile_documents",
-    "quality_k_anonymity",
-    "sample_cluster_safe_split",
-    "sample_weighted_pps",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
