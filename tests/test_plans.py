@@ -340,7 +340,16 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     "sim_ann_quantized_ivf_contract": {"cartesian-product"},
     # crossJoin(broadcast(<1-row bounds agg>)) — bounded by design
     "events_hll_rollup_contract": {"cartesian-product"},
-    "dedup_semantic": {"cartesian-product"},
+    # centroid crossJoin bounded as above; the unpartitioned window is
+    # kmeans_centroids' final centroid renumbering (similarity.py) — a
+    # row_number over the ≤k-row codebook.  Since round 11 pinned each
+    # Lloyd iteration's codebook with localCheckpoint (executed-plan
+    # audit: 21→14 FileScans in the PQ contract), that window sits on a
+    # checkpoint RDD scan, so the linter can no longer see the bounding
+    # Aggregate below it; boundedness (k rows by construction) is
+    # asserted here, the same contract as every entry in the
+    # unpartitioned-window block below
+    "dedup_semantic": {"cartesian-product", "unpartitioned-window"},
     # crossJoin(broadcast(<1-row corpus-size agg>)) — bounded by design
     "text_unigram_logprob": {"cartesian-product"},
     # crossJoin(broadcast(<1-row raw/target total aggs>)) — bounded by design
@@ -380,7 +389,9 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # --- round-4 queries ---
     # crossJoin(broadcast(<1-row survivor-count aggregates>)) — the
     # containment contract compares two scalar counts
-    "dedup_semantic_contract": {"cartesian-product"},
+    # (unpartitioned-window: the same pinned-codebook renumbering window
+    # as dedup_semantic above — k rows by construction)
+    "dedup_semantic_contract": {"cartesian-product", "unpartitioned-window"},
     # crossJoin of the 1-row CMS estimate, 1-row exact join size, and
     # 1-row |A|/|B| aggregates — bounded by design
     "join_cms_size_contract": {"cartesian-product"},
@@ -724,6 +735,46 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), (
         "no dynamicpruningexpression in the plan — DPP did not fire"
+    )
+
+
+# Round-12 institutionalization of the executed-plan audit (round-11
+# verdict item 4): the analyzed-plan linter cannot see what an iterative
+# operator's loop does to the EXECUTED plan — unpinned per-step frames
+# re-embed every prior step's corpus scan in the next step's lineage
+# (raking_ipf r9, PCA power r10, kmeans/pq_train r11: 21 FileScan leaves
+# where 14 belong). Each entry below is an iterative or pinned-frame
+# registry query with its measured FileScan-leaf ceiling at sf0.001; a
+# pin that falls off shows up here as the count exploding past the
+# ceiling. Eagerly-pinned loops (pagerank, raking, minhash, PCA power,
+# global_rank consumers) measure 0 because the checkpoint materialized
+# their scans before the final plan; ceilings of 1 leave room for an
+# eager→lazy pin refactor without weakening the explosion guard.
+# Contract queries legitimately hold 10-20 scans across their
+# exact-vs-approx branches — their ceilings pin today's shape exactly.
+_EXECUTED_SCAN_CEILINGS: dict[str, int] = {
+    "sample_raking_ipf": 1,  # IPF scaling loop (r9 defect class)
+    "sim_pca_power_iteration": 1,  # power-iteration loop (r10 defect class)
+    "dedup_pagerank_centrality": 1,  # pagerank rounds (graph.py eager pins)
+    "dedup_minhash_lsh": 1,  # shingle/signature frames (eager pins)
+    "sample_systematic_interval": 1,  # global_rank two-pass consumer
+    "sample_quantile_normalize": 4,  # global_rank + INTEGER index mapping
+    "dedup_semantic": 4,  # kmeans Lloyd loop (r11 defect, pinned)
+    "dedup_semantic_contract": 15,  # kmeans + survivor-count branches
+    "sim_ann_pq_contract": 14,  # pq_train Lloyd loops + exact-vs-ADC branches
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXECUTED_SCAN_CEILINGS))
+def test_iterative_operator_executed_plan_scan_ceiling(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("FileScan")
+    assert n <= _EXECUTED_SCAN_CEILINGS[name], (
+        f"{name}: {n} FileScan leaves in the EXECUTED plan exceeds the "
+        f"audited ceiling {_EXECUTED_SCAN_CEILINGS[name]} — an iteration "
+        f"pin likely fell off (localCheckpoint the bounded per-step frame)"
     )
 
 
