@@ -115,6 +115,11 @@ def main() -> None:
                 "value_widened": round(sum(timings.values()), 3),
                 "steady_total_widened": round(sum(steady.values()), 3),
                 "sf": sf,
+                # host-load fingerprint (round-11 verdict item 3): a bench
+                # artifact taken on a loaded box is machine-detectable —
+                # readers should distrust totals recorded at loadavg well
+                # above idle (BENCH_r10/r11 were both load-inflated)
+                "loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -1153,3 +1153,188 @@ def permutation_entropy(
             F.round(F.col("__h") / F.log(F.lit(6.0)), 6),
         ).alias("perm_entropy_norm"),
     )
+
+
+def aov_periodogram(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    min_period: int = 2,
+    max_period: int = 10,
+) -> DataFrame:
+    """Phase-folding (analysis-of-variance) periodogram (Stellingwerf,
+    "Period determination using phase dispersion minimization", ApJ 1978;
+    Schwarzenberg-Czerny, "On the advantage of using analysis of variance
+    for period search", MNRAS 1989): for every candidate period p, fold
+    the series on phase = calendar_index mod p and score how much of the
+    total variance the p phase-bin means explain —
+    ``eta2(p) = SS_between / SS_total`` plus the one-way-ANOVA
+    ``F = (SS_b/(k−1)) / ((SS_t−SS_b)/(n−k))``. A peak at p = 7 is the
+    weekly cycle. This is the FREQUENCY-DOMAIN detector the
+    autocorrelation family (acf / ljung_box / hurst) prices only
+    indirectly — and, unlike a trig periodogram, it is FFT-free and
+    libm-free: every moment is an exact integer fold (the reason this
+    variant was chosen over Schuster 1898 — no cross-engine cos/sin ulp
+    class to manage), the textbook method for UNEVENLY sampled series,
+    so calendar gaps need no gap-fill (phases keep calendar alignment
+    via the datediff index; a missing day is simply an unobserved
+    sample, exactly Stellingwerf's setting).
+
+    Scale shape: the (day, value) frame is calendar-bounded and PINNED
+    (``localCheckpoint``) so the corpus reduction is not re-embedded
+    across the bounds/moments/phase branches; the period spine
+    (max_period − min_period + 1 rows) and the 1-row bounds/moments
+    aggregates are broadcast; the only shuffle is the
+    (period × phase)-key aggregate over days × periods rows — bounded
+    by the calendar, never by table size. Per-phase terms S²/n fold as
+    9-dp-rounded DECIMAL(38,9) (the dsum idiom) so both engines sum
+    identical quantities; sums and squared sums are DECIMAL(38,0)-exact
+    (cast BEFORE multiply — a long·long x² overflows int64 at daily
+    counts ≥ ~3e9). NULL eta2/F on a constant series (SS_total = 0);
+    NULL F when a period leaves no within-phase degrees of freedom."""
+    series = series.filter(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    spark = series.sparkSession
+    bounds = series.agg(F.min(day_col).alias("__d0"))
+    # calendar index: datediff for DATE axes, plain difference for
+    # already-integer axes (both keep gap positions, unlike row_number)
+    if dict(series.dtypes).get(day_col) == "date":
+        idx = F.datediff(F.col(day_col), F.col("__d0"))
+    else:
+        idx = F.col(day_col) - F.col("__d0")
+    base = series.crossJoin(F.broadcast(bounds)).select(
+        idx.cast("long").alias("__i"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)"))
+    v = F.col("__v")
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        dec(v).cast("double").alias("__s"),
+        F.sum(v.cast("decimal(38,0)") * v).cast("double").alias("__ss"),
+    )
+    periods = spark.range(min_period, max_period + 1).select(
+        F.col("id").cast("int").alias("period")
+    )
+    ph = (
+        base.crossJoin(F.broadcast(periods))
+        .groupBy("period", (F.col("__i") % F.col("period")).alias("__ph"))
+        .agg(
+            F.count(F.lit(1)).alias("__np"),
+            dec(v).cast("double").alias("__sp"),
+        )
+    )
+    dsum = lambda c: F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+    per = ph.groupBy("period").agg(
+        F.count(F.lit(1)).alias("__k"),
+        dsum(F.col("__sp") * F.col("__sp") / F.col("__np")).alias("__bsum"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nD = F.col("__n").cast("double")
+    kD = F.col("__k").cast("double")
+    ss_t = F.col("__ss") - F.col("__s") * F.col("__s") / nD
+    ss_b = F.col("__bsum") - F.col("__s") * F.col("__s") / nD
+    return j.select(
+        "period",
+        F.col("__k").cast("bigint").alias("n_phases"),
+        F.col("__n").cast("bigint").alias("n_days"),
+        (F.when(ss_t > 0, F.round(ss_b / ss_t, 6)) + F.lit(0.0)).alias(
+            "eta2"
+        ),
+        (
+            F.when(
+                (ss_t > 0)
+                & (ss_t - ss_b > 0)
+                & (F.col("__k") > 1)
+                & (F.col("__n") > F.col("__k")),
+                F.round(
+                    (ss_b / (kD - 1)) / ((ss_t - ss_b) / (nD - kD)), 6
+                ),
+            )
+            + F.lit(0.0)
+        ).alias("f_stat"),
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame, day_col: str = "day", value_col: str = "x"
+) -> DataFrame:
+    """CUSUM change-point detection for a shift in mean (Page,
+    "Continuous inspection schemes", Biometrika 1954; bridge
+    normalization per Csörgő & Horváth, "Limit Theorems in Change-Point
+    Analysis", 1997 §2.1): with prefix sums S_t over the day-ordered
+    series, the tied-down bridge B_t = S_t − (t/n)·S_n peaks at the
+    change point; the test statistic max_t |B_t| / (σ̂·√n) has the
+    Kolmogorov distribution under H0 (values ≳ 1.36 reject at 5%).
+    Returns the argmax day (earliest day on ties), the statistic, and
+    the mean levels on each side of the split — the one-row "did the
+    pipeline's arrival level SHIFT, and when?" gate that the monotone
+    drift (mann_kendall) and whiteness (ljung_box, runs) tests do not
+    answer.
+
+    Scale shape: one corpus pass to the calendar-bounded day frame
+    (PINNED); the prefix sum and row index are windows over that
+    bounded frame; totals are a broadcast 1-row aggregate. The bridge
+    is kept in EXACT integer space — n·S_t − t·S_n as DECIMAL(38,0)
+    (cast before multiply) — so the argmax and its tie-break compare
+    exact integers, never rounded floats; σ̂ folds from the same exact
+    moments and the statistic max|bridge| / sqrt(n·(n·ΣX² − S²)) is a
+    single fixed-order double expression. The argmax row travels
+    through ``orderBy().limit(1)`` (TakeOrderedAndProject — distributed
+    top-1, no global window). NULL statistic on a constant series
+    (σ̂ = 0); NULL mean_after when the argmax is the last day."""
+    series = series.filter(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    v = F.col(value_col).cast("long")
+    wS = Window.orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wT = Window.orderBy(day_col)
+    pre = series.select(
+        F.col(day_col).alias("__d"),
+        F.row_number().over(wT).cast("long").alias("__t"),
+        F.sum(v.cast("decimal(38,0)")).over(wS).alias("__st"),
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(v.cast("decimal(38,0)")).alias("__s"),
+        F.sum(v.cast("decimal(38,0)") * v).alias("__ss"),
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    bridge = F.col("__n").cast("decimal(38,0)") * F.col("__st") - F.col(
+        "__t"
+    ).cast("decimal(38,0)") * F.col("__s")
+    top = (
+        j.select(
+            "__d", "__t", "__st", "__n", "__s", "__ss",
+            F.abs(bridge).alias("__ab"),
+        )
+        .orderBy(F.col("__ab").desc(), F.col("__d").asc())
+        .limit(1)
+    )
+    nD = F.col("__n").cast("double")
+    var_num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__ss")
+        - F.col("__s") * F.col("__s")
+    ).cast("double")
+    tD = F.col("__t").cast("double")
+    stD = F.col("__st").cast("double")
+    sD = F.col("__s").cast("double")
+    return top.select(
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__d").alias("change_day"),
+        F.col("__t").cast("bigint").alias("change_index"),
+        F.when(
+            var_num > 0,
+            F.round(
+                F.col("__ab").cast("double") / F.sqrt(nD * var_num), 6
+            ),
+        ).alias("cusum_stat"),
+        F.round(stD / tD, 6).alias("mean_before"),
+        F.when(
+            F.col("__n") > F.col("__t"),
+            F.round((sD - stD) / (nD - tD), 6),
+        ).alias("mean_after"),
+    )

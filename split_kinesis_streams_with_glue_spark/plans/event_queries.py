@@ -3117,3 +3117,152 @@ def events_permutation_entropy(spark, sf_dir):
         .localCheckpoint(eager=False)  # hour frame feeds 3 plan branches
     )
     return permutation_entropy(s, "h", "x")
+
+
+@query(
+    "events_aov_periodogram",
+    since=12,
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(d) AS d0 FROM s),
+    base AS (
+      SELECT CAST(DATEDIFF('day', b.d0, s.d) AS BIGINT) AS i, s.x
+      FROM s CROSS JOIN b
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS ss
+      FROM base
+    ),
+    p AS (
+      SELECT CAST(unnest(generate_series(2, 10)) AS INTEGER) AS period
+    ),
+    ph AS (
+      SELECT p.period, base.i % p.period AS phph, COUNT(*) AS np,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sp
+      FROM base CROSS JOIN p GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT period, COUNT(*) AS k,
+             CAST(SUM(CAST(ROUND(sp * sp / np, 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS bsum
+      FROM ph GROUP BY 1
+    )
+    SELECT period, CAST(k AS BIGINT) AS n_phases, CAST(n AS BIGINT) AS n_days,
+      CASE WHEN (ss - st * st / n) > 0
+           THEN ROUND((bsum - st * st / n) / (ss - st * st / n), 6)
+      END + 0.0 AS eta2,
+      CASE WHEN (ss - st * st / n) > 0
+            AND ((ss - st * st / n) - (bsum - st * st / n)) > 0
+            AND k > 1 AND n > k
+           THEN ROUND(((bsum - st * st / n) / (CAST(k AS DOUBLE) - 1))
+                / (((ss - st * st / n) - (bsum - st * st / n))
+                   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+      END + 0.0 AS f_stat
+    FROM per CROSS JOIN tot
+    """,
+)
+def events_aov_periodogram(spark, sf_dir):
+    """NEW OPERATOR (round 12): phase-folding AoV periodogram
+    (operators/timeseries.py aov_periodogram; Stellingwerf ApJ 1978,
+    Schwarzenberg-Czerny MNRAS 1989) of the daily event-count series at
+    candidate periods 2..10 days — the FREQUENCY-DOMAIN detector the
+    autocorrelation family (acf/ljung_box/hurst) prices only
+    indirectly: eta2(p) = SS_between/SS_total after folding on
+    i mod p, peaking at the true cycle (p = 7 for weekly load).
+    FFT-free AND libm-free by construction (exact integer phase
+    moments, no cos/sin cross-engine ulp class); handles calendar gaps
+    natively (Stellingwerf's uneven-sampling setting). Day frame
+    pinned; period spine and 1-row moments broadcast; the only shuffle
+    is the (period, phase)-key aggregate over the calendar-bounded
+    frame. Per-phase S^2/n terms fold 9-dp DECIMAL(38,9) on both
+    engines; eta2/F are rounded then +0.0-canonicalized (signed-zero
+    class)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        aov_periodogram,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return aov_periodogram(s, "d", "x", min_period=2, max_period=10)
+
+
+@query(
+    "events_changepoint_bridge",
+    since=12,
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS t,
+             SUM(CAST(x AS DECIMAL(38,0))) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS sprefix
+      FROM s
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS stot,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS ssq
+      FROM s
+    ),
+    j AS (
+      SELECT d, t, sprefix, n, stot, ssq,
+             ABS(CAST(n AS DECIMAL(38,0)) * sprefix
+                 - CAST(t AS DECIMAL(38,0)) * stot) AS ab
+      FROM pre CROSS JOIN tot
+    ),
+    top AS (SELECT * FROM j ORDER BY ab DESC, d ASC LIMIT 1)
+    SELECT CAST(n AS BIGINT) AS n_days, d AS change_day,
+      CAST(t AS BIGINT) AS change_index,
+      CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * ssq - stot * stot
+                     AS DOUBLE) > 0
+           THEN ROUND(CAST(ab AS DOUBLE)
+                / SQRT(CAST(n AS DOUBLE)
+                       * CAST(CAST(n AS DECIMAL(38,0)) * ssq
+                              - stot * stot AS DOUBLE)), 6)
+      END AS cusum_stat,
+      ROUND(CAST(sprefix AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_before,
+      CASE WHEN n > t
+           THEN ROUND((CAST(stot AS DOUBLE) - CAST(sprefix AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)), 6)
+      END AS mean_after
+    FROM top
+    """,
+)
+def events_changepoint_bridge(spark, sf_dir):
+    """NEW OPERATOR (round 12): CUSUM-bridge change-point ESTIMATION
+    (operators/timeseries.py cusum_changepoint; Page, Biometrika 1954;
+    Csörgő & Horváth 1997) on the daily event-count series — "did the
+    arrival LEVEL shift, and on which day?". Distinct from
+    events_cusum_changepoint (r4): that is Page's ONE-SIDED ONLINE
+    alarm recursion (max(0, S+x−thresh), "is it drifting NOW?"); this
+    is the offline TWO-SIDED estimator — the bridge argmax LOCATES the
+    break day and the Kolmogorov-normalized max tests it, the
+    retrospective statistic mann_kendall (monotone drift) and
+    ljung_box (whiteness) cannot give.
+    The tied-down bridge n·S_t − t·S_n stays in EXACT
+    DECIMAL(38,0) integer space, so the argmax day and its tie-break
+    compare exact integers; the Kolmogorov-normalized statistic is one
+    fixed-order double expression off the same exact moments. Day
+    frame pinned; prefix windows run over the calendar-bounded frame;
+    the argmax travels through orderBy().limit(1)
+    (TakeOrderedAndProject, no global funnel of data rows)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return cusum_changepoint(s, "d", "x")

@@ -5537,3 +5537,282 @@ def multimodal_phash_pairs(spark, sf_dir):
             F.expr("hamming div 4").cast("int").alias("hd_bucket")
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def _kcore_oracle(k: int = 80, rounds: int = 10) -> str:
+    """Unrolled synchronous k-core peel (the oracle twin of
+    operators/graph.py k_core): ``rounds`` chained CTEs, each keeping
+    the nodes whose degree among the previous round's survivors is
+    >= k. Peeling is monotone, so once the Spark side's fixpoint round
+    r <= rounds is reached every further unrolled round is a no-op and
+    both engines hold the identical set; the unit tests assert the
+    fixpoint lands well inside the cap at every tested scale."""
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+    ),
+    alive0 AS MATERIALIZED (SELECT DISTINCT n FROM sym)"""
+    prev = "alive0"
+    for r in range(1, rounds + 1):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous round TWICE (x and y sides), so DuckDB's default CTE
+        # inlining would expand the chain 2^rounds times — the same
+        # exponential-reuse hazard Catalyst's CTE inlining poses on the
+        # Spark side (handled there by per-round localCheckpoint)
+        sql += f""",
+    alive{r} AS MATERIALIZED (
+      SELECT s.n FROM sym s
+      JOIN {prev} x ON s.n = x.n
+      JOIN {prev} y ON s.m = y.n
+      GROUP BY s.n HAVING COUNT(*) >= {k}
+    )"""
+        prev = f"alive{r}"
+    sql += f"""
+    SELECT s.n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym s
+    JOIN {prev} x ON s.n = x.n
+    JOIN {prev} y ON s.m = y.n
+    GROUP BY s.n"""
+    return sql
+
+
+@query("graph_kcore_copurchase", since=12, oracle=_kcore_oracle())
+def graph_kcore_copurchase(spark, sf_dir):
+    """NEW OPERATOR (round 12): k-core decomposition
+    (operators/graph.py k_core; Seidman, Social Networks 1983;
+    Batagelj & Zaveršnik 2003 — the synchronous bulk peel) of the
+    part co-purchase graph: parts are adjacent when some order buys
+    both, and the 80-core is the mutually-dense cart backbone
+    (k = 80 sits just under the typical co-purchase degree at the
+    tested scales, so the peel CASCADES — the removal of marginal
+    parts drags their neighbors below threshold over several rounds —
+    which is exactly the iterative plan shape this query exists to
+    pin under the executed-plan scan-ceiling gate). The graph family's
+    third primitive: components say "reachable", pagerank says
+    "central", the core says "mutually dense".
+
+    Scale shape: edge build is an order-key co-partitioned self-join
+    (fan bounded by items-per-order, <= C(7,2) pairs per order); each
+    peel round is two node-key hash joins + one aggregate with
+    eager-checkpoint lineage truncation (the
+    connected_components/pagerank idiom); the only driver-side value
+    per round is the scalar survivor count, whose monotone equality is
+    the fixpoint proof. Oracle: the identical peel unrolled as 10
+    chained SQL CTEs (no-op rounds after the fixpoint keep both sides
+    identical)."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return k_core(edges, k=80, src="u", dst="v", max_rounds=10)
+
+
+_BM25_TOP20_CTES = r"""
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(w) AS dl FROM tok),
+    bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    words AS (SELECT doc_id, unnest(w) AS term FROM tok),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('join', 'stream', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    per AS (
+      SELECT h.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * h.tf * 2.2
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN bstats s
+    ),
+    bagg AS (
+      SELECT doc_id, ROUND(SUM(sc), 6) AS score FROM per GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id, rank_a FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_a
+        FROM bagg) t
+      WHERE rank_a <= 20
+    ),
+    ann AS (
+      SELECT doc_id, rank_b FROM (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_sum(list_transform(
+                   range(1, len(q.embedding) + 1),
+                   i -> CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE))) DESC,
+                 c.vec_id) AS rank_b
+        FROM embeddings c JOIN embeddings q
+          ON q.vec_id = 0 AND c.vec_id <> q.vec_id) t
+      WHERE rank_b <= 20
+    )
+"""
+
+
+@query(
+    "retrieval_rrf_fusion",
+    since=12,
+    oracle=f"""
+    WITH {_BM25_TOP20_CTES},
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             bm.rank_a AS bm25_rank, ann.rank_b AS ann_rank,
+             COALESCE(1.0 / (60.0 + bm.rank_a), 0.0)
+               + COALESCE(1.0 / (60.0 + ann.rank_b), 0.0) AS rrf
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    ),
+    cut AS (
+      SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, bm25_rank, ann_rank, ROUND(rrf, 6) AS rrf_score,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM cut
+    """,
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    """NEW OPERATOR (round 12): reciprocal-rank fusion
+    (operators/retrieval.py rrf_fuse; Cormack, Clarke & Büttcher,
+    SIGIR 2009) of the two retrieval systems the engine already
+    ships — BM25 keyword top-20 (text_bm25_search's exact plan:
+    explode-filter scan, TakeOrderedAndProject cut) and exact
+    embedding-cosine top-20 for query vector 0 (sim_ann_brute_topk's
+    plan: broadcast query, single corpus scan) — into the consensus
+    top-10: rrf(d) = 1/(60+rank_bm25) + 1/(60+rank_ann). The fusion
+    itself is metadata-sized (a full outer join of two 20-row lists);
+    the corpus-scale work stays in the rankers. rrf_score is a
+    fixed-order sum of two IEEE-exact reciprocals — bit-identical
+    across engines, so the fused ordering needs no rounding (doc_id
+    tie-break); the displayed score rounds at 6."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    scores = bm25_scores(docs, ["join", "stream", "vector"])
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm = top.select(
+        "doc_id", F.row_number().over(wb).alias("rank")
+    )
+    ann = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(bm, ann, id_col="doc_id", rank_col="rank")
+    cut = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(10)
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return cut.select(
+        "doc_id",
+        F.col("rank_a").alias("bm25_rank"),
+        F.col("rank_b").alias("ann_rank"),
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.row_number().over(wf).alias("fused_rank"),
+    )
+
+
+@query(
+    "retrieval_rank_agreement",
+    since=12,
+    oracle=f"""
+    WITH {_BM25_TOP20_CTES},
+    common AS (
+      SELECT bm.doc_id, bm.rank_a AS ra, ann.rank_b AS rb
+      FROM bm JOIN ann ON bm.doc_id = ann.doc_id
+    ),
+    sizes AS (
+      SELECT (SELECT COUNT(*) FROM bm) AS n_a,
+             (SELECT COUNT(*) FROM ann) AS n_b,
+             (SELECT COUNT(*) FROM common) AS n_common,
+             (SELECT SUM(ABS(ra - rb)) FROM common) AS disp
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN (l.ra - r.ra) * (l.rb - r.rb) > 0
+                      THEN 1 ELSE 0 END) AS conc,
+             SUM(CASE WHEN (l.ra - r.ra) * (l.rb - r.rb) < 0
+                      THEN 1 ELSE 0 END) AS disc
+      FROM common l JOIN common r ON l.doc_id < r.doc_id
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      CAST(n_common AS BIGINT) AS n_common,
+      CASE WHEN n_a + n_b - n_common > 0
+           THEN ROUND(n_common / (n_a + n_b - n_common), 6)
+      END AS jaccard,
+      CASE WHEN n_common > 0
+           THEN ROUND(disp / CAST(n_common AS DOUBLE), 6)
+      END AS mean_rank_disp,
+      CASE WHEN n_common >= 2
+           THEN ROUND((conc - disc)
+                / (CAST(n_common AS DOUBLE)
+                   * (CAST(n_common AS DOUBLE) - 1) / 2.0), 6)
+      END AS kendall_tau
+    FROM sizes CROSS JOIN pairs
+    """,
+)
+def retrieval_rank_agreement(spark, sf_dir):
+    """NEW OPERATOR (round 12): rank-agreement profile
+    (operators/retrieval.py rank_agreement) between the BM25 top-20
+    and the embedding-cosine top-20 — RRF's evaluation twin: overlap
+    and Jaccard (set agreement), mean rank displacement over the
+    overlap (Spearman's footrule, Diaconis & Graham JRSS-B 1977), and
+    Kendall's tau-a over the overlap (Kendall, Biometrika 1938) — the
+    "do my lexical and vector retrievers even agree?" gate a hybrid
+    retrieval pipeline reads before trusting fused labels. Exact
+    integer folds throughout (counts, rank differences, pair signs),
+    one double division per statistic; the pair comparison is the
+    <= C(20,2)-row bounded nested-loop class (jonckheere's
+    histogram-confined-pair join), never corpus-sized."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rank_agreement,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    scores = bm25_scores(docs, ["join", "stream", "vector"])
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm = top.select("doc_id", F.row_number().over(wb).alias("rank"))
+    ann = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rank_agreement(bm, ann, id_col="doc_id", rank_col="rank")

@@ -2793,3 +2793,171 @@ def test_phash_pairs_identical_signature(spark):
     # shared-band dedup: the identical pair collides in ALL 4 bands but
     # must be emitted exactly once
     assert len([r for r in rows if r["hamming"] == 0]) == 1
+
+
+def test_aov_periodogram_hand_computed(spark):
+    """Alternating series [1,2,1,2,1,2] over 6 consecutive days:
+    SS_total = 15 - 81/6 = 1.5. Period 2 separates the values
+    perfectly (phase sums 3 and 6, bsum = 15) -> eta2 = 1; F is NULL
+    (no within-phase variance left). Period 3 bins each hold {1,2}
+    (bsum = 13.5) -> eta2 = 0 and F = 0. A constant series has
+    SS_total = 0 -> both NULL."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        aov_periodogram,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 7)]
+    df = spark.createDataFrame(
+        list(zip(days, [1, 2, 1, 2, 1, 2])), "d date, x int"
+    )
+    rows = {
+        r["period"]: r
+        for r in aov_periodogram(df, "d", "x", 2, 3).collect()
+    }
+    p2, p3 = rows[2], rows[3]
+    assert p2["n_days"] == 6 and p2["n_phases"] == 2
+    assert abs(p2["eta2"] - 1.0) < 1e-9 and p2["f_stat"] is None
+    assert p3["n_phases"] == 3
+    assert p3["eta2"] == 0.0 and p3["f_stat"] == 0.0
+
+    const = spark.createDataFrame(
+        list(zip(days, [5] * 6)), "d date, x int"
+    )
+    [c] = aov_periodogram(const, "d", "x", 2, 2).collect()
+    assert c["eta2"] is None and c["f_stat"] is None
+
+
+def test_aov_periodogram_calendar_gap_keeps_phase(spark):
+    """A missing day must NOT shift later phases: with days 1,2,4,5
+    (day 3 absent) and period 2, indices are 0,1,3,4 so phases are
+    0,1,1,0 — the datediff index keeps calendar alignment (the
+    Stellingwerf uneven-sampling semantics), unlike a row_number
+    index which would fold observation order."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        aov_periodogram,
+    )
+
+    days = [dt.date(2024, 1, d) for d in (1, 2, 4, 5)]
+    df = spark.createDataFrame(
+        list(zip(days, [10, 0, 0, 10])), "d date, x int"
+    )
+    [r] = aov_periodogram(df, "d", "x", 2, 2).collect()
+    # phases: {0: [10, 10] (i=0, i=4)} wait i=0,1,3,4 -> mod2 = 0,1,1,0
+    # phase0 = {10 (i0), 10 (i4)}, phase1 = {0, 0}: perfect separation
+    assert abs(r["eta2"] - 1.0) < 1e-9
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    """[0,0,0,3,3,3]: bridge n*S_t - t*S = -9,-18,-27,-18,-9,0 peaks
+    (in absolute value) at t = 3 -> change after day 3; statistic
+    27/sqrt(6*(6*27-81)) = 1.224745; means 0 and 3. Constant series:
+    all bridges 0 -> earliest-day argmax, NULL statistic."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 7)]
+    df = spark.createDataFrame(
+        list(zip(days, [0, 0, 0, 3, 3, 3])), "d date, x int"
+    )
+    [r] = cusum_changepoint(df, "d", "x").collect()
+    assert r["n_days"] == 6
+    assert r["change_day"] == dt.date(2024, 1, 3) and r["change_index"] == 3
+    assert abs(r["cusum_stat"] - 1.224745) < 1e-9
+    assert r["mean_before"] == 0.0 and r["mean_after"] == 3.0
+
+    const = spark.createDataFrame(
+        list(zip(days, [7] * 6)), "d date, x int"
+    )
+    [c] = cusum_changepoint(const, "d", "x").collect()
+    assert c["change_index"] == 1 and c["cusum_stat"] is None
+    assert c["mean_before"] == 7.0 and c["mean_after"] == 7.0
+
+
+def test_k_core_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4-1: the 2-core drops the pendant in
+    one round and keeps the triangle at degree 2 each. k = 3 cascades
+    to empty (node 1 survives round 1 at degree 3, starves at round
+    2). K4 is already a 3-core: immediate fixpoint at degree 3."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import k_core
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "d1 int, d2 int"
+    )
+    got = {
+        r["node"]: r["core_degree"] for r in k_core(tri, k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert k_core(tri, k=3).count() == 0
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "d1 int, d2 int",
+    )
+    got4 = {r["node"]: r["core_degree"] for r in k_core(k4, k=3).collect()}
+    assert got4 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_round_cap_raises(spark):
+    """A 12-node path peels only its two endpoints per round under
+    k = 2, so a 3-round cap must raise instead of silently returning a
+    non-fixpoint — the connected_components non-convergence contract."""
+    import pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "d1 int, d2 int"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(path, k=2, max_rounds=3)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Lists A = [10@1, 20@2], B = [20@1, 30@2] with k = 60:
+    doc 20 sums both reciprocals, docs 10/30 carry one each, absent
+    ranks surface as NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id int, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse(a, b).collect()}
+    assert set(got) == {10, 20, 30}
+    assert got[10]["rank_a"] == 1 and got[10]["rank_b"] is None
+    assert abs(got[10]["rrf_score"] - 1 / 61) < 1e-12
+    assert abs(got[20]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(got[30]["rrf_score"] - 1 / 62) < 1e-12
+
+
+def test_rank_agreement_hand_computed(spark):
+    """A = {1@1, 2@2, 3@3}, B = {2@1, 3@2, 4@3}: overlap {2, 3},
+    jaccard 2/4, displacement (1+1)/2 = 1, and the single common pair
+    is concordant -> tau = 1. Disjoint lists: zero overlap, NULL
+    footrule/tau (no overlap to compare)."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rank_agreement,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "doc_id int, rank int"
+    )
+    [r] = rank_agreement(a, b).collect()
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert abs(r["jaccard"] - 0.5) < 1e-9
+    assert r["mean_rank_disp"] == 1.0 and r["kendall_tau"] == 1.0
+
+    c = spark.createDataFrame([(9, 1)], "doc_id int, rank int")
+    [d] = rank_agreement(a, c).collect()
+    assert d["n_common"] == 0 and d["jaccard"] == 0.0
+    assert d["mean_rank_disp"] is None and d["kendall_tau"] is None

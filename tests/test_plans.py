@@ -663,6 +663,27 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
     # crossJoins of the 1-row J fold and the 1-row group/tie moment
     # aggregates — bounded by design
     "quality_jonckheere": {"cartesian-product"},
+    # --- round-12 queries ---
+    # crossJoins of the 1-row bounds/moments aggregates and the 9-row
+    # period spine against the calendar-bounded day frame — bounded
+    "events_aov_periodogram": {"cartesian-product"},
+    # crossJoin(broadcast(<1-row totals agg>)); prefix-sum/row-number
+    # windows over the calendar-bounded day aggregate (the
+    # events_rolling_zscore class); the argmax is orderBy().limit(1)
+    "events_changepoint_bridge": {
+        "cartesian-product",
+        "unpartitioned-window",
+    },
+    # BM25 side: 1-row N/avgdl stats broadcast + query-term IN filter
+    # under the token explode (text_bm25_search's exact classes)
+    "retrieval_rrf_fusion": {"cartesian-product", "unpushed-scan-filter"},
+    # same BM25 classes, plus the <= C(20,2)-row overlap pair join
+    # (l.id < r.id nested loop over two <= 20-row top-k lists — bounded
+    # by the top-k contract, the jonckheere pair-join class)
+    "retrieval_rank_agreement": {
+        "cartesian-product",
+        "unpushed-scan-filter",
+    },
 }
 
 
@@ -762,6 +783,7 @@ _EXECUTED_SCAN_CEILINGS: dict[str, int] = {
     "dedup_semantic": 4,  # kmeans Lloyd loop (r11 defect, pinned)
     "dedup_semantic_contract": 15,  # kmeans + survivor-count branches
     "sim_ann_pq_contract": 14,  # pq_train Lloyd loops + exact-vs-ADC branches
+    "graph_kcore_copurchase": 1,  # k-core peel rounds (eager pins per round)
 }
 
 

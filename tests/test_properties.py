@@ -2478,3 +2478,183 @@ def test_hurst_rs_matches_naive(spark, xs):
         assert abs(
             r["hurst_exponent"] - round((k * sxy - sx * sy) / den, 6)
         ) < 2e-6
+
+
+@SET
+@given(st.lists(st.integers(0, 9), min_size=4, max_size=20))
+def test_aov_periodogram_matches_naive_anova(spark, xs):
+    """eta2/F must equal the literal one-way-ANOVA recount over the
+    phase folding, with the operator's exact quantization (9-dp
+    rounded S^2/n terms)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        aov_periodogram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d int, x int"
+    )
+    rows = {
+        r["period"]: r for r in aov_periodogram(df, "d", "x", 2, 4).collect()
+    }
+    n = len(xs)
+    s = sum(xs)
+    ss = sum(x * x for x in xs)
+    for p in (2, 3, 4):
+        phases = {}
+        for i, x in enumerate(xs):
+            phases.setdefault(i % p, []).append(x)
+        k = len(phases)
+        bsum = sum(
+            round(sum(v) ** 2 / len(v), 9) for v in phases.values()
+        )
+        ss_t = ss - s * s / n
+        ss_b = bsum - s * s / n
+        r = rows[p]
+        assert r["n_phases"] == k and r["n_days"] == n
+        if ss_t > 0:
+            assert abs(r["eta2"] - round(ss_b / ss_t, 6)) < 1e-9
+        else:
+            assert r["eta2"] is None
+        if ss_t > 0 and (ss_t - ss_b) > 0 and k > 1 and n > k:
+            f = (ss_b / (k - 1)) / ((ss_t - ss_b) / (n - k))
+            assert abs(r["f_stat"] - round(f, 6)) < 1e-9
+        else:
+            assert r["f_stat"] is None
+
+
+@SET
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=25))
+def test_cusum_changepoint_matches_naive_bridge(spark, xs):
+    """The argmax day, the exact-integer bridge, and the normalized
+    statistic must equal the literal recount."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d int, x int"
+    )
+    [r] = cusum_changepoint(df, "d", "x").collect()
+    n = len(xs)
+    s = sum(xs)
+    ss = sum(x * x for x in xs)
+    pref = 0
+    best = (-1, None, None)  # (abs bridge, t, prefix) with earliest-t tie
+    for t, x in enumerate(xs, start=1):
+        pref += x
+        ab = abs(n * pref - t * s)
+        if ab > best[0]:
+            best = (ab, t, pref)
+    ab, t_star, pref_star = best
+    assert r["n_days"] == n and r["change_index"] == t_star
+    var_num = n * ss - s * s
+    if var_num > 0:
+        assert abs(
+            r["cusum_stat"] - round(ab / math.sqrt(n * var_num), 6)
+        ) < 1e-9
+    else:
+        assert r["cusum_stat"] is None
+    assert abs(r["mean_before"] - round(pref_star / t_star, 6)) < 1e-9
+    if n > t_star:
+        assert abs(
+            r["mean_after"] - round((s - pref_star) / (n - t_star), 6)
+        ) < 1e-9
+    else:
+        assert r["mean_after"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 3),
+)
+def test_k_core_matches_naive_peel(spark, raw, k):
+    """The survivors and their in-core degrees must equal the literal
+    sequential fixpoint peel on the same graph."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import k_core
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        nxt = {n for n in alive if len(adj[n] & alive) >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    df = spark.createDataFrame(edges, "d1 int, d2 int")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(df, k=k, max_rounds=10).collect()
+    }
+    assert got == {n: len(adj[n] & alive) for n in alive}
+
+
+@SET
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=10, unique=True),
+    st.lists(st.integers(0, 15), min_size=1, max_size=10, unique=True),
+)
+def test_rank_agreement_matches_naive(spark, ids_a, ids_b):
+    """Jaccard, footrule, and tau-a must equal the literal recount over
+    two ranked lists (rank = 1-based list position)."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rank_agreement,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(ids_a)], "doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(ids_b)], "doc_id int, rank int"
+    )
+    [r] = rank_agreement(a, b).collect()
+    ra = {d: i + 1 for i, d in enumerate(ids_a)}
+    rb = {d: i + 1 for i, d in enumerate(ids_b)}
+    common = sorted(set(ra) & set(rb))
+    m = len(common)
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (
+        len(ids_a),
+        len(ids_b),
+        m,
+    )
+    assert abs(
+        r["jaccard"]
+        - round(m / (len(ids_a) + len(ids_b) - m), 6)
+    ) < 1e-9
+    if m > 0:
+        disp = sum(abs(ra[d] - rb[d]) for d in common)
+        assert abs(r["mean_rank_disp"] - round(disp / m, 6)) < 1e-9
+    else:
+        assert r["mean_rank_disp"] is None
+    if m >= 2:
+        conc = disc = 0
+        for i in range(m):
+            for j in range(i + 1, m):
+                d1, d2 = common[i], common[j]
+                prod = (ra[d1] - ra[d2]) * (rb[d1] - rb[d2])
+                conc += prod > 0
+                disc += prod < 0
+        tau = (conc - disc) / (m * (m - 1) / 2)
+        assert abs(r["kendall_tau"] - round(tau, 6)) < 1e-9
+    else:
+        assert r["kendall_tau"] is None
+
+    fused = {row["doc_id"]: row for row in rrf_fuse(a, b).collect()}
+    assert set(fused) == set(ra) | set(rb)
+    for d, row in fused.items():
+        want = (1 / (60 + ra[d]) if d in ra else 0.0) + (
+            1 / (60 + rb[d]) if d in rb else 0.0
+        )
+        assert abs(row["rrf_score"] - want) < 1e-12
