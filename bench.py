@@ -67,6 +67,10 @@ HEADLINE_R7 = [
 
 
 def main() -> None:
+    # pre-existing host load, sampled BEFORE any Spark work: the bench
+    # itself saturates the cores for minutes, so a post-run sample would
+    # only measure the bench (round-12 review finding)
+    load_before = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -117,9 +121,9 @@ def main() -> None:
                 "sf": sf,
                 # host-load fingerprint (round-11 verdict item 3): a bench
                 # artifact taken on a loaded box is machine-detectable —
-                # readers should distrust totals recorded at loadavg well
-                # above idle (BENCH_r10/r11 were both load-inflated)
-                "loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()],
+                # readers should distrust totals whose PRE-run loadavg is
+                # well above idle (BENCH_r10/r11 were both load-inflated)
+                "loadavg_before_1_5_15": load_before,
             }
         )
     )

@@ -289,6 +289,42 @@ _DOT = (
     " i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
 )
 
+# Shared BM25 per-doc scoring CTEs (k1 = 1.2, b = 0.75, the fixed 3-term
+# query): the single SQL source for text_bm25_search's oracle AND the two
+# retrieval-eval oracles below — one place to edit tokenization, the
+# query terms, or the k1/b constants (round-12 review finding: three
+# drifting copies otherwise).  Ends with ``bagg`` = (doc_id, score,
+# n_hit_terms).
+_BM25_SCORE_CTES = r"""
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(w) AS dl FROM tok),
+    bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    words AS (SELECT doc_id, unnest(w) AS term FROM tok),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('join', 'stream', 'vector') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    per AS (
+      SELECT h.doc_id,
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * h.tf * 2.2
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+      CROSS JOIN bstats s
+    ),
+    bagg AS (
+      SELECT doc_id, ROUND(SUM(sc), 6) AS score,
+             CAST(count(*) AS INTEGER) AS n_hit_terms
+      FROM per GROUP BY doc_id
+    )
+"""
+
 
 @query(
     "sim_pairs_topk",
@@ -764,36 +800,11 @@ def text_language_id(spark, sf_dir):
 @query(
     since=4,
     name="text_bm25_search",
-    oracle=r"""
-    WITH tok AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
-      FROM documents
-    ),
-    lens AS (SELECT doc_id, len(w) AS dl FROM tok),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-    words AS (SELECT doc_id, unnest(w) AS term FROM tok),
-    hits AS (
-      SELECT doc_id, term, count(*) AS tf FROM words
-      WHERE term IN ('join', 'stream', 'vector') GROUP BY doc_id, term
-    ),
-    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
-    per AS (
-      SELECT h.doc_id,
-             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * h.tf * 2.2
-               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
-      FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
-      CROSS JOIN stats s
-    ),
-    agg AS (
-      SELECT doc_id, ROUND(SUM(sc), 6) AS score,
-             CAST(count(*) AS INTEGER) AS n_hit_terms
-      FROM per GROUP BY doc_id
-    )
+    oracle=f"""
+    WITH {_BM25_SCORE_CTES}
     SELECT doc_id, score, n_hit_terms, rank FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-      FROM agg) t
+      FROM bagg) t
     WHERE rank <= 20
     """,
 )
@@ -5539,14 +5550,27 @@ def multimodal_phash_pairs(spark, sf_dir):
     )
 
 
-def _kcore_oracle(k: int = 80, rounds: int = 10) -> str:
+# One constant feeds BOTH the Spark peel's max_rounds and the oracle's
+# unroll depth, so the two caps cannot drift (round-12 review finding).
+# Spark's loop needs a confirming equal-count round, so with R rounds it
+# covers peel depth <= R - 1 and raises past that; the oracle's
+# convergence guard below enforces the SAME depth <= R - 1 bound by
+# asserting its last two unrolled rounds agree — neither side can
+# silently return a non-fixpoint.
+_KCORE_K = 80
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Unrolled synchronous k-core peel (the oracle twin of
     operators/graph.py k_core): ``rounds`` chained CTEs, each keeping
     the nodes whose degree among the previous round's survivors is
-    >= k. Peeling is monotone, so once the Spark side's fixpoint round
-    r <= rounds is reached every further unrolled round is a no-op and
-    both engines hold the identical set; the unit tests assert the
-    fixpoint lands well inside the cap at every tested scale."""
+    >= k. Peeling is monotone, so once the fixpoint round r <= rounds-1
+    is reached every further unrolled round is a no-op and both engines
+    hold the identical set; a MATERIALIZED guard CTE (eagerly evaluated
+    even when the core is empty) errors the whole query if the last two
+    rounds still differ — the oracle can never silently return a
+    non-k-core on a deeper-than-expected cascade."""
     sql = """
     WITH e AS MATERIALIZED (
       SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
@@ -5573,11 +5597,21 @@ def _kcore_oracle(k: int = 80, rounds: int = 10) -> str:
       GROUP BY s.n HAVING COUNT(*) >= {k}
     )"""
         prev = f"alive{r}"
-    sql += f"""
+    sql += f""",
+    conv AS MATERIALIZED (
+      SELECT CASE
+        WHEN (SELECT COUNT(*) FROM alive{rounds - 1})
+           = (SELECT COUNT(*) FROM alive{rounds}) THEN 1
+        ELSE CAST(error(
+          'k-core oracle: peel not converged within {rounds} rounds')
+          AS INTEGER)
+      END AS ok
+    )
     SELECT s.n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
     FROM sym s
     JOIN {prev} x ON s.n = x.n
     JOIN {prev} y ON s.m = y.n
+    CROSS JOIN conv
     GROUP BY s.n"""
     return sql
 
@@ -5622,35 +5656,15 @@ def graph_kcore_copurchase(spark, sf_dir):
         )
         .distinct()
     )
-    return k_core(edges, k=80, src="u", dst="v", max_rounds=10)
+    return k_core(
+        edges, k=_KCORE_K, src="u", dst="v", max_rounds=_KCORE_ROUNDS
+    )
 
 
-_BM25_TOP20_CTES = r"""
-    tok AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
-                         w -> w <> '') AS w
-      FROM documents
-    ),
-    lens AS (SELECT doc_id, len(w) AS dl FROM tok),
-    bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-    words AS (SELECT doc_id, unnest(w) AS term FROM tok),
-    hits AS (
-      SELECT doc_id, term, count(*) AS tf FROM words
-      WHERE term IN ('join', 'stream', 'vector') GROUP BY doc_id, term
-    ),
-    dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
-    per AS (
-      SELECT h.doc_id,
-             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * h.tf * 2.2
-               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
-      FROM hits h JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
-      CROSS JOIN bstats s
-    ),
-    bagg AS (
-      SELECT doc_id, ROUND(SUM(sc), 6) AS score FROM per GROUP BY doc_id
-    ),
+# The two ranked top-20 lists the retrieval-eval oracles consume:
+# bm rides the shared BM25 scoring CTEs verbatim; ann reuses the _DOT
+# macro (the sim_ann_brute_topk dot-product fold) for query vector 0.
+_BM25_TOP20_CTES = f"""{_BM25_SCORE_CTES},
     bm AS (
       SELECT doc_id, rank_a FROM (
         SELECT doc_id,
@@ -5662,16 +5676,42 @@ _BM25_TOP20_CTES = r"""
       SELECT doc_id, rank_b FROM (
         SELECT c.vec_id AS doc_id,
                ROW_NUMBER() OVER (
-                 ORDER BY list_sum(list_transform(
-                   range(1, len(q.embedding) + 1),
-                   i -> CAST(q.embedding[i] AS DOUBLE)
-                        * CAST(c.embedding[i] AS DOUBLE))) DESC,
+                 ORDER BY {_DOT.format(a='q', b='c')} DESC,
                  c.vec_id) AS rank_b
         FROM embeddings c JOIN embeddings q
           ON q.vec_id = 0 AND c.vec_id <> q.vec_id) t
       WHERE rank_b <= 20
     )
 """
+
+
+def _ranked_top20(spark, sf_dir):
+    """The two ranked top-20 lists every retrieval-eval query consumes
+    (single Spark-side source, mirroring the oracles' shared
+    _BM25_TOP20_CTES): BM25 keyword top-20 via text_bm25_search's exact
+    plan shape (rounded-score order, doc_id tie-break,
+    TakeOrderedAndProject cut, rank window over the surviving 20) and
+    exact embedding-cosine top-20 for query vector 0 via
+    brute_force_topk. Returns (bm, ann), each (doc_id, rank)."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    scores = bm25_scores(docs, ["join", "stream", "vector"])
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm = top.select("doc_id", F.row_number().over(wb).alias("rank"))
+    ann = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return bm, ann
 
 
 @query(
@@ -5708,29 +5748,13 @@ def retrieval_rrf_fusion(spark, sf_dir):
     fixed-order sum of two IEEE-exact reciprocals — bit-identical
     across engines, so the fused ordering needs no rounding (doc_id
     tie-break); the displayed score rounds at 6."""
-    from pyspark.sql import Window
-
     from split_kinesis_streams_with_glue_spark.operators.retrieval import (
         rrf_fuse,
     )
-    from split_kinesis_streams_with_glue_spark.operators.similarity import (
-        brute_force_topk,
-    )
-    from split_kinesis_streams_with_glue_spark.operators.text import (
-        bm25_scores,
-    )
 
-    docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
-    scores = bm25_scores(docs, ["join", "stream", "vector"])
-    top = scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
-    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    bm = top.select(
-        "doc_id", F.row_number().over(wb).alias("rank")
-    )
-    ann = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=20
-    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    from pyspark.sql import Window
+
+    bm, ann = _ranked_top20(spark, sf_dir)
     fused = rrf_fuse(bm, ann, id_col="doc_id", rank_col="rank")
     cut = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(10)
     wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
@@ -5794,25 +5818,9 @@ def retrieval_rank_agreement(spark, sf_dir):
     one double division per statistic; the pair comparison is the
     <= C(20,2)-row bounded nested-loop class (jonckheere's
     histogram-confined-pair join), never corpus-sized."""
-    from pyspark.sql import Window
-
     from split_kinesis_streams_with_glue_spark.operators.retrieval import (
         rank_agreement,
     )
-    from split_kinesis_streams_with_glue_spark.operators.similarity import (
-        brute_force_topk,
-    )
-    from split_kinesis_streams_with_glue_spark.operators.text import (
-        bm25_scores,
-    )
 
-    docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
-    scores = bm25_scores(docs, ["join", "stream", "vector"])
-    top = scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
-    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    bm = top.select("doc_id", F.row_number().over(wb).alias("rank"))
-    ann = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=20
-    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    bm, ann = _ranked_top20(spark, sf_dir)
     return rank_agreement(bm, ann, id_col="doc_id", rank_col="rank")

@@ -2846,8 +2846,8 @@ def test_aov_periodogram_calendar_gap_keeps_phase(spark):
         list(zip(days, [10, 0, 0, 10])), "d date, x int"
     )
     [r] = aov_periodogram(df, "d", "x", 2, 2).collect()
-    # phases: {0: [10, 10] (i=0, i=4)} wait i=0,1,3,4 -> mod2 = 0,1,1,0
-    # phase0 = {10 (i0), 10 (i4)}, phase1 = {0, 0}: perfect separation
+    # calendar indices 0,1,3,4 -> phases 0,1,1,0: phase0 = {10, 10},
+    # phase1 = {0, 0} — perfect separation
     assert abs(r["eta2"] - 1.0) < 1e-9
 
 
