@@ -1,17 +1,20 @@
-"""Retrieval-evaluation operators: fuse and compare ranked lists from
-different retrieval systems (keyword BM25 vs embedding ANN).
+"""Retrieval-evaluation operators: compare ranked lists from different
+retrieval systems (keyword BM25 vs embedding ANN).
 
 A training-data pipeline that mines hard negatives, dedups against a
 retrieval index, or builds eval sets runs BOTH a lexical ranker
 (``operators/text.py bm25_scores``) and a vector ranker
 (``operators/similarity.py brute_force_topk`` / the ANN family) over the
-same corpus.  These operators answer the two questions that follow:
-"what is the consensus ranking?" (reciprocal-rank fusion) and "how much
-do the two systems agree?" (rank-overlap statistics).
+same corpus.  FUSING the two rankings is already covered by
+``operators/similarity.py rrf_fuse`` (reciprocal-rank fusion, round 7);
+this module answers the question that comes BEFORE trusting the fusion:
+"how much do the two systems even agree?" — the rank-overlap profile an
+eval harness reads to decide whether hybrid retrieval is adding signal
+or papering over a broken leg.
 
-Both operate on ranked TOP-K lists — bounded by contract (k rows per
-system), so every join and pair comparison below is metadata-sized no
-matter how large the corpus that produced the lists; the corpus-scale
+The operator works on ranked TOP-K lists — bounded by contract (k rows
+per system), so every join and pair comparison below is metadata-sized
+no matter how large the corpus that produced the lists; the corpus-scale
 work lives entirely in the upstream rankers.
 """
 
@@ -19,43 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def rrf_fuse(
-    ranked_a: DataFrame,
-    ranked_b: DataFrame,
-    id_col: str = "doc_id",
-    rank_col: str = "rank",
-    k_rrf: int = 60,
-) -> DataFrame:
-    """Reciprocal-rank fusion of two ranked lists (Cormack, Clarke &
-    Büttcher, "Reciprocal rank fusion outperforms Condorcet and
-    individual rank learning methods", SIGIR 2009):
-    ``rrf(d) = Σ_lists 1/(k + rank_d)`` with the paper's k = 60.  A doc
-    absent from one list contributes only the other's term — the
-    full-outer-join semantics of the original formulation.
-
-    Returns (id, rank_a, rank_b, rrf_score) for every doc in either
-    list; the caller cuts the fused top-N.  ``rrf_score`` is a sum of
-    exactly two IEEE-exact reciprocals in fixed (a, b) order, so it is
-    bit-identical across engines — safe to ORDER BY raw, no rounding
-    needed for determinism (ties, e.g. a doc only in list A at rank r
-    vs a doc only in list B at the same r, break on the id)."""
-    a = ranked_a.select(
-        F.col(id_col).alias("__id"), F.col(rank_col).alias("rank_a")
-    )
-    b = ranked_b.select(
-        F.col(id_col).alias("__id2"), F.col(rank_col).alias("rank_b")
-    )
-    term = lambda c: F.coalesce(
-        F.lit(1.0) / (F.lit(float(k_rrf)) + c.cast("double")), F.lit(0.0)
-    )
-    return a.join(b, a["__id"] == b["__id2"], "full_outer").select(
-        F.coalesce(F.col("__id"), F.col("__id2")).alias(id_col),
-        "rank_a",
-        "rank_b",
-        (term(F.col("rank_a")) + term(F.col("rank_b"))).alias("rrf_score"),
-    )
 
 
 def rank_agreement(

@@ -5715,59 +5715,6 @@ def _ranked_top20(spark, sf_dir):
 
 
 @query(
-    "retrieval_rrf_fusion",
-    since=12,
-    oracle=f"""
-    WITH {_BM25_TOP20_CTES},
-    fused AS (
-      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
-             bm.rank_a AS bm25_rank, ann.rank_b AS ann_rank,
-             COALESCE(1.0 / (60.0 + bm.rank_a), 0.0)
-               + COALESCE(1.0 / (60.0 + ann.rank_b), 0.0) AS rrf
-      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
-    ),
-    cut AS (
-      SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
-    )
-    SELECT doc_id, bm25_rank, ann_rank, ROUND(rrf, 6) AS rrf_score,
-           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
-    FROM cut
-    """,
-)
-def retrieval_rrf_fusion(spark, sf_dir):
-    """NEW OPERATOR (round 12): reciprocal-rank fusion
-    (operators/retrieval.py rrf_fuse; Cormack, Clarke & Büttcher,
-    SIGIR 2009) of the two retrieval systems the engine already
-    ships — BM25 keyword top-20 (text_bm25_search's exact plan:
-    explode-filter scan, TakeOrderedAndProject cut) and exact
-    embedding-cosine top-20 for query vector 0 (sim_ann_brute_topk's
-    plan: broadcast query, single corpus scan) — into the consensus
-    top-10: rrf(d) = 1/(60+rank_bm25) + 1/(60+rank_ann). The fusion
-    itself is metadata-sized (a full outer join of two 20-row lists);
-    the corpus-scale work stays in the rankers. rrf_score is a
-    fixed-order sum of two IEEE-exact reciprocals — bit-identical
-    across engines, so the fused ordering needs no rounding (doc_id
-    tie-break); the displayed score rounds at 6."""
-    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
-        rrf_fuse,
-    )
-
-    from pyspark.sql import Window
-
-    bm, ann = _ranked_top20(spark, sf_dir)
-    fused = rrf_fuse(bm, ann, id_col="doc_id", rank_col="rank")
-    cut = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(10)
-    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
-    return cut.select(
-        "doc_id",
-        F.col("rank_a").alias("bm25_rank"),
-        F.col("rank_b").alias("ann_rank"),
-        F.round("rrf_score", 6).alias("rrf_score"),
-        F.row_number().over(wf).alias("fused_rank"),
-    )
-
-
-@query(
     "retrieval_rank_agreement",
     since=12,
     oracle=f"""

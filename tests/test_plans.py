@@ -675,11 +675,10 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
         "unpartitioned-window",
     },
     # BM25 side: 1-row N/avgdl stats broadcast + query-term IN filter
-    # under the token explode (text_bm25_search's exact classes)
-    "retrieval_rrf_fusion": {"cartesian-product", "unpushed-scan-filter"},
-    # same BM25 classes, plus the <= C(20,2)-row overlap pair join
-    # (l.id < r.id nested loop over two <= 20-row top-k lists — bounded
-    # by the top-k contract, the jonckheere pair-join class)
+    # under the token explode (text_bm25_search's exact classes), plus
+    # the <= C(20,2)-row overlap pair join (l.id < r.id nested loop over
+    # two <= 20-row top-k lists — bounded by the top-k contract, the
+    # jonckheere pair-join class)
     "retrieval_rank_agreement": {
         "cartesian-product",
         "unpushed-scan-filter",

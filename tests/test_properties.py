@@ -2610,7 +2610,6 @@ def test_rank_agreement_matches_naive(spark, ids_a, ids_b):
     two ranked lists (rank = 1-based list position)."""
     from split_kinesis_streams_with_glue_spark.operators.retrieval import (
         rank_agreement,
-        rrf_fuse,
     )
 
     a = spark.createDataFrame(
@@ -2650,11 +2649,3 @@ def test_rank_agreement_matches_naive(spark, ids_a, ids_b):
         assert abs(r["kendall_tau"] - round(tau, 6)) < 1e-9
     else:
         assert r["kendall_tau"] is None
-
-    fused = {row["doc_id"]: row for row in rrf_fuse(a, b).collect()}
-    assert set(fused) == set(ra) | set(rb)
-    for d, row in fused.items():
-        want = (1 / (60 + ra[d]) if d in ra else 0.0) + (
-            1 / (60 + rb[d]) if d in rb else 0.0
-        )
-        assert abs(row["rrf_score"] - want) < 1e-12
