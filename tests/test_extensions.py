@@ -2450,6 +2450,475 @@ def test_mmr_select_skips_the_duplicate(spark):
     assert top2 == [1, 2]
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """Two candidate lists, k0 = 60, reciprocal sums by hand: list 0
+    ranks A(0.9) B(0.8) C(0.7), list 1 ranks B(0.95) D(0.5). B appears
+    in both (1/62 + 1/61 = 0.032523) and must fuse ABOVE A (1/61 =
+    0.016393) even though A leads list 0 — the defining RRF behavior.
+    C = 1/63, D = 1/62 puts D above C."""
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    l0 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id int, score double"
+    )
+    l1 = spark.createDataFrame([(2, 0.95), (4, 0.5)], "doc_id int, score double")
+    got = rrf_fuse([l0, l1], k0=60, k=4).collect()
+    assert [r["doc_id"] for r in got] == [2, 1, 4, 3]
+    by_id = {r["doc_id"]: r for r in got}
+    assert abs(by_id[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-6
+    assert abs(by_id[1]["rrf_score"] - 1 / 61) < 1e-6
+    assert abs(by_id[4]["rrf_score"] - 1 / 62) < 1e-6
+    assert abs(by_id[3]["rrf_score"] - 1 / 63) < 1e-6
+    assert by_id[2]["n_lists"] == 2 and by_id[2]["best_rank"] == 1
+    assert by_id[1]["n_lists"] == 1 and by_id[1]["best_rank"] == 1
+    # the k cut takes the fused top, not either list's top
+    top2 = [r["doc_id"] for r in rrf_fuse([l0, l1], k0=60, k=2).collect()]
+    assert top2 == [2, 1]
+
+
+def test_rrf_fuse_guards_and_three_list_fold(spark):
+    """Round-7 advice items: an empty rankings list must raise (not
+    AttributeError-crash), and 3+-list fusion must fold reciprocals in
+    ascending-rank order — the sorted-array aggregate makes the sum
+    order-deterministic where a grouped F.sum over doubles is not."""
+    import pytest as _pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+
+    l0 = spark.createDataFrame([(1, 0.9), (2, 0.8)], "doc_id int, score double")
+    l1 = spark.createDataFrame([(2, 0.7), (1, 0.6)], "doc_id int, score double")
+    l2 = spark.createDataFrame([(1, 0.5), (3, 0.4)], "doc_id int, score double")
+    got = {r["doc_id"]: r for r in rrf_fuse([l0, l1, l2], k0=60, k=3).collect()}
+    # doc 1: ranks 1,2,1 -> 1/61 + 1/61 + 1/62 (ascending-rank fold)
+    assert abs(got[1]["rrf_score"] - ((1 / 61 + 1 / 61) + 1 / 62)) < 1e-6
+    assert got[1]["n_lists"] == 3 and got[1]["best_rank"] == 1
+    # doc 2: ranks 2,1 -> 1/61 + 1/62
+    assert abs(got[2]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-6
+    assert got[3]["n_lists"] == 1 and got[3]["best_rank"] == 2
+
+
+def test_good_turing_hand_computed(spark):
+    """Corpus 'a a b c' + 'b d': counts a:2 b:2 c:1 d:1 -> N=6, V=4,
+    N1=2, N2=2, p_unseen = 2/6, r*_1 = 2*2/2 = 2. A hapax-free corpus
+    has zero unseen mass and a NULL Turing discount (0/0 guarded)."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        good_turing_mass,
+    )
+
+    df = spark.createDataFrame([("a a b c",), ("b d",)], "text string")
+    [r] = good_turing_mass(df).collect()
+    assert r["total_tokens"] == 6 and r["vocab_size"] == 4
+    assert r["hapax_terms"] == 2 and r["dis_terms"] == 2
+    assert abs(r["p_unseen"] - 2 / 6) < 1e-6
+    assert abs(r["r_star_1"] - 2.0) < 1e-9
+    [d] = good_turing_mass(
+        spark.createDataFrame([("x x y y",)], "text string")
+    ).collect()
+    assert d["hapax_terms"] == 0 and d["p_unseen"] == 0.0
+    assert d["r_star_1"] is None
+
+
+def test_info_gain_split_hand_computed(spark):
+    """Perfectly separable data (features 1,2 labeled 0; 3,4 labeled 1):
+    the stump must land on threshold 2 with gain = parent entropy =
+    ln 2. A feature carrying no signal (same label mix at every value)
+    must report zero gain — the 'don't gate on this' answer. NULLs in
+    either column are excluded."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        info_gain_split,
+    )
+    import math
+
+    sep = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "x int, y int"
+    )
+    [r] = info_gain_split(sep, "x", "y").collect()
+    assert r["threshold"] == 2.0
+    assert r["n_left"] == 2 and r["pos_left"] == 0
+    assert r["n_right"] == 2 and r["pos_right"] == 2
+    assert abs(r["parent_entropy"] - math.log(2)) < 1e-6
+    assert abs(r["info_gain"] - math.log(2)) < 1e-6
+    flat = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 1)], "x int, y int"
+    )
+    [f] = info_gain_split(flat, "x", "y").collect()
+    assert f["info_gain"] == 0.0
+    withnull = sep.union(
+        spark.createDataFrame([(None, 1), (9, None)], "x int, y int")
+    )
+    [n] = info_gain_split(withnull, "x", "y").collect()
+    assert n["n_left"] + n["n_right"] == 4
+    # NaN features are excluded too (round-7 advice): Spark sorts NaN
+    # greatest, so an unguarded NaN row would enter the cumulative counts
+    # with semantics DuckDB does not share
+    withnan = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1), (float("nan"), 1)],
+        "x double, y int",
+    )
+    [g] = info_gain_split(withnan, "x", "y").collect()
+    assert g["n_left"] + g["n_right"] == 4
+    assert g["threshold"] == 2.0
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """2x2 by hand: 20 keep/keep, 60 drop/drop, 15 keep/drop,
+    5 drop/keep -> po = 0.8, marginals (35,65)x(25,75) -> pe = 0.575,
+    kappa = 0.225/0.425 = 0.529412. A single-category degenerate frame
+    (pe = 1) yields NULL kappa, not a division blowup."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("keep", "keep")] * 20
+        + [("drop", "drop")] * 60
+        + [("keep", "drop")] * 15
+        + [("drop", "keep")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = cohens_kappa(df, "a", "b").collect()
+    assert r["n"] == 100
+    assert abs(r["p_observed"] - 0.8) < 1e-9
+    assert abs(r["p_expected"] - 0.575) < 1e-9
+    assert abs(r["kappa"] - 0.529412) < 1e-6
+    [d] = cohens_kappa(
+        spark.createDataFrame([("k", "k")] * 3, "a string, b string"), "a", "b"
+    ).collect()
+    assert d["p_expected"] == 1.0 and d["kappa"] is None
+
+
+def test_ljung_box_hand_computed(spark):
+    """Series [1,2,3,2] over 4 consecutive days, L=2: mean 2, centered
+    [-1,0,1,0], denom 2; r1 = 0, r2 = -0.5; Q = 4*6*(0 + 0.25/2) = 3.0.
+    Constant series: every acf NULL -> Q NULL but n still reports."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 5)]
+    df = spark.createDataFrame(
+        list(zip(days, [1.0, 2.0, 3.0, 2.0])), "d date, x double"
+    )
+    [r] = ljung_box(df, "d", "x", max_lag=2).collect()
+    assert r["n"] == 4 and r["lags_used"] == 2 and r["df"] == 2
+    assert abs(r["q_stat"] - 3.0) < 1e-9
+
+    const = spark.createDataFrame(
+        list(zip(days, [5.0] * 4)), "d date, x double"
+    )
+    [c] = ljung_box(const, "d", "x", max_lag=2).collect()
+    assert c["n"] == 4 and c["lags_used"] == 0 and c["q_stat"] is None
+
+
+def test_runs_test_hand_computed(spark):
+    """Day series [5,1,4,2,6]: lower median (rank 3 of sorted
+    [1,2,4,5,6]) = 4, excluded; signs in day order [+,-,-,+] -> 3 runs,
+    n1 = n2 = 2, mu = 3, so z = 0. One-sided leftovers -> z NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 4.0), (4, 2.0), (5, 6.0)],
+        "d int, x double",
+    )
+    [r] = runs_test(df, "d", "x").collect()
+    assert r["n_pos"] == 2 and r["n_neg"] == 2 and r["runs"] == 3
+    assert r["z_score"] == 0.0
+
+    one_sided = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 2.0)], "d int, x double"
+    )
+    [o] = runs_test(one_sided, "d", "x").collect()
+    assert o["n_pos"] == 1 and o["n_neg"] == 0 and o["runs"] == 1
+    assert o["z_score"] is None
+
+
+def test_permutation_entropy_hand_computed(spark):
+    """[1,2,3,2,1]: triples (1,2,3)->012, (2,3,2)->021, (3,2,1)->210 —
+    three windows, three patterns, H = ln 3, normalized H/ln 6. A
+    strictly increasing series collapses to one pattern: H = 0."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate([1.0, 2.0, 3.0, 2.0, 1.0])],
+        "d int, x double",
+    )
+    [r] = permutation_entropy(df, "d", "x").collect()
+    assert r["n_windows"] == 3 and r["n_patterns"] == 3
+    # the operator folds 9-dp-rounded -p*ln p terms
+    h = 3 * round(-(1 / 3) * math.log(1 / 3), 9)
+    assert abs(r["perm_entropy"] - round(h, 6)) < 1e-9
+    assert abs(r["perm_entropy_norm"] - round(h / math.log(6.0), 6)) < 1e-9
+
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "d int, x double"
+    )
+    [m] = permutation_entropy(inc, "d", "x").collect()
+    assert m["n_windows"] == 4 and m["n_patterns"] == 1
+    assert m["perm_entropy"] == 0.0 and m["perm_entropy_norm"] == 0.0
+
+    short = spark.createDataFrame([(1, 1.0), (2, 2.0)], "d int, x double")
+    [s] = permutation_entropy(short, "d", "x").collect()
+    assert s["n_windows"] == 0 and s["perm_entropy"] is None
+
+
+def test_hurst_rs_ramp_and_constant(spark):
+    """A strict linear ramp is maximally persistent: R/S grows ~ s, so
+    the fitted H sits near 1 (scales 8/16/32 survive at n = 64; 64
+    itself is dropped by the >= 2-full-blocks rule). A constant series
+    has sd = 0 in every block -> no scale survives -> NULL."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        hurst_rs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "d int, x double"
+    )
+    [r] = hurst_rs(df, "d", "x", min_scale=8, n_scales=4).collect()
+    assert r["n"] == 64 and r["scales_used"] == 3
+    assert 0.9 < r["hurst_exponent"] < 1.1
+
+    const = spark.createDataFrame(
+        [(i, 3.0) for i in range(64)], "d int, x double"
+    )
+    [c] = hurst_rs(const, "d", "x", min_scale=8, n_scales=4).collect()
+    assert c["scales_used"] == 0 and c["hurst_exponent"] is None
+
+
+def test_mcnemar_hand_computed(spark):
+    """Gates (T,T),(T,F),(T,F),(F,T),(F,F): b = 2, c = 1 ->
+    chi2 = 1/3; Edwards-corrected (|1|-1)^2/3 = 0. All-concordant
+    input -> both NULL (no disagreement to test)."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mcnemar,
+    )
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (True, False), (False, True),
+         (False, False)],
+        "a boolean, b boolean",
+    )
+    [r] = mcnemar(df, "a", "b").collect()
+    assert r["n"] == 5
+    assert r["n_discordant_ab"] == 2 and r["n_discordant_ba"] == 1
+    assert abs(r["chi2"] - 0.333333) < 1e-9
+    assert r["chi2_corrected"] == 0.0
+
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    [a] = mcnemar(agree, "a", "b").collect()
+    assert a["chi2"] is None and a["chi2_corrected"] is None
+
+
+def test_jonckheere_hand_computed(spark):
+    """Groups 1:[1,2], 2:[2,3]: J* = 3·1 + 0.5 = 3.5 -> j_times2 '7';
+    E(J) = (16-8)/4 = 2; tie-corrected Var = 102/72 + 0 + 8/96 = 1.5;
+    z = 1.5/sqrt(1.5). Single group -> z NULL."""
+    import math
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3)], "g int, v int"
+    )
+    [r] = jonckheere_terpstra(df, "g", "v").collect()
+    assert r["n"] == 4 and r["n_groups"] == 2
+    assert r["j_times2"] == "7"
+    assert abs(r["z_score"] - round(1.5 / math.sqrt(1.5), 6)) < 1e-9
+
+    single = spark.createDataFrame([(1, 1), (1, 5)], "g int, v int")
+    [s] = jonckheere_terpstra(single, "g", "v").collect()
+    assert s["n_groups"] == 1 and s["z_score"] is None
+
+
+def test_burrows_delta_hand_computed(spark):
+    """Two sources with mirrored term shares ('a a b' vs 'a b b') over
+    the full 2-term vocabulary: each term z-scores to ±1, so Delta =
+    mean(|1-(-1)|, |-1-1|) = 2. Identical sources kill every term's
+    across-group variance -> empty output."""
+    from split_kinesis_streams_with_glue_spark.operators.text import (
+        burrows_delta,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a b b")], "source string, text string"
+    )
+    [r] = burrows_delta(df, "text", "source", m=2).collect()
+    assert (r["group_a"], r["group_b"]) == ("s1", "s2")
+    assert r["n_terms_used"] == 2
+    assert abs(r["delta"] - 2.0) < 1e-6
+
+    same = spark.createDataFrame(
+        [("s1", "x y"), ("s2", "x y")], "source string, text string"
+    )
+    assert burrows_delta(same, "text", "source", m=2).count() == 0
+
+
+def test_phash_pairs_identical_signature(spark):
+    """doc_ids 1537 and 3073 share (w, h, channels, digit count) in the
+    fake-image scheme -> identical fingerprints -> a candidate pair at
+    Hamming 0; any other (chance band-collision) pair must be > 0."""
+    from split_kinesis_streams_with_glue_spark.operators.multimodal import (
+        attach_fake_images,
+        phash_pairs,
+    )
+
+    df = attach_fake_images(
+        spark.createDataFrame([(1537,), (3073,), (42,)], "doc_id long")
+    )
+    rows = phash_pairs(df).collect()
+    zero = [(r["doc_id_a"], r["doc_id_b"]) for r in rows if r["hamming"] == 0]
+    assert zero == [(1537, 3073)]
+    assert all(
+        r["hamming"] > 0 for r in rows
+        if (r["doc_id_a"], r["doc_id_b"]) != (1537, 3073)
+    )
+    # shared-band dedup: the identical pair collides in ALL 4 bands but
+    # must be emitted exactly once
+    assert len([r for r in rows if r["hamming"] == 0]) == 1
+
+
+def test_aov_periodogram_hand_computed(spark):
+    """Alternating series [1,2,1,2,1,2] over 6 consecutive days:
+    SS_total = 15 - 81/6 = 1.5. Period 2 separates the values
+    perfectly (phase sums 3 and 6, bsum = 15) -> eta2 = 1; F is NULL
+    (no within-phase variance left). Period 3 bins each hold {1,2}
+    (bsum = 13.5) -> eta2 = 0 and F = 0. A constant series has
+    SS_total = 0 -> both NULL."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        aov_periodogram,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 7)]
+    df = spark.createDataFrame(
+        list(zip(days, [1, 2, 1, 2, 1, 2])), "d date, x int"
+    )
+    rows = {
+        r["period"]: r
+        for r in aov_periodogram(df, "d", "x", 2, 3).collect()
+    }
+    p2, p3 = rows[2], rows[3]
+    assert p2["n_days"] == 6 and p2["n_phases"] == 2
+    assert abs(p2["eta2"] - 1.0) < 1e-9 and p2["f_stat"] is None
+    assert p3["n_phases"] == 3
+    assert p3["eta2"] == 0.0 and p3["f_stat"] == 0.0
+
+    const = spark.createDataFrame(
+        list(zip(days, [5] * 6)), "d date, x int"
+    )
+    [c] = aov_periodogram(const, "d", "x", 2, 2).collect()
+    assert c["eta2"] is None and c["f_stat"] is None
+
+
+def test_aov_periodogram_calendar_gap_keeps_phase(spark):
+    """A missing day must NOT shift later phases: with days 1,2,4,5
+    (day 3 absent) and period 2, indices are 0,1,3,4 so phases are
+    0,1,1,0 — the datediff index keeps calendar alignment (the
+    Stellingwerf uneven-sampling semantics), unlike a row_number
+    index which would fold observation order."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        aov_periodogram,
+    )
+
+    days = [dt.date(2024, 1, d) for d in (1, 2, 4, 5)]
+    df = spark.createDataFrame(
+        list(zip(days, [10, 0, 0, 10])), "d date, x int"
+    )
+    [r] = aov_periodogram(df, "d", "x", 2, 2).collect()
+    # calendar indices 0,1,3,4 -> phases 0,1,1,0: phase0 = {10, 10},
+    # phase1 = {0, 0} — perfect separation
+    assert abs(r["eta2"] - 1.0) < 1e-9
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    """[0,0,0,3,3,3]: bridge n*S_t - t*S = -9,-18,-27,-18,-9,0 peaks
+    (in absolute value) at t = 3 -> change after day 3; statistic
+    27/sqrt(6*(6*27-81)) = 1.224745; means 0 and 3. Constant series:
+    all bridges 0 -> earliest-day argmax, NULL statistic."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 7)]
+    df = spark.createDataFrame(
+        list(zip(days, [0, 0, 0, 3, 3, 3])), "d date, x int"
+    )
+    [r] = cusum_changepoint(df, "d", "x").collect()
+    assert r["n_days"] == 6
+    assert r["change_day"] == dt.date(2024, 1, 3) and r["change_index"] == 3
+    assert abs(r["cusum_stat"] - 1.224745) < 1e-9
+    assert r["mean_before"] == 0.0 and r["mean_after"] == 3.0
+
+    const = spark.createDataFrame(
+        list(zip(days, [7] * 6)), "d date, x int"
+    )
+    [c] = cusum_changepoint(const, "d", "x").collect()
+    assert c["change_index"] == 1 and c["cusum_stat"] is None
+    assert c["mean_before"] == 7.0 and c["mean_after"] == 7.0
+
+
+def test_k_core_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4-1: the 2-core drops the pendant in
+    one round and keeps the triangle at degree 2 each. k = 3 cascades
+    to empty (node 1 survives round 1 at degree 3, starves at round
+    2). K4 is already a 3-core: immediate fixpoint at degree 3."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import k_core
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "d1 int, d2 int"
+    )
+    got = {
+        r["node"]: r["core_degree"] for r in k_core(tri, k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert k_core(tri, k=3).count() == 0
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "d1 int, d2 int",
+    )
+    got4 = {r["node"]: r["core_degree"] for r in k_core(k4, k=3).collect()}
+    assert got4 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_round_cap_raises(spark):
+    """A 12-node path peels only its two endpoints per round under
+    k = 2, so a 3-round cap must raise instead of silently returning a
+    non-fixpoint — the connected_components non-convergence contract."""
+    import pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "d1 int, d2 int"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(path, k=2, max_rounds=3)
+
+
 def test_rank_agreement_hand_computed(spark):
     """A = {1@1, 2@2, 3@3}, B = {2@1, 3@2, 4@3}: overlap {2, 3},
     jaccard 2/4, displacement (1+1)/2 = 1, and the single common pair
