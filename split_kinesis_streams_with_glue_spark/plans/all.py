@@ -254,6 +254,31 @@ the forcing behavior the test was built for; the red is the visible
 record of the driver's skipped round, not a silent parking.  The 45
 r5-stale queries stay inside the SLA (newest=5 ages out only when the
 in-flight round exceeds 13) and rotate in rounds 13–14.
+
+ROUND-13 WINDOW (derived by set-diff against CORRECTNESS_r01..r12 —
+``CORRECTNESS_r12.json`` landed 50/50 green, so the set-diff shows
+exactly 4 never-checked queries, the ``since=12`` wave):
+
+1. the 4 ``since=12`` registrations (never checked; all 4 judge-MATCH
+   in the round-12 fresh-plain-session run): ``graph_kcore_copurchase``,
+   ``retrieval_rank_agreement``, ``events_aov_periodogram``,
+   ``events_changepoint_bridge``;
+2. the 14 oracle-backed r4-stale leftovers the round-12 docstring
+   scheduled here — newest=4 aged past the SLA the moment
+   ``CORRECTNESS_r12.json`` landed (in-flight round 13 > 4 + sla=8), so
+   the SLA test armed red exactly as designed and this window clears it:
+   ``multimodal_frame_sample`` … ``pipeline_entity_resolution``
+   (registration order);
+3. 32 staleness re-verifications: the first 32 (registration order) of
+   the 45 oracle-backed r5-newest queries (``choice_resolution_totalprice``
+   … ``events_mutual_information``).  The 13 r5 leftovers
+   (``events_cusum_changepoint`` … ``agg_correlation_matrix``) CANNOT
+   fit (4 + 14 + 45 = 63 > 50); newest=5 ages out the moment
+   ``CORRECTNESS_r13.json`` lands (in-flight round 14 > 5 + sla=8), so
+   the SLA test forces them into round 14's first commit — the same
+   documented forcing behavior, and the r6-stale tranche (50 queries)
+   begins rotating right behind them.  DEFERRED stays empty because the
+   SLA arithmetic itself schedules the leftovers.
 """
 
 from __future__ import annotations
@@ -268,69 +293,67 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 8 since=11 registrations (never checked — the driver never
-    # wrote CORRECTNESS_r11.json; all 8 judge-MATCH in the round-11
-    # fresh-plain-session run) ---
-    "events_ljung_box",
-    "events_runs_test",
-    "events_hurst_rs",
-    "events_permutation_entropy",
-    "quality_mcnemar",
-    "quality_jonckheere",
-    "text_burrows_delta",
-    "multimodal_phash_pairs",
-    # --- the 10 since=10 registrations (STILL never checked for the
-    # same reason; all 10 judge-parity-green in the round-10 session) ---
-    "quality_brown_forsythe",
-    "quality_theil_u",
-    "quality_cochran_armitage",
-    "text_yule_k",
-    "text_heaps_law",
-    "sim_calinski_harabasz",
-    "events_cross_correlation",
-    "events_haar_energy",
-    "multimodal_phash_buckets",
-    "sample_systematic_interval",
-    # --- the 6 rows-only sketches: the stalest evidence rows in the
-    # registry (r1/r4-newest), the round-11 verdict's explicit pick ---
-    "agg_approx_count_distinct",
-    "percentiles_approx",
-    "dedup_simhash",
-    "dedup_semantic",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    # --- 26 staleness re-verifications: the first 26 (registration
-    # order) of the 40 oracle-backed r4-newest queries.  The 14
-    # leftovers (events_stream_topk … sample_weighted_pps) are forced
-    # into round 13's window by the SLA test the moment
-    # CORRECTNESS_r12.json lands (see the docstring).  Within the
+    # --- the 4 since=12 registrations (never checked; all 4 judge-MATCH
+    # in the round-12 fresh-plain-session driver-contract run) ---
+    "graph_kcore_copurchase",
+    "retrieval_rank_agreement",
+    "events_aov_periodogram",
+    "events_changepoint_bridge",
+    # --- the 14 oracle-backed r4-stale leftovers the SLA test forced
+    # into this window the moment CORRECTNESS_r12.json landed (the
+    # round-12 docstring's scheduled arithmetic; registration order) ---
+    "events_stream_topk",
+    "text_bloom_decontaminate",
+    "layout_zorder_key",
+    "layout_zorder3_key",
+    "layout_stats_prune",
+    "maintenance_compact_files",
+    "profile_documents",
+    "quality_k_anonymity",
+    "sample_weighted_pps",
+    "sample_cluster_safe_split",
+    "multimodal_frame_sample",
+    "multimodal_feature_ann",
+    "pipeline_entity_resolution",
+    "pipeline_publish_time_travel",
+    # --- 32 staleness re-verifications: the first 32 (registration
+    # order) of the 45 oracle-backed r5-newest queries.  The 13
+    # leftovers (events_cusum_changepoint ... agg_correlation_matrix)
+    # are forced into round 14's window by the SLA test the moment
+    # CORRECTNESS_r13.json lands (see the docstring).  Within the
     # window order carries no meaning — the driver checks all 50. ---
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_listagg_ordered",
-    "join_broadcast_dims",
-    "join_left_with_empty",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross_small",
-    "join_range_events",
-    "window_rank_topn",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_ntile",
-    "topk_orders",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "dedup_fuzzy_names_k2",
-    "dedup_pagerank_centrality",
-    "events_ewma_trend",
-    "events_heavy_hitters_contract",
-    "events_quantile_sketch_contract",
+    "choice_resolution_totalprice",
+    "formats_csv_roundtrip",
+    "cdc_merge_out_of_order",
+    "join_point_in_time",
+    "pipeline_publish_group_atomic",
+    "quality_psi_drift",
+    "quality_psi_categorical",
+    "cdc_scd2_incremental",
+    "pipeline_cdc_optimize",
+    "stream_psi_monitor",
+    "stream_novelty_monitor",
+    "scan_limit",
+    "string_funcs",
+    "subquery_scalar",
+    "pandas_udf_revenue",
+    "dedup_ppjoin_exact",
+    "dedup_incremental_index",
+    "dedup_simhash_md5",
+    "text_bm25_search",
+    "dedup_repeated_passages",
+    "dedup_semantic_contract",
+    "text_bpe_pairs",
+    "dedup_containment_exact",
+    "text_ngram_novelty",
+    "sim_random_projection",
+    "dedup_triangle_count",
+    "events_interpolate_gaps",
+    "events_regression_slope",
+    "events_hll_sliding_distinct",
+    "events_cooccurrence_lift",
+    "events_markov_transitions",
+    "events_mutual_information",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
