@@ -71,6 +71,15 @@ def main() -> None:
     # itself saturates the cores for minutes, so a post-run sample would
     # only measure the bench (round-12 review finding)
     load_before = [round(x, 2) for x in os.getloadavg()]
+    # round-12 verdict item 2: two consecutive artifacts (BENCH_r11,
+    # BENCH_r12) were load-inflated and had to be re-measured by hand;
+    # the fingerprint above already detects the condition, so act on it.
+    # A 5-min loadavg above ~2 on this 32-thread box means another
+    # multi-minute workload is (or was very recently) saturating cores —
+    # timings taken now would measure contention, not code.  The run
+    # still completes (the driver needs an artifact either way) but the
+    # JSON self-stamps invalid so no reader can mistake it for a floor.
+    invalid = load_before[1] > 2.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -124,6 +133,11 @@ def main() -> None:
                 # readers should distrust totals whose PRE-run loadavg is
                 # well above idle (BENCH_r10/r11 were both load-inflated)
                 "loadavg_before_1_5_15": load_before,
+                # self-rejection (round-12 verdict item 2): true when the
+                # pre-run 5-min loadavg exceeded 2.0 — the box was not
+                # drained, so every timing above measures host contention
+                # and MUST NOT be compared against drained floors
+                "invalid": invalid,
             }
         )
     )
