@@ -393,3 +393,88 @@ def k_core(
         f"raise max_rounds (deep peel cascade) or precompute degeneracy "
         f"ordering offline"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan, Albert &
+    Kumara, "Near linear time algorithm to detect community structures
+    in large-scale networks", Phys. Rev. E 2007) over an undirected
+    pair frame: every node starts labeled with its own id; each round,
+    every node simultaneously adopts the label carried by the PLURALITY
+    of its neighbors, ties broken toward the SMALLEST label (the
+    deterministic stand-in for the paper's random tie-break — random
+    choice cannot be oracle-matched across engines).  Returns
+    (node, label) after exactly ``rounds`` synchronous rounds, or
+    earlier if a round changes no label (a fixpoint — every further
+    synchronous round is then a no-op, so the early exit equals the
+    full unroll).
+
+    The community primitive the graph family lacked: components say
+    "reachable", pagerank says "central", the k-core says "mutually
+    dense" — label propagation says "belongs together", the cheap
+    communities pass a dedup/retrieval pipeline runs before sampling
+    per-community or capping per-cluster contributions.
+
+    CONVERGENCE CONTRACT: synchronous LPA is not monotone and can
+    oscillate on bipartite-ish structures (Raghavan et al. §III discuss
+    the label oscillation; their fix is asynchronous update order,
+    which is inherently sequential).  The operator therefore defines
+    its semantics as "the label state after ``rounds`` synchronous
+    rounds" — deterministic by construction, identical to the oracle's
+    unroll of the same depth — rather than promising a fixpoint.
+    Callers wanting converged communities read the ``changed`` signal:
+    the early exit above fires only ON a fixpoint.
+
+    Scale shape: per round, one node-keyed join of the symmetric edge
+    frame against the current labels, one (node, label) count
+    aggregate, and one per-node plurality window (partitioned by node
+    — never a global window); lineage is truncated per round with
+    eager ``localCheckpoint`` (the connected_components/pagerank/
+    k_core idiom) and the only driver-side value per round is the
+    scalar changed-label count."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["b"] == labels["n"])
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        new_labels = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("a").alias("n"), "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("old"), F.col("nw.n") == F.col("old.n"))
+            .filter(F.col("nw.label") != F.col("old.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("node"), F.col("label").cast("bigint").alias("label")
+    )

@@ -2155,3 +2155,171 @@ def jonckheere_terpstra(
             "z_score"
         ),
     )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list[str]) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach,
+    "Coefficient alpha and the internal structure of tests",
+    Psychometrika 1951) over k INTEGER item columns:
+
+        alpha = k/(k-1) * (1 - sum_i var(item_i) / var(sum_i item_i))
+
+    The reliability gate for a composite quality score: when a
+    pipeline averages several per-document signals into one keep/drop
+    score, alpha near 1 says the items move together (the composite is
+    measuring ONE construct), alpha near 0 says the composite is
+    averaging unrelated noise, and negative alpha says items are
+    anti-correlated (a wiring bug — e.g. one item accidentally
+    inverted).
+
+    Exactness: items must be integers (counts; pre-scale upstream).
+    With S_i = sum x_i and Q_i = sum x_i² folded as DECIMAL(38,0),
+    each variance numerator n·Q_i − S_i² is EXACT (the n² denominators
+    cancel in the ratio), so the whole statistic is exact integer
+    arithmetic down to ONE double division — no float-order surface
+    (the cusum_changepoint moment pattern).  Rows with a NULL in any
+    item are excluded (complete-case, the standard convention).
+    Single corpus pass: one aggregate carrying 2k+3 exact sums.
+    Returns one row (n, k_items, item_var_share, alpha); alpha is NULL
+    when the total variance is zero (constant composite) — and by
+    construction k >= 2 is required."""
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha needs at least 2 item columns")
+    k = len(item_cols)
+    cond = F.lit(True)
+    for c in item_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond)
+    dec = lambda c: c.cast("long").cast("decimal(38,0)")  # noqa: E731
+    total = sum((F.col(c).cast("long") for c in item_cols), F.lit(0))
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for i, c in enumerate(item_cols):
+        aggs.append(F.sum(dec(F.col(c))).alias(f"__s{i}"))
+        aggs.append(
+            F.sum(dec(F.col(c)) * F.col(c).cast("long")).alias(f"__q{i}")
+        )
+    aggs.append(F.sum(dec(total)).alias("__st"))
+    aggs.append(F.sum(dec(total) * total).alias("__qt"))
+    agg = base.agg(*aggs)
+    n = F.col("__n")
+    item_var = sum(
+        (
+            n * F.col(f"__q{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")
+            for i in range(1, k)
+        ),
+        n * F.col("__q0") - F.col("__s0") * F.col("__s0"),
+    )
+    tot_var = n * F.col("__qt") - F.col("__st") * F.col("__st")
+    share = item_var.cast("double") / tot_var.cast("double")
+    kD = float(k)
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("k_items"),
+        F.when(
+            tot_var.cast("double") > 0, F.round(share, 6) + 0.0
+        ).alias("item_var_share"),
+        F.when(
+            tot_var.cast("double") > 0,
+            F.round(F.lit(kD / (kD - 1.0)) * (F.lit(1.0) - share), 6) + 0.0,
+        ).alias("alpha"),
+    )
+
+
+def mood_median(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mood's median test (Mood, "Introduction to the Theory of
+    Statistics", 1950 §16.4; Brown & Mood, JASA 1951) across g groups:
+    classify every value as strictly above the grand upper median or
+    strictly below the grand lower median (values tied with the
+    median band are excluded — the classic tie treatment), then test
+    the g×2 contingency table for homogeneity with the chi-square
+    statistic, df = g−1.  The MEDIAN-based location test completing
+    the rank family: mann_whitney/kruskal_wallis compare full rank
+    sums (efficient but outlier-weighted through ranks),
+    brown_forsythe compares spread — Mood's test asks only "does each
+    group straddle the global median the same way?", the maximally
+    outlier-immune location check.
+
+    Exactness: the grand median BAND is two order statistics
+    (lower/upper middle), each taken by an ``orderBy().limit()`` prefix
+    and a MAX — actual data values, no interpolation, so the
+    above/below classification compares raw values against exact data
+    points (the interpolated even-n median (a+b)/2 is deliberately NOT
+    computed: a cross-engine expression-form surface with no effect on
+    the test).  All cell counts and marginals are exact integers;
+    each chi-square term (O−E)²/E is one fixed-form double expression,
+    9-dp-quantized and summed as DECIMAL(38,9) (order-free fold, the
+    aov_periodogram pattern).  Two ``limit()`` prefixes are
+    TakeOrderedAndProject (distributed top-k, no global sort); the
+    only driver-side value is the scalar row count that sizes them.
+    Returns one row (n, n_used, n_groups, median_lo, median_hi, chi2,
+    df); chi2 is NULL when either margin (all-above or all-below) is
+    empty."""
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
+    ).localCheckpoint(eager=False)
+    n = base.count()
+    if n == 0:
+        raise ValueError("mood_median: empty input after null filter")
+    lo_k, hi_k = (n + 1) // 2, n // 2 + 1
+    m_lo = (
+        base.orderBy(F.col("__x").asc(), F.col("__g"))
+        .limit(lo_k)
+        .agg(F.max("__x").alias("__mlo"))
+    )
+    m_hi = (
+        base.orderBy(F.col("__x").asc(), F.col("__g"))
+        .limit(hi_k)
+        .agg(F.max("__x").alias("__mhi"))
+    )
+    tagged = base.crossJoin(F.broadcast(m_lo)).crossJoin(
+        F.broadcast(m_hi)
+    )
+    cells = (
+        tagged.select(
+            "__g",
+            (F.col("__x") > F.col("__mhi")).cast("long").alias("__a"),
+            (F.col("__x") < F.col("__mlo")).cast("long").alias("__b"),
+            "__mlo",
+            "__mhi",
+        )
+        .groupBy("__g", "__mlo", "__mhi")
+        .agg(F.sum("__a").alias("__ga"), F.sum("__b").alias("__gb"))
+        .filter(F.col("__ga") + F.col("__gb") > 0)
+    )
+    tot = cells.groupBy("__mlo", "__mhi").agg(
+        F.sum("__ga").alias("__A"),
+        F.sum("__gb").alias("__B"),
+        F.count(F.lit(1)).alias("__ng"),
+    )
+    j = cells.join(F.broadcast(tot), ["__mlo", "__mhi"])
+    ni = (F.col("__ga") + F.col("__gb")).cast("double")
+    nn = (F.col("__A") + F.col("__B")).cast("double")
+    ea = ni * F.col("__A").cast("double") / nn
+    eb = ni * F.col("__B").cast("double") / nn
+    # a zero margin (A == 0 or B == 0) zeroes every expected count on
+    # that side; the statistic is gated to NULL below, but under ANSI
+    # the division itself must still be guarded (0/0 would abort)
+    term = F.when(
+        ea > 0, (F.col("__ga") - ea) * (F.col("__ga") - ea) / ea
+    ).otherwise(F.lit(0.0)) + F.when(
+        eb > 0, (F.col("__gb") - eb) * (F.col("__gb") - eb) / eb
+    ).otherwise(F.lit(0.0))
+    out = j.groupBy("__mlo", "__mhi", "__A", "__B", "__ng").agg(
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).alias("__chi")
+    )
+    return out.select(
+        F.lit(n).cast("bigint").alias("n"),
+        (F.col("__A") + F.col("__B")).cast("bigint").alias("n_used"),
+        F.col("__ng").cast("bigint").alias("n_groups"),
+        F.col("__mlo").alias("median_lo"),
+        F.col("__mhi").alias("median_hi"),
+        F.when(
+            (F.col("__A") > 0) & (F.col("__B") > 0),
+            F.round(F.col("__chi").cast("double"), 6) + 0.0,
+        ).alias("chi2"),
+        (F.col("__ng") - 1).cast("bigint").alias("df"),
+    )

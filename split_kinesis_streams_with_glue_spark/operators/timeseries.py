@@ -1338,3 +1338,84 @@ def cusum_changepoint(
             F.round((sD - stD) / (nD - tD), 6),
         ).alias("mean_after"),
     )
+
+
+def pettitt_changepoint(
+    series: DataFrame, day_col: str = "day", value_col: str = "x"
+) -> DataFrame:
+    """Pettitt's nonparametric change-point test (Pettitt, "A
+    non-parametric approach to the change-point problem", JRSS-C 1979)
+    on a day-grain series — the RANK-BASED twin of the CUSUM bridge
+    (``cusum_changepoint``): where the bridge locates a shift in the
+    MEAN and is level-sensitive, Pettitt's statistic
+
+        U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+
+    is a Mann-Whitney-style rank comparison of the two sides of every
+    candidate split, so it locates a shift in DISTRIBUTION position
+    while being immune to outlier magnitude (one enormous day moves the
+    bridge arbitrarily; it moves each sgn() by at most 1).  The
+    change-point estimate is argmax_t |U_t| over t = 1..n-1 (earliest
+    day on ties), K = max|U_t| is the test statistic, and the
+    approximate significance is p ~ 2·exp(-6K²/(n³+n²)) (Pettitt 1979,
+    eq. 12); the operator reports the EXPONENT 6K²/(n³+n²) rather than
+    applying exp() — exact integer moments with one final division, no
+    libm and no cross-engine ulp class (the aov_periodogram design
+    rule); callers apply exp() offline.
+
+    Scale shape: one corpus pass to the calendar-bounded day frame
+    (PINNED upstream, the mann_kendall/hodges_lehmann contract); V_t =
+    sum_j sgn(x_t - x_j) is the D×D bounded pair join over that frame
+    (D = distinct days, quadratic in DAYS, never events); the standard
+    identity U_t = U_{t-1} + V_t turns the double sum into one prefix
+    window over the D-row V frame; the argmax travels through
+    ``orderBy().limit(1)`` (TakeOrderedAndProject, no global funnel).
+    Every U_t is an exact integer (a sum of -1/0/+1 terms), so the
+    argmax and tie-break compare exact integers.  Returns one row
+    (n_days, change_day, change_index, k_stat, u_signed,
+    p_exponent)."""
+    base = series.filter(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    wT = Window.orderBy(day_col)
+    idx = base.select(
+        F.col(day_col).alias("__d"),
+        F.row_number().over(wT).cast("long").alias("__t"),
+        F.col(value_col).alias("__x"),
+    ).localCheckpoint(eager=False)
+    a, b = idx.alias("a"), idx.alias("b")
+    sgn = (
+        F.when(F.col("a.__x") > F.col("b.__x"), F.lit(1))
+        .when(F.col("a.__x") < F.col("b.__x"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    v = (
+        a.crossJoin(b)
+        .groupBy(F.col("a.__d").alias("__d"), F.col("a.__t").alias("__t"))
+        .agg(F.sum(sgn).cast("long").alias("__v"))
+    )
+    wU = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = v.select(
+        "__d", "__t", F.sum("__v").over(wU).cast("long").alias("__u")
+    )
+    n_tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    top = (
+        u.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("__t") < F.col("__n"))
+        .orderBy(F.abs(F.col("__u")).desc(), F.col("__d").asc())
+        .limit(1)
+    )
+    nD = F.col("__n").cast("double")
+    kD = F.abs(F.col("__u")).cast("double")
+    return top.select(
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__d").alias("change_day"),
+        F.col("__t").cast("bigint").alias("change_index"),
+        F.abs(F.col("__u")).cast("bigint").alias("k_stat"),
+        F.col("__u").cast("bigint").alias("u_signed"),
+        F.round(
+            F.lit(6.0) * kD * kD / (nD * nD * nD + nD * nD), 6
+        ).alias("p_exponent"),
+    )

@@ -3266,3 +3266,71 @@ def events_changepoint_bridge(spark, sf_dir):
         F.count(F.lit(1)).alias("x")
     )
     return cusum_changepoint(s, "d", "x")
+
+
+@query(
+    "events_pettitt_changepoint",
+    since=13,
+    oracle="""
+    WITH s AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS t, x FROM s
+    ),
+    v AS (
+      SELECT a.d, a.t,
+             SUM(CASE WHEN a.x > b.x THEN 1
+                      WHEN a.x < b.x THEN -1 ELSE 0 END) AS vv
+      FROM idx a CROSS JOIN idx b GROUP BY a.d, a.t
+    ),
+    u AS (
+      SELECT d, t,
+             SUM(vv) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS uu
+      FROM v
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM s),
+    top AS (
+      SELECT * FROM u CROSS JOIN tot
+      WHERE t < n
+      ORDER BY ABS(uu) DESC, d ASC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, d AS change_day,
+      CAST(t AS BIGINT) AS change_index,
+      CAST(ABS(uu) AS BIGINT) AS k_stat,
+      CAST(uu AS BIGINT) AS u_signed,
+      ROUND(6.0 * CAST(ABS(uu) AS DOUBLE) * CAST(ABS(uu) AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_exponent
+    FROM top
+    """,
+)
+def events_pettitt_changepoint(spark, sf_dir):
+    """NEW OPERATOR (round 13): Pettitt's nonparametric change-point
+    test (operators/timeseries.py pettitt_changepoint; Pettitt,
+    JRSS-C 1979) on the daily event-count series — the RANK-BASED twin
+    of events_changepoint_bridge: the bridge locates a MEAN shift and
+    is level-sensitive (one enormous day moves it arbitrarily);
+    Pettitt's U_t = sum_{i<=t, j>t} sgn(x_i - x_j) compares the two
+    sides of every candidate split by sign only, so it locates a
+    DISTRIBUTION-position shift with each day bounded to +/-1 of
+    influence — the outlier-immune "when did traffic change?" gate.
+    Exact integer statistics end to end: the V_t = sum_j sgn(x_t-x_j)
+    pair join is D x D bounded (day grain, never events), the standard
+    recursion U_t = U_{t-1} + V_t is one prefix window over the D-row
+    frame, the argmax travels through orderBy().limit(1)
+    (TakeOrderedAndProject), and the reported p_exponent 6K^2/(n^3+n^2)
+    is one final division — exp() is deliberately left to the caller
+    (no libm, the aov_periodogram rule)."""
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return pettitt_changepoint(s, "d", "x")

@@ -5560,6 +5560,42 @@ def multimodal_phash_pairs(spark, sf_dir):
 _KCORE_K = 80
 _KCORE_ROUNDS = 10
 
+# The part co-purchase graph both graph queries peel/propagate over —
+# ONE SQL source for the edge + symmetric-adjacency CTEs (the
+# _BM25_SCORE_CTES lesson: shared oracle blocks, never drifting copies)
+# and ONE Spark-side builder below (_copurchase_edges).
+_COPURCHASE_SYM_CTES = """e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+             GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
+    )"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """The (u, v) part co-purchase edge frame (u < v, distinct): parts
+    are adjacent when some order buys both.  Single Spark-side source
+    mirrored by ``_COPURCHASE_SYM_CTES`` — the edge build is an
+    order-key co-partitioned self-join whose fan is bounded by
+    items-per-order (<= C(7,2) pairs per order)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
 
 def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Unrolled synchronous k-core peel (the oracle twin of
@@ -5571,16 +5607,8 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     even when the core is empty) errors the whole query if the last two
     rounds still differ — the oracle can never silently return a
     non-k-core on a deeper-than-expected cascade."""
-    sql = """
-    WITH e AS MATERIALIZED (
-      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
-             GREATEST(a.l_partkey, b.l_partkey) AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    sym AS MATERIALIZED (
-      SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e
-    ),
+    sql = f"""
+    WITH {_COPURCHASE_SYM_CTES},
     alive0 AS MATERIALIZED (SELECT DISTINCT n FROM sym)"""
     prev = "alive0"
     for r in range(1, rounds + 1):
@@ -5642,22 +5670,12 @@ def graph_kcore_copurchase(spark, sf_dir):
     identical)."""
     from split_kinesis_streams_with_glue_spark.operators.graph import k_core
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
     return k_core(
-        edges, k=_KCORE_K, src="u", dst="v", max_rounds=_KCORE_ROUNDS
+        _copurchase_edges(spark, sf_dir),
+        k=_KCORE_K,
+        src="u",
+        dst="v",
+        max_rounds=_KCORE_ROUNDS,
     )
 
 
@@ -5771,3 +5789,276 @@ def retrieval_rank_agreement(spark, sf_dir):
 
     bm, ann = _ranked_top20(spark, sf_dir)
     return rank_agreement(bm, ann, id_col="doc_id", rank_col="rank")
+
+
+# One constant feeds BOTH the Spark propagation's round budget and the
+# oracle's unroll depth (the _KCORE_ROUNDS discipline).  Synchronous LPA
+# is not monotone, so the contract is "the label state after exactly
+# this many rounds" — the Spark side's early exit fires only ON a
+# fixpoint, where every further unrolled oracle round is a no-op.
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled deterministic synchronous label propagation (the oracle
+    twin of operators/graph.py label_propagation): ``rounds`` chained
+    CTEs over the shared co-purchase adjacency, each giving every node
+    the plurality label of its neighbors with ties broken toward the
+    smallest label.  AS MATERIALIZED is load-bearing exactly as in
+    _kcore_oracle: each round references the previous one, and default
+    CTE inlining would re-expand the chain per reference."""
+    sql = f"""
+    WITH {_COPURCHASE_SYM_CTES},
+    lab0 AS MATERIALIZED (SELECT DISTINCT n, n AS label FROM sym)"""
+    prev = "lab0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    lab{r} AS MATERIALIZED (
+      SELECT n, label FROM (
+        SELECT n, label,
+               ROW_NUMBER() OVER (PARTITION BY n
+                                  ORDER BY votes DESC, label ASC) AS rk
+        FROM (SELECT s.n AS n, l.label AS label, COUNT(*) AS votes
+              FROM sym s JOIN {prev} l ON s.m = l.n
+              GROUP BY s.n, l.label) v) t
+      WHERE rk = 1
+    )"""
+        prev = f"lab{r}"
+    sql += f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM {prev} GROUP BY label"""
+    return sql
+
+
+@query("graph_label_prop_communities", since=13, oracle=_lpa_oracle())
+def graph_label_prop_communities(spark, sf_dir):
+    """NEW OPERATOR (round 13): deterministic synchronous label
+    propagation (operators/graph.py label_propagation; Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007) over the part co-purchase
+    graph — the community histogram (label, n_members) after exactly
+    _LPA_ROUNDS synchronous rounds.  The graph family's fourth
+    primitive: components say "reachable", pagerank says "central",
+    the k-core says "mutually dense" — label propagation says "belongs
+    together", the cheap communities pass a pipeline runs before
+    per-community sampling or per-cluster contribution caps.
+
+    Plan shape this query exists to prove: a NON-MONOTONE bounded
+    cascade — unlike the k-core peel there is no fixpoint guarantee
+    (synchronous LPA can oscillate, Raghavan et al. §III), so the
+    determinism contract is the FIXED ROUND COUNT shared with the
+    oracle's unroll (_LPA_ROUNDS), with the early exit firing only on
+    a genuine fixpoint where the remaining unrolled rounds are no-ops.
+    Per round: one node-keyed join of the symmetric edge frame against
+    the current labels, one (node, label) count aggregate, one
+    per-node plurality window (PARTITIONED by node, never global);
+    eager localCheckpoint truncates lineage per round and the scalar
+    changed-label count is the only driver-side value."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        label_propagation,
+    )
+
+    labels = label_propagation(
+        _copurchase_edges(spark, sf_dir),
+        rounds=_LPA_ROUNDS,
+        src="u",
+        dst="v",
+    )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+@query(
+    "retrieval_rbo",
+    since=13,
+    oracle=f"""
+    WITH {_BM25_TOP20_CTES},
+    common AS (
+      SELECT GREATEST(bm.rank_a, ann.rank_b) AS dmin
+      FROM bm JOIN ann ON bm.doc_id = ann.doc_id
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(1, 20)) AS INTEGER) AS d
+    ),
+    xd AS (
+      SELECT d,
+             (SELECT COUNT(*) FROM common WHERE dmin <= d) AS x
+      FROM spine
+    ),
+    agg AS (
+      SELECT SUM(CAST(ROUND((CAST(x AS DOUBLE) / d) / (1 << d), 9)
+                      AS DECIMAL(38,9))) AS tsum,
+             MAX(CASE WHEN d = 20 THEN x END) AS xk
+      FROM xd
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+      CAST(xk AS BIGINT) AS n_common,
+      ROUND(CAST(xk AS DOUBLE) / 20.0, 6) AS agreement_k,
+      ROUND((CAST(xk AS DOUBLE) / 20.0) * (1.0 / 1048576)
+            + CAST(tsum AS DOUBLE), 6) AS rbo_ext
+    FROM agg
+    """,
+)
+def retrieval_rbo(spark, sf_dir):
+    """NEW OPERATOR (round 13): Rank-Biased Overlap
+    (operators/retrieval.py rbo_overlap; Webber, Moffat & Zobel, TOIS
+    2010) between the BM25 top-20 and the embedding-cosine top-20 —
+    the TOP-WEIGHTED twin of retrieval_rank_agreement: where
+    rank_agreement weighs every rank equally, RBO's geometric depth
+    weights make disagreement at rank 1 cost more than at rank 20,
+    which is what a pipeline consuming only the head of the list
+    actually cares about.  Persistence p is FIXED at 1/2 so p^d = 2^-d
+    is exact binary floating point (an integer shift + one division,
+    no libm pow and no cross-engine ulp class); per-depth overlap
+    counts are exact integers off the same shared top-20 lists
+    (_ranked_top20 / _BM25_TOP20_CTES) and the depth fold sums
+    9-dp-quantized DECIMAL(38,9) terms — order-free on both engines.
+    Everything below the upstream rankers is metadata-sized (a 20-row
+    depth spine against a <= 20-row overlap frame)."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rbo_overlap,
+    )
+
+    bm, ann = _ranked_top20(spark, sf_dir)
+    return rbo_overlap(bm, ann, k=20, id_col="doc_id", rank_col="rank")
+
+
+@query(
+    "retrieval_mrr_recall",
+    since=13,
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id <= 4),
+    truth AS (
+      SELECT query_id, doc_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DOT.format(a='q', b='c')} DESC, c.vec_id
+               ) AS r
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id) t
+      WHERE r <= 10
+    ),
+    sysr AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(
+                   range(1, len(q.embedding) + 1),
+                   i -> FLOOR(CAST(q.embedding[i] AS DOUBLE) * 16)
+                        * FLOOR(CAST(c.embedding[i] AS DOUBLE) * 16)
+                 )) DESC, c.vec_id
+               ) AS r
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id) t
+      WHERE r <= 20
+    ),
+    hits AS (
+      SELECT s.query_id, s.r
+      FROM sysr s JOIN truth t
+        ON s.query_id = t.query_id AND s.doc_id = t.doc_id
+    ),
+    per_hit AS (
+      SELECT query_id, MIN(r) AS first_r,
+             SUM(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS hits_p,
+             COUNT(*) AS hits_k
+      FROM hits GROUP BY query_id
+    ),
+    per_query AS (
+      SELECT t.query_id, COUNT(*) AS n_rel,
+             ANY_VALUE(h.first_r) AS first_r,
+             ANY_VALUE(h.hits_p) AS hits_p,
+             ANY_VALUE(h.hits_k) AS hits_k
+      FROM truth t LEFT JOIN per_hit h ON t.query_id = h.query_id
+      GROUP BY t.query_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS nq,
+        SUM(CAST(ROUND(COALESCE(1.0 / first_r, 0.0), 9)
+                 AS DECIMAL(38,9))) AS rr,
+        SUM(CAST(ROUND(COALESCE(hits_p, 0) / 10.0, 9)
+                 AS DECIMAL(38,9))) AS pr,
+        SUM(CAST(ROUND(COALESCE(hits_k, 0) / CAST(n_rel AS DOUBLE), 9)
+                 AS DECIMAL(38,9))) AS rc
+      FROM per_query
+    )
+    SELECT CAST(nq AS BIGINT) AS n_queries,
+      CAST(20 AS BIGINT) AS k, CAST(10 AS BIGINT) AS p_at,
+      ROUND(CAST(rr AS DOUBLE) / nq, 6) AS mrr,
+      ROUND(CAST(pr AS DOUBLE) / nq, 6) AS mean_precision,
+      ROUND(CAST(rc AS DOUBLE) / nq, 6) AS mean_recall
+    FROM agg
+    """,
+)
+def retrieval_mrr_recall(spark, sf_dir):
+    """NEW OPERATOR (round 13): macro-averaged ranked-retrieval panel
+    eval (operators/retrieval.py multi_query_eval; MRR per Voorhees,
+    TREC-8 1999) — the GROUPED eval plan shape the single-slice
+    metrics (average_precision, ndcg_at_k, rank_agreement, rbo) cannot
+    give: 5 query vectors (vec_id 0..4), per query the exact
+    double-fold cosine top-10 as the relevance set and the
+    COARSELY-QUANTIZED dot-product top-20 as the system under test
+    (components floored onto a 1/16 grid — every grid dot is an EXACT
+    INTEGER, the quantization genuinely distorts the ranking, and
+    "does int-grid quantization preserve my retrieval quality?" is the
+    exact question an int8/PQ deployment asks before shipping).  Per
+    query: reciprocal rank of the first relevant hit, precision@10,
+    recall@20 — integer folds inside a query-keyed aggregate;
+    cross-query means fold 9-dp DECIMAL(38,9) terms (order-free).
+    The 5-query panel bounds every downstream frame at 5 x k rows; the
+    corpus-scale work is the two ranking passes, each one
+    query-partitioned window over a 5-way replicated scan."""
+    from pyspark.sql import Window
+
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        multi_query_eval,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+    )
+    pairs = q.join(c, F.col("doc_id") != F.col("qid"))
+    exact_dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    grid_dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: F.floor(a.cast("double") * 16)
+            * F.floor(b.cast("double") * 16),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_exact = Window.partitionBy("qid").orderBy(
+        exact_dot.desc(), F.col("doc_id")
+    )
+    w_grid = Window.partitionBy("qid").orderBy(
+        grid_dot.desc(), F.col("doc_id")
+    )
+    truth = (
+        pairs.select(
+            F.col("qid").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w_exact).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id")
+    )
+    system = pairs.select(
+        F.col("qid").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w_grid).alias("rank"),
+    ).filter(F.col("rank") <= 20)
+    return multi_query_eval(system, truth, k=20, p_at=10)

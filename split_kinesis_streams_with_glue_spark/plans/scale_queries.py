@@ -3352,3 +3352,180 @@ def quality_jonckheere(spark, sf_dir):
         )
     )
     return jonckheere_terpstra(d, "hour_block", "v")
+
+
+@query(
+    since=13,
+    name="quality_cronbach_alpha",
+    oracle=r"""
+    WITH it AS (
+      SELECT CAST(n_chars AS BIGINT) AS i1,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS i2,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                  AS BIGINT) AS i3,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS BIGINT) AS i4
+      FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(CAST(i1 AS DECIMAL(38,0))) AS s1,
+        SUM(CAST(i1 AS DECIMAL(38,0)) * i1) AS q1,
+        SUM(CAST(i2 AS DECIMAL(38,0))) AS s2,
+        SUM(CAST(i2 AS DECIMAL(38,0)) * i2) AS q2,
+        SUM(CAST(i3 AS DECIMAL(38,0))) AS s3,
+        SUM(CAST(i3 AS DECIMAL(38,0)) * i3) AS q3,
+        SUM(CAST(i4 AS DECIMAL(38,0))) AS s4,
+        SUM(CAST(i4 AS DECIMAL(38,0)) * i4) AS q4,
+        SUM(CAST(i1 + i2 + i3 + i4 AS DECIMAL(38,0))) AS st,
+        SUM(CAST(i1 + i2 + i3 + i4 AS DECIMAL(38,0))
+            * (i1 + i2 + i3 + i4)) AS qt
+      FROM it
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(4 AS BIGINT) AS k_items,
+      CASE WHEN CAST(n * qt - st * st AS DOUBLE) > 0
+           THEN ROUND(CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                           + (n * q3 - s3 * s3) + (n * q4 - s4 * s4)
+                           AS DOUBLE)
+                      / CAST(n * qt - st * st AS DOUBLE), 6)
+      END + 0.0 AS item_var_share,
+      CASE WHEN CAST(n * qt - st * st AS DOUBLE) > 0
+           THEN ROUND((4.0 / 3.0)
+                      * (1.0 - CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                                    + (n * q3 - s3 * s3) + (n * q4 - s4 * s4)
+                                    AS DOUBLE)
+                        / CAST(n * qt - st * st AS DOUBLE)), 6)
+      END + 0.0 AS alpha
+    FROM agg
+    """,
+)
+def quality_cronbach_alpha(spark, sf_dir):
+    """NEW OPERATOR (round 13): Cronbach's alpha internal-consistency
+    coefficient (operators/quality_checks.py cronbach_alpha; Cronbach,
+    Psychometrika 1951) over four integer per-document size signals —
+    character count, whitespace-token count, sentence-punctuation
+    count, digit count.  THE reliability gate for a composite quality
+    score: a pipeline that averages several per-doc signals into one
+    keep/drop number should first ask whether the items move together
+    (alpha near 1: one construct) or average unrelated noise (alpha
+    near 0) or contain an inverted item (negative alpha — a wiring
+    bug).  With S_i/Q_i folded as DECIMAL(38,0), every variance
+    numerator n*Q_i - S_i^2 is exact and the n^2 denominators cancel
+    in the ratio, so the whole statistic is exact integer arithmetic
+    down to one double division (the cusum_changepoint moment
+    pattern); one corpus pass carrying 11 exact sums."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cronbach_alpha,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    items = d.select(
+        F.col("n_chars").cast("long").alias("i1"),
+        F.size(whitespace_tokens(F.col("text")))
+        .cast("long")
+        .alias("i2"),
+        F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+        .cast("long")
+        .alias("i3"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+        .cast("long")
+        .alias("i4"),
+    )
+    return cronbach_alpha(items, ["i1", "i2", "i3", "i4"])
+
+
+@query(
+    since=13,
+    name="quality_mood_median",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey AS g, c_acctbal AS x FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM base
+    ),
+    m AS (
+      SELECT
+        MAX(CASE WHEN rn = (SELECT (n + 1) // 2 FROM tot) THEN x END)
+          AS m_lo,
+        MAX(CASE WHEN rn = (SELECT n // 2 + 1 FROM tot) THEN x END)
+          AS m_hi
+      FROM ranked
+    ),
+    cells AS (
+      SELECT g,
+             SUM(CASE WHEN x > m_hi THEN 1 ELSE 0 END) AS ga,
+             SUM(CASE WHEN x < m_lo THEN 1 ELSE 0 END) AS gb
+      FROM base CROSS JOIN m GROUP BY g
+    ),
+    used AS (SELECT * FROM cells WHERE ga + gb > 0),
+    tots AS (
+      SELECT SUM(ga) AS a, SUM(gb) AS b, COUNT(*) AS ng FROM used
+    ),
+    chi AS (
+      SELECT SUM(CAST(ROUND(
+        CASE WHEN CAST(ga + gb AS DOUBLE) * CAST(a AS DOUBLE)
+                  / CAST(a + b AS DOUBLE) > 0
+             THEN (CAST(ga AS DOUBLE)
+                   - CAST(ga + gb AS DOUBLE) * CAST(a AS DOUBLE)
+                     / CAST(a + b AS DOUBLE))
+                  * (CAST(ga AS DOUBLE)
+                     - CAST(ga + gb AS DOUBLE) * CAST(a AS DOUBLE)
+                       / CAST(a + b AS DOUBLE))
+                  / (CAST(ga + gb AS DOUBLE) * CAST(a AS DOUBLE)
+                     / CAST(a + b AS DOUBLE))
+             ELSE 0.0 END
+        + CASE WHEN CAST(ga + gb AS DOUBLE) * CAST(b AS DOUBLE)
+                    / CAST(a + b AS DOUBLE) > 0
+               THEN (CAST(gb AS DOUBLE)
+                     - CAST(ga + gb AS DOUBLE) * CAST(b AS DOUBLE)
+                       / CAST(a + b AS DOUBLE))
+                    * (CAST(gb AS DOUBLE)
+                       - CAST(ga + gb AS DOUBLE) * CAST(b AS DOUBLE)
+                         / CAST(a + b AS DOUBLE))
+                    / (CAST(ga + gb AS DOUBLE) * CAST(b AS DOUBLE)
+                       / CAST(a + b AS DOUBLE))
+               ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS c
+      FROM used CROSS JOIN tots
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+      CAST(a + b AS BIGINT) AS n_used,
+      CAST(ng AS BIGINT) AS n_groups,
+      (SELECT m_lo FROM m) AS median_lo,
+      (SELECT m_hi FROM m) AS median_hi,
+      CASE WHEN a > 0 AND b > 0
+           THEN ROUND(CAST(c AS DOUBLE), 6) + 0.0
+      END AS chi2,
+      CAST(ng - 1 AS BIGINT) AS df
+    FROM tots CROSS JOIN chi
+    """,
+)
+def quality_mood_median(spark, sf_dir):
+    """NEW OPERATOR (round 13): Mood's median test
+    (operators/quality_checks.py mood_median; Mood 1950 §16.4; Brown &
+    Mood, JASA 1951) of customer account balance across the 25
+    nations — does each nation straddle the GLOBAL median balance the
+    same way?  The maximally outlier-immune location check completing
+    the rank family: mann_whitney/kruskal_wallis weigh full rank sums,
+    brown_forsythe compares spread — Mood's test reduces every value
+    to above/below the grand median band, so a single extreme balance
+    moves one count by one.  The median BAND is two exact order
+    statistics (lower/upper middle) taken by orderBy().limit() prefixes
+    + MAX — actual data values, no cross-engine interpolation
+    expression; cell counts and marginals are exact integers; each
+    (O-E)^2/E term is one fixed-form double expression 9-dp-quantized
+    and summed as DECIMAL(38,9) (order-free fold, the aov pattern).
+    The only driver-side value is the scalar row count sizing the two
+    TakeOrderedAndProject prefixes."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mood_median,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    return mood_median(c, "c_nationkey", "c_acctbal")

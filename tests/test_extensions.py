@@ -2943,3 +2943,198 @@ def test_rank_agreement_hand_computed(spark):
     [d] = rank_agreement(a, c).collect()
     assert d["n_common"] == 0 and d["jaccard"] == 0.0
     assert d["mean_rank_disp"] is None and d["kendall_tau"] is None
+
+
+def test_label_propagation_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4-1: round-by-round by hand (plurality
+    of neighbor labels, ties to smallest) all four nodes carry label 1
+    by round 3 and round 4 confirms the fixpoint. Two disjoint
+    triangles keep separate labels (1 and 10) — communities never
+    bleed across components."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "d1 int, d2 int"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(tri, rounds=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "d1 int, d2 int",
+    )
+    got2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(two, rounds=4).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_fixed_round_semantics(spark):
+    """A single edge OSCILLATES under synchronous update (each endpoint
+    adopts the other's label every round, Raghavan et al. §III) — the
+    operator's contract is the exact round count, so rounds=3 must
+    return the swapped state and rounds=4 the identity state, with no
+    early exit ever firing (labels change every round)."""
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edge = spark.createDataFrame([(1, 2)], "d1 int, d2 int")
+    odd = {
+        r["node"]: r["label"]
+        for r in label_propagation(edge, rounds=3).collect()
+    }
+    assert odd == {1: 2, 2: 1}
+    even = {
+        r["node"]: r["label"]
+        for r in label_propagation(edge, rounds=4).collect()
+    }
+    assert even == {1: 1, 2: 2}
+
+
+def test_rbo_hand_computed(spark):
+    """k=2, p=1/2 by hand: lists [1,2] vs [1,3] share doc 1 at rank 1,
+    so X_1 = X_2 = 1 -> terms (1/1)/2 + (1/2)/4 = 0.625 plus the
+    extrapolation (1/2)*(1/4) = 0.125 -> rbo_ext = 0.75. Identical
+    lists give exactly 1.0, disjoint lists exactly 0.0."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rbo_overlap,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(1, 1), (3, 2)], "doc_id int, rank int")
+    [r] = rbo_overlap(a, b, k=2).collect()
+    assert r["n_common"] == 1 and r["agreement_k"] == 0.5
+    assert abs(r["rbo_ext"] - 0.75) < 1e-9
+
+    [same] = rbo_overlap(a, a, k=2).collect()
+    assert same["rbo_ext"] == 1.0 and same["agreement_k"] == 1.0
+
+    c = spark.createDataFrame([(8, 1), (9, 2)], "doc_id int, rank int")
+    [disj] = rbo_overlap(a, c, k=2).collect()
+    assert disj["rbo_ext"] == 0.0 and disj["n_common"] == 0
+
+
+def test_multi_query_eval_hand_computed(spark):
+    """Three queries by hand: q1 hits its 2 relevant docs at system
+    ranks 2 and 3 (rr = 1/2, precision@2 = 1/2, recall = 1); q2
+    retrieves nothing relevant (all zeros); q3 has no system rows at
+    all but still counts in the macro average. Means over 3 queries:
+    mrr = 1/6, precision = 1/6, recall = 1/3."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        multi_query_eval,
+    )
+
+    system = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2)],
+        "query_id string, doc_id int, rank int",
+    )
+    truth = spark.createDataFrame(
+        [("q1", 11), ("q1", 12), ("q2", 99), ("q3", 5)],
+        "query_id string, doc_id int",
+    )
+    [r] = multi_query_eval(system, truth, k=3, p_at=2).collect()
+    assert r["n_queries"] == 3
+    assert abs(r["mrr"] - round(0.5 / 3, 6)) < 1e-9
+    assert abs(r["mean_precision"] - round(0.5 / 3, 6)) < 1e-9
+    assert abs(r["mean_recall"] - round(1.0 / 3, 6)) < 1e-9
+
+
+def test_pettitt_hand_computed(spark):
+    """[0,0,0,3,3,3]: V_t = -3,-3,-3,+3,+3,+3 so U = -3,-6,-9,-6,-3,0;
+    max|U_t| over t<=5 is K = 9 at t = 3 -> change after day 3,
+    u_signed = -9, exponent 6*81/(216+36) = 1.928571. A constant
+    series has every U_t = 0 -> earliest-day argmax, K = 0."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    days = [dt.date(2024, 1, d) for d in range(1, 7)]
+    df = spark.createDataFrame(
+        list(zip(days, [0, 0, 0, 3, 3, 3])), "d date, x int"
+    )
+    [r] = pettitt_changepoint(df, "d", "x").collect()
+    assert r["n_days"] == 6
+    assert r["change_day"] == dt.date(2024, 1, 3) and r["change_index"] == 3
+    assert r["k_stat"] == 9 and r["u_signed"] == -9
+    assert abs(r["p_exponent"] - 1.928571) < 1e-9
+
+    const = spark.createDataFrame(
+        list(zip(days, [7] * 6)), "d date, x int"
+    )
+    [c] = pettitt_changepoint(const, "d", "x").collect()
+    assert c["change_index"] == 1 and c["k_stat"] == 0
+    assert c["p_exponent"] == 0.0
+
+
+def test_cronbach_alpha_hand_computed(spark):
+    """Perfectly correlated items x=y=[1,2,3]: each variance numerator
+    3*14-36 = 6, total [2,4,6] gives 24 -> share 1/2, alpha =
+    2*(1-1/2) = 1. Anti-correlated items sum to a constant -> zero
+    total variance -> NULL. x=[1,2,3], y=[1,3,2]: share 12/18, alpha
+    = 2/3. Fewer than 2 items must raise."""
+    import pytest
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cronbach_alpha,
+    )
+
+    corr = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "x int, y int")
+    [r] = cronbach_alpha(corr, ["x", "y"]).collect()
+    assert r["n"] == 3 and r["k_items"] == 2
+    assert r["item_var_share"] == 0.5 and r["alpha"] == 1.0
+
+    anti = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "x int, y int")
+    [a] = cronbach_alpha(anti, ["x", "y"]).collect()
+    assert a["item_var_share"] is None and a["alpha"] is None
+
+    mid = spark.createDataFrame([(1, 1), (2, 3), (3, 2)], "x int, y int")
+    [m] = cronbach_alpha(mid, ["x", "y"]).collect()
+    assert abs(m["item_var_share"] - 0.666667) < 1e-9
+    assert abs(m["alpha"] - 0.666667) < 1e-9
+
+    with pytest.raises(ValueError, match="at least 2"):
+        cronbach_alpha(corr, ["x"])
+
+
+def test_mood_median_hand_computed(spark):
+    """Groups a=[1..4], b=[5..8]: median band is (4, 5); above = {6,7,8}
+    all in b, below = {1,2,3} all in a, the band values 4 and 5 are
+    excluded -> 2x2 table [[0,3],[3,0]], every E = 1.5, chi2 = 6.0,
+    df = 1. A one-sided table (B margin empty) reports NULL chi2; an
+    input where every value ties the median band yields no usable
+    group at all -> empty output."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mood_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", 8.0)],
+        "g string, v double",
+    )
+    [r] = mood_median(df, "g", "v").collect()
+    assert r["n"] == 8 and r["n_used"] == 6 and r["n_groups"] == 2
+    assert r["median_lo"] == 4.0 and r["median_hi"] == 5.0
+    assert r["chi2"] == 6.0 and r["df"] == 1
+
+    oneside = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    [o] = mood_median(oneside, "g", "v").collect()
+    assert o["chi2"] is None
+
+    alltied = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    assert mood_median(alltied, "g", "v").count() == 0

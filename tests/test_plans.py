@@ -683,6 +683,24 @@ _LINT_ALLOWANCES: dict[str, set[str]] = {
         "cartesian-product",
         "unpushed-scan-filter",
     },
+    # --- round-13 queries ---
+    # BM25 side: the rank_agreement classes (1-row N/avgdl broadcast +
+    # query-term IN filter under the token explode), plus the 20-row
+    # depth spine's non-equi join against the <= 20-row overlap frame
+    # — bounded by the top-k contract on both sides
+    "retrieval_rbo": {"cartesian-product", "unpushed-scan-filter"},
+    # the D x D day-pair sign join (day grain, the mann_kendall /
+    # hodges_lehmann documented boundedness contract) + the 1-row count
+    # broadcast; row-number / prefix-sum windows over the
+    # calendar-bounded day frame; the argmax is orderBy().limit(1)
+    # (the events_changepoint_bridge classes)
+    "events_pettitt_changepoint": {
+        "cartesian-product",
+        "unpartitioned-window",
+    },
+    # crossJoins of the two 1-row median-band aggregates (each fed by a
+    # TakeOrderedAndProject prefix) onto the row frame — bounded
+    "quality_mood_median": {"cartesian-product"},
 }
 
 
@@ -783,6 +801,7 @@ _EXECUTED_SCAN_CEILINGS: dict[str, int] = {
     "dedup_semantic_contract": 15,  # kmeans + survivor-count branches
     "sim_ann_pq_contract": 14,  # pq_train Lloyd loops + exact-vs-ADC branches
     "graph_kcore_copurchase": 1,  # k-core peel rounds (eager pins per round)
+    "graph_label_prop_communities": 1,  # LPA rounds (eager pins per round)
 }
 
 

@@ -2649,3 +2649,263 @@ def test_rank_agreement_matches_naive(spark, ids_a, ids_b):
         assert abs(r["kendall_tau"] - round(tau, 6)) < 1e-9
     else:
         assert r["kendall_tau"] is None
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(1, 4),
+)
+def test_label_propagation_matches_naive(spark, raw_edges, rounds):
+    """The operator must equal the literal synchronous simulation:
+    every node simultaneously takes the plurality label of its
+    neighbors (ties to the smallest label) for exactly `rounds`
+    rounds, with an early stop only on a no-change round."""
+    from collections import Counter
+
+    from split_kinesis_streams_with_glue_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = {tuple(sorted(e)) for e in raw_edges}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        if new == labels:
+            break
+        labels = new
+    df = spark.createDataFrame(sorted(edges), "d1 int, d2 int")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == labels
+
+
+@SET
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(0, 15), min_size=1, max_size=8, unique=True),
+)
+def test_rbo_matches_naive(spark, ids_a, ids_b):
+    """rbo_ext must equal the literal Webber-Moffat-Zobel fold with
+    p = 1/2 over the per-depth prefix intersections (rank = 1-based
+    list position; k = the longer list's length)."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        rbo_overlap,
+    )
+
+    k = max(len(ids_a), len(ids_b))
+    a = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(ids_a)], "doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(ids_b)], "doc_id int, rank int"
+    )
+    [r] = rbo_overlap(a, b, k=k).collect()
+    xs = []
+    for d in range(1, k + 1):
+        xs.append(len(set(ids_a[:d]) & set(ids_b[:d])))
+    want = (xs[-1] / k) * 0.5 ** k + sum(
+        (x / d) * 0.5 ** d for d, x in enumerate(xs, 1)
+    )
+    assert r["n_common"] == xs[-1]
+    assert abs(r["rbo_ext"] - want) < 2e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.lists(st.integers(0, 20), min_size=1, max_size=6,
+                     unique=True),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.lists(st.integers(0, 20), min_size=1, max_size=4,
+                     unique=True),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_multi_query_eval_matches_naive(spark, sys_lists, truth_lists):
+    """MRR / precision@p / recall@k must equal the literal per-query
+    recount macro-averaged over every query in the TRUTH panel."""
+    from split_kinesis_streams_with_glue_spark.operators.retrieval import (
+        multi_query_eval,
+    )
+
+    k, p_at = 6, 3
+    sys_rows = [
+        (f"q{q}", d, i + 1)
+        for q, docs in sys_lists
+        for i, d in enumerate(docs)
+    ]
+    truth_rows = [
+        (f"q{q}", d) for q, docs in truth_lists for d in docs
+    ]
+    system = spark.createDataFrame(
+        sys_rows, "query_id string, doc_id int, rank int"
+    )
+    truth = spark.createDataFrame(truth_rows, "query_id string, doc_id int")
+    [r] = multi_query_eval(system, truth, k=k, p_at=p_at).collect()
+    sysd = {f"q{q}": docs for q, docs in sys_lists}
+    rrs, precs, recs = [], [], []
+    for q, rel in truth_lists:
+        qn, relset = f"q{q}", set(rel)
+        ranked = sysd.get(qn, [])
+        hit_ranks = [i + 1 for i, d in enumerate(ranked) if d in relset]
+        rrs.append(1.0 / hit_ranks[0] if hit_ranks else 0.0)
+        precs.append(len([h for h in hit_ranks if h <= p_at]) / p_at)
+        recs.append(len(hit_ranks) / len(relset))
+    nq = len(truth_lists)
+    assert r["n_queries"] == nq
+    assert abs(r["mrr"] - sum(rrs) / nq) < 2e-6
+    assert abs(r["mean_precision"] - sum(precs) / nq) < 2e-6
+    assert abs(r["mean_recall"] - sum(recs) / nq) < 2e-6
+
+
+@SET
+@given(st.lists(st.integers(-5, 5), min_size=2, max_size=12))
+def test_pettitt_matches_naive(spark, values):
+    """K, the argmax index (earliest on ties), and the p-exponent must
+    equal the literal double-sum U_t = sum_{i<=t,j>t} sgn(x_i - x_j)
+    recount."""
+    import datetime as dt
+
+    from split_kinesis_streams_with_glue_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    n = len(values)
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(n)]
+    df = spark.createDataFrame(
+        list(zip(days, values)), "d date, x int"
+    )
+    [r] = pettitt_changepoint(df, "d", "x").collect()
+
+    def sgn(a, b):
+        return (a > b) - (a < b)
+
+    us = []
+    for t in range(1, n):
+        us.append(
+            sum(
+                sgn(values[i], values[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+        )
+    kstat = max(abs(u) for u in us)
+    tbest = next(t for t, u in enumerate(us, 1) if abs(u) == kstat)
+    assert r["k_stat"] == kstat
+    assert r["change_index"] == tbest
+    assert r["change_day"] == days[tbest - 1]
+    assert r["u_signed"] == us[tbest - 1]
+    want = 6.0 * kstat * kstat / (float(n) ** 3 + float(n) ** 2)
+    assert abs(r["p_exponent"] - want) < 2e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(0, 9)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_cronbach_alpha_matches_naive(spark, rows):
+    """alpha must equal the literal exact-fraction computation
+    k/(k-1) * (1 - sum var_i / var_total) with population variances."""
+    from fractions import Fraction
+
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        cronbach_alpha,
+    )
+
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    [r] = cronbach_alpha(df, ["x", "y", "z"]).collect()
+    n = len(rows)
+    cols = list(zip(*rows))
+    totals = [sum(t) for t in rows]
+
+    def var_num(vals):
+        return n * sum(v * v for v in vals) - sum(vals) ** 2
+
+    tot_num = var_num(totals)
+    if tot_num == 0:
+        assert r["alpha"] is None
+    else:
+        share = Fraction(sum(var_num(c) for c in cols), tot_num)
+        want = Fraction(3, 2) * (1 - share)
+        assert abs(r["alpha"] - float(want)) < 2e-6
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9)),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_mood_median_matches_naive(spark, rows):
+    """Cell counts, the median band, and chi2 must equal the literal
+    recount: band = the two middle order statistics, strictly-outside
+    classification, (O-E)^2/E over used groups."""
+    from split_kinesis_streams_with_glue_spark.operators.quality_checks import (
+        mood_median,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in rows], "g string, v double"
+    )
+    out = mood_median(df, "g", "v").collect()
+    n = len(rows)
+    xs = sorted(v for _, v in rows)
+    m_lo, m_hi = xs[(n + 1) // 2 - 1], xs[n // 2]
+    cells = {}
+    for g, v in rows:
+        a, b = cells.get(g, (0, 0))
+        cells[g] = (a + (v > m_hi), b + (v < m_lo))
+    used = {g: c for g, c in cells.items() if sum(c) > 0}
+    if not used:
+        assert out == []
+        return
+    [r] = out
+    A = sum(a for a, _ in used.values())
+    B = sum(b for _, b in used.values())
+    assert (r["n"], r["n_used"], r["n_groups"]) == (n, A + B, len(used))
+    assert (r["median_lo"], r["median_hi"]) == (m_lo, m_hi)
+    assert r["df"] == len(used) - 1
+    if A == 0 or B == 0:
+        assert r["chi2"] is None
+    else:
+        chi = 0.0
+        for a, b in used.values():
+            ni = a + b
+            ea, eb = ni * A / (A + B), ni * B / (A + B)
+            chi += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+        assert abs(r["chi2"] - chi) < 2e-6
