@@ -454,7 +454,7 @@ def label_propagation(
     w = Window.partitionBy("a").orderBy(
         F.col("votes").desc(), F.col("label").asc()
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         votes = (
             sym.join(labels, sym["b"] == labels["n"])
             .groupBy("a", "label")
@@ -466,15 +466,21 @@ def label_propagation(
             .select(F.col("a").alias("n"), "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("nw")
-            .join(labels.alias("old"), F.col("nw.n") == F.col("old.n"))
-            .filter(F.col("nw.label") != F.col("old.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # the changed-count scan only pays for itself while another
+        # round remains to skip — on the final round its value is
+        # discarded, so don't run the job (post-wave review)
+        if r < rounds - 1:
+            changed = (
+                new_labels.alias("nw")
+                .join(labels.alias("old"), F.col("nw.n") == F.col("old.n"))
+                .filter(F.col("nw.label") != F.col("old.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(
         F.col("n").alias("node"), F.col("label").cast("bigint").alias("label")
     )

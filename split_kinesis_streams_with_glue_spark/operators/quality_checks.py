@@ -2255,7 +2255,10 @@ def mood_median(
     only driver-side value is the scalar row count that sizes them.
     Returns one row (n, n_used, n_groups, median_lo, median_hi, chi2,
     df); chi2 is NULL when either margin (all-above or all-below) is
-    empty."""
+    empty, and the output is EMPTY (zero rows — "no usable group, no
+    test") when every value ties the median band; the registered
+    oracle carries the same ``WHERE ng > 0`` guard so both engines
+    agree in that degenerate state (post-wave review finding)."""
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(

@@ -139,6 +139,10 @@ def rbo_overlap(
     rank_agreement boundedness contract); the corpus-scale work lives
     in the upstream rankers.  Returns one row
     (k, n_common, agreement_k, rbo_ext)."""
+    if not 1 <= k <= 62:
+        # the 2^-d weight rides a 64-bit shift: depth 63 hits the sign
+        # bit and depth 64 wraps — refuse rather than return garbage
+        raise ValueError("rbo_overlap requires 1 <= k <= 62")
     a = ranked_a.select(
         F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
     )
@@ -214,6 +218,11 @@ def multi_query_eval(
         F.col(query_col).alias("__q"),
         F.col(id_col).alias("__id"),
         F.col(rank_col).alias("__r"),
+    ).filter(
+        # the reported k must be the k the computation applied: a
+        # system frame carrying ranks beyond k would otherwise inflate
+        # recall@k silently (post-wave review)
+        F.col("__r") <= k
     )
     t = truth.select(
         F.col(query_col).alias("__tq"), F.col(id_col).alias("__tid")

@@ -6022,15 +6022,12 @@ def retrieval_mrr_recall(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
     )
     pairs = q.join(c, F.col("doc_id") != F.col("qid"))
-    exact_dot = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("cv"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # the canonical left-to-right double fold (functions/vectors.py),
+    # the single Spark-side source already validated against the _DOT
+    # macro — never an inline re-implementation (post-wave review)
+    from split_kinesis_streams_with_glue_spark.functions.vectors import dot
+
+    exact_dot = dot("qv", "cv")
     grid_dot = F.aggregate(
         F.zip_with(
             F.col("qv"),

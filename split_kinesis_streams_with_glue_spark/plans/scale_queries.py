@@ -3504,6 +3504,7 @@ def quality_cronbach_alpha(spark, sf_dir):
       END AS chi2,
       CAST(ng - 1 AS BIGINT) AS df
     FROM tots CROSS JOIN chi
+    WHERE ng > 0
     """,
 )
 def quality_mood_median(spark, sf_dir):

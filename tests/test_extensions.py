@@ -3020,6 +3020,15 @@ def test_rbo_hand_computed(spark):
     [disj] = rbo_overlap(a, c, k=2).collect()
     assert disj["rbo_ext"] == 0.0 and disj["n_common"] == 0
 
+    # the 2^-d weight rides a 64-bit shift: depth 63 hits the sign bit
+    # — the guard must refuse rather than return garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="1 <= k <= 62"):
+        rbo_overlap(a, b, k=63)
+    with pytest.raises(ValueError, match="1 <= k <= 62"):
+        rbo_overlap(a, b, k=0)
+
 
 def test_multi_query_eval_hand_computed(spark):
     """Three queries by hand: q1 hits its 2 relevant docs at system
@@ -3045,6 +3054,13 @@ def test_multi_query_eval_hand_computed(spark):
     assert abs(r["mrr"] - round(0.5 / 3, 6)) < 1e-9
     assert abs(r["mean_precision"] - round(0.5 / 3, 6)) < 1e-9
     assert abs(r["mean_recall"] - round(1.0 / 3, 6)) < 1e-9
+
+    # ranks beyond k are EXCLUDED, so the reported k is the k the
+    # computation applied: with k=2 q1's rank-3 hit disappears from
+    # recall and the first hit at rank 2 still carries the rr
+    [k2] = multi_query_eval(system, truth, k=2, p_at=2).collect()
+    assert abs(k2["mrr"] - round(0.5 / 3, 6)) < 1e-9
+    assert abs(k2["mean_recall"] - round(0.5 / 3, 6)) < 1e-9
 
 
 def test_pettitt_hand_computed(spark):
