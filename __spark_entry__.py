@@ -36,7 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
     env = json_roundtrip(
         generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
     )
-    cust = compact(event_time(split_one(env, "customer", keep_operation=True)), ["c_custkey"])
+    # prune=False: single-table envelope — the all-null-column probe would
+    # re-run the wire parse end to end to learn there is nothing to prune
+    cust = compact(
+        event_time(split_one(env, "customer", keep_operation=True, prune=False)),
+        ["c_custkey"],
+    )
     cust.createOrReplaceTempView("target_customer")
     return spark.sql(
         """

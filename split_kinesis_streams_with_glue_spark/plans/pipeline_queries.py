@@ -33,7 +33,10 @@ def split_roundtrip_customer(spark, sf_dir):
     """Full-load envelopes → JSON wire round-trip → filter+flatten (the
     reference's P1+P2, README.md:259-279) recovers the source table."""
     env = json_roundtrip(wrap(load(spark, sf_dir, "customer"), "customer"))
-    return split_one(env, "customer", keep_timestamp=False)
+    # prune=False: single-table envelope by construction — the all-null-column
+    # probe would re-run the wire parse end to end just to learn there is
+    # nothing to prune (r13 optimization; split_multi_table keeps the probe)
+    return split_one(env, "customer", keep_timestamp=False, prune=False)
 
 
 @query(
@@ -49,7 +52,7 @@ def split_flatten_orders_ts(spark, sf_dir):
     image/image5.png) and re-parse losslessly (source is ms-precision; the
     wire format carries ms)."""
     env = json_roundtrip(wrap(load(spark, sf_dir, "orders"), "orders"))
-    return split_one(env, "orders", keep_timestamp=False)
+    return split_one(env, "orders", keep_timestamp=False, prune=False)
 
 
 @query(
@@ -70,7 +73,7 @@ def cdc_compact_customer(spark, sf_dir):
     env = json_roundtrip(
         generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
     )
-    cust = split_one(env, "customer", keep_operation=True)
+    cust = split_one(env, "customer", keep_operation=True, prune=False)
     return compact(event_time(cust), ["c_custkey"])
 
 
@@ -243,7 +246,7 @@ def choice_resolution_totalprice(spark, sf_dir):
         to_json_lines(wrap(as_dbl, "orders"))
     )
     env = parse_envelope_lines(lines, wrap(as_dbl, "orders").schema)
-    flat = split_one(env, "orders", keep_timestamp=False)
+    flat = split_one(env, "orders", keep_timestamp=False, prune=False)
     return resolve_choices(flat, {"o_totalprice": "double"})
 
 
@@ -281,7 +284,7 @@ def choice_make_struct(spark, sf_dir):
         src.withColumn("o_totalprice", F.col("o_totalprice").cast("string")), "orders"
     ).schema
     env = parse_envelope_lines(lines, raw_schema)
-    flat = split_one(env, "orders", keep_timestamp=False)
+    flat = split_one(env, "orders", keep_timestamp=False, prune=False)
     resolved = resolve_choices(flat, {"o_totalprice": "make_struct"})
     return resolved.select(
         "o_orderkey",
@@ -307,7 +310,7 @@ def catalog_sql_over_split(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="sgs_cat_")
     env = wrap(load(spark, sf_dir, "customer"), "customer")
-    split_one(env, "customer", keep_timestamp=False).write.mode("overwrite").parquet(
+    split_one(env, "customer", keep_timestamp=False, prune=False).write.mode("overwrite").parquet(
         f"{base}/customer"
     )
     register_parquet(spark, "target_customer_q", f"{base}/customer")
@@ -378,7 +381,7 @@ def cdc_scd2_customer(spark, sf_dir):
     env = json_roundtrip(
         generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
     )
-    cust = event_time(split_one(env, "customer", keep_operation=True))
+    cust = event_time(split_one(env, "customer", keep_operation=True, prune=False))
     hist = scd2_history(cust, ["c_custkey"])
     base = F.unix_timestamp(F.to_timestamp(F.lit(BASE_TS)))
     return hist.select(
@@ -897,7 +900,7 @@ def join_point_in_time(spark, sf_dir):
     env = json_roundtrip(
         generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
     )
-    cust = event_time(split_one(env, "customer", keep_operation=True))
+    cust = event_time(split_one(env, "customer", keep_operation=True, prune=False))
     hist = scd2_history(cust, ["c_custkey"]).select(
         F.col("c_custkey"), "c_acctbal", "valid_from", "valid_to"
     )

@@ -17,16 +17,32 @@ from split_kinesis_streams_with_glue_spark.sources.json_envelope import CORRUPT_
 
 def parse_envelope_lines(lines_df: DataFrame, schema: T.StructType) -> DataFrame:
     """Parse single-column ('value') JSON lines into envelopes with PERMISSIVE
-    corrupt-record routing (same contract as ``read_envelopes``)."""
+    corrupt-record routing (same contract as ``read_envelopes``).
+
+    The parse is wrapped in ``explode(array(...))`` — a Generate node — so
+    the optimizer cannot inline the ``from_json`` into downstream filters
+    and projections. Without the barrier, a filter on ``metadata.*`` pushed
+    below the flattening Project re-embeds the whole parse expression into
+    its condition AND the surviving Project, so every row pays the JSON
+    codec 2-5x (the guide §4.4 duplication pattern, with a heavyweight JVM
+    expression instead of a UDF — measured 2x wall on cdc_compact_customer).
+    ``explode(array(x))`` is row-for-row identical: ``array(x)`` always has
+    exactly one element, and a null parse yields one row with a null
+    envelope, exactly as the bare projection did.
+    """
     if not any(f.name == CORRUPT_COL for f in schema.fields):
         schema = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
         )
     parsed = lines_df.select(
-        F.from_json(
-            F.col("value"),
-            schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        F.explode(
+            F.array(
+                F.from_json(
+                    F.col("value"),
+                    schema,
+                    {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+                )
+            )
         ).alias("env")
     )
     return parsed.select("env.*")
