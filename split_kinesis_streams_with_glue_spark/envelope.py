@@ -144,22 +144,50 @@ def generate_cdc_envelopes(
 
     Final state = rows with pk % 7 != 0, update_col adjusted (+200 if %10,
     else +100 if %5, else original).
+
+    Plan shape (r13 optimization): ONE source scan. Each row emits its
+    phase list — always load; update/delete phases keyed off ``pk % k`` —
+    as an array of (operation, seq) structs, exploded into envelope rows.
+    The previous formulation unioned four filtered ``wrap`` branches, i.e.
+    four full scans of the source per envelope consumer; row-for-row the
+    output is identical (same phases, same adjusted values, same metadata
+    timestamps), only the pass count changes.
     """
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     key = F.col(pk)
-    load = wrap(src, table, "load", seq=F.lit(0))
-    parts = [load]
+    ph = lambda op, seq: F.struct(  # noqa: E731
+        F.lit(op).alias("op"), F.lit(seq).alias("seq")
+    )
+    phases = [ph("load", 0)]
     if update_col is not None:
-        u1 = src.filter(key % 5 == 0).withColumn(update_col, F.col(update_col) + 100)
-        u2 = src.filter(key % 10 == 0).withColumn(update_col, F.col(update_col) + 200)
-        parts.append(wrap(u1, table, "update", seq=F.lit(1)))
-        parts.append(wrap(u2, table, "update", seq=F.lit(2)))
-    dels = src.filter(key % 7 == 0)
-    parts.append(wrap(dels, table, "delete", seq=F.lit(3)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        phases.append(F.when(key % 5 == 0, ph("update", 1)))
+        phases.append(F.when(key % 10 == 0, ph("update", 2)))
+    phases.append(F.when(key % 7 == 0, ph("delete", 3)))
+    exploded = src.select(
+        "*",
+        F.explode(
+            F.filter(F.array(*phases), lambda x: x.isNotNull())
+        ).alias("__ph"),
+    )
+    seq = F.col("__ph.seq")
+    if update_col is not None:
+        # update1 adds 100, update2 adds 200; load/delete carry the original
+        adjusted = (
+            F.when(seq == 1, F.col(update_col) + 100)
+            .when(seq == 2, F.col(update_col) + 200)
+            .otherwise(F.col(update_col))
+        )
+    data = F.struct(
+        *[
+            (adjusted if (update_col is not None and c == update_col) else F.col(c)).alias(c)
+            for c in src.columns
+        ]
+    )
+    ts = F.timestamp_add("SECOND", seq.cast("long"), F.to_timestamp(F.lit(BASE_TS)))
+    return exploded.select(
+        data.alias("data"),
+        _metadata_struct(table, F.col("__ph.op"), ts).alias("metadata"),
+    )
 
 
 def write_envelope_fixture(
