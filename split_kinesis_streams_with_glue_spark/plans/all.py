@@ -279,6 +279,31 @@ exactly 4 never-checked queries, the ``since=12`` wave):
    documented forcing behavior, and the r6-stale tranche (50 queries)
    begins rotating right behind them.  DEFERRED stays empty because the
    SLA arithmetic itself schedules the leftovers.
+
+ROUND-14 WINDOW (derived by set-diff against CORRECTNESS_r01..r13 —
+``CORRECTNESS_r13.json`` landed 50/50 green, arming both designed gates
+exactly as the round-13 docstring scheduled):
+
+1. the 6 ``since=13`` wave registrations (never checked — they were
+   committed AFTER round 13's window regeneration, so the rotation test
+   armed the moment ``CORRECTNESS_r13.json`` landed):
+   ``graph_label_prop_communities``, ``retrieval_rbo``,
+   ``retrieval_mrr_recall``, ``events_pettitt_changepoint``,
+   ``quality_cronbach_alpha``, ``quality_mood_median``;
+2. the 13 oracle-backed r5-stale leftovers the round-13 docstring
+   scheduled here — newest=5 aged past the SLA the moment
+   ``CORRECTNESS_r13.json`` landed (in-flight round 14 > 5 + sla=8):
+   ``events_cusum_changepoint`` … ``agg_correlation_matrix``
+   (registration order);
+3. 31 staleness re-verifications: the first 31 (registration order) of
+   the 50 oracle-backed r6-newest queries (``split_flatten_orders_ts``
+   … ``pipeline_dataset_card``).  The 19 r6 leftovers
+   (``dedup_idf_weighted`` … ``quality_ks_binned``) CANNOT fit (6 + 13 + 50 = 69 >
+   50); newest=6 ages out the moment ``CORRECTNESS_r14.json`` lands
+   (in-flight round 15 > 6 + sla=8), so the SLA test forces them into
+   round 15's first commit — the same documented forcing behavior.
+   DEFERRED stays empty because the SLA arithmetic itself schedules the
+   leftovers.
 """
 
 from __future__ import annotations
@@ -293,67 +318,68 @@ import split_kinesis_streams_with_glue_spark.plans.scale_queries  # noqa: F401
 from split_kinesis_streams_with_glue_spark.plans.registry import REGISTRY, QuerySpec
 
 _VERIFY_PRIORITY: list[str] = [
-    # --- the 4 since=12 registrations (never checked; all 4 judge-MATCH
-    # in the round-12 fresh-plain-session driver-contract run) ---
-    "graph_kcore_copurchase",
-    "retrieval_rank_agreement",
-    "events_aov_periodogram",
-    "events_changepoint_bridge",
-    # --- the 14 oracle-backed r4-stale leftovers the SLA test forced
-    # into this window the moment CORRECTNESS_r12.json landed (the
-    # round-12 docstring's scheduled arithmetic; registration order) ---
-    "events_stream_topk",
-    "text_bloom_decontaminate",
-    "layout_zorder_key",
-    "layout_zorder3_key",
-    "layout_stats_prune",
-    "maintenance_compact_files",
-    "profile_documents",
-    "quality_k_anonymity",
-    "sample_weighted_pps",
-    "sample_cluster_safe_split",
-    "multimodal_frame_sample",
-    "multimodal_feature_ann",
-    "pipeline_entity_resolution",
-    "pipeline_publish_time_travel",
-    # --- 32 staleness re-verifications: the first 32 (registration
-    # order) of the 45 oracle-backed r5-newest queries.  The 13
-    # leftovers (events_cusum_changepoint ... agg_correlation_matrix)
-    # are forced into round 14's window by the SLA test the moment
-    # CORRECTNESS_r13.json lands (see the docstring).  Within the
+    # --- the 6 since=13 wave registrations (never checked — committed
+    # after round 13's window regeneration; the rotation test armed the
+    # moment CORRECTNESS_r13.json landed) ---
+    "graph_label_prop_communities",
+    "retrieval_rbo",
+    "retrieval_mrr_recall",
+    "events_pettitt_changepoint",
+    "quality_cronbach_alpha",
+    "quality_mood_median",
+    # --- the 13 oracle-backed r5-stale leftovers the SLA test forced
+    # into this window the moment CORRECTNESS_r13.json landed (the
+    # round-13 docstring's scheduled arithmetic; registration order) ---
+    "events_cusum_changepoint",
+    "events_holt_trend",
+    "events_hll_intersection",
+    "agg_distribution_stats",
+    "events_seasonal_indices",
+    "events_burstiness",
+    "join_cms_size_contract",
+    "join_bloom_prefilter",
+    "agg_salted_skew",
+    "percentiles_exact_twopass",
+    "agg_equidepth_histogram",
+    "quality_mad_outliers",
+    "agg_correlation_matrix",
+    # --- 31 staleness re-verifications: the first 31 (registration
+    # order) of the 50 oracle-backed r6-newest queries.  The 19
+    # leftovers (dedup_idf_weighted ... quality_ks_binned) are forced
+    # into round 15's window by the SLA test the moment
+    # CORRECTNESS_r14.json lands (see the docstring).  Within the
     # window order carries no meaning — the driver checks all 50. ---
-    "choice_resolution_totalprice",
-    "formats_csv_roundtrip",
-    "cdc_merge_out_of_order",
-    "join_point_in_time",
-    "pipeline_publish_group_atomic",
-    "quality_psi_drift",
-    "quality_psi_categorical",
-    "cdc_scd2_incremental",
-    "pipeline_cdc_optimize",
-    "stream_psi_monitor",
-    "stream_novelty_monitor",
-    "scan_limit",
-    "string_funcs",
-    "subquery_scalar",
-    "pandas_udf_revenue",
-    "dedup_ppjoin_exact",
-    "dedup_incremental_index",
-    "dedup_simhash_md5",
-    "text_bm25_search",
-    "dedup_repeated_passages",
-    "dedup_semantic_contract",
-    "text_bpe_pairs",
-    "dedup_containment_exact",
-    "text_ngram_novelty",
-    "sim_random_projection",
-    "dedup_triangle_count",
-    "events_interpolate_gaps",
-    "events_regression_slope",
-    "events_hll_sliding_distinct",
-    "events_cooccurrence_lift",
-    "events_markov_transitions",
-    "events_mutual_information",
+    "split_flatten_orders_ts",
+    "schema_drift_merge",
+    "cdc_scd2_customer",
+    "split_multi_table",
+    "formats_orc_roundtrip",
+    "cdc_fingerprint_buckets",
+    "cdc_merkle_diff",
+    "cdc_merge_verified",
+    "cdc_join_view_apply",
+    "cdc_join_view_symmetric",
+    "stream_ewma_monitor",
+    "stream_quality_monitor",
+    "date_funcs",
+    "math_funcs",
+    "decimal_money_math",
+    "json_extract_props",
+    "from_json_struct",
+    "explode_words",
+    "array_hof_embedding_norm",
+    "array_contains_filter",
+    "subquery_in",
+    "subquery_correlated_exists",
+    "quality_gopher_rules",
+    "text_zipf_slope",
+    "text_tokenizer_fertility",
+    "dedup_clustering_coeff",
+    "sim_knn_classify",
+    "text_bigram_logprob",
+    "dedup_component_sizes",
+    "sample_soft_dedup_weights",
+    "pipeline_dataset_card",
 ]
 
 # Bounded named-deferral list (round-6 verdict #1): queries that WILL NOT
