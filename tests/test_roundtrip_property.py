@@ -5,8 +5,12 @@ numerics — through the REAL wire path (to_json → from_json → split).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# Full-gate-only for the same budget reason as test_properties.py.
+pytestmark = pytest.mark.slow
 
 from split_kinesis_streams_with_glue_spark.envelope import wrap
 from split_kinesis_streams_with_glue_spark.operators.split import split_one
