@@ -67,6 +67,19 @@ HEADLINE_R7 = [
 
 
 def main() -> None:
+    # round-13 verdict item 1: "stamp invalid and proceed" left the
+    # artifact chain without a trustworthy driver floor for three rounds
+    # running (both r13 legs self-stamped invalid).  Before any Spark
+    # work, WAIT for the box to drain — bounded so a permanently-busy
+    # host still produces an artifact: poll up to 10 min, start as soon
+    # as 1-min < 1.0 and 5-min < 2.0.  This loop is entirely outside the
+    # timed region (the session isn't even created yet).
+    drain_deadline = time.monotonic() + 600
+    while time.monotonic() < drain_deadline:
+        one, five, _ = os.getloadavg()
+        if one < 1.0 and five < 2.0:
+            break
+        time.sleep(30)
     # pre-existing host load, sampled BEFORE any Spark work: the bench
     # itself saturates the cores for minutes, so a post-run sample would
     # only measure the bench (round-12 review finding)
@@ -79,6 +92,7 @@ def main() -> None:
     # timings taken now would measure contention, not code.  The run
     # still completes (the driver needs an artifact either way) but the
     # JSON self-stamps invalid so no reader can mistake it for a floor.
+    # With the drain-wait above, invalid now means the wait EXPIRED.
     invalid = load_before[1] > 2.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
