@@ -2,13 +2,16 @@
 """Capture .explain("formatted") output for the bench headline queries.
 
 Usage: python scripts/capture_plans.py <out_suffix> [query ...]
-Writes plans/r13/<query>_<out_suffix>.txt for each query (default: the 12
-bench headliners). Plan capture only — no noop execution — but queries whose
-builder runs eager work (streaming drains, merges) do execute that work.
+Writes plans/<SPARK_GRAFT_PLANS_DIR, default r14>/<query>_<out_suffix>.txt
+for each query (default: the 12 bench headliners). Plan capture only — no
+noop execution — but queries whose builder runs eager work (streaming
+drains, merges) do execute that work.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -38,13 +41,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="capture-plans")
     registry = all_queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in NAMES:
         df = registry[name].fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only: explain() prints the same string the old
+        # PythonSQLUtils.explainString JVM internal returned, and survives
+        # PySpark upgrades / Spark Connect (round-13 advice)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{SUFFIX}.txt")
         with open(path, "w") as fh:
             fh.write(plan)

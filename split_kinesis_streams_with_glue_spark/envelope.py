@@ -151,7 +151,11 @@ def generate_cdc_envelopes(
     The previous formulation unioned four filtered ``wrap`` branches, i.e.
     four full scans of the source per envelope consumer; row-for-row the
     output is identical (same phases, same adjusted values, same metadata
-    timestamps), only the pass count changes.
+    timestamps), only the pass count changes.  Physical ORDER differs:
+    rows interleave per source row (load, update, delete for row 1, then
+    row 2 …) instead of phase-grouped (all loads, then all updates …) —
+    the row SET is identical, so only order-sensitive consumers of raw
+    fixture layouts (none registered) would notice (round-13 advice).
     """
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     key = F.col(pk)

@@ -29,6 +29,14 @@ def parse_envelope_lines(lines_df: DataFrame, schema: T.StructType) -> DataFrame
     ``explode(array(x))`` is row-for-row identical: ``array(x)`` always has
     exactly one element, and a null parse yields one row with a null
     envelope, exactly as the bare projection did.
+
+    Tradeoff (round-13 advice): the barrier also blocks ``from_json``
+    schema pruning and filter pushdown below the parse for EVERY consumer —
+    a narrow consumer that reads only a few struct fields pays the
+    full-schema parse. Acceptable for the envelope workloads here (every
+    consumer flattens most of the struct, and the duplication it prevents
+    was measured at 2-5x per row); a future narrow consumer can bypass the
+    barrier by projecting ``from_json`` directly.
     """
     if not any(f.name == CORRUPT_COL for f in schema.fields):
         schema = T.StructType(

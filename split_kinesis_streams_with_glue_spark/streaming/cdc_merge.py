@@ -120,11 +120,6 @@ def make_cdc_merger(
                 F.lit(num_buckets),
             ),
         )
-        # Pin the batch once: the dirty census below AND the merge pool both
-        # consume delta — unpinned, the batch source is evaluated (and on the
-        # streaming path, its files re-read) twice per epoch. Bounded by
-        # construction: delta is one micro-batch.
-        delta = delta.localCheckpoint(eager=True)
         stored = None
         try:
             # mergeSchema: buckets written before a schema drift keep their
@@ -163,6 +158,16 @@ def make_cdc_merger(
                     f"policy {sorted(compat_policy)} for table {table!r} "
                     f"(epoch {epoch_id}); batch failed before any write"
                 )
+        # Pin the batch once: the dirty census below AND the merge pool both
+        # consume delta — unpinned, the batch source is evaluated (and on the
+        # streaming path, its files re-read) twice per epoch. Bounded by
+        # construction: delta is one micro-batch. Pinned AFTER the
+        # compat_policy gate, which needs only delta.schema (no job), so a
+        # rejected batch pays no materialization on each retry. Caveat:
+        # localCheckpoint blocks are non-replicated — executor loss
+        # mid-epoch fails the batch instead of recomputing it (the stream
+        # retry covers it; acceptable for one micro-batch of work).
+        delta = delta.localCheckpoint(eager=True)
         # The dirty-bucket census drives the stored-side scan, the emptied-
         # bucket sweep, and on_merged — derive it ONCE (metadata-sized:
         # ≤ num_buckets rows).
