@@ -58,6 +58,18 @@ def get_spark(
         # Spark's vectorized reader rejects; read as long and convert
         # (truncate to micros — matching what DuckDB's reader does).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Whole-stage codegen gives up on operators wider than maxFields
+        # (default 100). The MinHash signature HashAggregate is 129 fields
+        # (id + 128 min lanes), so BOTH its partial and final aggregates ran
+        # INTERPRETED — measured ~4.0 s vs ~0.7 s stage floor at sf0.1, and
+        # a consistent 15-25% on the full dedup_minhash_lsh query once
+        # codegen fires (executed-plan proof: the aggregates gain *(n)
+        # markers at 160). Width is a property of the PLAN, not the cluster,
+        # so this holds at any scale/core count. 160 (not unbounded) keeps
+        # genuinely enormous plans on the interpreted path where codegen
+        # class size would hurt compile time. (tests/test_plans.py pins the
+        # codegen marker on the signature aggregate.)
+        .config("spark.sql.codegen.maxFields", "160")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
