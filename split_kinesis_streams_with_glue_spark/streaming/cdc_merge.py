@@ -47,7 +47,7 @@ from __future__ import annotations
 import json
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -122,9 +122,25 @@ def make_cdc_merger(
         )
         stored = None
         try:
-            # mergeSchema: buckets written before a schema drift keep their
-            # old file schema; the union below must still see every column
-            stored = spark.read.option("mergeSchema", "true").parquet(path)
+            # Prefer the _schema sidecar over mergeSchema inference: the
+            # sidecar records the last epoch's merged schema, which is the
+            # UNION of every column ever written (merge schemas never
+            # shrink), so an explicit-schema read sees exactly what
+            # mergeSchema would — without the per-epoch footer sweep over
+            # every file of the table (a full file-listing job at scale).
+            # Buckets written before a drift lack the newer columns and
+            # null-fill; a crashed epoch's files written AFTER a drift but
+            # before the sidecar update lose the new column only for this
+            # replay, which rewrites those same dirty buckets from the
+            # replayed delta — convergent either way. Tables from before
+            # the sidecar existed fall back to mergeSchema.
+            schema_json = read_text_marker(spark, f"{path}/_schema")
+            if schema_json is not None:
+                stored = spark.read.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                ).parquet(path)
+            else:
+                stored = spark.read.option("mergeSchema", "true").parquet(path)
         except AnalysisException as exc:
             # Only a genuinely-absent table is a first batch. Any OTHER
             # analysis error (e.g. incompatible type drift) must fail the
@@ -185,29 +201,48 @@ def make_cdc_merger(
             pool = stored.filter(
                 F.col("__bucket").isin([int(b) for b in dirty_ids])
             ).unionByName(delta, allowMissingColumns=True)
-        # Materialize once: the bucket census below and the write must see
-        # the same rows without recomputing the merge. Bounded: the pool is
-        # O(batch + dirty-bucket rows) by construction.
-        merged = compact(
-            pool, pk_cols, drop_meta=False, keep_deletes=out_of_order
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        # The parquet write below IS the materialization of the merge —
+        # write FIRST and let every later consumer (the emptied-bucket
+        # sweep's census, on_merged) read the written files back instead of
+        # paying a localCheckpoint of the whole merged pool per epoch
+        # (r14: one full extra materialization removed; jobs/epoch 11 -> 7,
+        # outputs byte-identical).
+        merged = compact(pool, pk_cols, drop_meta=False, keep_deletes=out_of_order)
+        merged_schema = merged.schema
+        # The surviving-bucket census rides the write itself as an observed
+        # metric (collect_set over <= num_buckets values) — no separate job.
+        obs = Observation(f"cdc-surviving-{table}-{epoch_id}")
+        observed = merged.observe(obs, F.collect_set("__bucket").alias("buckets"))
+        observed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
         # Dynamic overwrite only replaces partitions PRESENT in the output:
         # a batch whose deletes empty an entire dirty bucket emits no rows
         # for it, so its stale __bucket=N directory would survive on disk
         # and the deleted rows would resurrect in read_table. Drop those
-        # emptied partitions explicitly (the collect is metadata-sized and
-        # runs on the checkpointed frame).
-        surviving = {r[0] for r in merged.select("__bucket").distinct().collect()}
+        # emptied partitions explicitly (the observed census is
+        # metadata-sized: ≤ num_buckets values).
+        surviving = {int(b) for b in obs.get["buckets"]}
         for bucket in sorted(dirty_ids - surviving):
             fs, part, _ = _fs_path(spark, f"{path}/__bucket={bucket}")
             fs.delete(part, True)
         # Schema sidecar: if deletes empty the WHOLE table there are no data
         # files left to infer a schema from; read_table falls back to this
         # marker so an empty table reads as 0 rows with the last schema.
-        write_text_marker(spark, f"{path}/_schema", merged.schema.json())
+        write_text_marker(spark, f"{path}/_schema", merged_schema.json())
         if on_merged is not None:
-            on_merged(merged, dirty_ids, surviving)
+            # Derived-state writers see this epoch's merged rows by reading
+            # back exactly the dirty buckets just written (partition-pruned,
+            # column-prunable — cheaper than holding the full-width
+            # checkpoint), with the explicit schema so the __bucket
+            # partition column keeps its written type.
+            if surviving:
+                back = (
+                    spark.read.schema(merged_schema)
+                    .parquet(path)
+                    .filter(F.col("__bucket").isin([int(b) for b in dirty_ids]))
+                )
+            else:
+                back = spark.createDataFrame([], merged_schema)
+            on_merged(back, dirty_ids, surviving)
         write_marker(spark, marker, epoch_id)
 
     return merge
@@ -235,26 +270,17 @@ def cdc_merge_stream(
 
 def read_table(spark, path: str) -> DataFrame:
     """The user-facing materialized table (merge bookkeeping columns
-    dropped). mergeSchema tolerates buckets last rewritten before a
-    schema drift — their files lack the newer columns. A table whose rows
-    were ALL deleted has no data files to infer from; fall back to the
-    ``_schema`` sidecar the merger records each epoch."""
-    try:
-        df = spark.read.option("mergeSchema", "true").parquet(path)
-    except AnalysisException as exc:
-        cond = (
-            exc.getCondition()
-            if hasattr(exc, "getCondition")
-            else exc.getErrorClass()
-        )
-        schema_json = (
-            read_text_marker(spark, f"{path}/_schema")
-            if cond == "UNABLE_TO_INFER_SCHEMA"
-            else None
-        )
-        if schema_json is None:
-            raise
+    dropped). The ``_schema`` sidecar (recorded by the merger after every
+    data write) is the preferred schema source: it equals what mergeSchema
+    would infer (merge schemas only ever grow) without the footer sweep
+    over every file, and it also covers a table whose rows were ALL
+    deleted (no data files to infer from). Pre-sidecar tables fall back
+    to mergeSchema inference."""
+    schema_json = read_text_marker(spark, f"{path}/_schema")
+    if schema_json is not None:
         df = spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(path)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     if "operation" in df.columns:
         # out-of-order tables store delete tombstones; they are merge
         # bookkeeping, not user rows (no-op on ordered tables)
@@ -310,24 +336,14 @@ def read_rollup(spark, agg_path: str, group_cols: list[str]) -> DataFrame:
     scan is the partial table (bounded by num_buckets x |groups|), never
     the row table. Falls back to the ``_schema`` sidecar when deletes have
     emptied every partial partition (same contract as ``read_table``)."""
-    try:
-        partials = spark.read.parquet(agg_path)
-    except AnalysisException as exc:
-        cond = (
-            exc.getCondition()
-            if hasattr(exc, "getCondition")
-            else exc.getErrorClass()
-        )
-        schema_json = (
-            read_text_marker(spark, f"{agg_path}/_schema")
-            if cond == "UNABLE_TO_INFER_SCHEMA"
-            else None
-        )
-        if schema_json is None:
-            raise
+    # sidecar-first for the same reason as read_table: no inference job
+    schema_json = read_text_marker(spark, f"{agg_path}/_schema")
+    if schema_json is not None:
         partials = spark.read.schema(
             StructType.fromJson(json.loads(schema_json))
         ).parquet(agg_path)
+    else:
+        partials = spark.read.parquet(agg_path)
     return (
         partials.groupBy(*group_cols)
         .agg(F.sum("n").cast("bigint").alias("n"), F.sum("total").alias("total"))
@@ -441,8 +457,15 @@ def read_fingerprint(spark, fp_path: str) -> DataFrame:
     """Fold the per-bucket fingerprint partials to the table-level
     (n_rows, checksum) pair — the kilobyte certificate a replica compares
     against its own recomputation. Scans only the summary table
-    (≤ num_buckets rows)."""
-    partials = spark.read.parquet(fp_path)
+    (≤ num_buckets rows). Sidecar-first like ``read_table`` — no
+    inference job."""
+    schema_json = read_text_marker(spark, f"{fp_path}/_schema")
+    if schema_json is not None:
+        partials = spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(fp_path)
+    else:
+        partials = spark.read.parquet(fp_path)
     return partials.agg(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
