@@ -505,9 +505,20 @@ def make_scd2_merger(
             "__bucket",
             F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(num_buckets)),
         )
+        # pin once: the dirty census AND the pool both consume delta — on
+        # the streaming path an unpinned batch source is read twice
+        delta = delta.localCheckpoint(eager=True)
         stored = None
         try:
-            stored = spark.read.option("mergeSchema", "true").parquet(log_path)
+            # sidecar-first, same contract as make_cdc_merger: the log's
+            # schema never shrinks, so no per-epoch mergeSchema footer sweep
+            schema_json = read_text_marker(spark, f"{log_path}/_schema")
+            if schema_json is not None:
+                stored = spark.read.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                ).parquet(log_path)
+            else:
+                stored = spark.read.option("mergeSchema", "true").parquet(log_path)
         except AnalysisException as exc:
             cond = (
                 exc.getCondition()
@@ -525,14 +536,29 @@ def make_scd2_merger(
             pool = stored.filter(F.col("__bucket").isin(dirty)).unionByName(
                 delta, allowMissingColumns=True
             )
-        # exact-duplicate drop = replay idempotence for the append-ish log
-        pool = pool.distinct().localCheckpoint(eager=True)
+        # exact-duplicate drop = replay idempotence for the append-ish log.
+        # The log write IS the pool's materialization (write-first, as in
+        # make_cdc_merger): the SCD2 recompute reads the written dirty
+        # buckets back instead of a localCheckpoint of the whole pool.
+        pool = pool.distinct()
+        pool_schema = pool.schema
         pool.write.mode("overwrite").partitionBy("__bucket").parquet(log_path)
-        hist = scd2_history(pool, pk_cols)
-        hist.write.mode("overwrite").partitionBy("__bucket").parquet(scd2_path)
+        write_text_marker(spark, f"{log_path}/_schema", pool_schema.json())
+        log_back = (
+            spark.read.schema(pool_schema)
+            .parquet(log_path)
+            .filter(F.col("__bucket").isin(dirty))
+        )
+        hist = scd2_history(log_back, pk_cols)
+        # the emptied-bucket census rides the write (observed metric)
+        obs = Observation(f"scd2-present-{table}-{epoch_id}")
+        observed = hist.observe(obs, F.collect_set("__bucket").alias("buckets"))
+        hist_schema = hist.schema
+        observed.write.mode("overwrite").partitionBy("__bucket").parquet(scd2_path)
+        write_text_marker(spark, f"{scd2_path}/_schema", hist_schema.json())
         # a bucket whose keys were ALL deleted still has log rows (the
         # deletes), but may emit no scd2 rows — sweep its stale partition
-        present = {r[0] for r in hist.select("__bucket").distinct().collect()}
+        present = {int(b) for b in obs.get["buckets"]}
         for bucket in sorted(set(dirty) - present):
             fs, part, _ = _fs_path(spark, f"{scd2_path}/__bucket={bucket}")
             if fs.exists(part):
@@ -543,8 +569,16 @@ def make_scd2_merger(
 
 
 def read_scd2(spark, scd2_path: str) -> DataFrame:
-    """The user-facing SCD2 table (bucket column dropped)."""
-    return spark.read.option("mergeSchema", "true").parquet(scd2_path).drop("__bucket")
+    """The user-facing SCD2 table (bucket column dropped). Sidecar-first
+    like ``read_table`` — no inference job."""
+    schema_json = read_text_marker(spark, f"{scd2_path}/_schema")
+    if schema_json is not None:
+        df = spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(
+            scd2_path
+        )
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(scd2_path)
+    return df.drop("__bucket")
 
 
 def scd2_stream(
