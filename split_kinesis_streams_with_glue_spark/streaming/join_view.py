@@ -31,14 +31,18 @@ documents the extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from split_kinesis_streams_with_glue_spark.streaming.cdc_merge import (
     make_cdc_merger,
 )
 from split_kinesis_streams_with_glue_spark.streaming.markers import (
     _fs as _fs_path,
+    read_text_marker,
     write_text_marker,
 )
 
@@ -97,11 +101,17 @@ def make_cdc_join_view_merger(
         partials = joined.groupBy(
             F.col("__dim_bucket").alias("__bucket"), *group_cols
         ).agg(F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total"))
-        partials.write.mode("overwrite").partitionBy("__bucket").parquet(agg_path)
-        write_text_marker(spark, f"{agg_path}/_schema", partials.schema.json())
+        # the present-bucket census rides the write as an observed metric
+        # (<= num_buckets values) instead of re-running the join+aggregate
+        # for a separate collect (r14, as in make_cdc_merger)
+        obs = Observation(f"join-view-present-{table}")
+        partials_schema = partials.schema
+        observed = partials.observe(obs, F.collect_set("__bucket").alias("buckets"))
+        observed.write.mode("overwrite").partitionBy("__bucket").parquet(agg_path)
+        write_text_marker(spark, f"{agg_path}/_schema", partials_schema.json())
         # dirty buckets whose dim rows vanished (or join to nothing) leave
         # no partial rows; drop their stale partitions
-        present = {r[0] for r in partials.select("__bucket").distinct().collect()}
+        present = {int(b) for b in obs.get["buckets"]}
         for bucket in sorted(set(dirty) - present):
             fs, part, _ = _fs_path(spark, f"{agg_path}/__bucket={bucket}")
             if fs.exists(part):
@@ -116,8 +126,14 @@ def make_cdc_join_view_merger(
 def read_join_view(spark, agg_path: str, group_cols: list[str]) -> DataFrame:
     """The user-facing join aggregate: fold the per-bucket partials
     (bounded by num_buckets × |groups| — the fact table is never
-    rescanned)."""
-    partials = spark.read.parquet(agg_path)
+    rescanned). Sidecar-first like ``read_table`` — no inference job."""
+    schema_json = read_text_marker(spark, f"{agg_path}/_schema")
+    if schema_json is not None:
+        partials = spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(agg_path)
+    else:
+        partials = spark.read.parquet(agg_path)
     return partials.groupBy(*group_cols).agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("total").alias("total"),
@@ -161,7 +177,15 @@ def make_symmetric_join_view_mergers(
 
     def _side(spark, path, dirty):
         try:
-            df = spark.read.option("mergeSchema", "true").parquet(path)
+            # sidecar-first (the row tables are merger-maintained, so the
+            # sidecar exists after any epoch): no inference footer sweep
+            schema_json = read_text_marker(spark, f"{path}/_schema")
+            if schema_json is not None:
+                df = spark.read.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                ).parquet(path)
+            else:
+                df = spark.read.option("mergeSchema", "true").parquet(path)
         except AnalysisException:
             return None  # that side has seen no epoch yet
         df = df.filter(F.col("__bucket").isin(dirty))
@@ -190,13 +214,16 @@ def make_symmetric_join_view_mergers(
             partials = joined.groupBy(
                 F.col("__b").alias("__bucket"), *group_cols
             ).agg(F.count(F.lit(1)).alias("n"), F.sum(value_expr).alias("total"))
-            partials.write.mode("overwrite").partitionBy("__bucket").parquet(
+            obs = Observation(f"sym-view-present-{left_table}-{right_table}")
+            partials_schema = partials.schema
+            observed = partials.observe(
+                obs, F.collect_set("__bucket").alias("buckets")
+            )
+            observed.write.mode("overwrite").partitionBy("__bucket").parquet(
                 agg_path
             )
-            write_text_marker(spark, f"{agg_path}/_schema", partials.schema.json())
-            present = {
-                row[0] for row in partials.select("__bucket").distinct().collect()
-            }
+            write_text_marker(spark, f"{agg_path}/_schema", partials_schema.json())
+            present = {int(b) for b in obs.get["buckets"]}
             empty_sweep = sorted(set(dirty) - present)
         for bucket in empty_sweep:
             fs, part, _ = _fs_path(spark, f"{agg_path}/__bucket={bucket}")
