@@ -133,7 +133,12 @@ def cdc_merge_apply(spark, sf_dir):
         to_json_lines(ph).coalesce(1).write.mode("append").text(src)
         stamp(1_600_000_000 + i)
     stream = (
-        spark.readStream.schema(infer_envelope_schema(spark, src))
+        # sampled inference: single-table envelope — every data line carries
+        # the full customer payload, so a 5% line sample infers the same
+        # union schema as the full parse (pinned by
+        # test_streaming.test_sampled_inference_matches_full) at ~1/20 the
+        # JSON-parse cost of the inference pass
+        spark.readStream.schema(infer_envelope_schema(spark, src, sampling_ratio=0.05))
         .option("maxFilesPerTrigger", "1")
         .json(src)
     )
@@ -208,7 +213,8 @@ def stream_split_customer(spark, sf_dir):
     run_split_stream_to_completion(
         spark,
         source_dir=src,
-        schema=infer_envelope_schema(spark, src),
+        # sampled inference — same single-table argument and pin as above
+        schema=infer_envelope_schema(spark, src, sampling_ratio=0.05),
         out_dir=f"{base}/target",
         checkpoint_dir=f"{base}/ckpt",
         dlq_dir=f"{base}/dlq",
@@ -843,7 +849,12 @@ def cdc_merge_out_of_order(spark, sf_dir):
         to_json_lines(ph).coalesce(1).write.mode("append").text(src)
         stamp(1_600_000_000 + i)
     stream = (
-        spark.readStream.schema(infer_envelope_schema(spark, src))
+        # sampled inference: single-table envelope — every data line carries
+        # the full customer payload, so a 5% line sample infers the same
+        # union schema as the full parse (pinned by
+        # test_streaming.test_sampled_inference_matches_full) at ~1/20 the
+        # JSON-parse cost of the inference pass
+        spark.readStream.schema(infer_envelope_schema(spark, src, sampling_ratio=0.05))
         .option("maxFilesPerTrigger", "1")
         .json(src)
     )

@@ -598,7 +598,9 @@ def cdc_rollup_apply(spark, sf_dir):
         to_json_lines(ph).coalesce(1).write.mode("append").text(src)
         stamp(1_600_000_000 + i)
     stream = (
-        spark.readStream.schema(infer_envelope_schema(spark, src))
+        # sampled inference: single-table envelope (see pipeline_queries;
+        # pinned by test_streaming.test_sampled_inference_matches_full)
+        spark.readStream.schema(infer_envelope_schema(spark, src, sampling_ratio=0.05))
         .option("maxFilesPerTrigger", "1")
         .json(src)
     )

@@ -33,6 +33,48 @@ def stream_dirs(spark, sf_dir, tmp_path):
     }
 
 
+def test_sampled_inference_matches_full(spark, sf_dir, tmp_path):
+    """Pins the contract behind the queries' ``sampling_ratio=0.05``
+    inference (r14): on a SINGLE-TABLE envelope fixture — where every data
+    line carries the full payload struct — a sampled inference must produce
+    the exact union schema of the full parse, for both fixture layouts the
+    queries build (wire lines with control + corrupt records, and the
+    per-phase CDC file layout). If a fixture ever gains a field that only
+    rare lines carry, this test turns red BEFORE the sampled queries can
+    silently drop the field."""
+    import os
+
+    from split_kinesis_streams_with_glue_spark.envelope import (
+        control_records,
+        generate_cdc_envelopes,
+        to_json_lines,
+        wrap,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # layout 1: stream_split_customer's wire fixture
+    src1 = str(tmp_path / "wire")
+    lines = to_json_lines(wrap(cust, "customer"))
+    lines = lines.unionByName(to_json_lines(control_records(spark, ["customer"])))
+    lines = lines.unionByName(
+        spark.createDataFrame([("{not json",), ('{"data": bad',)], "value string")
+    )
+    lines.repartition(3).write.mode("overwrite").text(src1)
+    assert infer_envelope_schema(spark, src1, sampling_ratio=0.05) == (
+        infer_envelope_schema(spark, src1)
+    )
+    # layout 2: the CDC mergers' per-phase file layout
+    src2 = str(tmp_path / "phases")
+    os.makedirs(src2)
+    env = generate_cdc_envelopes(spark, sf_dir, "customer", "c_custkey", "c_acctbal")
+    op = F.col("metadata.operation")
+    for phase in ["load", "update", "delete"]:
+        to_json_lines(env.filter(op == phase)).coalesce(1).write.mode("append").text(src2)
+    assert infer_envelope_schema(spark, src2, sampling_ratio=0.05) == (
+        infer_envelope_schema(spark, src2)
+    )
+
+
 def test_stream_split_end_to_end(spark, sf_dir, stream_dirs):
     tables = sorted(DEFAULT_FIXTURE_TABLES)
     run_split_stream_to_completion(
